@@ -1,0 +1,52 @@
+"""Smoke + invariants for the relational query inventory (full oracle
+equivalence is exercised by tools/check_correctness.py and the driver gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from postgresql_cdc_spark.plans import QUERIES
+
+
+def test_all_queries_have_unique_names():
+    assert len(QUERIES) >= 25
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs_and_aliases_match_oracle(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.spark(spark, sf_dir)
+    cols = df.columns
+    assert len(cols) == len(set(cols)), f"{name}: duplicate output columns"
+    # Every query must produce at least one row at sf0.001 unless inherently
+    # selective; just require it runs and has a stable schema.
+    df.limit(5).collect()
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.count() > 0
+    qs, os_ = m.queries(), m.oracle_sql()
+    assert set(os_) <= set(qs)
+
+
+def test_asof_join_semantics(spark):
+    from postgresql_cdc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k int, t int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 99, "zz")], "k int, t int, rv string"
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t", how="inner")
+    got = {(r.k, r.t, r.lv, r.rv) for r in out.collect()}
+    # t=10 matches the equal-timestamp right row; t=20 the latest (15); k=2 has
+    # no right row at or before t=5 -> dropped under inner.
+    assert got == {(1, 10, "a", "r10"), (1, 20, "b", "r15")}
+
+    out_left = asof_join(left, right, on="k", left_time="t", right_time="t", how="left")
+    got_left = {(r.k, r.t, r.lv, r.rv) for r in out_left.collect()}
+    assert got_left == got | {(2, 5, "c", None)}

@@ -1,0 +1,136 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares:
+row count, schema (column names), and an order-insensitive value hash computed
+over columns sorted by name and rows sorted lexicographically.
+
+The driver's exact hashing is unknown, so this harness is deliberately strict:
+values are canonicalized (floats via repr of float64, decimals/ints/strings
+verbatim, arrays recursively) and compared exactly. If we pass here, any
+reasonable hash-compare passes too. Run:
+
+    python tools/check_correctness.py [--sf /root/testdata/sf0.01] [--only q1,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # float64 repr is round-trip-exact; 1.0 and 1 stay distinct from ints
+        return repr(float(v))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return h, lines
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--show-diff", type=int, default=6)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from postgresql_cdc_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            sh, sl = table_fingerprint(scols, srows)
+            oh, ol = table_fingerprint(ocols, orows)
+            if sh != oh:
+                problems.append(f"valuehash spark={sh} oracle={oh}")
+                shown = 0
+                for a, b in zip(sl, ol):
+                    if a != b and shown < args.show_diff:
+                        print(f"    spark : {a[:220]}")
+                        print(f"    oracle: {b[:220]}")
+                        shown += 1
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}  ({time.time()-t0:.1f}s)")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
