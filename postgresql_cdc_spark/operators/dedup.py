@@ -1,0 +1,289 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each shuffle-conscious and expressible against a DuckDB oracle:
+
+- ``exact_dedup``          — hash-groupBy on a normalized content hash; one
+                             shuffle on the 60-bit hash key, map-side partial
+                             aggregation, no UDF.
+- ``minhash_signature`` /
+  ``minhash_lsh_pairs``    — shingle → k-minhash → band buckets → bucket
+                             self-join. The join key is (band, band-hash), so
+                             candidate generation is a co-partitioned equi-join
+                             — never an all-pairs cross join. Verification
+                             computes exact shingle Jaccard only on candidates.
+- ``simhash_fingerprint`` /
+  ``simhash_pairs``        — 32-bit simhash; near-dup candidates share at
+                             least one of 4 8-bit chunks (Hamming ≤3 ⇒ some
+                             chunk equal by pigeonhole), then exact Hamming
+                             filter via bit ops.
+- ``ngram_jaccard_pairs``  — exact n-gram Jaccard via explode + equi-join on
+                             shingle hash; scalable because the join fans out
+                             per *matching shingle*, not per document pair.
+- ``embedding_near_dups``  — random-hyperplane LSH over embeddings → bucket
+                             join → exact cosine filter (see similarity.py).
+
+Scale: every pipeline is (projection) → (equi-join or groupBy on a hash key).
+Skewed buckets (a shingle shared by millions of docs) are the classic hazard:
+``max_bucket`` caps bucket width, dropping degenerate buckets like the
+empty-shingle one — standard practice (stop-shingle removal) in web-scale
+dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from postgresql_cdc_spark.operators.text import h60, h60_seeded, shingles, tokens
+
+
+def _seeded_min(sh, seed: str):
+    """min h60(seed:shingle) over a shingle array.
+
+    NB: the inner lambda must take exactly ONE parameter — PySpark HOFs call
+    a two-parameter callable (even with a default) as (element, index).
+    """
+    return F.array_min(F.transform(sh, lambda s: h60_seeded(s, seed)))
+
+# Default LSH geometry: k = bands * rows_per_band signatures.
+BANDS = 4
+ROWS_PER_BAND = 3
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized content; keeps the min id as canonical.
+
+    Returns (content_hash, canonical_id, n_dups).
+    """
+    key = h60(F.concat_ws(" ", tokens(F.col(text_col)))).alias("content_hash")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signature(text: Column, k: int = BANDS * ROWS_PER_BAND,
+                      n: int = 3) -> Column:
+    """k-element minhash signature over word n-gram shingles.
+
+    Seeded md5 family — k independent passes, all JVM-side. Docs with fewer
+    than n tokens get a null signature (cannot be near-dup candidates).
+    """
+    sh = shingles(tokens(text), n)
+    sig = F.array(*[_seeded_min(sh, f"mh{i}") for i in range(k)])
+    return F.when(F.size(sh) > 0, sig).otherwise(
+        F.lit(None).cast("array<long>")
+    )
+
+
+def band_keys(sig: Column, bands: int = BANDS,
+              rows: int = ROWS_PER_BAND) -> Column:
+    """LSH band buckets: array of (band_id, band_hash) structs. Two docs are
+    candidates iff they collide on any band (all `rows` minhashes equal)."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            h60(F.concat_ws(",", *[
+                F.element_at(sig, b * rows + r + 1).cast("string")
+                for r in range(rows)
+            ])).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+    ngram: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    candidates: explode band keys → self-join on (band, bucket) → distinct
+    pair. verify: exact shingle Jaccard via the shingle-explode join (no
+    signatures in the verdict — LSH only prunes).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokens(F.col(text_col)), ngram).alias("sh"),
+    ).where(F.size("sh") > 0)
+
+    sig = base.select(
+        "id",
+        F.array(*[
+            _seeded_min(F.col("sh"), f"mh{i}") for i in range(bands * rows)
+        ]).alias("sig"),
+    )
+    buckets = (
+        sig.select("id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    )
+    # cap pathological buckets (skew guard)
+    wide = buckets.groupBy("band", "bucket").count().where(F.col("count") > max_bucket)
+    buckets = buckets.join(F.broadcast(wide), ["band", "bucket"], "left_anti")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sizes = base.select("id", F.size("sh").alias("n_sh"))
+    inter = (
+        base.select("id", F.explode("sh").alias("s"))
+        .withColumn("sh_hash", h60(F.col("s")))
+        .select("id", "sh_hash")
+    )
+    ia, ib = inter.alias("ia"), inter.alias("ib")
+    common = (
+        cand.join(ia, cand.id_a == ia.id)
+        .join(ib, (cand.id_b == F.col("ib.id")) & (F.col("ia.sh_hash") == F.col("ib.sh_hash")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (
+        common.join(sa, common.id_a == sa.id)
+        .join(sb, common.id_b == F.col("sb.id"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash_fingerprint(text: Column, bits: int = 32, n: int = 1) -> Column:
+    """``bits``-bit simhash over word n-grams (n=1: unigram tokens).
+
+    bit b of the fingerprint = sign of Σ_tokens (±1 by bit b of the token
+    hash). Pure higher-order functions — sequence/transform/filter/aggregate —
+    so it's one codegen stage, no UDF. DuckDB twin uses the same h60 family.
+    """
+    sh = F.array_distinct(
+        shingles(tokens(text), n) if n > 1 else tokens(text)
+    )
+    hashes = F.transform(sh, h60)
+    n = F.size(hashes)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        # one-parameter closure (see _seeded_min note); bit test via mask
+        # because F.shiftright can't take a HOF lambda variable
+        def bit_set(mask):
+            return lambda h: h.bitwiseAND(mask) != 0
+
+        vote = F.size(F.filter(hashes, bit_set(1 << b))) * 2 - n
+        fp = fp + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return F.when(F.size(sh) > 0, fp).otherwise(F.lit(None).cast("long"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: with 4 chunks of 8 bits, Hamming ≤ 3 implies at least
+    one chunk matches exactly → candidates come from 4 equi-joins on
+    (chunk_id, chunk_value), never a cross join. Exact distance via bit_count.
+    """
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        simhash_fingerprint(F.col(text_col), bits).alias("fp"),
+    ).where(F.col("fp").isNotNull())
+
+    chunked = fp.select(
+        "id", "fp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("fp"), c * chunk_bits).bitwiseAND(mask).alias("val"),
+            )
+            for c in range(chunks)
+        ])).alias("ck"),
+    ).select("id", "fp", "ck.chunk", "ck.val")
+
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard above threshold.
+
+    Explode shingle hashes → equi-join on shingle → count common → Jaccard.
+    ``max_df`` drops shingles appearing in more than that many docs (stop-
+    shingles): they explode the join fan-out while contributing nothing to
+    high-Jaccard pairs — the standard scalable trick.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokens(F.col(text_col)), ngram).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sizes = base.select("id", F.size("sh").alias("n_sh"))
+    posting = (
+        base.select("id", F.explode("sh").alias("s"))
+        .select("id", h60(F.col("s")).alias("sh_hash"))
+    )
+    hot = posting.groupBy("sh_hash").count().where(F.col("count") > max_df)
+    posting = posting.join(F.broadcast(hot), "sh_hash", "left_anti")
+
+    pa, pb = posting.alias("pa"), posting.alias("pb")
+    common = (
+        pa.join(pb, "sh_hash")
+        .where(F.col("pa.id") < F.col("pb.id"))
+        .groupBy(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, common.id_a == sa.id)
+        .join(sb, common.id_b == F.col("sb.id"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

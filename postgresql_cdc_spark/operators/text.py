@@ -1,0 +1,136 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All expressions are Catalyst built-ins (whole-stage codegen, no Python in the
+hot path) and each has an exact ANSI-SQL twin so the DuckDB oracle can verify
+results bit-for-bit:
+
+- ``tokens``          — normalize + whitespace/punct split
+- ``h60``             — engine-portable 60-bit content hash (md5 prefix —
+                        identical in Spark and DuckDB, unlike xxhash64)
+- ``shingles``        — word n-gram shingling for near-dup detection
+- ``token_stats``     — counts / uniq ratio / mean length
+- ``quality_score``   — heuristic doc quality in [0,1]
+- ``lang_scores``     — stopword-overlap language ID (n-gram heuristic)
+- ``doc_fingerprint`` — content hash + min-shingle rolling fingerprint
+
+Scale notes: everything is a per-row projection — no shuffle, no UDF; md5 is
+the only nontrivial kernel and is vectorized JVM-side. At 100 TB these run at
+scan speed and column-prune to just the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Languages for the stopword heuristic. Tiny closed-class word lists — the
+# classic cheap language-ID signal (function words dominate any real corpus).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "de", "un", "una", "que", "por"],
+}
+
+
+def h60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5, as a long.
+
+    DuckDB twin: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``. Used
+    everywhere a hash must agree across engines (fingerprints, minhash, LSH
+    buckets); xxhash64/murmur are Spark-only so they can't be oracle-checked.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_seeded(col: Column, seed: str) -> Column:
+    """Seeded variant: independent hash family member per seed string."""
+    return h60(F.concat(F.lit(f"{seed}:"), col))
+
+
+def tokens(col: Column) -> Column:
+    """lower, split on non-alphanumeric runs, drop empties.
+
+    DuckDB twin: ``list_filter(regexp_split_to_array(lower(x), '[^a-z0-9]+'),
+    t -> t <> '')``.
+    """
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams joined with spaces; [] when fewer than n tokens.
+
+    ``sequence(1, size-n+1)`` + ``slice`` keeps it all in codegen.
+    """
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def token_stats(toks: Column) -> dict[str, Column]:
+    n = F.size(toks)
+    return {
+        "n_tokens": n,
+        "n_uniq": F.size(F.array_distinct(toks)),
+        "uniq_ratio": F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(0.0),
+        "mean_token_len": F.when(
+            n > 0,
+            F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda a, t: a + F.length(t).cast("long")) / n,
+        ).otherwise(0.0),
+    }
+
+
+def stopword_ratio(toks: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits / n).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + alpha ratio + uniq ratio +
+    stopword presence, equally weighted. Deterministic, SQL-expressible."""
+    toks = tokens(text)
+    n = F.size(toks)
+    length_ok = ((n >= 20) & (n <= 1000)).cast("int")
+    alpha_ratio = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")) / \
+        F.greatest(F.length(text), F.lit(1))
+    uniq = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(0.0)
+    sw = stopword_ratio(toks, "en")
+    has_sw = (sw > 0.02).cast("int")
+    return F.round((length_ok + alpha_ratio + uniq + has_sw) / 4.0, 6)
+
+
+def lang_best(toks: Column) -> Column:
+    """argmax language by stopword hit-count; 'und' (undetermined) when no
+    list scores > 0. Ties break by language-code order (deterministic)."""
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for code in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        improved = score > best_score
+        best = F.when(improved, F.lit(code)).otherwise(best)
+        best_score = F.when(improved, score).otherwise(best_score)
+    return best
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Stable content hash of the normalized token stream (exact-dup key)."""
+    return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+def min_shingle_hash(text: Column, n: int = 3) -> Column:
+    """Single-function minhash: min h60 over word n-gram shingles — a cheap
+    rolling-hash-style document fingerprint for near-dup bucketing."""
+    sh = shingles(tokens(text), n)
+    return F.when(
+        F.size(sh) > 0, F.array_min(F.transform(sh, h60))
+    ).otherwise(F.lit(None).cast("long"))

@@ -1,2 +1,252 @@
-"""CDC query surface (populated next: changelog materialization, typed views,
-PG array parsing, transaction stats)."""
+"""CDC query surface: changelog replay, materialization, typed views, and the
+PG text-format type layer (SURVEY.md §2.1 S7-S21).
+
+Every query here replays the deterministic synthetic change log built by
+``sources.changelog.synthesize_changelog_lineitem`` (pure arithmetic over the
+lineitem fixture), so each has an exact ANSI-SQL oracle DuckDB can compute
+directly from the base table — the oracle never needs to see envelope rows.
+
+Reference parity exercised:
+
+- INSERT/UPDATE/DELETE decode envelopes (`PgWalMessageDecoder.java:101-180`)
+- TOAST-unchanged columns absent from UPDATE images
+  (`PgWalMessageDecoder.java:206-207`) — both merge (state inherits) and
+  latest-image (absent -> NULL) semantics
+- transaction demarcation / txn_id batching (`CdcEngine.java:110-129`)
+- typed accessors asInt32/asInt64/asBigDecimal/asBoolean
+  (`wal/TableColumn.java:15-53`) incl. the PG text-bool quirk
+- PG array-literal parsers, numeric + quoted-string grammar
+  (`PgArrayUtil.java:9-204`)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgresql_cdc_spark.functions.pg_arrays import (
+    pg_double_array,
+    pg_long_array,
+    pg_string_array,
+)
+from postgresql_cdc_spark.functions.pg_types import (
+    pg_bool,
+    pg_bool_reference,
+    typed_view,
+)
+from postgresql_cdc_spark.operators.materialize import materialize
+from postgresql_cdc_spark.plans.registry import register
+from postgresql_cdc_spark.sources.changelog import (
+    CHANGELOG_ORACLE as _CHANGELOG_ORACLE,
+    LATEST_IMAGE_CTE,
+    LINEITEM_COLUMNS,
+    LINEITEM_STATE_ORACLE,
+    synthesize_changelog_lineitem,
+)
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+@register(
+    "cdc_materialize_state",
+    f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_partkey AS BIGINT) AS l_partkey,
+           CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(l_linenumber AS INT) AS l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS l_quantity,
+           CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+           CAST(l_discount AS DOUBLE) AS l_discount,
+           CAST(l_tax AS DOUBLE) AS l_tax,
+           l_returnflag, l_linestatus
+    FROM ({LINEITEM_STATE_ORACLE})
+    """,
+    doc="Replay I/U/D changelog -> current state with TOAST-sparse map merge.",
+)
+def cdc_materialize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: envelope -> materialize(merge_sparse) -> typed view.
+
+    UPDATE images omit l_extendedprice (TOAST `u` sub-type,
+    `PgWalMessageDecoder.java:206-207`); the merge fold inherits it from the
+    prior INSERT image, so the state still carries the original price.
+    """
+    log = synthesize_changelog_lineitem(spark, sf_dir)
+    state = materialize(log, keys=["l_orderkey", "l_linenumber"], merge_sparse=True)
+    return typed_view(state, LINEITEM_COLUMNS, keep=())
+
+
+@register(
+    "cdc_materialize_latest_image",
+    f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS INT) AS l_linenumber,
+           CAST(CASE WHEN (l_orderkey + l_linenumber) % 7 = 0
+                     THEN l_quantity + 5 ELSE l_quantity END AS DOUBLE) AS l_quantity,
+           CAST(CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN NULL
+                     ELSE l_extendedprice END AS DOUBLE) AS l_extendedprice
+    FROM ({LATEST_IMAGE_CTE})
+    WHERE (l_orderkey + l_linenumber) % 7 <> 1
+    """,
+    doc="row_number latest-image materialization: absent TOAST column -> NULL.",
+)
+def cdc_materialize_latest_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference 'absent means absent' semantics (merge_sparse=False): the
+    latest image wins wholesale, so a TOAST-dropped column reads as NULL."""
+    log = synthesize_changelog_lineitem(spark, sf_dir)
+    state = materialize(log, keys=["l_orderkey", "l_linenumber"], merge_sparse=False)
+    cols = {k: LINEITEM_COLUMNS[k] for k in
+            ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")}
+    return typed_view(state, cols, keep=())
+
+
+@register(
+    "cdc_pricing_after_replay",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+           COUNT(*) AS count_order
+    FROM ({LINEITEM_STATE_ORACLE})
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Analytics on materialized CDC state: Q1-shaped agg after replay.",
+)
+def cdc_pricing_after_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = synthesize_changelog_lineitem(spark, sf_dir)
+    state = materialize(log, keys=["l_orderkey", "l_linenumber"], merge_sparse=True)
+    t = typed_view(state, LINEITEM_COLUMNS, keep=())
+    return t.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,4)")).cast("double")
+        .alias("sum_base_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "cdc_txn_batches",
+    f"""
+    SELECT op, COUNT(*) AS n_events, COUNT(DISTINCT txn_id) AS n_txns,
+           MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn
+    FROM ({_CHANGELOG_ORACLE})
+    GROUP BY op
+    """,
+    doc="Txn demarcation stats over the raw envelope (CdcEngine.java:110-129).",
+)
+def cdc_txn_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = synthesize_changelog_lineitem(spark, sf_dir)
+    return log.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("txn_id").alias("n_txns"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+
+@register(
+    "cdc_checkpoint_lsn",
+    f"""
+    SELECT MAX(lsn) AS flush_lsn, COUNT(*) AS n_events,
+           COUNT(DISTINCT txn_id) AS n_txns
+    FROM ({_CHANGELOG_ORACLE})
+    """,
+    doc="Flush-LSN ack point after full replay (CdcEngine.java:132-137).",
+)
+def cdc_checkpoint_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = synthesize_changelog_lineitem(spark, sf_dir)
+    return log.agg(
+        F.max("lsn").alias("flush_lsn"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("txn_id").alias("n_txns"),
+    )
+
+
+@register(
+    "pg_numeric_arrays",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 10 = 0 THEN 0 ELSE 3 END AS arr_len,
+           CAST(CASE WHEN p_partkey % 10 = 0 THEN 0
+                     ELSE p_partkey + p_size + 7 END AS BIGINT) AS arr_sum,
+           CAST(CASE WHEN p_partkey % 10 = 0 THEN 0.0
+                     ELSE p_retailprice + 0.5 END AS DOUBLE) AS dbl_sum
+    FROM part
+    """,
+    doc="PG numeric array literals parsed with pure built-ins (PgArrayUtil.java:9-43).",
+)
+def pg_numeric_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: typed cols -> `{a,b,c}` literal -> parse -> fold. The parse
+    is transform/split/cast, fully inside whole-stage codegen."""
+    p = T(spark, sf_dir, "part")
+    empty = F.col("p_partkey") % 10 == 0
+    long_lit = F.when(empty, F.lit("{}")).otherwise(
+        F.concat(F.lit("{"), F.col("p_partkey"), F.lit(","),
+                 F.col("p_size"), F.lit(",7}"))
+    )
+    dbl_lit = F.when(empty, F.lit("{}")).otherwise(
+        F.concat(F.lit("{"), F.col("p_retailprice").cast("string"), F.lit(",0.5}"))
+    )
+    arr = pg_long_array(long_lit)
+    darr = pg_double_array(dbl_lit)
+    return p.select(
+        "p_partkey",
+        F.size(arr).alias("arr_len"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x).alias("arr_sum"),
+        F.aggregate(darr, F.lit(0.0), lambda a, x: a + x).alias("dbl_sum"),
+    )
+
+
+@register(
+    "pg_string_arrays",
+    """
+    SELECT p_partkey, p_type AS e1, p_name AS e2, 'a"bA' AS e3, 3 AS n_elems
+    FROM part
+    """,
+    doc="PG quoted-string array grammar via Arrow-batched UDF (PgArrayUtil.java:54-204).",
+)
+def pg_string_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal mixes an unquoted element, a quoted element from data, and a
+    quoted constant exercising \\" and \\uXXXX escapes."""
+    p = T(spark, sf_dir, "part")
+    lit = F.concat(
+        F.lit("{"), F.col("p_type"),  # unquoted (spaces allowed, stops at ,)
+        F.lit(',"'), F.col("p_name"), F.lit('"'),  # quoted, from data
+        F.lit(',"a\\"b\\u0041"}'),  # escapes: \" and A -> 'a"bA'
+    )
+    arr = pg_string_array(lit)
+    return p.select(
+        "p_partkey",
+        F.element_at(arr, 1).alias("e1"),
+        F.element_at(arr, 2).alias("e2"),
+        F.element_at(arr, 3).alias("e3"),
+        F.size(arr).alias("n_elems"),
+    )
+
+
+@register(
+    "pg_text_bool",
+    """
+    SELECT COUNT(*) FILTER (WHERE o_orderkey % 13 <> 0 AND o_orderstatus = 'F') AS n_true,
+           COUNT(*) FILTER (WHERE o_orderkey % 13 <> 0 AND o_orderstatus <> 'F') AS n_false,
+           COUNT(*) FILTER (WHERE o_orderkey % 13 = 0) AS n_null,
+           COUNT(*) FILTER (WHERE o_orderkey % 13 = 0 OR o_orderstatus <> 'F') AS n_ref_false
+    FROM orders
+    """,
+    doc="PG text bool 't'/'f' incl. the reference NULL->false quirk (TableColumn.java:31-33).",
+)
+def pg_text_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    txt = F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(F.col("o_orderstatus") == "F", F.lit("t")).otherwise(F.lit("f"))
+    )
+    b = pg_bool(txt)
+    bref = pg_bool_reference(txt)
+    return o.agg(
+        F.count(F.when(b, 1)).alias("n_true"),
+        F.count(F.when(~b, 1)).alias("n_false"),
+        F.count(F.when(b.isNull(), 1)).alias("n_null"),
+        F.count(F.when(~bref, 1)).alias("n_ref_false"),
+    )

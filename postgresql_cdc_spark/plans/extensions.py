@@ -1,2 +1,328 @@
-"""Extension-operator query surface (populated next: dedup, similarity search,
-text analysis, multimodal)."""
+"""Extension-operator query surface: dedup, similarity search, text analysis,
+multimodal — the training-data-pipeline operators (SURVEY.md §2.2 north-star
+row; driver fixtures ``documents`` and ``embeddings``).
+
+Every oracle replicates the Spark pipeline exactly in DuckDB SQL, sharing the
+same portable primitives:
+
+- tokens    : list_filter(regexp_split_to_array(lower(t),'[^a-z0-9]+'), x<>'')
+- h60(x)    : CAST('0x' || substr(md5(x),1,15) AS BIGINT)  (md5 = same bits
+              in both engines; Spark-side twin in operators/text.py)
+- dot(a,b)  : left fold over index-ordered float64 products (bit-identical)
+
+Near-dup queries run on a *synthetic near-dup corpus*: documents ∪ perturbed
+copies (doc_id+100000, two tokens appended) — the fixture itself has no dups,
+so this makes detection observable while staying SQL-derivable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgresql_cdc_spark.operators import dedup as dd
+from postgresql_cdc_spark.operators import similarity as sim
+from postgresql_cdc_spark.operators import text as tx
+from postgresql_cdc_spark.plans.registry import register
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- shared DuckDB fragments -------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+_SHINGLES3 = """
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks)-1),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+         ELSE [] END
+"""
+
+_EN_SW = "['the','a','of','and','to','in','is','that','it','for']"
+_DE_SW = "['der','die','das','und','ist','von','mit','den','ein','zu']"
+_FR_SW = "['le','la','les','et','est','de','un','une','que','pour']"
+_ES_SW = "['el','la','los','las','es','de','un','una','que','por']"
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+           CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                            (a,b) -> a+b) AS DOUBLE) / len(toks) AS mean_token_len
+    FROM t WHERE len(toks) > 0
+    """,
+    doc="Token counting over documents: counts, uniq ratio, mean token length.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    d = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    st = tx.token_stats(F.col("toks"))
+    return d.select(
+        "doc_id",
+        st["n_tokens"].alias("n_tokens"),
+        st["n_uniq"].alias("n_uniq"),
+        st["uniq_ratio"].alias("uniq_ratio"),
+        st["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           round((
+               (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
+             + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1)
+             + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_EN_SW}, x))) AS DOUBLE)
+                          / len(toks) > 0.02 THEN 1 ELSE 0 END)
+           ) / 4.0, 6) AS quality
+    FROM t WHERE len(toks) > 0
+    """,
+    doc="Heuristic document quality score (length/alpha/uniq/stopword bands).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.where(F.size(tx.tokens(F.col("text"))) > 0).select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, x -> list_contains({_DE_SW}, x))) AS s_de,
+               len(list_filter(toks, x -> list_contains({_EN_SW}, x))) AS s_en,
+               len(list_filter(toks, x -> list_contains({_ES_SW}, x))) AS s_es,
+               len(list_filter(toks, x -> list_contains({_FR_SW}, x))) AS s_fr
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+    doc="Stopword-overlap language ID (cheap n-gram heuristic).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", tx.lang_best(tx.tokens(F.col("text"))).alias("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, {_SHINGLES3} AS sh FROM t)
+    SELECT doc_id,
+           md5(array_to_string(toks, ' ')) AS content_md5,
+           CASE WHEN len(sh) > 0
+                THEN list_min(list_transform(sh, x -> {_H60.format(x='x')}))
+                ELSE NULL END AS min_shingle_hash
+    FROM s
+    """,
+    doc="Document fingerprinting: normalized content md5 + min-shingle hash.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.doc_fingerprint(F.col("text")).alias("content_md5"),
+        tx.min_shingle_hash(F.col("text")).alias("min_shingle_hash"),
+    )
+
+
+# --- deduplication -----------------------------------------------------------
+
+# Synthetic near-dup corpus: fixture has no duplicates, so near-dup pipelines
+# run over documents ∪ perturbed copies (id+100000, two tokens appended).
+_CORPUS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text || ' qq zz' FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+    )
+    return d.unionByName(pert)
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH c AS ({_CORPUS}),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM c)
+    SELECT {_H60.format(x="array_to_string(toks, ' ')")} AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM t GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized content hash.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_near_dup_corpus(spark, sf_dir), "text", "doc_id")
+
+
+# --- minhash LSH near-dup ----------------------------------------------------
+
+def _mh_sql(i: int) -> str:
+    return ("list_min(list_transform(sh, x -> "
+            + _H60.format(x=f"'mh{i}:' || x") + f")) AS m{i}")
+
+
+def _band_sql(b: int, rows: int = 3) -> str:
+    parts = ", ".join(f"CAST(m{b*rows+r} AS VARCHAR)" for r in range(rows))
+    return (f"SELECT id, {b} AS band, "
+            + _H60.format(x=f"concat_ws(',', {parts})")
+            + " AS bucket FROM sig")
+
+
+_MINHASH_ORACLE = f"""
+    WITH c AS ({_CORPUS}),
+    t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM c),
+    s AS (SELECT id, {_SHINGLES3} AS sh FROM t),
+    base AS (SELECT id, sh FROM s WHERE len(sh) > 0),
+    sig AS (SELECT id, {", ".join(_mh_sql(i) for i in range(12))} FROM base),
+    bands AS ({" UNION ALL ".join(_band_sql(b) for b in range(4))}),
+    wide AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 50),
+    bk AS (SELECT bands.* FROM bands ANTI JOIN wide USING (band, bucket)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bk a JOIN bk b USING (band, bucket) WHERE a.id < b.id),
+    sizes AS (SELECT id, len(sh) AS n_sh FROM base),
+    posting AS (SELECT id, {_H60.format(x='s')} AS sh_hash
+                FROM (SELECT id, unnest(sh) AS s FROM base)),
+    common AS (SELECT cd.id_a, cd.id_b, COUNT(*) AS n_common
+               FROM cand cd
+               JOIN posting pa ON pa.id = cd.id_a
+               JOIN posting pb ON pb.id = cd.id_b AND pb.sh_hash = pa.sh_hash
+               GROUP BY 1, 2)
+    SELECT cm.id_a, cm.id_b,
+           round(CAST(cm.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - cm.n_common), 6) AS jaccard
+    FROM common cm
+    JOIN sizes sa ON sa.id = cm.id_a
+    JOIN sizes sb ON sb.id = cm.id_b
+    WHERE round(CAST(cm.n_common AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - cm.n_common), 6) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_ORACLE,
+    doc="MinHash+LSH near-dup: shingle→12 minhashes→4 bands→bucket join→"
+        "exact-Jaccard verify (LSH only prunes).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(
+        _near_dup_corpus(spark, sf_dir), "text", "doc_id", threshold=0.5
+    )
+
+
+# --- simhash near-dup --------------------------------------------------------
+
+def _simhash_fp_sql(bits: int = 32) -> str:
+    terms = []
+    for b in range(bits):
+        hits = f"len(list_filter(hh, h -> ((h >> {b}) & 1) = 1))"
+        terms.append(
+            f"(CASE WHEN 2*{hits} - len(hh) > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return " + ".join(terms)
+
+
+_SIMHASH_ORACLE = f"""
+    WITH c AS ({_CORPUS}),
+    t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM c),
+    h AS (SELECT id, list_transform(list_distinct(toks),
+                  x -> {_H60.format(x='x')}) AS hh
+          FROM t WHERE len(toks) > 0),
+    fps AS (SELECT id, {_simhash_fp_sql()} AS fp FROM h),
+    chunked AS ({" UNION ALL ".join(
+        f"SELECT id, fp, {c} AS chunk, (fp >> {c * 8}) & 255 AS val FROM fps"
+        for c in range(4))}),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     bit_count(xor(a.fp, b.fp)) AS hamming
+              FROM chunked a JOIN chunked b USING (chunk, val)
+              WHERE a.id < b.id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+@register(
+    "dedup_simhash",
+    _SIMHASH_ORACLE,
+    doc="SimHash near-dup: 32-bit fingerprint, 8-bit-chunk pigeonhole "
+        "blocking, exact Hamming filter.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(
+        _near_dup_corpus(spark, sf_dir), "text", "doc_id", max_hamming=3
+    )
+
+
+# --- exact n-gram Jaccard ----------------------------------------------------
+
+_NGRAM_ORACLE = f"""
+    WITH c AS ({_CORPUS}),
+    t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM c),
+    s AS (SELECT id, {_SHINGLES3} AS sh FROM t),
+    base AS (SELECT id, sh FROM s WHERE len(sh) > 0),
+    sizes AS (SELECT id, len(sh) AS n_sh FROM base),
+    posting0 AS (SELECT id, {_H60.format(x='s')} AS sh_hash
+                 FROM (SELECT id, unnest(sh) AS s FROM base)),
+    hot AS (SELECT sh_hash FROM posting0 GROUP BY 1 HAVING COUNT(*) > 100),
+    posting AS (SELECT posting0.* FROM posting0 ANTI JOIN hot USING (sh_hash)),
+    common AS (SELECT pa.id AS id_a, pb.id AS id_b, COUNT(*) AS n_common
+               FROM posting pa JOIN posting pb USING (sh_hash)
+               WHERE pa.id < pb.id GROUP BY 1, 2)
+    SELECT cm.id_a, cm.id_b,
+           round(CAST(cm.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - cm.n_common), 6) AS jaccard
+    FROM common cm
+    JOIN sizes sa ON sa.id = cm.id_a
+    JOIN sizes sb ON sb.id = cm.id_b
+    WHERE round(CAST(cm.n_common AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - cm.n_common), 6) >= 0.5
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _NGRAM_ORACLE,
+    doc="Exact n-gram Jaccard pairs via shingle-posting equi-join with "
+        "stop-shingle (df>100) pruning.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _near_dup_corpus(spark, sf_dir), "text", "doc_id", threshold=0.5
+    )
