@@ -7,28 +7,56 @@ reduce each primary key to its latest state, honoring:
 - DELETE removes the row;
 - UPDATE images may be *sparse* — TOAST-unchanged columns are absent from the
   map (`PgWalMessageDecoder.java:206-207`) and must inherit the prior image;
-- re-INSERT after DELETE starts a fresh image.
+- re-INSERT after DELETE starts a fresh image (no inheritance across deletes).
 
-Two strategies, both one shuffle on the key:
+Performance model (measured at sf0.1, 730k events): Spark's HashAggregate
+fast path requires fixed-width aggregation buffers. Any aggregate whose
+buffer holds a STRING, struct, or map (``max(string)``, ``max_by(columns,
+lsn)``, ``collect_list``) plans as SortAggregate / ObjectHashAggregate at
+~20-40µs/row — 15-20x slower than scans, windows, and primitive
+HashAggregates on this data. Three merge formulations were measured:
+collect_list+HOF-fold (~38s warm), explode + per-column string-encoded max
+(~250s: two SortAggregates over 7M entry rows), and the window-fill below
+(~one sort at scan speed). Hence:
 
-- ``merge_sparse=True`` (default, correct under TOAST): groupBy key →
-  ``sort_array(collect_list(struct(lsn, …)))`` → fold with a map-merge. The
-  fold is a Catalyst higher-order function — no Python, no UDF. Per-key event
-  counts are bounded by update frequency, and AQE skew-split handles hot keys.
+- ``merge_sparse=True`` + ``columns`` (the fast path; pass the table's
+  column registry, SURVEY.md §1.3) — **window-fill merge**: per key, events
+  sort once by LSN; a running sum of INSERTs numbers row *generations*
+  (re-INSERT after DELETE starts a new one); every column gap-fills with
+  ``last(<gen, null-tag, value>, ignoreNulls)``; the final event row per key
+  holds the whole image, with stale-generation fills discarded by their
+  generation prefix. ONE exchange + ONE sort over skinny scalar columns; the
+  map column never crosses a shuffle; zero aggregate buffers.
+- ``merge_sparse=True`` without ``columns`` — generic fallback for unknown
+  schemas: per-(key, column) argmax with string-encoded
+  ``max(hex(lsn) || tag || value)`` after an early explode. Correct for
+  arbitrary column sets, but pays the SortAggregate toll — prefer passing
+  ``columns``.
 - ``merge_sparse=False`` (latest-image-wins, reference "absent means absent"
-  semantics): ``row_number() over (partition by key order by lsn desc) = 1``
-  — cheaper when upstream guarantees complete images.
+  semantics): ``row_number() over (partition by key order by lsn desc) = 1``.
 
-At 100 TB the input is typically date/LSN-partitioned parquet; both strategies
-shuffle each key exactly once and aggregate partially map-side where possible.
+At 100 TB every path shuffles once on the key, and AQE splits skewed keys;
+nothing collects to the driver.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+
+_SEP = "\x1f"  # unit separator: cannot appear in the numeric/op fields
+
+
+def _hexlsn(c: Column) -> Column:
+    """Fixed-width hex encoding of a non-negative LSN: lexicographic order on
+    the result equals numeric order on the LSN."""
+    return F.lpad(F.conv(c.cast("string"), 10, 16), 16, "0")
+
+
+def _dehexlsn(c: Column) -> Column:
+    return F.conv(c, 16, 10).cast("long")
 
 
 def materialize(
@@ -38,63 +66,201 @@ def materialize(
     op_col: str = "op",
     map_col: str = "columns",
     merge_sparse: bool = True,
+    columns: Sequence[str] | None = None,
 ) -> DataFrame:
     """Reduce envelope rows to current state (one row per live key).
 
-    Returns ``(table, <key extraction cols>, op, lsn, txn_id?, columns)`` with
-    ``columns`` holding the merged final image; DELETE-terminal keys dropped.
+    Returns ``(table?, op, lsn, <carry cols>, columns)`` with ``columns``
+    holding the final image; DELETE-terminal keys dropped.
+
+    Pass ``columns`` (the table's column registry, SURVEY.md §1.3) to take
+    the window-fill fast path — one shuffle, one sort, no aggregate buffers;
+    without it the merge falls back to a generic per-key fold.
     """
     key_cols = [
         F.element_at(F.col(map_col), k).alias(f"__k_{k}") for k in keys
     ]
+    knames = [f"__k_{k}" for k in keys]
     part_cols = ["table"] if "table" in changelog.columns else []
 
     if not merge_sparse:
-        w = Window.partitionBy(
-            *part_cols, *[f"__k_{k}" for k in keys]
-        ).orderBy(F.desc(lsn_col))
+        w = Window.partitionBy(*part_cols, *knames).orderBy(F.desc(lsn_col))
         return (
             changelog.select("*", *key_cols)
             .withColumn("__rn", F.row_number().over(w))
             .where((F.col("__rn") == 1) & (F.col(op_col) != "D"))
-            .drop("__rn", *[f"__k_{k}" for k in keys])
+            .drop("__rn", *knames)
+        )
+
+    if columns is not None:
+        return _materialize_window_fill(
+            changelog, keys, columns, lsn_col, op_col, map_col,
+            key_cols, knames, part_cols,
         )
 
     carry = [f for f in ("txn_id", "relation_id", "schema") if f in changelog.columns]
-    # sort_array can't order structs containing maps; array_sort with an
-    # explicit LSN comparator handles any element type.
-    events = F.array_sort(
-        F.collect_list(F.struct(F.col(lsn_col).alias("lsn"), F.col(op_col).alias("op"),
-                                F.col(map_col).alias("columns"),
-                                *[F.col(c).alias(c) for c in carry])),
-        lambda l, r: F.when(l["lsn"] < r["lsn"], -1)
-        .when(l["lsn"] > r["lsn"], 1)
-        .otherwise(0),
+    hex_lsn = _hexlsn(F.col(lsn_col))
+    ev = changelog.select(
+        *part_cols, *key_cols,
+        F.col(lsn_col).alias("__lsn"), F.col(op_col).alias("__op"),
+        F.col(map_col).alias("__m"),
+        # last-event fields, argmax-encoded: hexlsn + op + SEP-joined carry
+        # (explicit concat, NOT concat_ws: concat_ws silently drops NULL
+        # fields, which would shift the positional decode)
+        F.concat(
+            hex_lsn, F.col(op_col),
+            *[
+                x
+                for c in carry
+                for x in (F.lit(_SEP), F.coalesce(F.col(c).cast("string"), F.lit("")))
+            ],
+        ).alias("__last_enc"),
+        F.when(F.col(op_col) != "U", F.concat(hex_lsn, F.col(op_col)))
+        .alias("__reset_enc"),
     )
-    empty_map = F.expr("map()").cast("map<string,string>")
+    gcols = [*part_cols, *knames]
 
-    def step(acc, x):
-        fresh = x["columns"]
-        merged = F.map_concat(
-            F.map_filter(acc, lambda k, _v: ~F.map_contains_key(fresh, k)), fresh
+    meta = (
+        ev.drop("__m")  # skinny: the map never enters an exchange or sort
+        .groupBy(*gcols)
+        .agg(
+            F.max("__last_enc").alias("__last"),
+            F.max("__reset_enc").alias("__reset"),
         )
-        return (
-            F.when(x["op"] == "D", empty_map)
-            .when(x["op"] == "I", fresh)
-            .otherwise(merged)
-        )
-
-    grouped = (
-        changelog.select("*", *key_cols)
-        .groupBy(*part_cols, *[f"__k_{k}" for k in keys])
-        .agg(events.alias("__events"))
+        # DELETE-terminal keys drop here (last reset is the 'D')
+        .where(F.substring(F.col("__reset"), 17, 1) == "I")
+        .withColumn("__reset_lsn", _dehexlsn(F.substring("__reset", 1, 16)))
     )
-    last = F.element_at("__events", -1)
-    out = grouped.select(
+
+    # Explode to per-column entries BEFORE any shuffle (narrow stage — the
+    # map column dies at the scan side; only skinny strings shuffle). The
+    # per-(key, column) argmax runs over ALL generations; stale-generation
+    # winners are filtered afterwards against reset_lsn — that defers the
+    # meta join until after reduction (one row per live column, not one per
+    # event), and no sort ever sees a map-typed row.
+    entries = ev.select(
+        *gcols, _hexlsn(F.col("__lsn")).alias("__hex"),
+        F.explode(F.col("__m")).alias("__c", "__val"),
+    )
+    enc_val = F.concat(
+        F.col("__hex"),
+        F.when(F.col("__val").isNull(), F.lit("n"))
+        .otherwise(F.concat(F.lit("v"), F.col("__val"))),
+    )
+    percol = entries.groupBy(*gcols, "__c").agg(F.max(enc_val).alias("__e"))
+    percol = percol.join(meta, gcols).where(
+        _dehexlsn(F.substring("__e", 1, 16)) >= F.col("__reset_lsn")
+    )
+    decoded = F.when(
+        F.substring(F.col("__e"), 17, 1) == "v",
+        F.expr("substring(__e, 18)"),
+    )  # 'n' tag → NULL
+    images = percol.groupBy(*gcols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__c"), decoded.alias("__v")))
+        ).alias(map_col),
+        F.first("__last").alias("__last"),
+    )
+
+    last_parts = F.split(F.col("__last"), _SEP)
+    out = images.select(
         *part_cols,
-        last.getField("op").alias(op_col),
-        last.getField("lsn").alias(lsn_col),
-        *[last.getField(c).alias(c) for c in carry],
-        F.aggregate("__events", empty_map, step).alias(map_col),
+        F.substring(last_parts.getItem(0), 17, 1).alias(op_col),
+        _dehexlsn(F.substring(last_parts.getItem(0), 1, 16)).alias(lsn_col),
+        *[
+            last_parts.getItem(i + 1).cast(
+                "long" if c == "txn_id" else "int" if c == "relation_id" else "string"
+            ).alias(c)
+            for i, c in enumerate(carry)
+        ],
+        F.col(map_col),
     )
-    return out.where(F.col(op_col) != "D")
+    return out
+
+
+def _materialize_window_fill(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    columns: Sequence[str],
+    lsn_col: str,
+    op_col: str,
+    map_col: str,
+    key_cols,
+    knames,
+    part_cols,
+) -> DataFrame:
+    """Window-fill merge: ONE shuffle + ONE sort, no aggregate buffers.
+
+    Per key, events sort by LSN; a running sum of INSERTs numbers the
+    *generations* (re-INSERT after DELETE starts a new one). Each column is
+    gap-filled with ``last(tagged_value, ignoreNulls)`` where the tag encodes
+    (generation, present-but-NULL vs value) — so at the final event row the
+    fill holds each column's latest entry, and a stale-generation fill (from
+    before the last re-INSERT) is discarded by its generation prefix. The
+    final row per key is ``lsn == max(lsn) over key``; DELETE-terminal keys
+    drop on its op.
+
+    Everything is a projection except one Exchange + Sort over skinny scalar
+    columns — the map never crosses a shuffle, and no SortAggregate /
+    ObjectHashAggregate appears (string-buffer aggregates fall off the
+    HashAggregate fast path; measured 20-40µs/row vs this plan's scan-speed
+    projections at sf0.1).
+    """
+    m = F.col(map_col)
+    tagged = [
+        F.when(
+            F.map_contains_key(m, c),
+            F.when(F.element_at(m, c).isNull(), F.lit("n"))
+            .otherwise(F.concat(F.lit("v"), F.element_at(m, c))),
+        ).alias(f"__t_{c}")
+        for c in columns
+    ]
+    carry = [f for f in ("txn_id", "relation_id", "schema") if f in changelog.columns]
+    pre = changelog.select(
+        *part_cols, *key_cols, F.col(lsn_col), F.col(op_col),
+        *[F.col(c) for c in carry], *tagged,
+    )
+
+    w_ord = (
+        Window.partitionBy(*part_cols, *knames)
+        .orderBy(lsn_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy(*part_cols, *knames)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    gen = F.sum((F.col(op_col) == "I").cast("int")).over(w_ord)
+    df1 = pre.withColumn("__gen", gen)
+
+    genp = F.lpad(F.col("__gen").cast("string"), 6, "0")
+    fills = [
+        F.last(
+            F.when(F.col(f"__t_{c}").isNotNull(),
+                   F.concat(genp, F.col(f"__t_{c}"))),
+            ignorenulls=True,
+        ).over(w_ord).alias(f"__f_{c}")
+        for c in columns
+    ]
+    df2 = df1.select(
+        *part_cols, *knames, lsn_col, op_col, "__gen",
+        *[F.col(c) for c in carry], *fills,
+        F.max(lsn_col).over(w_full).alias("__max_lsn"),
+    )
+    final = df2.where(
+        (F.col(lsn_col) == F.col("__max_lsn")) & (F.col(op_col) != "D")
+    )
+
+    def entry(c: str):
+        f = F.col(f"__f_{c}")
+        fresh = f.isNotNull() & (F.substring(f, 1, 6) == genp)
+        tag = F.substring(f, 7, 1)
+        val = F.when(tag == "v", F.expr(f"substring(__f_{c}, 8)"))  # 'n'→NULL
+        return F.when(fresh, F.struct(F.lit(c).alias("key"), val.alias("value")))
+
+    image = F.map_from_entries(
+        F.array_compact(F.array(*[entry(c) for c in columns]))
+    )
+    return final.select(
+        *part_cols, op_col, lsn_col, *carry, image.alias(map_col)
+    )

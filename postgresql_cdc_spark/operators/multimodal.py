@@ -1,0 +1,167 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+Design for a 100 TB training-data lake:
+
+- the payload column is ``BinaryType`` (parquet stores it page-compressed;
+  Spark never materializes it except in the projections that need it);
+- typed metadata travels beside it in a struct (``media_type``, dimensions,
+  codec), so planning-relevant predicates (e.g. ``media_type = 'image/png'``)
+  prune without touching bytes;
+- per-item processing (decode / feature-extract / resize / frame-sample) runs
+  in ``mapInPandas`` — Arrow-batched, one Python worker per input partition,
+  no shuffle; batch size is governed by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+The container has no image/audio codecs, so the real decoders are STUBS that
+raise ``NotImplementedError`` (marked below); the *deterministic fake* decoder
+exercises the full plumbing — schema, batching, partition preservation — and
+is what the oracle-checked queries run. Swap ``fake_decode_image`` for a real
+PIL/ffmpeg call in production; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("head_byte", IntegerType()),
+    ]
+)
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("resize_w", IntegerType()),
+        StructField("resize_h", IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """REAL image decode — STUB. The container ships no codec libraries
+    (PIL/opencv); in production replace with e.g. ``PIL.Image.open``. The
+    Spark-side plumbing (schema, batching, UDF signature) is exercised by
+    ``fake_decode_image`` instead."""
+    raise NotImplementedError("no image codec in this environment; use fake_decode_image")
+
+
+def fake_decode_image(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: derives (width, height) from the
+    payload bytes — stable across engines/runs, so oracle-checkable."""
+    w = 1 + payload[0] % 64 if payload else 1
+    h = 1 + len(payload) % 64
+    return w, h
+
+
+def attach_binary(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: UTF-8-encode a text column into the binary payload
+    column (the fixtures ship no real media; bytes are bytes)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def binary_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched byte-level feature extraction (mapInPandas).
+
+    Per item: byte length, md5 hex digest, first byte. Python here is the
+    point — this is the template for any real decoder; everything stays
+    batch-columnar until the per-item loop.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "head_byte": payloads.map(
+                        lambda b: int(b[0]) if len(b) else -1
+                    ).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def decode_resize(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
+    """Decode (fake) + resize plan: emits source dims and the target dims a
+    real resampler would produce. Same mapInPandas shape as a real
+    decode-resize stage."""
+    tw, th = target
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(lambda b: fake_decode_image(bytes(b)))
+            w = dims.map(lambda d: d[0]).astype("int32")
+            h = dims.map(lambda d: d[1]).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "n_pixels": (w.astype("int64") * h.astype("int64")),
+                    "resize_w": pd.Series([tw] * len(pdf), dtype="int32"),
+                    "resize_h": pd.Series([th] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, DECODE_SCHEMA)
+
+
+def frame_sample_offsets(df: DataFrame, frame_size: int = 256,
+                         every: int = 10) -> DataFrame:
+    """'Video' frame sampling plan over an opaque byte stream: treat the
+    payload as fixed-size frames, keep every ``every``-th frame's byte
+    offset. Pure built-ins — the byte math needs no Python."""
+    n_frames = (F.length("payload") / frame_size).cast("long")
+    idx = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(n_frames - 1, F.lit(0).cast("long")),
+        F.lit(every).cast("long"),
+    )
+    return df.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.when(n_frames > 0, idx).otherwise(
+            F.array().cast("array<long>")
+        ).alias("sampled_frames"),
+        F.when(n_frames > 0, F.transform(idx, lambda i: i * frame_size)).otherwise(
+            F.array().cast("array<long>")
+        ).alias("byte_offsets"),
+    )

@@ -180,3 +180,43 @@ def topk_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 2,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: hyperplane-LSH bucket self-join, then
+    exact cosine filter. Same equi-join shape as topk_lsh — scales as a
+    bucketed join, not an all-pairs cross product."""
+    coded = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    hyperplane_lsh_code(
+                        F.col(vec_col), planes_per_band, seed=f"hp{b}"
+                    ).alias("code"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bc"),
+    ).select("id", "v", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+
+    a, b = coded.alias("a"), coded.alias("b")
+    return (
+        a.join(b, ["band", "code"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -74,7 +74,8 @@ def cdc_materialize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior INSERT image, so the state still carries the original price.
     """
     log = synthesize_changelog_lineitem(spark, sf_dir)
-    state = materialize(log, keys=["l_orderkey", "l_linenumber"], merge_sparse=True)
+    state = materialize(log, keys=["l_orderkey", "l_linenumber"], merge_sparse=True,
+                        columns=list(LINEITEM_COLUMNS))
     return typed_view(state, LINEITEM_COLUMNS, keep=())
 
 
@@ -116,7 +117,8 @@ def cdc_materialize_latest_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_pricing_after_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = synthesize_changelog_lineitem(spark, sf_dir)
-    state = materialize(log, keys=["l_orderkey", "l_linenumber"], merge_sparse=True)
+    state = materialize(log, keys=["l_orderkey", "l_linenumber"], merge_sparse=True,
+                        columns=list(LINEITEM_COLUMNS))
     t = typed_view(state, LINEITEM_COLUMNS, keep=())
     return t.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double").alias("sum_qty"),

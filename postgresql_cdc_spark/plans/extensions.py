@@ -326,3 +326,218 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
         _near_dup_corpus(spark, sf_dir), "text", "doc_id", threshold=0.5
     )
+
+
+# --- similarity search over embeddings ---------------------------------------
+
+def _dot_sql(a: str, b: str) -> str:
+    """Exact float64 dot product, left fold in index order — bit-identical to
+    operators/similarity.dot (init 0.0 prepended so fold order matches)."""
+    prod = (f"list_transform(list_zip({a}, {b}), "
+            "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))")
+    return (f"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], {prod}), "
+            "(x, y) -> x + y)")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"round({_dot_sql(a, b)} / "
+            f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6)")
+
+
+def _plane_sum_sql(vec: str, seed: str, p: int) -> str:
+    w = (f"((CAST('0x' || substr(md5('{seed}:{p}:' || CAST(j AS VARCHAR)), 1, 15) "
+         "AS BIGINT) & 1) * 2.0 - 1.0)")
+    prod = f"list_transform(range(0, 64), j -> CAST({vec}[j+1] AS DOUBLE) * {w})"
+    return (f"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], {prod}), "
+            "(x, y) -> x + y)")
+
+
+def _code_sql(vec: str, seed: str, planes: int = 4) -> str:
+    terms = [
+        f"(CASE WHEN {_plane_sum_sql(vec, seed, p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_TOPK_BRUTE_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_cos_sql('e.embedding', 'q.qe')} AS cos_sim
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_topk_brute",
+    _TOPK_BRUTE_ORACLE,
+    doc="Exact top-5 cosine neighbors per query vector (brute-force baseline; "
+        "broadcast queries, one corpus scan).",
+)
+def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.topk_brute(e, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _codes_union_sql(src: str, idc: str, vec: str, bands: int = 2) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {idc}, {vec} AS v, {b} AS band, "
+        f"{_code_sql(vec, f'hp{b}')} AS code FROM {src}"
+        for b in range(bands)
+    )
+
+
+_TOPK_LSH_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding
+               FROM embeddings WHERE vec_id % 100 = 0),
+    qc AS ({_codes_union_sql('q', 'query_id', 'embedding')}),
+    cc AS ({_codes_union_sql('embeddings', 'vec_id AS neighbor_id', 'embedding')}),
+    cand AS (
+        SELECT DISTINCT qc.query_id, cc.neighbor_id, qc.v AS qe, cc.v AS ne
+        FROM cc JOIN qc USING (band, code)
+        WHERE cc.neighbor_id <> qc.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, {_cos_sql('ne', 'qe')} AS cos_sim
+        FROM cand
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_topk_lsh",
+    _TOPK_LSH_ORACLE,
+    doc="ANN top-5: hyperplane-LSH band buckets prune candidates, exact "
+        "cosine re-rank — the 100 TB scale path (equi-join, no full scan "
+        "per query).",
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.topk_lsh(e, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_EMB_CORPUS = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH c AS ({_EMB_CORPUS}),
+    coded AS ({_codes_union_sql('c', 'vec_id AS id', 'embedding')}),
+    pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               {_cos_sql('a.v', 'b.v')} AS cos_sim
+        FROM coded a JOIN coded b USING (band, code)
+        WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.999
+    """,
+    doc="Embedding-cosine near-dup: LSH bucket self-join + exact cosine "
+        "filter over corpus ∪ duplicated vectors.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return sim.near_dup_pairs(e.unionByName(dup), threshold=0.999)
+
+
+# --- multimodal columns ------------------------------------------------------
+
+
+@register(
+    "mm_binary_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           ascii(substr(text, 1, 1)) AS head_byte
+    FROM documents
+    """,
+    doc="Binary-column plumbing: UTF-8 payload, Arrow-batched mapInPandas "
+        "feature extraction (length/md5/head byte).",
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    return mm.binary_features(mm.attach_binary(d))
+
+
+@register(
+    "mm_decode_resize",
+    """
+    SELECT doc_id,
+           1 + ascii(substr(text, 1, 1)) % 64 AS width,
+           1 + octet_length(encode(text)) % 64 AS height,
+           CAST((1 + ascii(substr(text, 1, 1)) % 64)
+                * (1 + octet_length(encode(text)) % 64) AS BIGINT) AS n_pixels,
+           32 AS resize_w, 32 AS resize_h
+    FROM documents
+    """,
+    doc="Image decode+resize pipeline with deterministic fake decoder "
+        "(real codec stubbed: operators/multimodal.decode_image).",
+)
+def mm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    return mm.decode_resize(mm.attach_binary(d))
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) // 256 AS n_frames
+               FROM documents)
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CASE WHEN n_frames > 0
+                THEN range(0, CAST(greatest(n_frames - 1, 0) AS BIGINT) + 1, 10)
+                ELSE [] END AS sampled_frames,
+           CASE WHEN n_frames > 0
+                THEN list_transform(
+                    range(0, CAST(greatest(n_frames - 1, 0) AS BIGINT) + 1, 10),
+                    i -> i * 256)
+                ELSE [] END AS byte_offsets
+    FROM b
+    """,
+    doc="Video-style frame sampling over opaque byte streams (every 10th "
+        "256-byte frame) — pure built-in byte math.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    return mm.frame_sample_offsets(mm.attach_binary(d))

@@ -35,7 +35,11 @@ def get_spark(app_name: str = "postgresql-cdc-spark", extra_conf: dict | None = 
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs every executor thread inside the driver JVM: with 32
+        # concurrent tasks shuffling map-typed rows, an 8g heap GC-thrashes
+        # (observed 5-10x slowdowns late in a session). The harness box has
+        # 128 GiB; size the heap like the executors it is standing in for.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark has no

@@ -106,56 +106,67 @@ def _envelope(df: DataFrame, op: str, lsn: F.Column, txn: F.Column,
 
 def synthesize_changelog_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic I/U/D change log over the lineitem fixture (see module
-    docstring for the rules). One shuffle (the per-key version window); the
-    four event classes are projections of the same windowed frame."""
+    docstring for the rules).
+
+    ONE pass: a single per-key version window, then each row emits its event
+    list (insert-or-version-update, plus — on the latest version only — the
+    synthetic sparse update / delete) through one explode. A union-of-branches
+    formulation recomputes the window per branch (4 shuffle-sorts instead of
+    1) — measured 4-10x slower at sf0.1.
+    """
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     cols = list(LINEITEM_COLUMNS)
     key = (F.col("l_orderkey") * 16 + F.col("l_linenumber")).cast("long")
     bucket = (F.col("l_orderkey") + F.col("l_linenumber")) % 7
 
-    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-        *[F.col(c).desc() for c in _VERSION_ORDER]
-    )
+    kw = Window.partitionBy("l_orderkey", "l_linenumber")
+    w = kw.orderBy(*[F.col(c).asc() for c in _VERSION_ORDER])
     base = (
         li.select(*cols, key.alias("__key"), bucket.alias("__bucket"))
-        .withColumn("__rn", F.row_number().over(w))  # 1 = latest image
-        .withColumn("__n", F.count(F.lit(1)).over(
-            Window.partitionBy("l_orderkey", "l_linenumber")))
-        .withColumn("__v", F.col("__n") - F.col("__rn") + 1)  # 1 = first
+        .withColumn("__v", F.row_number().over(w))  # 1 = first version
+        .withColumn("__n", F.count(F.lit(1)).over(kw))
     )
-    lsn_v = F.col("__key") * 1024 + F.col("__v")
+    is_latest = F.col("__v") == F.col("__n")
+    ok = F.col("l_orderkey").cast("long")
 
-    inserts = _envelope(
-        base.where(F.col("__v") == 1), "I",
-        lsn_v, F.col("l_orderkey"), text_map(*cols),
-    )
-    version_updates = _envelope(
-        base.where(F.col("__v") > 1), "U",
-        lsn_v, F.col("l_orderkey") + 3_000_000_000, text_map(*cols),
-    )
+    def ev(op, lsn, txn, payload):
+        return F.struct(
+            op.alias("op"), lsn.cast("long").alias("lsn"),
+            txn.cast("long").alias("txn_id"), payload.alias("columns"),
+        )
 
-    latest = base.where(F.col("__rn") == 1)
-    sparse_updates = _envelope(
-        latest.where(F.col("__bucket") == 0)
-        .withColumn("l_quantity", F.col("l_quantity") + 5),
-        "U",
-        F.col("__key") * 1024 + 512,
-        F.col("l_orderkey") + 1_000_000_000,
-        # TOAST: l_extendedprice unchanged → absent from the new image
-        text_map(*[c for c in cols if c != "l_extendedprice"]),
+    version_ev = ev(
+        F.when(F.col("__v") == 1, F.lit("I")).otherwise(F.lit("U")),
+        F.col("__key") * 1024 + F.col("__v"),
+        F.when(F.col("__v") == 1, ok).otherwise(ok + 3_000_000_000),
+        text_map(*cols),
     )
-    deletes = _envelope(
-        latest.where(F.col("__bucket") == 1), "D",
-        F.col("__key") * 1024 + 600,
-        F.col("l_orderkey") + 2_000_000_000,
-        # DELETE ships only the replica-identity (key) tuple
+    # TOAST: l_extendedprice unchanged → absent from the new image
+    sparse_ev = ev(
+        F.lit("U"), F.col("__key") * 1024 + 512, ok + 1_000_000_000,
+        text_map(*[c for c in cols if c != "l_extendedprice"],
+                 exprs={"l_quantity": F.col("l_quantity") + 5}),
+    )
+    # DELETE ships only the replica-identity (key) tuple
+    delete_ev = ev(
+        F.lit("D"), F.col("__key") * 1024 + 600, ok + 2_000_000_000,
         text_map("l_orderkey", "l_linenumber"),
     )
 
-    return (
-        inserts.unionByName(version_updates)
-        .unionByName(sparse_updates)
-        .unionByName(deletes)
+    events = F.array_compact(F.array(
+        version_ev,
+        F.when(is_latest & (F.col("__bucket") == 0), sparse_ev),
+        F.when(is_latest & (F.col("__bucket") == 1), delete_ev),
+    ))
+    e = F.col("e")
+    return base.select(F.explode(events).alias("e")).select(
+        e.getField("op").alias("op"),
+        F.lit("public").alias("schema"),
+        F.lit("lineitem").alias("table"),
+        F.lit(16384).alias("relation_id"),
+        e.getField("lsn").alias("lsn"),
+        e.getField("txn_id").alias("txn_id"),
+        e.getField("columns").alias("columns"),
     )
 
 

@@ -1,0 +1,253 @@
+"""Structured Streaming CDC source (Spark 4 Python Data Source API).
+
+Realizes the reference engine loop S1-S16 (`CdcEngine.java:67-160`) on Spark's
+streaming contract:
+
+- offsets are LSNs; ``latestOffset`` advances at most ``maxRecordsPerBatch``
+  DML records per micro-batch, preferring transaction boundaries — an
+  oversize transaction is split across batches (early flush,
+  `CdcEngine.java:121-124`) but the LSN is only *acknowledged* when no
+  transaction is open (`CdcEngine.java:132-137` guard), giving at-least-once,
+  txn-aligned delivery;
+- ``read()`` decodes pgoutput frames into envelope rows
+  ``(op, schema, table, relation_id, lsn, txn_id, columns)``;
+- ``commit(offset)`` persists the flush LSN (the ``setFlushedLSN`` analog) so
+  the producer may discard WAL ≤ LSN;
+- the stream is a single input partition — the replication protocol is one
+  ordered socket (SURVEY.md §7); parallelism begins downstream
+  (``repartition`` after ingest keeps decode off the hot path).
+
+Two transports:
+
+- **WAL archive replay** (implemented, what tests exercise): a directory of
+  chunk files, each holding length-framed ``(lsn, pgoutput-message)`` records
+  — the shape a WAL archiver or Kafka dump produces. Fully deterministic.
+- **live socket** (stubbed): needs ``psycopg`` + a PostgreSQL with
+  ``wal_level=logical``; neither exists in this container. The decode and
+  offset logic is transport-independent, so the live transport only swaps the
+  frame iterator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from postgresql_cdc_spark.sources.pgoutput import (
+    ChangeRecord,
+    PgOutputDecoder,
+    TxBegin,
+    TxCommit,
+)
+
+ENVELOPE_DDL = (
+    "op string, schema string, table string, relation_id int, "
+    "lsn bigint, txn_id bigint, columns map<string,string>"
+)
+
+_FRAME_HEADER = struct.Struct(">qi")  # lsn, payload length
+
+
+def write_wal_archive(path: str, frames: List[Tuple[int, bytes]],
+                      chunk: str = "000000.wal") -> str:
+    """Append length-framed (lsn, message) records to an archive chunk."""
+    os.makedirs(path, exist_ok=True)
+    fp = os.path.join(path, chunk)
+    with open(fp, "ab") as f:
+        for lsn, payload in frames:
+            f.write(_FRAME_HEADER.pack(lsn, len(payload)))
+            f.write(payload)
+    return fp
+
+
+def read_wal_frames(path: str) -> Iterator[Tuple[int, bytes]]:
+    """All frames in the archive in LSN order (chunks sorted by name, frames
+    in file order — producers write in commit order, like WAL itself)."""
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".wal"):
+            continue
+        with open(os.path.join(path, name), "rb") as f:
+            data = f.read()
+        pos = 0
+        while pos < len(data):
+            lsn, ln = _FRAME_HEADER.unpack_from(data, pos)
+            pos += _FRAME_HEADER.size
+            yield lsn, data[pos:pos + ln]
+            pos += ln
+
+
+@dataclass
+class _WalPartition(InputPartition):
+    path: str
+    start_lsn: int
+    end_lsn: int
+
+
+class WalArchiveStreamReader(DataSourceStreamReader):
+    """Single-partition LSN-ordered stream over a WAL archive directory."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pgcdc source requires option 'path'")
+        self.max_records = int(options.get("maxrecordsperbatch", 100))
+        self.ack_path = options.get(
+            "ackpath", os.path.join(self.path, "_flushed_lsn")
+        )
+
+    # -- offsets -------------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"lsn": -1, "txn_open": False}
+
+    def latestOffset(self) -> dict:
+        """Scan forward from the start; stop ≥ max_records DML past the last
+        offset, preferring a COMMIT boundary (txn_open False) when one lands
+        within the budget window."""
+        # NB: called on the driver once per micro-batch; the archive scan is
+        # sequential by protocol nature. A live transport would instead track
+        # the socket's last received LSN.
+        last = getattr(self, "_last_offset", None) or self.initialOffset()
+        start_lsn = last["lsn"]
+        decoder = PgOutputDecoder()
+        n_dml = 0
+        end_lsn = start_lsn
+        txn_open = False
+        for lsn, payload in read_wal_frames(self.path):
+            msg = decoder.decode(payload)
+            if lsn <= start_lsn:
+                if isinstance(msg, TxBegin):
+                    txn_open = True
+                elif isinstance(msg, TxCommit):
+                    txn_open = False
+                continue
+            if isinstance(msg, TxBegin):
+                txn_open = True
+            elif isinstance(msg, TxCommit):
+                txn_open = False
+            elif isinstance(msg, ChangeRecord):
+                n_dml += 1
+            end_lsn = lsn
+            if n_dml >= self.max_records and not txn_open:
+                break
+        out = {"lsn": end_lsn, "txn_open": txn_open}
+        self._last_offset = out
+        return out
+
+    # -- read ----------------------------------------------------------------
+
+    def partitions(self, start: dict, end: dict) -> List[InputPartition]:
+        return [_WalPartition(self.path, start["lsn"], end["lsn"])]
+
+    def read(self, partition: _WalPartition) -> Iterator[tuple]:
+        """Decode the archive; emit envelope rows with start < lsn <= end.
+
+        The decoder replays from the archive head so the relation registry is
+        always complete (RELATION may precede the window); only in-window rows
+        are materialized — the out-of-window path hits the cheap skip branches.
+        """
+        decoder = PgOutputDecoder()
+        txn_id = -1  # DML outside any txn: singleton semantics
+        for lsn, payload in read_wal_frames(partition.path):
+            if lsn > partition.end_lsn:
+                break
+            msg = decoder.decode(payload)
+            if isinstance(msg, TxBegin):
+                txn_id = msg.xid
+                continue
+            if isinstance(msg, TxCommit):
+                txn_id = -1
+                continue
+            if msg is None or lsn <= partition.start_lsn:
+                continue
+            if isinstance(msg, ChangeRecord):
+                yield (
+                    msg.op,
+                    msg.relation.schema,
+                    msg.relation.name,
+                    msg.relation.relation_id,
+                    lsn,
+                    txn_id,
+                    msg.columns,
+                )
+
+    # -- ack -----------------------------------------------------------------
+
+    def commit(self, end: dict) -> None:
+        """Flush-LSN ack — only when no transaction is open at the batch
+        boundary (at-least-once: a mid-txn crash replays the whole txn)."""
+        if end.get("txn_open"):
+            return
+        tmp = self.ack_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"flushed_lsn": end["lsn"]}, f)
+        os.replace(tmp, self.ack_path)
+
+
+class WalArchiveBatchReader(DataSourceReader):
+    """Batch replay of the whole archive (``spark.read.format("pgcdc")``) —
+    the change-log-as-table view used for backfills."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pgcdc source requires option 'path'")
+
+    def read(self, partition) -> Iterator[tuple]:
+        part = _WalPartition(self.path, -1, 1 << 62)
+        yield from WalArchiveStreamReader(
+            {"path": self.path}
+        ).read(part)
+
+
+class PgCdcDataSource(DataSource):
+    """``spark.readStream.format("pgcdc").option("path", dir)`` → envelope
+    stream; ``spark.read`` for full-archive batch replay. Register with
+    ``spark.dataSource.register(PgCdcDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgcdc"
+
+    def schema(self) -> str:
+        return ENVELOPE_DDL
+
+    def streamReader(self, schema) -> WalArchiveStreamReader:
+        return WalArchiveStreamReader(
+            {k.lower(): v for k, v in self.options.items()}
+        )
+
+    def reader(self, schema) -> WalArchiveBatchReader:
+        return WalArchiveBatchReader(
+            {k.lower(): v for k, v in self.options.items()}
+        )
+
+
+def live_replication_frames(dsn: str, slot: str, publication: str):
+    """Live-socket transport — STUB: requires psycopg and a PostgreSQL server
+    with logical replication (neither is available in this container).
+
+    Production shape: ``psycopg`` ``start_replication(slot, pgoutput,
+    proto_version=1, publication_names=...)`` yielding (wal_end, payload)
+    frames; the consumer acks via ``send_feedback(flush_lsn=...)`` from
+    ``commit()`` — exactly the reference's setFlushedLSN path
+    (`CdcEngine.java:132-137`).
+    """
+    try:
+        import psycopg  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "live replication transport needs psycopg; use the WAL-archive "
+            "replay transport in this environment"
+        ) from e
+    raise NotImplementedError("live transport wiring is environment-specific")
