@@ -476,14 +476,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- multimodal columns ------------------------------------------------------
 
+# Byte-accurate first byte of the UTF-8 payload (NOT ascii(substr(...,1,1)),
+# which returns the first *codepoint* and diverges on multi-byte-leading text).
+_HEAD_BYTE = (
+    "CASE WHEN octet_length(encode(text)) > 0 "
+    "THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) ELSE -1 END"
+)
+
 
 @register(
     "mm_binary_features",
-    """
+    f"""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
-           ascii(substr(text, 1, 1)) AS head_byte
+           {_HEAD_BYTE} AS head_byte
     FROM documents
     """,
     doc="Binary-column plumbing: UTF-8 payload, Arrow-batched mapInPandas "
@@ -498,14 +505,16 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_resize",
-    """
-    SELECT doc_id,
-           1 + ascii(substr(text, 1, 1)) % 64 AS width,
-           1 + octet_length(encode(text)) % 64 AS height,
-           CAST((1 + ascii(substr(text, 1, 1)) % 64)
-                * (1 + octet_length(encode(text)) % 64) AS BIGINT) AS n_pixels,
+    f"""
+    WITH hb AS (SELECT doc_id,
+                       CASE WHEN octet_length(encode(text)) > 0
+                            THEN 1 + ({_HEAD_BYTE}) % 64 ELSE 1 END AS width,
+                       1 + octet_length(encode(text)) % 64 AS height
+                FROM documents)
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
            32 AS resize_w, 32 AS resize_h
-    FROM documents
+    FROM hb
     """,
     doc="Image decode+resize pipeline with deterministic fake decoder "
         "(real codec stubbed: operators/multimodal.decode_image).",
@@ -523,21 +532,37 @@ def mm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (SELECT doc_id, octet_length(encode(text)) // 256 AS n_frames
                FROM documents)
     SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
-           CASE WHEN n_frames > 0
-                THEN range(0, CAST(greatest(n_frames - 1, 0) AS BIGINT) + 1, 10)
-                ELSE [] END AS sampled_frames,
-           CASE WHEN n_frames > 0
-                THEN list_transform(
-                    range(0, CAST(greatest(n_frames - 1, 0) AS BIGINT) + 1, 10),
-                    i -> i * 256)
-                ELSE [] END AS byte_offsets
+           coalesce(array_to_string(list_transform(
+               CASE WHEN n_frames > 0
+                    THEN range(0, CAST(greatest(n_frames - 1, 0) AS BIGINT) + 1, 10)
+                    ELSE [] END,
+               i -> CAST(i AS VARCHAR)), ','), '') AS sampled_frames,
+           coalesce(array_to_string(list_transform(
+               CASE WHEN n_frames > 0
+                    THEN list_transform(
+                        range(0, CAST(greatest(n_frames - 1, 0) AS BIGINT) + 1, 10),
+                        i -> i * 256)
+                    ELSE [] END,
+               i -> CAST(i AS VARCHAR)), ','), '') AS byte_offsets
     FROM b
     """,
     doc="Video-style frame sampling over opaque byte streams (every 10th "
-        "256-byte frame) — pure built-in byte math.",
+        "256-byte frame) — pure built-in byte math. Array outputs are "
+        "serialized to comma-joined strings so the harness's canonicalizer "
+        "(pandas sort) can hash them.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgresql_cdc_spark.operators import multimodal as mm
 
     d = T(spark, sf_dir, "documents")
-    return mm.frame_sample_offsets(mm.attach_binary(d))
+    out = mm.frame_sample_offsets(mm.attach_binary(d))
+    return out.select(
+        "doc_id",
+        "n_frames",
+        F.array_join(F.col("sampled_frames").cast("array<string>"), ",").alias(
+            "sampled_frames"
+        ),
+        F.array_join(F.col("byte_offsets").cast("array<string>"), ",").alias(
+            "byte_offsets"
+        ),
+    )

@@ -33,7 +33,12 @@ def EV(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark reads TIMESTAMP(NANOS) as long (legacy.parquet.nanosAsLong); truncate
     to microseconds — same floor DuckDB's epoch_ms/date functions apply.
+
+    The conf is set here (runtime-settable) rather than only in our session
+    factory because the correctness/bench harness constructs its own
+    SparkSession and calls these query callables directly.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = T(spark, sf_dir, "events")
     # integer `div`, not `/`: ns values overflow double mantissa precision
     return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -563,10 +568,10 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_brand,
            COUNT(*) AS n,
-           SUM(length(p_name)) AS total_name_len,
+           CAST(SUM(length(p_name)) AS BIGINT) AS total_name_len,
            COUNT(DISTINCT upper(p_type)) AS n_types,
            MIN(substr(p_name, 1, 5)) AS min_prefix,
-           SUM(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS n_with_a
+           CAST(SUM(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_a
     FROM part
     GROUP BY p_brand
     """,

@@ -62,12 +62,31 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--show-diff", type=int, default=6)
+    ap.add_argument(
+        "--bare",
+        action="store_true",
+        help="use a vanilla SparkSession (no repo confs), mimicking the "
+        "driver's harness — queries must self-provision any conf they need",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
-    from postgresql_cdc_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    if args.bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("correctness-check-bare")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from postgresql_cdc_spark.session import get_spark
+
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
