@@ -7,6 +7,12 @@ JSON line:
 
 Each query is forced end-to-end with the noop sink (full computation, no
 collect-to-driver cost, no count()-projection pruning shortcut).
+
+Robustness contract: one bad query must never void the artifact. Every query
+runs in its own thread under a Spark job group with a wall-clock cap; on
+timeout the job group is cancelled and the query is recorded as failed. The
+JSON line is always printed with whatever completed, and a global deadline
+stops starting new queries before the driver's own timeout can hit.
 """
 
 from __future__ import annotations
@@ -14,15 +20,14 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: spans scans/aggs/joins/windows/sessionization/as-of, CDC
-# replay+materialization, PG type layer, text analysis, all dedup families,
-# and similarity search. (dedup_simhash excluded: its pair-count explodes
-# quadratically on the shared-vocabulary fixture — not a representative
-# throughput measure.)
+# replay+materialization (changelog synthesized once per process, persisted),
+# PG type layer, text analysis, all dedup families, and similarity search.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -34,18 +39,49 @@ BENCH_QUERIES = [
     "events_sessionize",
     "asof_purchase_to_signup",
     "cdc_materialize_state",
-    "cdc_pricing_after_replay",
     "pg_numeric_arrays",
     "pg_string_arrays",
     "text_token_stats",
     "text_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_ngram_jaccard",
     "sim_topk_brute",
     "sim_topk_lsh",
     "mm_binary_features",
 ]
+
+PER_QUERY_CAP_S = float(os.environ.get("BENCH_QUERY_CAP_S", "150"))
+GLOBAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _run_capped(spark, name: str, fn, sf_dir: str, cap_s: float):
+    """Run one query end-to-end in a worker thread; cancel its job group if it
+    exceeds the cap. Returns (elapsed_or_None, error_or_None)."""
+    out: dict = {}
+
+    def work():
+        # Job group is thread-local, so cancellation targets only this query.
+        spark.sparkContext.setJobGroup(name, f"bench:{name}", interruptOnCancel=True)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out["ok"] = True
+        except Exception as e:  # noqa: BLE001 — one bad query must not void the run
+            out["err"] = f"{type(e).__name__}: {str(e)[:300]}"
+
+    t0 = time.perf_counter()
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(cap_s)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(name)
+        th.join(15)
+        return None, f"timeout>{cap_s}s (job group cancelled)"
+    elapsed = time.perf_counter() - t0
+    if "err" in out:
+        return None, out["err"]
+    return elapsed, None
 
 
 def main() -> int:
@@ -67,22 +103,40 @@ def main() -> int:
     # query doesn't pay session spin-up.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    deadline = time.monotonic() + GLOBAL_BUDGET_S
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    skipped: list[str] = []
     for name in BENCH_QUERIES:
-        q = QUERIES[name]
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        if time.monotonic() >= deadline:
+            skipped.append(name)
+            continue
+        q = QUERIES.get(name)
+        if q is None:
+            errors[name] = "not registered"
+            continue
+        cap = min(PER_QUERY_CAP_S, max(5.0, deadline - time.monotonic()))
+        elapsed, err = _run_capped(spark, name, q.spark, sf_dir, cap)
+        if err is not None:
+            errors[name] = err
+            print(f"  {name}: FAILED {err}", file=sys.stderr, flush=True)
+        else:
+            timings[name] = round(elapsed, 3)
+            print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": f"bench_total_{len(BENCH_QUERIES)}q",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if errors:
+        payload["errors"] = errors
+    if skipped:
+        payload["skipped"] = skipped
+    print(json.dumps(payload))
     return 0
 
 

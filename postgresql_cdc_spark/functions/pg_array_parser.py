@@ -67,7 +67,12 @@ def parse_string_array(text: Optional[str]) -> Optional[List[str]]:
     pos = 0
 
     def fail(msg: str) -> ValueError:
-        return ValueError(f"{msg} at {pos} ('{text[:pos]}'^'{text[pos:]}')")
+        return ValueError(
+            f"{msg} at offset {pos} (parsed: '{text[:pos]}', remaining: '{text[pos:]}')"
+        )
+
+    def eof() -> ValueError:
+        return ValueError(f"unexpected end of array literal at offset {pos}")
 
     if pos >= n or text[pos] != "{":
         raise fail("expect '{'")
@@ -76,7 +81,7 @@ def parse_string_array(text: Optional[str]) -> Optional[List[str]]:
     result: List[str] = []
     while True:
         if pos >= n:
-            raise ValueError("expect a char, got eof")
+            raise eof()
         if text[pos] == "}":
             break
         # element
@@ -85,27 +90,31 @@ def parse_string_array(text: Optional[str]) -> Optional[List[str]]:
             buf = []
             while True:
                 if pos >= n:
-                    raise ValueError("expect a char, got eof")
+                    raise eof()
                 c = text[pos]
                 pos += 1
                 if c == '"':
                     break
                 if c == "\\":
                     if pos >= n:
-                        raise ValueError("expect a char, got eof")
+                        raise eof()
                     e = text[pos]
                     pos += 1
                     if e in _ESCAPES:
                         buf.append(_ESCAPES[e])
                     elif e == "u":
+                        # bounds + hex-digit check BEFORE consuming: a
+                        # truncated or non-hex escape must fail here, not
+                        # produce a bogus char and a misleading later error
                         hex4 = text[pos : pos + 4]
+                        if len(hex4) < 4 or not all(
+                            ch in "0123456789abcdefABCDEF" for ch in hex4
+                        ):
+                            raise fail("invalid \\u escape: need 4 hex digits")
                         pos += 4
-                        try:
-                            buf.append(chr(int(hex4, 16)))
-                        except ValueError:
-                            raise fail("expect a 4 chars hex number") from None
+                        buf.append(chr(int(hex4, 16)))
                     else:
-                        raise fail(f"unknown escaped char: {e}")
+                        raise fail(f"unsupported escape sequence: \\{e}")
                 else:
                     buf.append(c)
             result.append("".join(buf))
@@ -114,7 +123,7 @@ def parse_string_array(text: Optional[str]) -> Optional[List[str]]:
             while pos < n and text[pos] not in ',{}"':
                 pos += 1
             if pos >= n:
-                raise ValueError("expect a char, got eof")
+                raise eof()
             result.append(text[start:pos])
         # after an element only ',' or '}' may follow (e.g. a nested '{'
         # inside an unquoted element is an error — 1-D only, like the
@@ -122,9 +131,9 @@ def parse_string_array(text: Optional[str]) -> Optional[List[str]]:
         if pos < n and text[pos] == ",":
             pos += 1
         elif pos < n and text[pos] != "}":
-            raise fail("expect ',' or '}'")
+            raise fail("element must be followed by ',' or '}'")
 
     pos += 1  # closing brace
     if pos != n:
-        raise fail("expect eof")
+        raise fail("trailing characters after closing '}'")
     return result

@@ -12,9 +12,13 @@ Five families, each shuffle-conscious and expressible against a DuckDB oracle:
                              — never an all-pairs cross join. Verification
                              computes exact shingle Jaccard only on candidates.
 - ``simhash_fingerprint`` /
-  ``simhash_pairs``        — 32-bit simhash; near-dup candidates share at
-                             least one of 4 8-bit chunks (Hamming ≤3 ⇒ some
-                             chunk equal by pigeonhole), then exact Hamming
+  ``simhash_pairs``        — 60-bit simhash (full h60 width); near-dup
+                             candidates share at least one of 4 15-bit chunks
+                             (Hamming ≤3 ⇒ some chunk equal by pigeonhole) —
+                             32,768 blocking values per chunk, so candidates
+                             grow ~N·cluster_size, not N²/256 as the old
+                             8-bit-chunk geometry did. Hot chunk values are
+                             capped like MinHash buckets; exact Hamming
                              filter via bit ops.
 - ``ngram_jaccard_pairs``  — exact n-gram Jaccard via explode + equi-join on
                              shingle hash; scalable because the join fans out
@@ -168,7 +172,7 @@ def minhash_lsh_pairs(
     return out
 
 
-def simhash_fingerprint(text: Column, bits: int = 32, n: int = 1) -> Column:
+def simhash_fingerprint(text: Column, bits: int = 60, n: int = 1) -> Column:
     """``bits``-bit simhash over word n-grams (n=1: unigram tokens).
 
     bit b of the fingerprint = sign of Σ_tokens (±1 by bit b of the token
@@ -199,14 +203,19 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 60,
     chunks: int = 4,
+    max_bucket: int = 100,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
-    Pigeonhole blocking: with 4 chunks of 8 bits, Hamming ≤ 3 implies at least
-    one chunk matches exactly → candidates come from 4 equi-joins on
-    (chunk_id, chunk_value), never a cross join. Exact distance via bit_count.
+    Pigeonhole blocking: with 4 chunks of 15 bits, Hamming ≤ 3 implies at
+    least one chunk matches exactly → candidates come from 4 equi-joins on
+    (chunk_id, chunk_value), never a cross join. 15-bit chunks give 32,768
+    blocking values, so random collisions are ~N²/32768 per chunk instead of
+    the old 8-bit N²/256; ``max_bucket`` additionally drops degenerate hot
+    chunk values (broadcast anti-join — the same skew guard MinHash uses).
+    Exact distance via bit_count.
     """
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
@@ -225,6 +234,11 @@ def simhash_pairs(
             for c in range(chunks)
         ])).alias("ck"),
     ).select("id", "fp", "ck.chunk", "ck.val")
+
+    hot = chunked.groupBy("chunk", "val").count().where(F.col("count") > max_bucket)
+    chunked = chunked.join(
+        F.broadcast(hot.select("chunk", "val")), ["chunk", "val"], "left_anti"
+    )
 
     a, b = chunked.alias("a"), chunked.alias("b")
     return (

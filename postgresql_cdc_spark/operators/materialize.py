@@ -125,7 +125,11 @@ def materialize(
         .groupBy(*gcols)
         .agg(
             F.max("__last_enc").alias("__last"),
-            F.max("__reset_enc").alias("__reset"),
+            # A key whose changelog holds only UPDATEs (normal when capture
+            # starts mid-stream) has no reset event at all; treat that as an
+            # implicit INSERT at lsn 0 so the key is KEPT — matching the
+            # window-fill path's generation-0 behavior.
+            F.coalesce(F.max("__reset_enc"), F.lit("0" * 16 + "I")).alias("__reset"),
         )
         # DELETE-terminal keys drop here (last reset is the 'D')
         .where(F.substring(F.col("__reset"), 17, 1) == "I")

@@ -17,13 +17,22 @@ Strategies:
                              top-k. One pass over the corpus, no corpus
                              shuffle except the final per-query top-k (k rows
                              per partition pre-aggregated).
-- ``hyperplane_lsh_bucket``— sign-bit LSH code for ANN bucketing: b pseudo-
-                             random hyperplanes derived from the portable h60
-                             hash (no stored model, reproducible anywhere).
+- ``hyperplane_lsh_code``  — sign-bit LSH code for ANN bucketing. The ±1
+                             hyperplane weights are derived once DRIVER-SIDE
+                             from the md5/h60 family and embedded as array
+                             literals, so the per-row cost is a pure
+                             multiply-add fold (no per-row hashing; the old
+                             formulation re-derived 512 md5s per vector).
 - ``topk_lsh``             — ANN: candidates = corpus rows sharing any of the
-                             query's multi-probe band codes, then exact cosine
-                             on candidates only. The scale path: bucket join
+                             query's band codes, then exact cosine on
+                             candidates only. The scale path: bucket join
                              instead of full scan.
+
+Scale geometry: ``PLANES_PER_BAND = 12`` gives 4096 buckets per band — at
+N = 10^9 vectors a bucket holds ~250k rows, and the ``max_bucket`` guard
+(broadcast anti-join, same shape as MinHash's) drops degenerate hot buckets
+so the bucket self-join can never approach N². (The previous 4-plane/16-bucket
+geometry collapsed to ~N²/16 at scale.)
 
 At 100 TB: ``topk_brute`` is the gold standard / recall oracle; ``topk_lsh``
 turns the scan into an equi-join on (band, code) — same shape web-scale ANN
@@ -32,10 +41,18 @@ pre-filters use. Embeddings stay as float arrays (no Python round trip).
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from postgresql_cdc_spark.operators.text import h60
+# Default LSH geometry (shared by the DuckDB oracle builders in
+# plans/extensions.py — change in lockstep).
+BANDS = 4
+PLANES_PER_BAND = 12
+EMBED_DIM = 64
+MAX_BUCKET = 200
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -90,39 +107,84 @@ def topk_brute(
     )
 
 
-def hyperplane_lsh_code(vec: Column, planes: int = 8, seed: str = "hp") -> Column:
-    """Sign-bit LSH code: bit p = [Σ_i w_{p,i}·v_i > 0] with pseudo-random
-    weights w in {-1,+1} derived from h60(seed:p:i) — reproducible in any
-    engine, no stored model. Returns a long in [0, 2^planes).
-    """
-    dim = F.size(vec)
-    v = vec.cast("array<double>")
+@lru_cache(maxsize=None)
+def hyperplane_weights(seed: str, planes: int, dim: int) -> tuple[tuple[float, ...], ...]:
+    """±1.0 weights for ``planes`` hyperplanes over ``dim`` dimensions.
 
-    def plane_bit(p: int) -> Column:
+    Derived from the parity bit of the portable h60 hash of ``seed:p:i`` —
+    deterministic, no stored model, reproducible in any engine (the DuckDB
+    oracle embeds the same constants). Computed once per (seed, planes, dim)
+    on the driver; the executors only see literal arrays.
+    """
+    return tuple(
+        tuple(
+            float((int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:15], 16) & 1) * 2 - 1)
+            for i in range(dim)
+        )
+        for p in range(planes)
+    )
+
+
+def hyperplane_lsh_code(
+    vec: Column,
+    planes: int = PLANES_PER_BAND,
+    seed: str = "hp",
+    dim: int = EMBED_DIM,
+) -> Column:
+    """Sign-bit LSH code: bit p = [w_p · v > 0] with precomputed ±1 weight
+    literals. Per row this is ``planes`` multiply-add folds — pure codegen,
+    no hashing. Returns a long in [0, 2^planes)."""
+    v = vec.cast("array<double>")
+    code = F.lit(0).cast("long")
+    for p, w in enumerate(hyperplane_weights(seed, planes, dim)):
+        wlit = F.array(*[F.lit(x) for x in w])
         s = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), dim - 1),
-                lambda x, i: x
-                * (
-                    h60(F.concat(F.lit(f"{seed}:{p}:"), i.cast("string")))
-                    .bitwiseAND(1)
-                    .cast("double")
-                    * 2.0
-                    - 1.0
-                ),
-            ),
+            F.zip_with(v, wlit, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+        code = code + F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-
-    code = plane_bit(0)
-    for p in range(1, planes):
-        code = code + plane_bit(p)
     return code
+
+
+def _with_band_codes(
+    df: DataFrame,
+    idc: str,
+    vec_col: str,
+    bands: int,
+    planes_per_band: int,
+    vec_alias: str,
+) -> DataFrame:
+    """(id, vec, band, code) — one row per (row, band)."""
+    return df.select(
+        F.col(idc),
+        F.col(vec_col).alias(vec_alias),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    hyperplane_lsh_code(
+                        F.col(vec_col), planes_per_band, seed=f"hp{b}"
+                    ).alias("code"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bc"),
+    ).select(idc, vec_alias, F.col("bc.band").alias("band"),
+             F.col("bc.code").alias("code"))
+
+
+def _drop_hot_buckets(coded: DataFrame, max_bucket: int) -> DataFrame:
+    """Skew guard: drop (band, code) buckets wider than ``max_bucket`` via a
+    broadcast anti-join — bounded memory, and the self-join can never
+    degenerate into a near-cross-product on a hot bucket."""
+    wide = (
+        coded.groupBy("band", "code").count().where(F.col("count") > max_bucket)
+    )
+    return coded.join(F.broadcast(wide.select("band", "code")),
+                      ["band", "code"], "left_anti")
 
 
 def topk_lsh(
@@ -132,40 +194,29 @@ def topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    bands: int = 2,
-    planes_per_band: int = 4,
+    bands: int = BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """ANN top-k: candidates share at least one band code with the query,
-    exact cosine re-rank on candidates. Join is equi on (band, code)."""
-
-    def with_codes(df: DataFrame, idc: str) -> DataFrame:
-        return df.select(
-            F.col(idc),
-            F.col(vec_col).alias(f"__v_{idc}"),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        hyperplane_lsh_code(
-                            F.col(vec_col), planes_per_band, seed=f"hp{b}"
-                        ).alias("code"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("bc"),
-        ).select(idc, f"__v_{idc}", F.col("bc.band").alias("band"),
-                 F.col("bc.code").alias("code"))
-
-    c = with_codes(corpus.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
-    q = with_codes(queries, query_id_col)
+    exact cosine re-rank on candidates. Join is equi on (band, code); hot
+    corpus buckets are dropped before the join."""
+    c = _with_band_codes(
+        corpus.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id",
+        vec_col, bands, planes_per_band, "__v_neighbor",
+    )
+    c = _drop_hot_buckets(c, max_bucket)
+    q = _with_band_codes(
+        queries, query_id_col, vec_col, bands, planes_per_band, "__v_query"
+    )
 
     cand = (
         c.join(F.broadcast(q), ["band", "code"])
         .where(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col, "neighbor_id",
-            F.col(f"__v_{query_id_col}").alias("__qvec"),
-            F.col("__v_neighbor_id").alias("__nvec"),
+            F.col("__v_query").alias("__qvec"),
+            F.col("__v_neighbor").alias("__nvec"),
         )
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
@@ -187,27 +238,18 @@ def near_dup_pairs(
     threshold: float = 0.999,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bands: int = 2,
-    planes_per_band: int = 4,
+    bands: int = BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: hyperplane-LSH bucket self-join, then
     exact cosine filter. Same equi-join shape as topk_lsh — scales as a
-    bucketed join, not an all-pairs cross product."""
-    coded = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    hyperplane_lsh_code(
-                        F.col(vec_col), planes_per_band, seed=f"hp{b}"
-                    ).alias("code"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bc"),
-    ).select("id", "v", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+    bucketed join with capped bucket width, not an all-pairs cross product."""
+    coded = _with_band_codes(
+        corpus.withColumnRenamed(id_col, "id"), "id",
+        vec_col, bands, planes_per_band, "v",
+    )
+    coded = _drop_hot_buckets(coded, max_bucket)
 
     a, b = coded.alias("a"), coded.alias("b")
     return (

@@ -24,6 +24,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from postgresql_cdc_spark.operators import dedup as dd
 from postgresql_cdc_spark.operators import similarity as sim
 from postgresql_cdc_spark.operators import text as tx
+from postgresql_cdc_spark.operators.similarity import (
+    BANDS as _LSH_BANDS,
+    EMBED_DIM as _LSH_DIM,
+    MAX_BUCKET as _LSH_MAX_BUCKET,
+    PLANES_PER_BAND as _LSH_PLANES,
+    hyperplane_weights,
+)
 from postgresql_cdc_spark.plans.registry import register
 
 
@@ -250,7 +257,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- simhash near-dup --------------------------------------------------------
 
-def _simhash_fp_sql(bits: int = 32) -> str:
+def _simhash_fp_sql(bits: int = 60) -> str:
     terms = []
     for b in range(bits):
         hits = f"len(list_filter(hh, h -> ((h >> {b}) & 1) = 1))"
@@ -267,9 +274,12 @@ _SIMHASH_ORACLE = f"""
                   x -> {_H60.format(x='x')}) AS hh
           FROM t WHERE len(toks) > 0),
     fps AS (SELECT id, {_simhash_fp_sql()} AS fp FROM h),
-    chunked AS ({" UNION ALL ".join(
-        f"SELECT id, fp, {c} AS chunk, (fp >> {c * 8}) & 255 AS val FROM fps"
+    chunked0 AS ({" UNION ALL ".join(
+        f"SELECT id, fp, {c} AS chunk, (fp >> {c * 15}) & 32767 AS val FROM fps"
         for c in range(4))}),
+    hotc AS (SELECT chunk, val FROM chunked0 GROUP BY 1, 2
+             HAVING COUNT(*) > 100),
+    chunked AS (SELECT chunked0.* FROM chunked0 ANTI JOIN hotc USING (chunk, val)),
     pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                      bit_count(xor(a.fp, b.fp)) AS hamming
               FROM chunked a JOIN chunked b USING (chunk, val)
@@ -281,8 +291,9 @@ _SIMHASH_ORACLE = f"""
 @register(
     "dedup_simhash",
     _SIMHASH_ORACLE,
-    doc="SimHash near-dup: 32-bit fingerprint, 8-bit-chunk pigeonhole "
-        "blocking, exact Hamming filter.",
+    doc="SimHash near-dup: 60-bit fingerprint, 15-bit-chunk pigeonhole "
+        "blocking (32,768 values/chunk) with hot-chunk cap, exact Hamming "
+        "filter.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(
@@ -344,17 +355,20 @@ def _cos_sql(a: str, b: str) -> str:
             f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6)")
 
 
-def _plane_sum_sql(vec: str, seed: str, p: int) -> str:
-    w = (f"((CAST('0x' || substr(md5('{seed}:{p}:' || CAST(j AS VARCHAR)), 1, 15) "
-         "AS BIGINT) & 1) * 2.0 - 1.0)")
-    prod = f"list_transform(range(0, 64), j -> CAST({vec}[j+1] AS DOUBLE) * {w})"
-    return (f"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], {prod}), "
-            "(x, y) -> x + y)")
+def _plane_sum_sql(vecvar: str, seed: str, p: int) -> str:
+    """Signed sum ±v[i] with the SAME driver-side md5-derived weights the
+    Spark operator embeds (hyperplane_weights). 0.0-seeded left-assoc sum ==
+    Spark's index-ordered fold bit-for-bit (±1 multiplies are exact)."""
+    w = hyperplane_weights(seed, _LSH_PLANES, _LSH_DIM)[p]
+    terms = "".join(
+        ("+" if x > 0 else "-") + f"{vecvar}[{i + 1}]" for i, x in enumerate(w)
+    )
+    return f"(0.0{terms})"
 
 
-def _code_sql(vec: str, seed: str, planes: int = 4) -> str:
+def _code_sql(vecvar: str, seed: str, planes: int = _LSH_PLANES) -> str:
     terms = [
-        f"(CASE WHEN {_plane_sum_sql(vec, seed, p)} > 0 THEN {1 << p} ELSE 0 END)"
+        f"(CASE WHEN {_plane_sum_sql(vecvar, seed, p)} > 0 THEN {1 << p} ELSE 0 END)"
         for p in range(planes)
     ]
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
@@ -394,10 +408,13 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-def _codes_union_sql(src: str, idc: str, vec: str, bands: int = 2) -> str:
+def _codes_union_sql(src: str, idc: str, vec: str, bands: int = _LSH_BANDS) -> str:
+    """One row per (row, band) with the hyperplane code; ``dv`` is the
+    double-cast embedding the signed plane sums index into."""
+    inner = f"(SELECT *, list_transform({vec}, x -> CAST(x AS DOUBLE)) AS dv FROM {src})"
     return " UNION ALL ".join(
         f"SELECT {idc}, {vec} AS v, {b} AS band, "
-        f"{_code_sql(vec, f'hp{b}')} AS code FROM {src}"
+        f"{_code_sql('dv', f'hp{b}')} AS code FROM {inner}"
         for b in range(bands)
     )
 
@@ -406,7 +423,10 @@ _TOPK_LSH_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding
                FROM embeddings WHERE vec_id % 100 = 0),
     qc AS ({_codes_union_sql('q', 'query_id', 'embedding')}),
-    cc AS ({_codes_union_sql('embeddings', 'vec_id AS neighbor_id', 'embedding')}),
+    cc0 AS ({_codes_union_sql('embeddings', 'vec_id AS neighbor_id', 'embedding')}),
+    hot AS (SELECT band, code FROM cc0 GROUP BY 1, 2
+            HAVING COUNT(*) > {_LSH_MAX_BUCKET}),
+    cc AS (SELECT cc0.* FROM cc0 ANTI JOIN hot USING (band, code)),
     cand AS (
         SELECT DISTINCT qc.query_id, cc.neighbor_id, qc.v AS qe, cc.v AS ne
         FROM cc JOIN qc USING (band, code)
@@ -454,7 +474,10 @@ _EMB_CORPUS = """
     "dedup_embedding_cosine",
     f"""
     WITH c AS ({_EMB_CORPUS}),
-    coded AS ({_codes_union_sql('c', 'vec_id AS id', 'embedding')}),
+    coded0 AS ({_codes_union_sql('c', 'vec_id AS id', 'embedding')}),
+    hot AS (SELECT band, code FROM coded0 GROUP BY 1, 2
+            HAVING COUNT(*) > {_LSH_MAX_BUCKET}),
+    coded AS (SELECT coded0.* FROM coded0 ANTI JOIN hot USING (band, code)),
     pairs AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                {_cos_sql('a.v', 'b.v')} AS cos_sim

@@ -101,24 +101,56 @@ class WalArchiveStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("pgcdc source requires option 'path'")
         self.max_records = int(options.get("maxrecordsperbatch", 100))
+        # readall: offer the whole archive as one batch. Needed under
+        # Trigger.AvailableNow — the Python data source API has no
+        # AvailableNow support, so Spark falls back to a SINGLE batch whose
+        # end is one latestOffset() call; without this the batch would stop
+        # at the first txn-aligned budget boundary and silently drop the rest.
+        self.read_all = str(options.get("readall", "false")).lower() in (
+            "true", "1", "yes",
+        )
         self.ack_path = options.get(
             "ackpath", os.path.join(self.path, "_flushed_lsn")
+        )
+        # Durable offset recovery (reference semantics: resume from the
+        # slot's confirmed LSN, `CdcEngine.java:143-159`). Without this the
+        # in-memory cursor restarts at -1 after a query restart and
+        # latestOffset could return an end BELOW the checkpointed start —
+        # an inverted batch window. partitions() additionally clamps the
+        # cursor to every batch end Spark hands us.
+        self._restored: Optional[dict] = None
+        try:
+            with open(self.ack_path) as f:
+                flushed = json.load(f).get("flushed_lsn")
+            if flushed is not None:
+                self._restored = {"lsn": int(flushed), "txn_open": False}
+        except (OSError, ValueError):
+            pass
+        self._last_offset: Optional[dict] = (
+            dict(self._restored) if self._restored else None
         )
 
     # -- offsets -------------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        # The construction-time recovered offset only — NOT the live cursor
+        # (initialOffset may be called after latestOffset; returning the
+        # cursor would collapse the batch window to empty).
+        if self._restored is not None:
+            return dict(self._restored)
         return {"lsn": -1, "txn_open": False}
 
     def latestOffset(self) -> dict:
         """Scan forward from the start; stop ≥ max_records DML past the last
         offset, preferring a COMMIT boundary (txn_open False) when one lands
-        within the budget window."""
+        within the budget window. Never regresses below the highest offset
+        previously offered or committed."""
         # NB: called on the driver once per micro-batch; the archive scan is
         # sequential by protocol nature. A live transport would instead track
         # the socket's last received LSN.
-        last = getattr(self, "_last_offset", None) or self.initialOffset()
+        last = self._last_offset or self.initialOffset()
         start_lsn = last["lsn"]
+        budget = float("inf") if self.read_all else self.max_records
         decoder = PgOutputDecoder()
         n_dml = 0
         end_lsn = start_lsn
@@ -138,7 +170,7 @@ class WalArchiveStreamReader(DataSourceStreamReader):
             elif isinstance(msg, ChangeRecord):
                 n_dml += 1
             end_lsn = lsn
-            if n_dml >= self.max_records and not txn_open:
+            if n_dml >= budget and not txn_open:
                 break
         out = {"lsn": end_lsn, "txn_open": txn_open}
         self._last_offset = out
@@ -147,6 +179,12 @@ class WalArchiveStreamReader(DataSourceStreamReader):
     # -- read ----------------------------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> List[InputPartition]:
+        # Offset-monotonicity clamp: on restart Spark replays the last
+        # uncommitted batch via partitions() without calling latestOffset();
+        # adopting its end here keeps the cursor ahead of every offset the
+        # checkpoint has seen.
+        if self._last_offset is None or end["lsn"] > self._last_offset["lsn"]:
+            self._last_offset = dict(end)
         return [_WalPartition(self.path, start["lsn"], end["lsn"])]
 
     def read(self, partition: _WalPartition) -> Iterator[tuple]:

@@ -211,7 +211,11 @@ class TestWalArchiveReader:
         assert rows["3"]["v_text"] == "c"
         assert rows["4"]["v_text"] == "d"
 
-    def test_streaming_end_to_end(self, spark, tmp_path):
+    def test_streaming_end_to_end_available_now(self, spark, tmp_path):
+        """AvailableNow is unsupported by the Python data source API — Spark
+        falls back to a single batch; option readall makes that one batch
+        cover the whole archive instead of stopping at the first txn-aligned
+        budget boundary."""
         from postgresql_cdc_spark.streaming.source import PgCdcDataSource
 
         arch = str(tmp_path / "wal4")
@@ -220,7 +224,7 @@ class TestWalArchiveReader:
         q = (
             spark.readStream.format("pgcdc")
             .option("path", arch)
-            .option("maxRecordsPerBatch", "3")
+            .option("readall", "true")
             .load()
             .writeStream.format("memory")
             .queryName("cdc_stream")
@@ -238,3 +242,66 @@ class TestWalArchiveReader:
             ("I", 11, 101), ("I", 12, 101), ("U", 41, 102),
             ("D", 42, 102), ("I", 70, -1), ("I", 81, 103),
         ]
+
+    def test_streaming_multi_batch_chunking(self, spark, tmp_path):
+        """Default trigger + processAllAvailable drives the real micro-batch
+        path: maxRecordsPerBatch=3 must split the archive into >=2 txn-aligned
+        batches without losing or duplicating records."""
+        from postgresql_cdc_spark.streaming.source import PgCdcDataSource
+
+        arch = str(tmp_path / "wal5")
+        _make_archive(arch)
+        spark.dataSource.register(PgCdcDataSource)
+        q = (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("maxRecordsPerBatch", "3")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdc_stream_mb")
+            .option("checkpointLocation", str(tmp_path / "ckpt5"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql(
+            "select op, lsn, txn_id from cdc_stream_mb order by lsn"
+        ).collect()
+        assert [(r.op, r.lsn, r.txn_id) for r in got] == [
+            ("I", 11, 101), ("I", 12, 101), ("U", 41, 102),
+            ("D", 42, 102), ("I", 70, -1), ("I", 81, 103),
+        ]
+        assert q.lastProgress["batchId"] >= 1  # actually chunked
+
+    def test_offset_recovery_after_restart(self, tmp_path):
+        """A fresh reader (simulating query restart) must not offer an end
+        offset below what was committed: it seeds from the ack file and
+        clamps to batch ends handed back by the engine."""
+        from postgresql_cdc_spark.streaming.source import WalArchiveStreamReader
+
+        arch = str(tmp_path / "wal6")
+        _make_archive(arch)
+        r1 = WalArchiveStreamReader({"path": arch, "maxrecordsperbatch": "3"})
+        start = r1.initialOffset()
+        end1 = r1.latestOffset()
+        r1.commit(end1)
+
+        # restart: new instance, in-memory cursor gone — ack file seeds it
+        r2 = WalArchiveStreamReader({"path": arch, "maxrecordsperbatch": "3"})
+        assert r2.initialOffset()["lsn"] == end1["lsn"]
+        end2 = r2.latestOffset()
+        assert end2["lsn"] >= end1["lsn"]
+        rows = list(r2.read(r2.partitions(end1, end2)[0]))
+        # only the tail records, no re-emission of batch 1
+        assert [(row[0], row[4]) for row in rows] == [("I", 70), ("I", 81)]
+
+        # restart with NO ack (crash before first commit): partitions() clamp
+        # adopts the checkpointed end so latestOffset never regresses
+        r3 = WalArchiveStreamReader(
+            {"path": arch, "maxrecordsperbatch": "3", "ackpath": str(tmp_path / "none")}
+        )
+        r3.partitions(start, end1)  # engine replays the checkpointed batch
+        end3 = r3.latestOffset()
+        assert end3["lsn"] >= end1["lsn"]
