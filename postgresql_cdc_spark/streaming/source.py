@@ -272,20 +272,23 @@ class PgCdcDataSource(DataSource):
 
 
 def live_replication_frames(dsn: str, slot: str, publication: str):
-    """Live-socket transport — STUB: requires psycopg and a PostgreSQL server
-    with logical replication (neither is available in this container).
+    """Live-socket transport: slot + publication DDL, replication-mode
+    connection, poll loop with reconnect/backoff — see
+    ``streaming.replication`` (unit-tested against a fake psycopg stream;
+    the real path needs psycopg2 + a PostgreSQL with wal_level=logical,
+    neither present in this container).
 
-    Production shape: ``psycopg`` ``start_replication(slot, pgoutput,
-    proto_version=1, publication_names=...)`` yielding (wal_end, payload)
-    frames; the consumer acks via ``send_feedback(flush_lsn=...)`` from
-    ``commit()`` — exactly the reference's setFlushedLSN path
-    (`CdcEngine.java:132-137`).
+    Yields ``(lsn, payload)`` frames — the same shape ``read_wal_frames``
+    produces, so decode and offset logic are transport-agnostic; the consumer
+    acks via ``transport.ack(flush_lsn)`` from ``commit()`` — the reference's
+    setFlushedLSN path (`CdcEngine.java:132-137`).
     """
-    try:
-        import psycopg  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "live replication transport needs psycopg; use the WAL-archive "
-            "replay transport in this environment"
-        ) from e
-    raise NotImplementedError("live transport wiring is environment-specific")
+    from postgresql_cdc_spark.streaming.replication import (
+        LiveReplicationTransport,
+        ReplicationConfig,
+        psycopg2_connection_factory,
+    )
+
+    cfg = ReplicationConfig(dsn=dsn, slot=slot, publication=publication)
+    transport = LiveReplicationTransport(psycopg2_connection_factory(cfg), cfg)
+    return transport.frames()
