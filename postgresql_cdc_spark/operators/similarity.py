@@ -201,10 +201,12 @@ def topk_lsh(
     """ANN top-k: candidates share at least one band code with the query,
     exact cosine re-rank on candidates. Join is equi on (band, code); hot
     corpus buckets are dropped before the join."""
+    # coded corpus feeds the hot-bucket count and the candidate join; persist
+    # so the plane folds run once per row
     c = _with_band_codes(
         corpus.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id",
         vec_col, bands, planes_per_band, "__v_neighbor",
-    )
+    ).persist()
     c = _drop_hot_buckets(c, max_bucket)
     q = _with_band_codes(
         queries, query_id_col, vec_col, bands, planes_per_band, "__v_query"
@@ -245,10 +247,12 @@ def near_dup_pairs(
     """Embedding near-duplicate pairs: hyperplane-LSH bucket self-join, then
     exact cosine filter. Same equi-join shape as topk_lsh — scales as a
     bucketed join with capped bucket width, not an all-pairs cross product."""
+    # coded feeds the hot-bucket count and BOTH self-join sides; persist so
+    # the plane folds run once per row
     coded = _with_band_codes(
         corpus.withColumnRenamed(id_col, "id"), "id",
         vec_col, bands, planes_per_band, "v",
-    )
+    ).persist()
     coded = _drop_hot_buckets(coded, max_bucket)
 
     a, b = coded.alias("a"), coded.alias("b")

@@ -52,18 +52,24 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # The synthesized changelog is deterministic per sf_dir, but costs a per-key
 # window sort over lineitem. Several queries replay it; within one process
-# (e.g. one bench run) synthesize once and persist — the reuse pattern a real
-# deployment gets from checkpointing the decoded changelog to a table.
-_CHANGELOG_CACHE: dict[tuple[int, str], DataFrame] = {}
+# share one DataFrame and persist it on the SECOND request — a single
+# consumer (e.g. the bench's one materialize query) skips the persist cost
+# (serializing map rows to storage costs more than one recompute), while the
+# correctness harness's five CDC queries get the reuse a real deployment
+# gets from checkpointing the decoded changelog to a table.
+_CHANGELOG_CACHE: dict[tuple[int, str], list] = {}
 
 
 def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), os.path.abspath(sf_dir))
-    df = _CHANGELOG_CACHE.get(key)
-    if df is None:
-        df = synthesize_changelog_lineitem(spark, sf_dir).persist()
-        _CHANGELOG_CACHE[key] = df
-    return df
+    entry = _CHANGELOG_CACHE.get(key)
+    if entry is None:
+        entry = [synthesize_changelog_lineitem(spark, sf_dir), 0]
+        _CHANGELOG_CACHE[key] = entry
+    entry[1] += 1
+    if entry[1] == 2:
+        entry[0] = entry[0].persist()
+    return entry[0]
 
 
 @register(
