@@ -132,14 +132,18 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity is integer-valued so the double AVG is order-exact.",
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brand filter first, broadcast into lineitem, THEN compute the correlated
+    # per-part average over only the surviving rows: the window-style agg sees
+    # ~1/25th of lineitem instead of all of it, and both the groupBy and the
+    # self-join hash on l_partkey so the exchange is reused.
     l = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
-    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+    lb = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    per_part = lb.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.avg("l_quantity").alias("avg_q")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(per_part, l.l_partkey == per_part.pk)
+        lb.join(per_part, lb.l_partkey == per_part.pk)
         .where(F.col("l_quantity") < F.lit(0.2).cast("double") * F.col("avg_q"))
         .agg(
             (D(F.sum(DEC("l_extendedprice"))) / 7.0).alias("avg_yearly"),
@@ -165,6 +169,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q18 shape: HAVING-derived IN-subquery semijoin + top-N.",
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One pass over lineitem computes per-order quantity; the >250 filter
+    # leaves a tiny set, which then BROADCASTS into orders and again into
+    # customer. Never re-joins lineitem (the oracle's re-aggregation of the
+    # joined fact collapses to the already-computed per-order sum), and never
+    # broadcasts the big customer table — the small derived side ships instead.
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
     l = T(spark, sf_dir, "lineitem")
@@ -172,14 +181,13 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(DEC("l_quantity")).alias("sq"))
         .where(F.col("sq") > 250)
-        .select(F.col("l_orderkey").alias("big_ok"))
+    )
+    small = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).select(
+        "o_custkey", "o_orderkey", "o_totalprice", D(F.col("sq")).alias("total_qty")
     )
     return (
-        l.join(big, l.l_orderkey == big.big_ok, "left_semi")
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
-        .agg(D(F.sum(DEC("l_quantity"))).alias("total_qty"))
+        c.join(F.broadcast(small), F.col("c_custkey") == small.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
