@@ -235,6 +235,121 @@ def topk_lsh(
     )
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Exact float64 squared-L2 distance, left fold in index order (the same
+    bit-reproducible shape as :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# Default IVF geometry (mirrored by the DuckDB oracle in plans/extensions.py).
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (squared L2,
+    ties broken on centroid id): ``(id, vec, cell)``.
+
+    ``centroids`` is ``(cell, __cvec)`` and must be small — it broadcasts, so
+    assignment is ONE corpus scan with C fold kernels per row and no shuffle.
+    At 100 TB with C = O(sqrt(N)) cells this is the standard IVF-Flat build:
+    the inverted lists are just the corpus hash-partitioned by ``cell``.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.asc("__d"), F.asc("cell"))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(centroids))
+        .withColumn("__d", l2sq(F.col(vec_col), F.col("__cvec")))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def default_centroids(
+    corpus: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_centroids`` lowest-id corpus
+    vectors. A trained k-means would recall better, but any small
+    ``(cell, __cvec)`` DataFrame plugs into :func:`ivf_assign` — this default
+    keeps the index reproducible in any engine with no stored model. The
+    ordered limit is a TakeOrdered (no full sort) and C stays driver-small."""
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("__cvec"))
+    )
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-Flat ANN top-k: each query probes its ``n_probe`` nearest cells and
+    scores only vectors assigned there, then exact cosine re-rank.
+
+    Scale shape: centroids broadcast (small); corpus assignment is one scan;
+    the candidate join is equi on ``cell`` against the broadcast probe list,
+    touching ~``n_probe``/``n_centroids`` of the corpus per query. Unlike the
+    LSH variant there is no self-join anywhere, so no quadratic failure mode;
+    recall is tuned by ``n_probe``, cost by ``n_centroids`` ~ O(sqrt(N)).
+    """
+    cents = centroids if centroids is not None else default_centroids(
+        corpus, n_centroids, id_col, vec_col
+    )
+    assigned = ivf_assign(
+        corpus.withColumnRenamed(id_col, "neighbor_id"), cents,
+        "neighbor_id", vec_col,
+    ).withColumnRenamed(vec_col, "__nvec")
+
+    wp = Window.partitionBy(query_id_col).orderBy(F.asc("__d"), F.asc("cell"))
+    probes = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        .join(F.broadcast(cents))
+        .withColumn("__d", l2sq(F.col("__qvec"), F.col("__cvec")))
+        .withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= n_probe)
+        .select(query_id_col, "__qvec", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col, "neighbor_id",
+            F.round(cosine(F.col("__nvec"), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.999,

@@ -463,6 +463,77 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def _l2_sql(a: str, b: str) -> str:
+    """Exact float64 squared-L2, left fold in index order — bit-identical to
+    operators/similarity.l2sq."""
+    d = (f"list_transform(list_zip({a}, {b}), "
+         "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+         " * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))")
+    return (f"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], {d}), "
+            "(x, y) -> x + y)")
+
+
+_TOPK_IVF_ORACLE = f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding AS cv
+                  FROM embeddings ORDER BY vec_id LIMIT 16),
+    assign AS (
+        SELECT vec_id AS neighbor_id, embedding AS ne, cell
+        FROM (
+            SELECT e.vec_id, e.embedding, cent.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_l2_sql('e.embedding', 'cent.cv')} ASC,
+                                cent.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id % 100 = 0),
+    probes AS (
+        SELECT query_id, qe, cell
+        FROM (
+            SELECT q.query_id, q.qe, cent.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_l2_sql('q.qe', 'cent.cv')} ASC,
+                                cent.cell ASC) AS rn
+            FROM q CROSS JOIN cent
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               {_cos_sql('a.ne', 'p.qe')} AS cos_sim
+        FROM assign a JOIN probes p USING (cell)
+        WHERE a.neighbor_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_topk_ivf",
+    _TOPK_IVF_ORACLE,
+    doc="ANN top-5 via IVF-Flat: deterministic coarse centroids, squared-L2 "
+        "cell assignment (one broadcast-join scan), 4-of-16 cell probing, "
+        "exact cosine re-rank. No self-join anywhere — the no-quadratic-mode "
+        "scale path; recall tunes with n_probe.",
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.topk_ivf(e, q, k=5, n_centroids=16, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 _EMB_CORPUS = """
     SELECT vec_id, embedding FROM embeddings
     UNION ALL

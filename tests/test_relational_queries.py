@@ -50,3 +50,36 @@ def test_asof_join_semantics(spark):
     out_left = asof_join(left, right, on="k", left_time="t", right_time="t", how="left")
     got_left = {(r.k, r.t, r.lv, r.rv) for r in out_left.collect()}
     assert got_left == got | {(2, 5, "c", None)}
+
+
+def test_ivf_assignment_partitions_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cell; cells come from the centroid set."""
+    from postgresql_cdc_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = sim.default_centroids(e, n_centroids=8)
+    assigned = sim.ivf_assign(e, cents)
+    n = e.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    cent_ids = {r.cell for r in cents.select("cell").collect()}
+    assert cells <= cent_ids
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    """Probing half the cells must recover most of the exact top-k set."""
+    from postgresql_cdc_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where("vec_id % 40 = 0").selectExpr("vec_id AS query_id", "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.topk_brute(e, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.topk_ivf(e, q, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
