@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q10_returned_items",
+    "q18_large_volume_orders",
+    "q19_disjunctive_filter",
     "join_outer_order_counts",
     "agg_rollup_region_nation",
     "window_topk_orders_per_customer",
@@ -49,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "sim_topk_brute",
     "sim_topk_lsh",
+    "sim_topk_ivf",
     "mm_binary_features",
 ]
 

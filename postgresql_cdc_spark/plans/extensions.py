@@ -35,7 +35,18 @@ from postgresql_cdc_spark.plans.registry import register
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in ("documents", "embeddings"):
+        # These corpora feed per-row kernels (md5 shingle hashing, minhash
+        # signatures, plane folds) whose cost dwarfs the scan. A real corpus
+        # arrives in thousands of splits and parallelizes for free; the
+        # single-file fixture scans as ONE task and would serialize the whole
+        # pipeline, so fan out only when the scan itself under-parallelizes.
+        # The exchange moves kilobytes here and never fires on real inputs.
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < min(target, 16):
+            df = df.repartition(min(target, 16))
+    return df
 
 
 # --- shared DuckDB fragments -------------------------------------------------
