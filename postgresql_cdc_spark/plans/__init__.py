@@ -15,6 +15,7 @@ from postgresql_cdc_spark.plans.registry import QUERIES, Query, register
 # Importing the modules populates QUERIES.
 from postgresql_cdc_spark.plans import relational  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational2  # noqa: E402,F401
+from postgresql_cdc_spark.plans import relational3  # noqa: E402,F401
 from postgresql_cdc_spark.plans import cdc  # noqa: E402,F401
 from postgresql_cdc_spark.plans import extensions  # noqa: E402,F401
 
