@@ -120,6 +120,14 @@ def main() -> int:
             continue
         cap = min(PER_QUERY_CAP_S, max(5.0, deadline - time.monotonic()))
         elapsed, err = _run_capped(spark, name, q.spark, sf_dir, cap)
+        # Operators persist() skinny intermediates consumed by multiple plan
+        # branches; they cannot unpersist before their result materializes
+        # (lazy eval), so the harness owns cleanup — without it cached blocks
+        # accumulate across 24 queries and lean on LRU eviction.
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
         if err is not None:
             errors[name] = err
             print(f"  {name}: FAILED {err}", file=sys.stderr, flush=True)

@@ -31,6 +31,13 @@ Skewed buckets (a shingle shared by millions of docs) are the classic hazard:
 ``max_bucket`` caps bucket width, dropping degenerate buckets like the
 empty-shingle one — standard practice (stop-shingle removal) in web-scale
 dedup.
+
+Caching contract: pipelines ``persist()`` skinny intermediates that feed
+multiple plan branches (signatures, posting lists). Lazy evaluation means the
+operator cannot unpersist them before the caller materializes the result, so
+*callers in long-lived sessions own cleanup*: call
+``spark.catalog.clearCache()`` (or ``unpersist()`` the inputs) once the
+result is written — the bench harness does exactly this between queries.
 """
 
 from __future__ import annotations
@@ -47,6 +54,35 @@ def _seeded_min(sh, seed: str):
     a two-parameter callable (even with a default) as (element, index).
     """
     return F.array_min(F.transform(sh, lambda s: h60_seeded(s, seed)))
+
+
+# SQL twin of text.h60 — the hot kernels below are generated as SQL strings
+# and parsed JVM-side with one F.expr call; building the same trees through
+# the Column API costs thousands of py4j round trips (see similarity._dot_sql).
+_H60_SQL = "CAST(CONV(SUBSTRING(MD5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _mh_sig_sql(sh_col: str, k: int) -> str:
+    """SQL text of the k-element seeded-minhash signature array."""
+    mins = ", ".join(
+        "array_min(transform(`%s`, s -> %s))"
+        % (sh_col, _H60_SQL.format(x=f"concat('mh{i}:', s)"))
+        for i in range(k)
+    )
+    return f"array({mins})"
+
+
+def _band_keys_sql(sig_col: str, bands: int, rows: int) -> str:
+    """SQL text of the array of (band, bucket) structs."""
+    entries = []
+    for b in range(bands):
+        parts = ", ".join(
+            f"CAST(element_at(`{sig_col}`, {b * rows + r + 1}) AS STRING)"
+            for r in range(rows)
+        )
+        bucket = _H60_SQL.format(x=f"concat_ws(',', {parts})")
+        entries.append(f"struct({b} AS band, {bucket} AS bucket)")
+    return "array(" + ", ".join(entries) + ")"
 
 # Default LSH geometry: k = bands * rows_per_band signatures.
 BANDS = 4
@@ -127,13 +163,10 @@ def minhash_lsh_pairs(
     ).where(F.size("sh") > 0).persist()
 
     sig = base.select(
-        "id",
-        F.array(*[
-            _seeded_min(F.col("sh"), f"mh{i}") for i in range(bands * rows)
-        ]).alias("sig"),
+        "id", F.expr(_mh_sig_sql("sh", bands * rows)).alias("sig")
     )
     buckets = (
-        sig.select("id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk"))
+        sig.select("id", F.explode(F.expr(_band_keys_sql("sig", bands, rows))).alias("bk"))
         .select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
         .persist()
     )
@@ -226,17 +259,16 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
     votes = h.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1).cast("long")).alias(f"__b{b}")
+            F.expr(f"SUM(CAST(shiftright(h, {b}) & 1 AS BIGINT))").alias(f"__b{b}")
             for b in range(bits)
         ],
     )
-    fp = None
-    for b in range(bits):
-        term = F.when(
-            F.col(f"__b{b}") * 2 - F.col("n") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return votes.select("id", fp.alias("fp"))
+    fp_sql = " + ".join(
+        f"CASE WHEN __b{b} * 2 - n > 0 THEN CAST({1 << b} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return votes.select("id", F.expr(fp_sql).alias("fp"))
 
 
 def simhash_pairs(

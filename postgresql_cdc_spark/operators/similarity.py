@@ -55,6 +55,35 @@ EMBED_DIM = 64
 MAX_BUCKET = 200
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the exact float64 dot product (0.0-seeded left fold in
+    index order — the bit-reproducible shape the DuckDB oracle mirrors).
+
+    The hot kernels are generated as SQL strings and parsed JVM-side with ONE
+    ``F.expr`` call: building the same tree through the PySpark Column API
+    costs thousands of py4j round trips (measured: ~2.7s of driver time per
+    topk_lsh plan construction — more than the query's execution at small SF,
+    and pure fixed overhead at any scale).
+    """
+    return (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), "
+        f"CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Rounded cosine similarity between two array columns (by name)."""
+    return F.expr(_cos_sql(a, b))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Exact float64 dot product, left fold in index order."""
     return F.aggregate(
@@ -96,7 +125,7 @@ def topk_brute(
     scored = scored.select(
         query_id_col,
         "neighbor_id",
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        cosine_expr(f"`{vec_col}`", "__qvec").alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -132,21 +161,71 @@ def hyperplane_lsh_code(
     dim: int = EMBED_DIM,
 ) -> Column:
     """Sign-bit LSH code: bit p = [w_p · v > 0] with precomputed ±1 weight
-    literals. Per row this is ``planes`` multiply-add folds — pure codegen,
-    no hashing. Returns a long in [0, 2^planes)."""
-    v = vec.cast("array<double>")
-    code = F.lit(0).cast("long")
-    for p, w in enumerate(hyperplane_weights(seed, planes, dim)):
-        wlit = F.array(*[F.lit(x) for x in w])
-        s = F.aggregate(
-            F.zip_with(v, wlit, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        code = code + F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return code
+    literals. Returns a long in [0, 2^planes).
+
+    The weight matrix is ONE nested-array literal and the per-plane sums come
+    from a single ``transform`` — the earlier formulation unrolled ``planes``
+    separate folds each carrying ``dim`` scalar literals, and the resulting
+    ~3000-node expression tree cost seconds of analysis/codegen per query
+    (pure fixed overhead, paid again at every scale). Arithmetic is unchanged:
+    each plane sum is still a 0.0-seeded left fold of x*y in index order, so
+    the DuckDB oracle's ±v[i] chains match bit-for-bit.
+
+    ``dim`` must equal the actual vector length — ``zip_with`` null-pads on
+    mismatch, which would nullify every plane sum and collapse all rows into
+    bucket 0. Operator entry points infer it from the data (``infer_dim``)
+    rather than trusting the default.
+    """
+    return F.expr(_lsh_code_sql(f"`{_sql_name(vec)}`", planes, seed, dim))
+
+
+def _sql_name(vec: Column | str) -> str:
+    if isinstance(vec, str):
+        return vec
+    # Column.__repr__ is "Column<'name'>"
+    import re
+
+    m = re.match(r"Column<'(.+)'>$", repr(vec))
+    if not m:
+        raise ValueError(f"need a simple column reference, got {vec!r}")
+    return m.group(1)
+
+
+def _lsh_code_sql(vec_sql: str, planes: int, seed: str, dim: int) -> str:
+    """SQL text of the sign-bit code: one nested-array weight literal, one
+    transform for the plane sums, one fold for the bit packing."""
+    w = hyperplane_weights(seed, planes, dim)
+    wmat = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x:.1f}D" for x in p) + ")" for p in w
+    ) + ")"
+    powers = "array(" + ", ".join(f"{float(1 << p):.1f}D" for p in range(planes)) + ")"
+    sums = (
+        f"transform({wmat}, wp -> aggregate(zip_with("
+        f"CAST({vec_sql} AS ARRAY<DOUBLE>), wp, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+    bits = (
+        f"zip_with({sums}, {powers}, "
+        "(s, p) -> CASE WHEN s > 0.0D THEN p ELSE 0.0D END)"
+    )
+    return f"CAST(aggregate({bits}, 0.0D, (acc, x) -> acc + x) AS BIGINT)"
+
+
+def infer_dim(df: DataFrame, vec_col: str = "embedding",
+              default: int = EMBED_DIM) -> int:
+    """Embedding dimensionality from the data (first non-null row).
+
+    One driver-side lookup of a single value — negligible next to any real
+    pipeline, and it prevents the silent-failure mode where a wrong ``dim``
+    null-pads ``zip_with`` inside the plane folds and every row lands in
+    bucket 0 (which the hot-bucket guard then drops, yielding empty results).
+    """
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    return int(row["d"]) if row is not None else default
 
 
 def _with_band_codes(
@@ -156,22 +235,22 @@ def _with_band_codes(
     bands: int,
     planes_per_band: int,
     vec_alias: str,
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
-    """(id, vec, band, code) — one row per (row, band)."""
+    """(id, vec, band, code) — one row per (row, band).
+
+    The whole banded-code array is ONE generated-SQL expression (see
+    ``_dot_sql`` note on why strings beat the Column API here).
+    """
+    bc = ", ".join(
+        f"struct({b} AS band, "
+        f"{_lsh_code_sql(f'`{vec_col}`', planes_per_band, f'hp{b}', dim)} AS code)"
+        for b in range(bands)
+    )
     return df.select(
         F.col(idc),
         F.col(vec_col).alias(vec_alias),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    hyperplane_lsh_code(
-                        F.col(vec_col), planes_per_band, seed=f"hp{b}"
-                    ).alias("code"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bc"),
+        F.explode(F.expr(f"array({bc})")).alias("bc"),
     ).select(idc, vec_alias, F.col("bc.band").alias("band"),
              F.col("bc.code").alias("code"))
 
@@ -201,15 +280,17 @@ def topk_lsh(
     """ANN top-k: candidates share at least one band code with the query,
     exact cosine re-rank on candidates. Join is equi on (band, code); hot
     corpus buckets are dropped before the join."""
+    dim = infer_dim(corpus, vec_col)
     # coded corpus feeds the hot-bucket count and the candidate join; persist
     # so the plane folds run once per row
     c = _with_band_codes(
         corpus.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id",
-        vec_col, bands, planes_per_band, "__v_neighbor",
+        vec_col, bands, planes_per_band, "__v_neighbor", dim=dim,
     ).persist()
     c = _drop_hot_buckets(c, max_bucket)
     q = _with_band_codes(
-        queries, query_id_col, vec_col, bands, planes_per_band, "__v_query"
+        queries, query_id_col, vec_col, bands, planes_per_band, "__v_query",
+        dim=dim,
     )
 
     cand = (
@@ -224,7 +305,7 @@ def topk_lsh(
     )
     scored = cand.select(
         query_id_col, "neighbor_id",
-        F.round(cosine(F.col("__nvec"), F.col("__qvec")), 6).alias("cos_sim"),
+        cosine_expr("__nvec", "__qvec").alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -338,7 +419,7 @@ def topk_ivf(
         .where(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col, "neighbor_id",
-            F.round(cosine(F.col("__nvec"), F.col("__qvec")), 6).alias("cos_sim"),
+            cosine_expr("__nvec", "__qvec").alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -362,11 +443,12 @@ def near_dup_pairs(
     """Embedding near-duplicate pairs: hyperplane-LSH bucket self-join, then
     exact cosine filter. Same equi-join shape as topk_lsh — scales as a
     bucketed join with capped bucket width, not an all-pairs cross product."""
+    dim = infer_dim(corpus, vec_col)
     # coded feeds the hot-bucket count and BOTH self-join sides; persist so
     # the plane folds run once per row
     coded = _with_band_codes(
         corpus.withColumnRenamed(id_col, "id"), "id",
-        vec_col, bands, planes_per_band, "v",
+        vec_col, bands, planes_per_band, "v", dim=dim,
     ).persist()
     coded = _drop_hot_buckets(coded, max_bucket)
 
@@ -376,7 +458,7 @@ def near_dup_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            cosine_expr("a.v", "b.v").alias("cos_sim"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cos_sim") >= threshold)

@@ -74,16 +74,24 @@ def shingles(toks: Column, n: int = 3) -> Column:
 
 
 def token_stats(toks: Column) -> dict[str, Column]:
+    """Per-doc token statistics as independent column expressions.
+
+    ``mean_token_len`` sums token lengths via ``length(concat_ws('', toks))``
+    — separator-free concat length IS the length sum, one codegen'd kernel
+    instead of a per-row ``aggregate`` fold (the fold re-traversed the array
+    in interpreted HOF eval and was the bench's hottest expression). Callers
+    selecting several stats should hoist ``array_distinct(toks)`` into a
+    projected column once (see plans/extensions.text_token_stats) — Catalyst
+    does not CSE identical HOF subtrees across output columns.
+    """
     n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    len_sum = F.length(F.concat_ws("", toks)).cast("long")
     return {
         "n_tokens": n,
-        "n_uniq": F.size(F.array_distinct(toks)),
-        "uniq_ratio": F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(0.0),
-        "mean_token_len": F.when(
-            n > 0,
-            F.aggregate(toks, F.lit(0).cast("long"),
-                        lambda a, t: a + F.length(t).cast("long")) / n,
-        ).otherwise(0.0),
+        "n_uniq": n_uniq,
+        "uniq_ratio": F.when(n > 0, n_uniq / n).otherwise(0.0),
+        "mean_token_len": F.when(n > 0, len_sum / n).otherwise(0.0),
     }
 
 

@@ -12,11 +12,15 @@ from __future__ import annotations
 
 from postgresql_cdc_spark.plans.registry import QUERIES, Query, register
 
-# Importing the modules populates QUERIES.
+# Importing the modules populates QUERIES. Registration order is the order a
+# budget-capped correctness harness visits queries, so the families that exist
+# ONLY here (extension operators, PG type layer, CDC replay) register first —
+# any prefix of the registry then spans every operator family; the TPC-H-shape
+# relational inventory (all supplied by Spark built-ins) fills the tail.
+from postgresql_cdc_spark.plans import extensions  # noqa: E402,F401
+from postgresql_cdc_spark.plans import cdc  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational2  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational3  # noqa: E402,F401
-from postgresql_cdc_spark.plans import cdc  # noqa: E402,F401
-from postgresql_cdc_spark.plans import extensions  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "register"]

@@ -57,11 +57,14 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (serializing map rows to storage costs more than one recompute), while the
 # correctness harness's five CDC queries get the reuse a real deployment
 # gets from checkpointing the decoded changelog to a table.
-_CHANGELOG_CACHE: dict[tuple[int, str], list] = {}
+# Keyed by applicationId, not id(spark): CPython can reuse a freed session's
+# id() and hand a new SparkSession a stale DataFrame bound to a stopped
+# SparkContext; applicationId is unique per context.
+_CHANGELOG_CACHE: dict[tuple[str, str], list] = {}
 
 
 def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     entry = _CHANGELOG_CACHE.get(key)
     if entry is None:
         entry = [synthesize_changelog_lineitem(spark, sf_dir), 0]

@@ -85,16 +85,26 @@ _ES_SW = "['el','la','los','las','es','de','un','una','que','por']"
     doc="Token counting over documents: counts, uniq ratio, mean token length.",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hoist tokenization AND array_distinct into projected columns computed
+    # once — Catalyst does not CSE identical HOF subtrees across output
+    # columns, so inlining them re-tokenized/re-deduped per stat.
     d = T(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
-    d = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
-    st = tx.token_stats(F.col("toks"))
+    d = d.select("doc_id", tx.tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    d = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        # separator-free concat length == sum of token lengths (no HOF fold)
+        F.length(F.concat_ws("", F.col("toks"))).cast("long").alias("len_sum"),
+    )
     return d.select(
         "doc_id",
-        st["n_tokens"].alias("n_tokens"),
-        st["n_uniq"].alias("n_uniq"),
-        st["uniq_ratio"].alias("uniq_ratio"),
-        st["mean_token_len"].alias("mean_token_len"),
+        "n_tokens",
+        "n_uniq",
+        (F.col("n_uniq") / F.col("n_tokens")).alias("uniq_ratio"),
+        (F.col("len_sum") / F.col("n_tokens")).alias("mean_token_len"),
     )
 
 

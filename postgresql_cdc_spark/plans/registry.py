@@ -16,12 +16,46 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+_TUNED: set[str] = set()
+
+
+def _tune_session(spark: SparkSession) -> None:
+    """Self-provision sane shuffle parallelism under any harness session.
+
+    Our own ``session.get_spark`` sizes ``spark.sql.shuffle.partitions`` to the
+    core count, but an external harness may hand builders a vanilla session
+    with the 200-partition default — at the correctness gate's sf0.01 scale
+    that is ~200 near-empty reduce tasks per exchange, pure scheduling
+    overhead. Lower it once per session to the core count, only when it still
+    has the oversized default; on a real cluster the conf is deliberately set
+    and this never fires.
+    """
+    try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _TUNED:
+            return
+        _TUNED.add(app_id)
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        if cur > 64:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(16, spark.sparkContext.defaultParallelism)),
+            )
+    except Exception:  # noqa: BLE001 — tuning is best-effort, never fatal
+        pass
+
 
 def register(name: str, oracle: Optional[str], doc: str = ""):
     """Decorator: register a (spark builder, oracle SQL) pair under ``name``."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc)
+        def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _tune_session(spark)
+            return fn(spark, sf_dir)
+
+        tuned.__name__ = fn.__name__
+        tuned.__doc__ = fn.__doc__
+        QUERIES[name] = Query(name=name, spark=tuned, oracle=oracle, doc=doc)
         return fn
 
     return wrap

@@ -670,15 +670,20 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     """
     WITH flagged AS (
+        -- order by epoch_ms(ts) (NOT raw nanosecond ts): Spark's window orders
+        -- by ts_ms, and a same-user same-millisecond tie could legally order
+        -- differently and move a session boundary
         SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
                CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
                         > 1800000 THEN 1 ELSE 0 END AS new_session
         FROM events),
     sessions AS (
+        -- DuckDB's windowed SUM yields HUGEINT; cast to BIGINT to match
+        -- Spark's long session_id
         SELECT user_id, event_id, ts_ms,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MAX(ts_ms) - MIN(ts_ms) AS duration_ms

@@ -104,8 +104,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     net = DEC("l_extendedprice") * ONE_MINUS("l_discount")
+    # No forced broadcast: part is unfiltered and scales with the fact tables,
+    # so a hard F.broadcast OOMs at 100x where AQE would pick SMJ; at small SF
+    # AQE still chooses broadcast-hash from the runtime size.
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 D(F.sum(F.when(F.col("p_type") == "PROMO", net))) * 100.0
@@ -138,7 +141,9 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join hash on l_partkey so the exchange is reused.
     l = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
-    lb = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    # p is pre-filtered to one brand (~1/25 of part) — small enough that AQE
+    # broadcasts it from runtime stats; no forced broadcast (see q14 note).
+    lb = l.join(p, l.l_partkey == p.p_partkey)
     per_part = lb.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.avg("l_quantity").alias("avg_q")
     )
@@ -177,12 +182,16 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
     l = T(spark, sf_dir, "lineitem")
-    big = (
+    # heavy_orders is the per-order aggregate AFTER the >250 filter — a tiny
+    # derived set (not the lineitem fact), hence safe to broadcast.
+    heavy_orders = (
         l.groupBy("l_orderkey")
         .agg(F.sum(DEC("l_quantity")).alias("sq"))
         .where(F.col("sq") > 250)
     )
-    small = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).select(
+    small = o.join(
+        F.broadcast(heavy_orders), o.o_orderkey == heavy_orders.l_orderkey
+    ).select(
         "o_custkey", "o_orderkey", "o_totalprice", D(F.col("sq")).alias("total_qty")
     )
     return (
@@ -214,7 +223,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = T(spark, sf_dir, "part")
     l = T(spark, sf_dir, "lineitem")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    # No forced broadcast of the unfiltered part table (see q14 note).
+    j = l.join(p, l.l_partkey == p.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#12")

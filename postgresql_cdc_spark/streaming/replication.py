@@ -78,6 +78,23 @@ def psycopg2_connection_factory(config: ReplicationConfig) -> Callable:
     return factory
 
 
+import re as _re
+
+_NAME_RE = _re.compile(r"^[a-z0-9_]+$")
+
+
+def _check_name(kind: str, name: str) -> str:
+    """Slot/publication names are interpolated into replication DDL (the
+    replication protocol's CREATE_REPLICATION_SLOT cannot be parameterized);
+    restrict them to lowercase identifier characters so a malformed config
+    value cannot break or inject into the statement."""
+    if not _NAME_RE.match(name or ""):
+        raise ValueError(
+            f"invalid {kind} name {name!r}: must match [a-z0-9_]+"
+        )
+    return name
+
+
 def ensure_replication_slot(conn, slot: str) -> bool:
     """Create the logical slot iff absent; True when created.
 
@@ -86,6 +103,7 @@ def ensure_replication_slot(conn, slot: str) -> bool:
     reference does (a concurrent create surfaces as an error and the retry
     loop re-enters with the slot now existing).
     """
+    _check_name("slot", slot)
     with conn.cursor() as cur:
         cur.execute(
             "SELECT 1 FROM pg_replication_slots WHERE slot_name = %s", (slot,)
@@ -99,6 +117,7 @@ def ensure_replication_slot(conn, slot: str) -> bool:
 def ensure_publication(conn, publication: str) -> bool:
     """Create the FOR ALL TABLES publication iff absent; True when created
     (`CdcEngine.java:192-208`)."""
+    _check_name("publication", publication)
     with conn.cursor() as cur:
         cur.execute(
             "SELECT 1 FROM pg_publication WHERE pubname = %s", (publication,)

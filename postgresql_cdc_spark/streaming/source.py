@@ -109,8 +109,18 @@ class WalArchiveStreamReader(DataSourceStreamReader):
         self.read_all = str(options.get("readall", "false")).lower() in (
             "true", "1", "yes",
         )
+        # The ack file mirrors a replication slot's confirmed LSN, and like a
+        # slot it is SHARED state: two independent queries reading one archive
+        # through the same ack file inherit each other's flushed LSN (slot
+        # semantics — but surprising for archive replay). The `slot` option
+        # namespaces the default ack file per logical consumer; queries that
+        # need full isolation pass an explicit `ackpath`.
+        slot = options.get("slot")
+        default_ack = (
+            f"_flushed_lsn_{slot}" if slot else "_flushed_lsn"
+        )
         self.ack_path = options.get(
-            "ackpath", os.path.join(self.path, "_flushed_lsn")
+            "ackpath", os.path.join(self.path, default_ack)
         )
         # Durable offset recovery (reference semantics: resume from the
         # slot's confirmed LSN, `CdcEngine.java:143-159`). Without this the
