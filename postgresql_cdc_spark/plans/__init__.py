@@ -22,5 +22,6 @@ from postgresql_cdc_spark.plans import cdc  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational2  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational3  # noqa: E402,F401
+from postgresql_cdc_spark.plans import relational4  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "register"]

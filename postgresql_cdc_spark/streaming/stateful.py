@@ -29,20 +29,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
-def dedup_stream(
-    df: DataFrame,
-    key_cols: list[str],
-    order_col: str | None = None,
-) -> DataFrame:
-    """First-occurrence-only streaming dedup on ``key_cols``.
+def make_dedup_fn(order_col: str | None, ttl_ms: int | None):
+    """State-update function for streaming exact dedup (factored out so its
+    state-machine semantics are unit-testable without a streaming query).
 
-    Within a micro-batch the winner is the min-``order_col`` row (ties and
-    absent ``order_col`` keep the first arrival); across micro-batches a key
-    that was ever emitted never re-emits. State: one marker per key in the
-    checkpointed state store.
+    TTL semantics (``ttl_ms`` set): the seen-marker expires ``ttl_ms`` of
+    processing time after the key's LAST sighting — the marker refreshes on
+    every suppressed duplicate, so a continuously-arriving key stays deduped
+    while a quiet key is forgotten and re-admitted. This bounds state to the
+    keys seen within the TTL window, the standard composition for unbounded
+    key domains.
     """
-    schema: StructType = df.schema
-    state_schema = "seen boolean"
     ordc = order_col
 
     def fn(
@@ -50,10 +47,16 @@ def dedup_stream(
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # quiet for >= ttl: forget the key so a future arrival re-emits
+            state.remove()
+            return
         if state.exists:
             # key already emitted in an earlier micro-batch — drain and drop
             for _ in pdfs:
                 pass
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             return
         first: pd.DataFrame | None = None
         for pdf in pdfs:
@@ -67,15 +70,42 @@ def dedup_stream(
         if first is None:
             return
         state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield first
 
+    return fn
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str | None = None,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """First-occurrence-only streaming dedup on ``key_cols``.
+
+    Within a micro-batch the winner is the min-``order_col`` row (ties and
+    absent ``order_col`` keep the first arrival); across micro-batches a key
+    that was ever emitted never re-emits — until its marker expires, if
+    ``ttl_ms`` is set (see :func:`make_dedup_fn`). State: one marker per key
+    in the checkpointed state store; with a TTL, state size is bounded by the
+    keys active within the window instead of all keys ever seen.
+    """
+    schema: StructType = df.schema
+    state_schema = "seen boolean"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         df.groupBy(*key_cols)
         .applyInPandasWithState(
-            fn,
+            make_dedup_fn(order_col, ttl_ms),
             outputStructType=schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

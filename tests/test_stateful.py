@@ -74,6 +74,95 @@ class TestStatefulDedup:
         assert got["2"] == (32, "first")
         assert got["3"] == (52, "first")
 
+    def test_ttl_dedup_stream_still_dedups(self, spark, tmp_path):
+        """With a TTL far longer than the run, results equal no-timeout dedup
+        (exercises the ProcessingTimeTimeout wiring through the real API).
+
+        Runs under Trigger.AvailableNow + readall: with processing-time
+        timeouts armed, processAllAvailable never returns (Spark keeps
+        scheduling batches to evaluate timeouts), so the query must have a
+        terminating trigger. Cross-batch suppression is covered by the
+        NoTimeout streaming test; the TTL state transitions by the
+        deterministic unit test below.
+        """
+        from postgresql_cdc_spark.streaming.source import PgCdcDataSource
+        from postgresql_cdc_spark.streaming.stateful import dedup_stream
+
+        arch = str(tmp_path / "wal_dup_ttl")
+        _dup_archive(arch)
+        spark.dataSource.register(PgCdcDataSource)
+
+        stream = (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("readall", "true")
+            .load()
+            .withColumn("key", F.element_at("columns", "id"))
+        )
+        q = (
+            dedup_stream(stream, ["key"], order_col="lsn", ttl_ms=3_600_000)
+            .writeStream.format("memory")
+            .queryName("dedup_ttl_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dedup_ttl"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+
+        rows = spark.sql("select key, lsn from dedup_ttl_sink").collect()
+        assert {(r.key, r.lsn) for r in rows} == {("1", 11), ("2", 32), ("3", 52)}
+
+    def test_ttl_state_machine_evicts_and_readmits(self):
+        """Deterministic TTL semantics without wall-clock: timeout fires ->
+        state removed -> the key's next arrival re-emits. Processing-time
+        expiry itself is Spark's contract; this pins OUR transitions."""
+        import pandas as pd
+
+        from postgresql_cdc_spark.streaming.stateful import make_dedup_fn
+
+        class FakeState:
+            def __init__(self):
+                self.exists = False
+                self.hasTimedOut = False
+                self.timeout_set = None
+                self.removed = False
+
+            def update(self, v):
+                self.exists = True
+
+            def remove(self):
+                self.exists = False
+                self.removed = True
+
+            def setTimeoutDuration(self, ms):
+                self.timeout_set = ms
+
+        fn = make_dedup_fn("lsn", ttl_ms=1000)
+        batch = [pd.DataFrame({"key": ["a"], "lsn": [5]})]
+
+        # 1: first sighting emits and arms the timeout
+        st = FakeState()
+        assert len(list(fn(("a",), iter(batch), st))) == 1
+        assert st.exists and st.timeout_set == 1000
+
+        # 2: duplicate while armed -> suppressed, timeout refreshed
+        st.timeout_set = None
+        assert list(fn(("a",), iter(batch), st)) == []
+        assert st.timeout_set == 1000
+
+        # 3: TTL fires (Spark calls with hasTimedOut, no data) -> state gone
+        st.hasTimedOut = True
+        assert list(fn(("a",), iter([]), st)) == []
+        assert st.removed and not st.exists
+
+        # 4: the key arrives again after eviction -> re-emitted
+        st2 = FakeState()
+        assert len(list(fn(("a",), iter(batch), st2))) == 1
+
     def test_batch_analog_matches(self, spark, tmp_path):
         """The streaming result equals batch replay + min-lsn-per-key."""
         from postgresql_cdc_spark.streaming.source import PgCdcDataSource
