@@ -431,6 +431,29 @@ def topk_ivf(
     )
 
 
+def ivf_cell_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = IVF_CENTROIDS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Inverted-list statistics of the IVF index: per cell, how many vectors
+    landed there and the smallest member id. The operational health check for
+    an IVF deployment — skewed cells mean a bad quantizer, and the outputs
+    are integers so the oracle check is exact. One broadcast-join scan, one
+    hash agg on ``cell``.
+    """
+    cents = centroids if centroids is not None else default_centroids(
+        corpus, n_centroids, id_col, vec_col
+    )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(id_col).alias("min_vec_id"),
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.999,

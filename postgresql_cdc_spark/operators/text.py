@@ -130,6 +130,49 @@ def lang_best(toks: Column) -> Column:
     return best
 
 
+def chunk_starts(toks: Column, size: int = 64, stride: int = 48) -> Column:
+    """1-based start offsets of overlapping token windows: 1, 1+stride, ...
+    up to the token count (the final window may be shorter than ``size``).
+
+    ``sequence`` is codegen'd; the chunk id derives arithmetically from the
+    start ((s-1) div stride), so exploding starts needs no positional index —
+    the same trick keeps the DuckDB oracle engine-portable (range + integer
+    division, no WITH ORDINALITY).
+    """
+    return F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+
+
+# Deterministic content-hash sampling: a doc is in the p/m sample iff
+# h60("seed:" || id) % m < p. Portable (md5 both engines), reproducible, and
+# stratification is just a WHERE on the stratum column — no sampling state.
+def in_hash_sample(id_col: Column, m: int, p: int, seed: str = "sample") -> Column:
+    return h60(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))) % m < p
+
+
+# PII scrubbing patterns — simple character classes only, so the Java (Spark)
+# and RE2 (DuckDB) regex dialects agree. Real deployments swap in their own.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+LONG_DIGIT_RE = "[0-9]{7,}"
+
+
+def pii_counts_and_scrub(text: Column) -> dict[str, Column]:
+    """Email / long-digit-run detection + redaction, all built-ins."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    n_digit_runs = F.size(
+        F.regexp_extract_all(text, F.lit(LONG_DIGIT_RE), F.lit(0))
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+        LONG_DIGIT_RE,
+        "<NUM>",
+    )
+    return {
+        "n_emails": n_emails,
+        "n_digit_runs": n_digit_runs,
+        "scrubbed": scrubbed,
+    }
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Stable content hash of the normalized token stream (exact-dup key)."""
     return F.md5(F.concat_ws(" ", tokens(text)))

@@ -18,7 +18,9 @@ from postgresql_cdc_spark.plans.registry import QUERIES, Query, register
 # any prefix of the registry then spans every operator family; the TPC-H-shape
 # relational inventory (all supplied by Spark built-ins) fills the tail.
 from postgresql_cdc_spark.plans import extensions  # noqa: E402,F401
+from postgresql_cdc_spark.plans import extensions2  # noqa: E402,F401
 from postgresql_cdc_spark.plans import cdc  # noqa: E402,F401
+from postgresql_cdc_spark.plans import sources_io  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational2  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational3  # noqa: E402,F401

@@ -1,0 +1,228 @@
+"""Extension-operator query surface, part 2: the remaining training-data-
+pipeline stages a 100 TB corpus build runs between ingest and training —
+chunking, vocabulary statistics, distinctive-term extraction, deterministic
+sampling, PII scrubbing, and ANN-index health stats.
+
+Design rules follow plans/extensions.py: every output column is either an
+integer/string (exact on both engines) or derived via the portable h60/md5
+hash, so the DuckDB oracle hash-matches bit-for-bit; every pipeline is a
+projection, explode, or hash-agg — no self-joins, nothing quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from postgresql_cdc_spark.operators import text as tx
+from postgresql_cdc_spark.operators.similarity import ivf_cell_stats
+from postgresql_cdc_spark.plans.extensions import T, _TOKS
+from postgresql_cdc_spark.plans.registry import register
+
+_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@register(
+    "text_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    st AS (SELECT doc_id, toks, n, unnest(range(1, n + 1, 48)) AS s FROM base)
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INT) AS chunk_id,
+           CAST(least(64, n - s + 1) AS INT) AS n_chunk_tokens,
+           {_H60.format(x="array_to_string(list_slice(toks, s, least(s + 63, n)), ' ')")}
+             AS chunk_hash
+    FROM st
+    """,
+    doc="Overlapping token-window chunking (size 64, stride 48) — the "
+        "tokenize-and-window stage before embedding/training. Explode of "
+        "arithmetic starts; chunk id derives from the start offset, so no "
+        "positional explode is needed on either engine.",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", tx.tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0).withColumn("n", F.size("toks"))
+    st = base.select(
+        "doc_id", "toks", "n",
+        F.explode(tx.chunk_starts(F.col("toks"), 64, 48)).alias("s"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s"), F.lit(64))
+    return st.select(
+        "doc_id",
+        F.expr("CAST((s - 1) DIV 48 AS INT)").alias("chunk_id"),
+        F.least(F.lit(64), F.col("n") - F.col("s") + 1)
+        .cast("int").alias("n_chunk_tokens"),
+        tx.h60(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@register(
+    "corpus_vocab",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
+    SELECT token, COUNT(*) AS df
+    FROM tok GROUP BY token HAVING COUNT(*) >= 25
+    """,
+    doc="Corpus vocabulary with document frequency (df >= 25) — the "
+        "vocab-build stage. Explode distinct tokens -> one hash agg with "
+        "map-side partials; at 100 TB this is the word-count shape, the "
+        "canonical scale-out aggregation.",
+)
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.array_distinct(tx.tokens(F.col("text")))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 25)
+    )
+
+
+@register(
+    "text_rare_terms",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t),
+    df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    ranked AS (
+        SELECT tok.doc_id, tok.token, df.df,
+               ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY df.df ASC, tok.token ASC) AS rank
+        FROM tok JOIN df USING (token)
+    )
+    SELECT doc_id, token, df, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Per-document distinctive terms: the 3 globally-rarest tokens of "
+        "each doc (keyword extraction by document frequency — integer-exact, "
+        "unlike tf-idf's engine-dependent log). The df table is vocab-sized "
+        "and joins the exploded tokens on the token hash key.",
+)
+def text_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.tokens(F.col("text")))).alias("token"),
+    )
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
+    return (
+        tok.join(df, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", "df", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_H60.format(x="'sample:' || CAST(doc_id AS VARCHAR)")} % 10 < 1
+    """,
+    doc="Deterministic ~10% content-hash sample (h60(id) mod 10) — "
+        "reproducible corpus subsetting with no sampling state; stratify by "
+        "adding the stratum column to the WHERE. Pure scan-side filter: at "
+        "100 TB it runs at scan speed and column-prunes.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.where(tx.in_hash_sample(F.col("doc_id"), 10, 1)).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || (CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com now' ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0
+                        THEN ' ref 5551234' || CAST(doc_id AS VARCHAR) ELSE '' END)
+               AS text2
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text2, '[0-9]{{7,}}')) AS INT) AS n_digit_runs,
+           length(regexp_replace(regexp_replace(text2,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+                '[0-9]{{7,}}', '<NUM>', 'g')) AS scrubbed_len
+    FROM aug
+    """,
+    doc="PII detection + redaction (emails, long digit runs) over a corpus "
+        "augmented with synthetic PII (the fixture has none). Character-class-"
+        "only regexes so Java and RE2 dialects agree; per-row projection, "
+        "scan-speed at scale.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" ref 5551234"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text2"),
+    )
+    pii = tx.pii_counts_and_scrub(F.col("text2"))
+    return aug.select(
+        "doc_id",
+        pii["n_emails"].cast("int").alias("n_emails"),
+        pii["n_digit_runs"].cast("int").alias("n_digit_runs"),
+        F.length(pii["scrubbed"]).alias("scrubbed_len"),
+    )
+
+
+# Reuse the IVF assignment CTE from the topk oracle (same centroids, same
+# squared-L2 tie-break) — only the final aggregate differs.
+from postgresql_cdc_spark.plans.extensions import _l2_sql  # noqa: E402
+
+
+@register(
+    "ivf_cell_stats",
+    f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding AS cv
+                  FROM embeddings ORDER BY vec_id LIMIT 16),
+    assign AS (
+        SELECT vec_id, cell
+        FROM (
+            SELECT e.vec_id, cent.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_l2_sql('e.embedding', 'cent.cv')} ASC,
+                                cent.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE rn = 1
+    )
+    SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM assign GROUP BY cell
+    """,
+    doc="IVF inverted-list health stats: vectors per cell + smallest member "
+        "id. Integer-exact outputs; one broadcast-centroid scan and one hash "
+        "agg — the index-maintenance query an ANN deployment runs per build.",
+)
+def ivf_cell_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return ivf_cell_stats(e, n_centroids=16)

@@ -1,0 +1,87 @@
+"""Source/sink format coverage beyond parquet: CSV and JSON roundtrips.
+
+The reference's only source is the WAL stream and its only sink the consumer
+callback (SURVEY.md §2.2 scans/sinks rows); a Spark engine additionally owns
+file formats. Each query WRITES a fixture table to the format under /tmp and
+READS it back with an explicit schema before aggregating, so the scan, the
+sink, and the format's type round-trip are all on the verified path — the
+oracle computes the same aggregate straight from the parquet fixture, which
+only matches if the format roundtrip was lossless.
+
+Scale notes: the roundtrip tables are dimension-sized on purpose (the write
+happens per query run); the read path is the same code path a 100 TB CSV/JSON
+lake scan uses — schema-explicit (no inference scan), column-pruned,
+predicate-pushed where the format supports it.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgresql_cdc_spark.plans.registry import register
+from postgresql_cdc_spark.plans.relational import T
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"pgcdc_spark_io_{tag}_{fmt}")
+
+
+@register(
+    "source_csv_roundtrip",
+    """
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="CSV sink + source roundtrip: nation -> csv (header) -> read with "
+        "explicit schema -> aggregate. Matches the oracle's direct scan only "
+        "if the CSV write/read preserved every value and type.",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = T(spark, sf_dir, "nation")
+    path = _roundtrip_dir(sf_dir, "csv")
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.option("header", "true")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           MIN(o_orderkey) AS min_key,
+           MIN(CAST(o_orderdate AS DATE)) AS first_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="JSON-lines sink + source roundtrip: orders (key/status/date) -> "
+        "json -> schema-explicit read -> aggregate. Dates travel as ISO "
+        "strings and come back as DATE, exercising the JSON type bridge.",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("o_date"),
+    )
+    path = _roundtrip_dir(sf_dir, "json")
+    o.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_date date"
+    ).json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.min("o_date").alias("first_date"),
+    )
