@@ -195,6 +195,33 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_audio_energy",
+    """
+    WITH b AS (SELECT doc_id, encode(text) AS bl,
+                      octet_length(encode(text)) AS n FROM documents),
+    w AS (SELECT doc_id, bl, n, unnest([0, 1, 2, 3]) AS win FROM b)
+    SELECT doc_id,
+           CAST(win AS INT) AS window_id,
+           CAST(least(64, n - win * 64) AS INT) AS n_window_bytes,
+           CAST(list_reduce(list_transform(
+                    range(win * 64, win * 64 + least(64, n - win * 64)),
+                    i -> CAST('0x' || substr(hex(bl), i * 2 + 1, 2) AS BIGINT)),
+                (a, b) -> a + b) AS BIGINT) AS energy
+    FROM w WHERE n > win * 64
+    """,
+    doc="Audio-style windowed energy: payload as 8-bit PCM, per-64-byte-"
+        "window sample sums for the first 4 windows — integer-exact, so the "
+        "byte-level oracle (hex-pair arithmetic) matches the numpy kernel "
+        "bit-for-bit. Arrow-batched mapInPandas, bytes never shuffled.",
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    return mm.audio_window_energy(mm.attach_binary(d))
+
+
 # Reuse the IVF assignment CTE from the topk oracle (same centroids, same
 # squared-L2 tie-break) — only the final aggregate differs.
 from postgresql_cdc_spark.plans.extensions import _l2_sql  # noqa: E402
