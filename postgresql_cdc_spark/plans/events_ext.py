@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from postgresql_cdc_spark.plans.registry import register
-from postgresql_cdc_spark.plans.relational import EV
+from postgresql_cdc_spark.plans.common import EV
 
 
 @register(

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from postgresql_cdc_spark.plans.registry import register
-from postgresql_cdc_spark.plans.relational import DEC, D, ONE_MINUS, T
+from postgresql_cdc_spark.plans.common import DEC, D, ONE_MINUS, T
 
 
 @register(

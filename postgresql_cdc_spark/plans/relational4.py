@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from postgresql_cdc_spark.plans.registry import register
-from postgresql_cdc_spark.plans.relational import DEC, D, ONE_MINUS, T
+from postgresql_cdc_spark.plans.common import DEC, D, ONE_MINUS, T
 
 
 @register(

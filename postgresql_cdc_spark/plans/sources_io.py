@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from postgresql_cdc_spark.plans.registry import register
-from postgresql_cdc_spark.plans.relational import T
+from postgresql_cdc_spark.plans.common import T
 
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
