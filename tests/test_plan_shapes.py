@@ -1,0 +1,95 @@
+"""Physical-plan guards over the ENTIRE query registry.
+
+Scale regressions rarely change results — they change exchange and join
+structure (an accidental cartesian, a lost filter pushdown, a forced
+broadcast of a fact table). These tests sweep every registered query's plan
+at sf0.001 (build only, no execution) and pin the invariants the 100 TB
+design depends on.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from postgresql_cdc_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# Queries where a nested-loop/cross shape is the DOCUMENTED algorithm, not an
+# accident: brute-force similarity baselines score every (query, corpus)
+# pair; IVF probes cross the tiny broadcast centroid set; Q11/Q15 cross-join
+# a one-row global aggregate.
+NESTED_LOOP_OK = {
+    "sim_topk_brute",      # exact baseline: broadcast queries x corpus scan
+    "sim_topk_ivf",        # corpus x 16 broadcast centroids (cell assign)
+    "ivf_cell_stats",      # same centroid cross
+    "q11_important_stock",  # one-row global total broadcast
+    "q15_top_supplier",     # one-row MAX broadcast
+    "q22_idle_rich_customers",  # one-row AVG(acctbal) scalar broadcast
+    "join_range_buckets",  # genuine non-equi range join vs tiny bucket table
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].spark(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+class TestNoAccidentalCrossJoins:
+    def test_registry_sweep(self, spark):
+        """No query may plan a CartesianProduct, and only the documented
+        allowlist may plan BroadcastNestedLoopJoin."""
+        offenders = {}
+        for name in QUERIES:
+            plan = _plan(spark, name)
+            if "CartesianProduct" in plan:
+                offenders[name] = "CartesianProduct"
+            elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+                offenders[name] = "BroadcastNestedLoopJoin"
+        assert not offenders, f"undeclared cross-join shapes: {offenders}"
+
+
+class TestPushdownAndPruning:
+    def test_q6_filters_reach_scan(self, spark):
+        plan = _plan(spark, "q6_forecast_revenue")
+        m = re.search(r"PushedFilters: \[(.+?)\]", plan)
+        assert m and "GreaterThanOrEqual" in m.group(1), plan[:1500]
+
+    def test_text_queries_prune_columns(self, spark):
+        """documents has (doc_id, text, lang, ...); token stats must scan
+        only what it projects — ReadSchema shows the pruned column set."""
+        plan = _plan(spark, "text_token_stats")
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m is not None, plan[:1500]
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id", "text"}, cols
+
+    def test_q19_no_forced_fact_broadcast(self, spark):
+        """q19 must not hard-broadcast the unfiltered part table: the plan
+        may still CHOOSE broadcast from runtime stats at tiny SF, but no
+        static broadcast hint may appear in the optimized logical plan."""
+        df = QUERIES["q19_disjunctive_filter"].spark(spark, SF)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical, logical[:1500]
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "dedup_exact"])
+def test_whole_stage_codegen_present(spark, name):
+    """The hot path stays JVM-side: the FINAL (post-AQE) plan contains at
+    least one WholeStageCodegen span. AQE's initial plan reports none, so
+    the query must execute first."""
+    df = QUERIES[name].spark(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "codegen id" in plan, plan[:1500]
