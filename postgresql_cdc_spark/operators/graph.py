@@ -1,0 +1,77 @@
+"""Iterative graph computation: connected components by min-label
+propagation — the step that turns near-duplicate PAIRS into dedup GROUPS
+(every doc gets the smallest doc-id reachable through the similarity graph;
+keep one representative per label, drop the rest).
+
+Shape: the classic bounded-iteration dataflow loop (what GraphX/Pregel do
+under the hood) written in plain DataFrame ops —
+
+    labels(i+1) = min(labels(i), min over neighbors of labels(i))
+
+Each iteration is one equi-join + one hash agg, both keyed on node id, so
+every round is a co-partitioned shuffle of the (skinny) label table; the
+edge table never re-shuffles after the first iteration under AQE reuse.
+Convergence needs at most graph-diameter rounds — for near-dup clusters
+(tiny cliques and chains) that is single digits; ``max_iter`` bounds the
+pathological case. ``localCheckpoint`` truncates the growing lineage each
+round — without it the plan doubles per iteration and the driver dies on
+analysis long before the cluster breaks a sweat.
+
+The driver-side loop controls ITERATION COUNT ONLY (a convergence scalar per
+round) — no data ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component is
+    the minimum node id in the connected component. Isolated nodes (absent
+    from edges) are the caller's to add — they are their own component."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)  # edges reused every round
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == F.col("a"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))

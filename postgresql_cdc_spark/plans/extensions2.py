@@ -195,6 +195,42 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from postgresql_cdc_spark.plans.extensions import _NGRAM_ORACLE  # noqa: E402
+
+
+@register(
+    "dedup_cluster_labels",
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b
+    )
+    SELECT id AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY id
+    """,
+    doc="Near-dup clustering: connected components (min-label propagation) "
+        "over the exact-Jaccard pair graph — the step that turns pair lists "
+        "into dedup groups (keep min-id per component, drop the rest). "
+        "Iterative DataFrame loop with localCheckpoint lineage truncation; "
+        "the oracle computes the same components via a recursive CTE "
+        "(transitive closure + MIN), tractable at oracle scale.",
+)
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.dedup import ngram_jaccard_pairs
+    from postgresql_cdc_spark.operators.graph import connected_components
+    from postgresql_cdc_spark.plans.extensions import _near_dup_corpus
+
+    pairs = ngram_jaccard_pairs(
+        _near_dup_corpus(spark, sf_dir), "text", "doc_id", threshold=0.5
+    )
+    out = connected_components(pairs, src="id_a", dst="id_b")
+    return out.select(F.col("id").alias("doc_id"), "component")
+
+
 @register(
     "mm_audio_energy",
     """
