@@ -277,3 +277,32 @@ def pg_text_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(b.isNull(), 1)).alias("n_null"),
         F.count(F.when(~bref, 1)).alias("n_ref_false"),
     )
+
+
+@register(
+    "pg_timestamp_numeric",
+    """
+    SELECT o_orderkey,
+           o_orderdate AS ts_back,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price_back
+    FROM orders
+    """,
+    doc="Typed accessors with no prior query coverage: pg_timestamp "
+        "(`TableColumn` has only asString for timestamps — the proper cast "
+        "is our superset) and pg_numeric at a declared scale. The envelope's "
+        "text values are synthesized in PG's own wire formats "
+        "(microsecond timestamp text, plain decimal text) and must cast "
+        "back to the exact original values.",
+)
+def pg_timestamp_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.functions.pg_types import pg_numeric, pg_timestamp
+
+    o = T(spark, sf_dir, "orders")
+    # PG wire text: 'YYYY-MM-DD HH:MI:SS.US' and unadorned decimal digits
+    ts_text = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    price_text = F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+    return o.select(
+        "o_orderkey",
+        pg_timestamp(ts_text).alias("ts_back"),
+        pg_numeric(price_text, 12, 2).alias("price_back"),
+    )
