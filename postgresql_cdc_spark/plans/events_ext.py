@@ -102,6 +102,42 @@ def events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_median",
+    """
+    SELECT event_type,
+           median(value) AS median_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDAF (the one UDF surface the other "
+        "queries don't touch): per-type median of event values via an "
+        "Arrow-batched numpy kernel. Median interpolates (a+b)/2 in float64 "
+        "identically in numpy and DuckDB, so the compare is exact. Order-"
+        "statistics genuinely need the group's values together — the "
+        "legitimate use of a grouped-agg UDF over built-ins.",
+)
+def events_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    # Spark cannot mix grouped-agg pandas UDFs with JVM aggregates in one
+    # agg, so the count is a (trivial) pandas UDAF too.
+    @pandas_udf("long")
+    def count_udf(v: pd.Series) -> int:
+        return len(v)
+
+    e = EV(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        median_udf("value").alias("median_value"),
+        count_udf("value").alias("n_events"),
+    )
+
+
+@register(
     "events_user_journeys",
     """
     WITH o AS (
