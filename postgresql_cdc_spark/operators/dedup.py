@@ -341,15 +341,19 @@ def ngram_jaccard_pairs(
     shingles): they explode the join fan-out while contributing nothing to
     high-Jaccard pairs — the standard scalable trick.
     """
+    # base is read by sizes AND the posting explode; the posting list by the
+    # hot-shingle count and both join sides. Persisting both measured faster
+    # than deriving sizes from a posting groupBy (the extra size-agg shuffle
+    # costs more than caching the shingle arrays saves).
     base = df.select(
         F.col(id_col).alias("id"),
         shingles(tokens(F.col(text_col)), ngram).alias("sh"),
-    ).where(F.size("sh") > 0).persist()  # read by sizes + posting
+    ).where(F.size("sh") > 0).persist()
     sizes = base.select("id", F.size("sh").alias("n_sh"))
     posting = (
         base.select("id", F.explode("sh").alias("s"))
         .select("id", h60(F.col("s")).alias("sh_hash"))
-        .persist()  # read by the hot-shingle count and both join sides
+        .persist()
     )
     hot = posting.groupBy("sh_hash").count().where(F.col("count") > max_df)
     posting = posting.join(F.broadcast(hot), "sh_hash", "left_anti")
