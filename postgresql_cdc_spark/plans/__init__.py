@@ -22,6 +22,7 @@ from postgresql_cdc_spark.plans.registry import QUERIES, Query, register
 from postgresql_cdc_spark.plans import extensions  # noqa: E402,F401
 from postgresql_cdc_spark.plans import extensions2  # noqa: E402,F401
 from postgresql_cdc_spark.plans import cdc  # noqa: E402,F401
+from postgresql_cdc_spark.plans import streaming_gate  # noqa: E402,F401
 from postgresql_cdc_spark.plans import sources_io  # noqa: E402,F401
 from postgresql_cdc_spark.plans import events_ext  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational4  # noqa: E402,F401

@@ -1,0 +1,150 @@
+"""The Structured Streaming CDC path under the oracle gate.
+
+Every other registry entry is a batch plan; this one runs the REAL streaming
+pipeline inside the query callable — synthesized WAL archive → ``pgcdc``
+streaming source (txn batching, offsets) → memory sink → materialize →
+typed view — and returns the final table state. The archive derives from a
+closed arithmetic form, so DuckDB computes the expected state straight from
+``range()``: if the stream drops, duplicates, or mis-orders one change
+event, the hash mismatches.
+
+This is the reference's whole reason to exist (WAL → decoded rows → current
+state, `CdcEngine.java` + `IntegrationTest.java`) exercised end-to-end under
+the driver's correctness gate, not just in unit tests.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from postgresql_cdc_spark.functions.pg_types import typed_view
+from postgresql_cdc_spark.operators.materialize import materialize
+from postgresql_cdc_spark.plans.registry import register
+from postgresql_cdc_spark.sources.pgoutput import (
+    ColumnMeta,
+    Relation,
+    encode_begin,
+    encode_commit,
+    encode_delete,
+    encode_insert,
+    encode_relation,
+    encode_update,
+)
+
+_REL = Relation(
+    relation_id=16390,
+    schema="public",
+    name="accounts",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("id", 20, flags=1),
+        ColumnMeta("v_int", 23),
+        ColumnMeta("v_text", 1043),
+    ),
+)
+
+N = 100
+
+
+def _build_archive(path: str) -> None:
+    """Deterministic changelog: 10 insert-txns of 10 rows (ids 0..99,
+    v_int = (i*7) %% 13), one update-txn (ids %% 5 == 0 -> v_int + 100), one
+    delete-txn (ids %% 7 == 0)."""
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    frames = [(1, encode_relation(_REL))]
+    lsn = 10
+    xid = 1
+    for t in range(10):
+        frames.append((lsn, encode_begin(lsn + 11, 0, xid)))
+        for k in range(10):
+            i = t * 10 + k
+            lsn += 1
+            frames.append(
+                (lsn, encode_insert(
+                    _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
+                ))
+            )
+        lsn += 1
+        frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+        lsn += 1
+        xid += 1
+    frames.append((lsn, encode_begin(lsn + 21, 0, xid)))
+    for i in range(0, N, 5):
+        lsn += 1
+        frames.append(
+            (lsn, encode_update(
+                _REL.relation_id, [str(i), str((i * 7) % 13 + 100), f"acct-{i}"]
+            ))
+        )
+    lsn += 1
+    frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+    lsn += 1
+    xid += 1
+    frames.append((lsn, encode_begin(lsn + 16, 0, xid)))
+    for i in range(0, N, 7):
+        lsn += 1
+        frames.append(
+            (lsn, encode_delete(_REL.relation_id, [str(i), None, None]))
+        )
+    lsn += 1
+    frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+    write_wal_archive(path, frames)
+
+
+@register(
+    "cdc_stream_end_to_end",
+    f"""
+    SELECT i AS id,
+           CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                     ELSE (i * 7) % 13 END AS INT) AS v_int,
+           'acct-' || CAST(i AS VARCHAR) AS v_text
+    FROM range({N}) t(i)
+    WHERE i % 7 <> 0
+    """,
+    doc="Full streaming CDC pipeline under the gate: WAL archive -> pgcdc "
+        "streaming source -> memory sink -> materialize -> typed view, "
+        "against a closed-form oracle. Runs a real StreamingQuery "
+        "(Trigger.AvailableNow) inside the callable.",
+)
+def cdc_stream_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.streaming.source import PgCdcDataSource
+
+    try:
+        spark.dataSource.register(PgCdcDataSource)
+    except Exception:  # noqa: BLE001 - already registered in this session
+        pass
+
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_gate_{run}_")
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+
+    sink = f"cdc_gate_{run}"
+    q = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("readall", "true")  # AvailableNow falls back to one batch
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("streaming replay did not finish in 180s")
+    finally:
+        q.stop()
+
+    log = spark.table(sink)
+    state = materialize(log, keys=["id"], merge_sparse=False)
+    return typed_view(
+        state, {"id": "bigint", "v_int": "int", "v_text": "string"}, keep=()
+    )
