@@ -96,6 +96,41 @@ def _build_archive(path: str) -> None:
     write_wal_archive(path, frames)
 
 
+def _run_stream_to_memory(spark: SparkSession, arch: str, base: str,
+                          transform=None) -> DataFrame:
+    """readStream(pgcdc) → optional transform → memory sink under
+    Trigger.AvailableNow; returns the sink table."""
+    from postgresql_cdc_spark.streaming.source import PgCdcDataSource
+
+    try:
+        spark.dataSource.register(PgCdcDataSource)
+    except Exception:  # noqa: BLE001 - already registered in this session
+        pass
+    sink = f"cdc_gate_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("readall", "true")  # AvailableNow falls back to one batch
+        .load()
+    )
+    if transform is not None:
+        stream = transform(stream)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("streaming replay did not finish in 180s")
+    finally:
+        q.stop()
+    return spark.table(sink)
+
+
 @register(
     "cdc_stream_end_to_end",
     f"""
@@ -112,39 +147,83 @@ def _build_archive(path: str) -> None:
         "(Trigger.AvailableNow) inside the callable.",
 )
 def cdc_stream_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from postgresql_cdc_spark.streaming.source import PgCdcDataSource
-
-    try:
-        spark.dataSource.register(PgCdcDataSource)
-    except Exception:  # noqa: BLE001 - already registered in this session
-        pass
-
     run = uuid.uuid4().hex[:12]
     base = tempfile.mkdtemp(prefix=f"pgcdc_gate_{run}_")
     arch = os.path.join(base, "wal")
     _build_archive(arch)
 
-    sink = f"cdc_gate_{run}"
-    q = (
-        spark.readStream.format("pgcdc")
-        .option("path", arch)
-        .option("readall", "true")  # AvailableNow falls back to one batch
-        .load()
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(180):
-            raise TimeoutError("streaming replay did not finish in 180s")
-    finally:
-        q.stop()
-
-    log = spark.table(sink)
+    log = _run_stream_to_memory(spark, arch, base)
     state = materialize(log, keys=["id"], merge_sparse=False)
     return typed_view(
         state, {"id": "bigint", "v_int": "int", "v_text": "string"}, keep=()
+    )
+
+
+_DEDUP_REL = Relation(
+    relation_id=16391,
+    schema="public",
+    name="docs",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("id", 20, flags=1),
+        ColumnMeta("content_key", 1043),
+        ColumnMeta("payload", 1043),
+    ),
+)
+
+
+@register(
+    "cdc_stream_stateful_dedup",
+    """
+    SELECT 'k' || CAST(i AS VARCHAR) AS content_key,
+           i AS first_id,
+           'p' || CAST(i AS VARCHAR) AS payload
+    FROM range(20) t(i)
+    """,
+    doc="Stateful streaming exact-dedup (applyInPandasWithState) under the "
+        "gate: 60 inserts carry 20 content keys three times each across six "
+        "transactions; the keyed state store must emit exactly the first "
+        "occurrence of each key — closed-form oracle over range(20).",
+)
+def cdc_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.stateful import dedup_stream
+
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_dd_{run}_")
+    arch = os.path.join(base, "wal")
+
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    frames = [(1, encode_relation(_DEDUP_REL))]
+    lsn, xid = 10, 1
+    for t in range(6):  # 6 txns x 10 rows; key k(i%20) repeats 3x overall
+        frames.append((lsn, encode_begin(lsn + 11, 0, xid)))
+        for k in range(10):
+            i = t * 10 + k
+            lsn += 1
+            frames.append(
+                (lsn, encode_insert(
+                    _DEDUP_REL.relation_id,
+                    [str(i), f"k{i % 20}", f"p{i % 20}"],
+                ))
+            )
+        lsn += 1
+        frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+        lsn += 1
+        xid += 1
+    write_wal_archive(arch, frames)
+
+    def dedup(stream):
+        keyed = stream.withColumn(
+            "content_key", F.element_at("columns", "content_key")
+        )
+        return dedup_stream(keyed, ["content_key"], order_col="lsn")
+
+    out = _run_stream_to_memory(spark, arch, base, transform=dedup)
+    return out.select(
+        "content_key",
+        F.element_at("columns", "id").cast("long").alias("first_id"),
+        F.element_at("columns", "payload").alias("payload"),
     )
