@@ -31,6 +31,9 @@ def _tune_session(spark: SparkSession) -> None:
     and this never fires.
     """
     try:
+        import postgresql_cdc_spark as _pkg
+
+        _pkg.ensure_self_contained_pickling()
         app_id = spark.sparkContext.applicationId
         if app_id in _TUNED:
             return

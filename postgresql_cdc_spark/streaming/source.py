@@ -55,7 +55,11 @@ ENVELOPE_DDL = (
     "lsn bigint, txn_id bigint, columns map<string,string>"
 )
 
-_FRAME_HEADER = struct.Struct(">qi")  # lsn, payload length
+# lsn, payload length. A plain format string, NOT struct.Struct: the
+# module is registered for cloudpickle pickle-by-value (so Python
+# workers need no importable package) and Struct objects cannot pickle.
+_FRAME_FMT = ">qi"
+_FRAME_SIZE = struct.calcsize(_FRAME_FMT)
 
 
 def write_wal_archive(path: str, frames: List[Tuple[int, bytes]],
@@ -65,7 +69,7 @@ def write_wal_archive(path: str, frames: List[Tuple[int, bytes]],
     fp = os.path.join(path, chunk)
     with open(fp, "ab") as f:
         for lsn, payload in frames:
-            f.write(_FRAME_HEADER.pack(lsn, len(payload)))
+            f.write(struct.pack(_FRAME_FMT, lsn, len(payload)))
             f.write(payload)
     return fp
 
@@ -80,8 +84,8 @@ def read_wal_frames(path: str) -> Iterator[Tuple[int, bytes]]:
             data = f.read()
         pos = 0
         while pos < len(data):
-            lsn, ln = _FRAME_HEADER.unpack_from(data, pos)
-            pos += _FRAME_HEADER.size
+            lsn, ln = struct.unpack_from(_FRAME_FMT, data, pos)
+            pos += _FRAME_SIZE
             yield lsn, data[pos:pos + ln]
             pos += ln
 
