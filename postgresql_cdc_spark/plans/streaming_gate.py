@@ -227,3 +227,65 @@ def cdc_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("columns", "id").cast("long").alias("first_id"),
         F.element_at("columns", "payload").alias("payload"),
     )
+
+
+@register(
+    "cdc_stream_schema_evolution",
+    """
+    SELECT i AS id,
+           CAST((i * 3) % 17 AS INT) AS v_int,
+           CASE WHEN i >= 50 THEN 'n' || CAST(i AS VARCHAR) END AS v_note
+    FROM range(100) t(i)
+    """,
+    doc="Mid-stream schema evolution under the gate: the RELATION message is "
+        "re-sent with an added column between two insert transactions "
+        "(PostgreSQL re-sends RELATION on DDL; the registry self-updates, "
+        "`PgWalMessageDecoder.java:65-99` parity). Rows decoded before the "
+        "change surface the new column as NULL through the sparse envelope "
+        "map; rows after carry it.",
+)
+def cdc_stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    rel_v1 = Relation(
+        relation_id=16392, schema="public", name="accounts_v",
+        replica_identity="d",
+        columns=(ColumnMeta("id", 20, flags=1), ColumnMeta("v_int", 23)),
+    )
+    rel_v2 = Relation(
+        relation_id=16392, schema="public", name="accounts_v",
+        replica_identity="d",
+        columns=(ColumnMeta("id", 20, flags=1), ColumnMeta("v_int", 23),
+                 ColumnMeta("v_note", 1043)),
+    )
+
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_se_{run}_")
+    arch = os.path.join(base, "wal")
+
+    frames = [(1, encode_relation(rel_v1))]
+    lsn = 10
+    frames.append((lsn, encode_begin(lsn + 51, 0, 1)))
+    for i in range(50):
+        lsn += 1
+        frames.append((lsn, encode_insert(
+            rel_v1.relation_id, [str(i), str((i * 3) % 17)])))
+    lsn += 1
+    frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+    lsn += 1
+    frames.append((lsn, encode_relation(rel_v2)))  # DDL: column added
+    lsn += 1
+    frames.append((lsn, encode_begin(lsn + 51, 0, 2)))
+    for i in range(50, 100):
+        lsn += 1
+        frames.append((lsn, encode_insert(
+            rel_v2.relation_id, [str(i), str((i * 3) % 17), f"n{i}"])))
+    lsn += 1
+    frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+    write_wal_archive(arch, frames)
+
+    log = _run_stream_to_memory(spark, arch, base)
+    state = materialize(log, keys=["id"], merge_sparse=False)
+    return typed_view(
+        state, {"id": "bigint", "v_int": "int", "v_note": "string"}, keep=()
+    )
