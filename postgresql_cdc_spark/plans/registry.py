@@ -58,6 +58,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
         tuned.__name__ = fn.__name__
         tuned.__doc__ = fn.__doc__
+        tuned.__module__ = fn.__module__
+        tuned.__wrapped__ = fn
         QUERIES[name] = Query(name=name, spark=tuned, oracle=oracle, doc=doc)
         return fn
 

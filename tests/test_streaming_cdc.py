@@ -305,3 +305,20 @@ class TestWalArchiveReader:
         r3.partitions(start, end1)  # engine replays the checkpointed batch
         end3 = r3.latestOffset()
         assert end3["lsn"] >= end1["lsn"]
+
+
+class TestMultiChunkArchive:
+    def test_frames_ordered_across_chunks(self, tmp_path):
+        """A real WAL archiver rotates chunk files; frames must replay in
+        chunk-name order regardless of write order."""
+        from postgresql_cdc_spark.streaming.source import (
+            read_wal_frames,
+            write_wal_archive,
+        )
+
+        arch = str(tmp_path / "wal_chunks")
+        # write the LATER chunk first — ordering must come from names
+        write_wal_archive(arch, [(30, b"C3"), (40, b"C4")], chunk="000001.wal")
+        write_wal_archive(arch, [(10, b"C1"), (20, b"C2")], chunk="000000.wal")
+        got = list(read_wal_frames(arch))
+        assert got == [(10, b"C1"), (20, b"C2"), (30, b"C3"), (40, b"C4")]
