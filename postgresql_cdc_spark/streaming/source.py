@@ -306,3 +306,50 @@ def live_replication_frames(dsn: str, slot: str, publication: str):
     cfg = ReplicationConfig(dsn=dsn, slot=slot, publication=publication)
     transport = LiveReplicationTransport(psycopg2_connection_factory(cfg), cfg)
     return transport.frames()
+
+
+def run_wal_relay(transport, path: str, chunk_frames: int = 1000,
+                  max_frames: Optional[int] = None) -> int:
+    """Drain a replication transport into the WAL-archive format the pgcdc
+    source streams — the production composition for live capture:
+
+        PostgreSQL --socket--> LiveReplicationTransport --relay--> archive
+                   --pgcdc source--> Structured Streaming query
+
+    The relay is the only long-lived single connection; everything after the
+    archive is restartable, parallelizable Spark. Frames land in rotating
+    chunk files (numbered so ``read_wal_frames`` replays them in order) and
+    the transport is acked only AFTER a chunk is durably on disk — the
+    at-least-once contract (`CdcEngine.java:132-137`): a relay crash between
+    write and ack replays the chunk, never loses it.
+
+    Returns the number of frames relayed (``max_frames`` bounds the run for
+    tests / drain-and-stop usage; a live deployment omits it and runs
+    forever).
+    """
+    os.makedirs(path, exist_ok=True)
+    existing = [n for n in os.listdir(path) if n.endswith(".wal")]
+    chunk_idx = len(existing)
+    buf: List[Tuple[int, bytes]] = []
+    n = 0
+
+    def flush() -> None:
+        nonlocal chunk_idx, buf
+        if not buf:
+            return
+        fp = write_wal_archive(path, buf, chunk=f"{chunk_idx:06d}.wal")
+        with open(fp, "rb") as f:  # durability barrier before the ack
+            os.fsync(f.fileno())
+        transport.ack(buf[-1][0])
+        chunk_idx += 1
+        buf = []
+
+    for lsn, payload in transport.frames():
+        buf.append((lsn, payload))
+        n += 1
+        if len(buf) >= chunk_frames:
+            flush()
+        if max_frames is not None and n >= max_frames:
+            break
+    flush()
+    return n

@@ -215,3 +215,51 @@ class TestTransport:
         assert conns[0].stream.feedback == [10]
         assert server.confirmed_lsn == 10
         it.close()
+
+
+class TestWalRelay:
+    def test_live_transport_relays_to_archive_and_spark(self, spark, tmp_path):
+        """The production composition: fake live transport -> relay ->
+        archive chunks -> pgcdc batch read -> decoded records; the server's
+        confirmed LSN advances only after chunks are durably written."""
+        from postgresql_cdc_spark.sources.pgoutput import (
+            encode_begin,
+            encode_commit,
+            encode_insert,
+            encode_relation,
+        )
+        from postgresql_cdc_spark.streaming.source import (
+            PgCdcDataSource,
+            run_wal_relay,
+        )
+        from tests.test_streaming_cdc import REL
+
+        frames = [(1, encode_relation(REL))]
+        lsn = 10
+        for i in range(6):
+            frames.append((lsn, encode_begin(lsn + 2, 0, i + 1)))
+            frames.append(
+                (lsn + 1, encode_insert(16384, [str(i), f"v{i}", str(i), "{}"]))
+            )
+            frames.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+            lsn += 10
+        server, _conns, factory = make_stack(frames)
+
+        arch = str(tmp_path / "relayed")
+        t = LiveReplicationTransport(
+            factory, ReplicationConfig(slot="r", publication="r"),
+            sleep=lambda s: None,
+        )
+        n = run_wal_relay(t, arch, chunk_frames=5)
+        assert n == len(frames)
+        assert server.confirmed_lsn == frames[-1][0]  # acked through the end
+        import os as _os
+
+        assert len([f for f in _os.listdir(arch) if f.endswith(".wal")]) >= 2
+
+        spark.dataSource.register(PgCdcDataSource)
+        rows = (
+            spark.read.format("pgcdc").option("path", arch).load().collect()
+        )
+        got = {(r.op, r.columns["id"]) for r in rows}
+        assert got == {("I", str(i)) for i in range(6)}
