@@ -289,3 +289,56 @@ def cdc_stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed_view(
         state, {"id": "bigint", "v_int": "int", "v_note": "string"}, keep=()
     )
+
+
+@register(
+    "cdc_stream_multibatch",
+    f"""
+    SELECT i AS id,
+           CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                     ELSE (i * 7) % 13 END AS INT) AS v_int,
+           'acct-' || CAST(i AS VARCHAR) AS v_text
+    FROM range({N}) t(i)
+    WHERE i % 7 <> 0
+    """,
+    doc="The MULTI-batch streaming path under the gate: same archive and "
+        "oracle as cdc_stream_end_to_end, but maxRecordsPerBatch=30 forces "
+        "several micro-batches, so offset advancement, txn-aligned "
+        "chunking, and per-batch flush-LSN acks all sit on the verified "
+        "path (the single-batch variant never exercises them).",
+)
+def cdc_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.streaming.source import PgCdcDataSource
+
+    try:
+        spark.dataSource.register(PgCdcDataSource)
+    except Exception:  # noqa: BLE001 - already registered in this session
+        pass
+
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_mb_{run}_")
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+
+    sink = f"cdc_gate_{run}"
+    q = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "30")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    log = spark.table(sink)
+    state = materialize(log, keys=["id"], merge_sparse=False)
+    return typed_view(
+        state, {"id": "bigint", "v_int": "int", "v_text": "string"}, keep=()
+    )
