@@ -64,6 +64,10 @@ _CHANGELOG_CACHE: dict[tuple[str, str], list] = {}
 
 
 def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB: measured alternative (round 3): snapshotting the synthesized
+    # changelog to a /tmp parquet archive and replaying it was ~30% SLOWER
+    # than re-synthesizing (decoding 730k map-typed parquet rows costs more
+    # than the in-JVM window that builds them), so the direct path stays.
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     entry = _CHANGELOG_CACHE.get(key)
     if entry is None:
