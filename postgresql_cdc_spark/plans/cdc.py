@@ -287,7 +287,7 @@ def pg_text_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pg_timestamp_numeric",
     """
     SELECT o_orderkey,
-           o_orderdate AS ts_back,
+           epoch_us(o_orderdate) AS ts_back_us,
            CAST(o_totalprice AS DECIMAL(12,2)) AS price_back
     FROM orders
     """,
@@ -296,7 +296,12 @@ def pg_text_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is our superset) and pg_numeric at a declared scale. The envelope's "
         "text values are synthesized in PG's own wire formats "
         "(microsecond timestamp text, plain decimal text) and must cast "
-        "back to the exact original values.",
+        "back to the exact original values. The comparison column is "
+        "engine-neutral epoch microseconds (BIGINT on both engines): Spark's "
+        "Arrow timestamps are tz-aware UTC while DuckDB's are naive, so a raw "
+        "TIMESTAMP through a value hasher diverges on rendering even when the "
+        "instants agree — same integer-exact convention as the event-time "
+        "queries' epoch-ms bounds.",
 )
 def pg_timestamp_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgresql_cdc_spark.functions.pg_types import pg_numeric, pg_timestamp
@@ -307,6 +312,6 @@ def pg_timestamp_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_text = F.col("o_totalprice").cast("decimal(12,2)").cast("string")
     return o.select(
         "o_orderkey",
-        pg_timestamp(ts_text).alias("ts_back"),
+        F.unix_micros(pg_timestamp(ts_text)).alias("ts_back_us"),
         pg_numeric(price_text, 12, 2).alias("price_back"),
     )

@@ -44,6 +44,13 @@ def _tune_session(spark: SparkSession) -> None:
                 "spark.sql.shuffle.partitions",
                 str(max(16, spark.sparkContext.defaultParallelism)),
             )
+        # The DuckDB oracle's timestamps are naive (wall time == UTC instant);
+        # every cross-engine comparison in the registry assumes the same on
+        # the Spark side. Pin the session zone so text<->timestamp conversions
+        # (e.g. the PG wire-format roundtrips) are engine-neutral even under a
+        # harness session inheriting a non-UTC JVM default.
+        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # noqa: BLE001 — tuning is best-effort, never fatal
         pass
 

@@ -2,6 +2,12 @@
 query) so SURVEY §2 coverage can be checked line by line. Run:
 
     python tools/gen_inventory.py > QUERIES.md
+
+The ``src`` column is a short hash of the builder's source + oracle SQL.
+``plans._staleness_order`` compares it against the live registry: a mismatch
+means the query changed since the inventory was generated, so it re-registers
+at the front of the correctness budget (same priority as a red stamp).
+Regenerate this file whenever a registered query changes.
 """
 
 from __future__ import annotations
@@ -11,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from postgresql_cdc_spark.plans import QUERIES  # noqa: E402
+from postgresql_cdc_spark.plans import QUERIES, source_hash  # noqa: E402
 
 
 def module_of(q) -> str:
@@ -26,15 +32,17 @@ def main() -> int:
     print("# Query inventory")
     print()
     print(f"{len(QUERIES)} oracle-paired queries, in registration order (the "
-          "order a budget-capped correctness harness visits them). Every "
-          "entry pairs a Spark DataFrame builder with an ANSI-SQL DuckDB "
-          "twin; the gate hash-compares values.")
+          "order a budget-capped correctness harness visits them — "
+          "staleness-driven: red/changed/never-stamped first, then "
+          "least-recently-stamped; see plans.__init__._staleness_order). "
+          "Every entry pairs a Spark DataFrame builder with an ANSI-SQL "
+          "DuckDB twin; the gate hash-compares values.")
     print()
-    print("| # | query | module | what it verifies |")
-    print("|---|---|---|---|")
+    print("| # | query | module | src | what it verifies |")
+    print("|---|---|---|---|---|")
     for i, (name, q) in enumerate(QUERIES.items(), 1):
         doc = " ".join((q.doc or "").split())
-        print(f"| {i} | `{name}` | {module_of(q)} | {doc} |")
+        print(f"| {i} | `{name}` | {module_of(q)} | {source_hash(q)} | {doc} |")
     return 0
 
 
