@@ -34,7 +34,12 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component is
     the minimum node id in the connected component. Isolated nodes (absent
-    from edges) are the caller's to add — they are their own component."""
+    from edges) are the caller's to add — they are their own component.
+
+    Raises ``RuntimeError`` if labels are still changing after ``max_iter``
+    rounds (component diameter exceeds the bound): wrong-but-plausible labels
+    would otherwise surface only as a hard-to-diagnose downstream mismatch.
+    """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -74,4 +79,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter — "
+            "labels at this point would be plausible but wrong"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))

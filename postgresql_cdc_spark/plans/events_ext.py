@@ -84,10 +84,16 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Spark's native session_window (30 min gap): session end = last "
         "event + gap, matching the oracle's gap-flag cumulative-sum "
         "formulation. Exercises the built-in session merge operator the "
-        "window-function sessionization (events_sessionize) reimplements.",
+        "window-function sessionization (events_sessionize) reimplements. "
+        "ts is truncated to milliseconds first so Spark's merge decisions "
+        "happen at the same precision as the oracle's epoch_ms diff (both "
+        "keep an event exactly at the gap in the same session — verified "
+        "empirically: session_window merges when diff <= gap); without the "
+        "truncation a microsecond-tail diff could split where the ms-floored "
+        "oracle merges.",
 )
 def events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = EV(spark, sf_dir)
+    e = EV(spark, sf_dir).withColumn("ts", F.timestamp_millis(F.unix_millis("ts")))
     sw = F.session_window("ts", "30 minutes")
     return (
         e.groupBy("user_id", sw.alias("s"))

@@ -79,7 +79,12 @@ def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "it is self-contained per session; a deployment does it once.",
 )
 def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    # Scratch path and table names carry the applicationId so two concurrent
+    # harness processes at the same scale factor never overwrite each other's
+    # bucket files or session-catalog tables mid-query (same convention as
+    # streaming_gate's tmpdirs).
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "_" + app
     base = os.path.join(tempfile.gettempdir(), f"pgcdc_spark_buckets_{tag}")
     ot, lt = f"pgcdc_orders_b_{tag}".replace(".", "_"), \
         f"pgcdc_lineitem_b_{tag}".replace(".", "_")

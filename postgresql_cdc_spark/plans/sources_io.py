@@ -25,9 +25,15 @@ from postgresql_cdc_spark.plans.registry import register
 from postgresql_cdc_spark.plans.common import T
 
 
-def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    # applicationId in the path: two concurrent harness processes at the same
+    # scale factor must not race on overwrite of a shared /tmp dir (same
+    # convention as streaming_gate's tmpdirs).
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"pgcdc_spark_io_{tag}_{fmt}")
+    app = spark.sparkContext.applicationId
+    return os.path.join(
+        tempfile.gettempdir(), f"pgcdc_spark_io_{tag}_{fmt}_{app}"
+    )
 
 
 @register(
@@ -43,7 +49,7 @@ def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
 )
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = T(spark, sf_dir, "nation")
-    path = _roundtrip_dir(sf_dir, "csv")
+    path = _roundtrip_dir(spark, sf_dir, "csv")
     n.write.mode("overwrite").option("header", "true").csv(path)
     back = (
         spark.read.option("header", "true")
@@ -75,7 +81,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.to_date("o_orderdate").alias("o_date"),
     )
-    path = _roundtrip_dir(sf_dir, "json")
+    path = _roundtrip_dir(spark, sf_dir, "json")
     o.write.mode("overwrite").json(path)
     back = spark.read.schema(
         "o_orderkey long, o_orderstatus string, o_date date"

@@ -76,7 +76,15 @@ def write_wal_archive(path: str, frames: List[Tuple[int, bytes]],
 
 def read_wal_frames(path: str) -> Iterator[Tuple[int, bytes]]:
     """All frames in the archive in LSN order (chunks sorted by name, frames
-    in file order — producers write in commit order, like WAL itself)."""
+    in file order — producers write in commit order, like WAL itself).
+
+    A chunk may end in a torn frame (relay crash mid-write). Such a frame was
+    never acked — the transport replays it into the next chunk — so the torn
+    tail is skipped with a warning rather than yielded as a silently short
+    payload or a struct error.
+    """
+    import warnings
+
     for name in sorted(os.listdir(path)):
         if not name.endswith(".wal"):
             continue
@@ -84,8 +92,20 @@ def read_wal_frames(path: str) -> Iterator[Tuple[int, bytes]]:
             data = f.read()
         pos = 0
         while pos < len(data):
+            if pos + _FRAME_SIZE > len(data):
+                warnings.warn(
+                    f"wal archive {name}: torn frame header at byte {pos}; "
+                    "skipping tail (unacked frames replay into a later chunk)"
+                )
+                break
             lsn, ln = struct.unpack_from(_FRAME_FMT, data, pos)
             pos += _FRAME_SIZE
+            if ln < 0 or pos + ln > len(data):
+                warnings.warn(
+                    f"wal archive {name}: torn frame payload at byte {pos} "
+                    f"(declared {ln}, have {len(data) - pos}); skipping tail"
+                )
+                break
             yield lsn, data[pos:pos + ln]
             pos += ln
 
@@ -328,8 +348,19 @@ def run_wal_relay(transport, path: str, chunk_frames: int = 1000,
     forever).
     """
     os.makedirs(path, exist_ok=True)
-    existing = [n for n in os.listdir(path) if n.endswith(".wal")]
-    chunk_idx = len(existing)
+    # max(existing)+1, not len(existing): with a gap in the numbering (manual
+    # cleanup, a differently-numbered pre-existing archive) len() could reuse a
+    # live name — silently appending to an old chunk or sorting BEFORE
+    # higher-LSN chunks, breaking read_wal_frames' name-order==LSN-order
+    # contract.
+    existing_nums = []
+    for n in os.listdir(path):
+        if n.endswith(".wal"):
+            try:
+                existing_nums.append(int(n[:-4]))
+            except ValueError:
+                pass
+    chunk_idx = max(existing_nums) + 1 if existing_nums else 0
     buf: List[Tuple[int, bytes]] = []
     n = 0
 

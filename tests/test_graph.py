@@ -25,3 +25,18 @@ class TestConnectedComponents:
     def test_cycle(self, spark):
         got = _cc(spark, [(5, 6), (6, 7), (7, 5)])
         assert got == {5: 5, 6: 5, 7: 5}
+
+
+class TestNonConvergence:
+    def test_raises_when_diameter_exceeds_max_iter(self, spark):
+        """A long chain with max_iter=1 cannot converge; plausible-but-wrong
+        labels must raise, not return (ADVICE r3)."""
+        import pytest
+
+        from postgresql_cdc_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iter=1)

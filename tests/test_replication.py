@@ -263,3 +263,70 @@ class TestWalRelay:
         )
         got = {(r.op, r.columns["id"]) for r in rows}
         assert got == {("I", str(i)) for i in range(6)}
+
+    def test_relay_resumes_past_chunk_name_gaps(self, tmp_path):
+        """Next chunk index is max(existing)+1, not len(existing): a gap in
+        the numbering (manual cleanup) must not reuse a live name — reused
+        names either append to an old chunk or sort before higher-LSN chunks,
+        breaking read_wal_frames' name-order==LSN-order contract."""
+        from postgresql_cdc_spark.streaming.source import (
+            read_wal_frames,
+            run_wal_relay,
+            write_wal_archive,
+        )
+
+        arch = str(tmp_path / "gappy")
+        # pre-existing archive with a hole: chunks 0 and 5 (1-4 cleaned up)
+        write_wal_archive(arch, [(1, b"a")], chunk="000000.wal")
+        write_wal_archive(arch, [(50, b"f")], chunk="000005.wal")
+
+        class OneShotTransport:
+            def __init__(self, frames):
+                self._frames = frames
+                self.acked = []
+
+            def frames(self):
+                yield from self._frames
+
+            def ack(self, lsn):
+                self.acked.append(lsn)
+
+        t = OneShotTransport([(60, b"g"), (61, b"h")])
+        assert run_wal_relay(t, arch, chunk_frames=100) == 2
+        names = sorted(
+            f for f in __import__("os").listdir(arch) if f.endswith(".wal")
+        )
+        assert names == ["000000.wal", "000005.wal", "000006.wal"]
+        # frames replay in LSN order because the new chunk sorts last
+        assert [lsn for lsn, _ in read_wal_frames(arch)] == [1, 50, 60, 61]
+        assert t.acked == [61]
+
+    def test_torn_tail_frame_is_skipped_not_yielded_short(self, tmp_path):
+        """A relay crash mid-chunk leaves a truncated tail frame; the reader
+        must not yield a silently short payload for it (the frame was never
+        acked, so the transport replays it into a later chunk)."""
+        import os
+        import struct
+        import warnings
+
+        from postgresql_cdc_spark.streaming.source import (
+            _FRAME_FMT,
+            read_wal_frames,
+            write_wal_archive,
+        )
+
+        arch = str(tmp_path / "torn")
+        write_wal_archive(arch, [(1, b"full1"), (2, b"full2")])
+        # simulate the crash: append a frame header declaring 100 bytes but
+        # only 3 bytes of payload behind it
+        with open(os.path.join(arch, "000000.wal"), "ab") as f:
+            f.write(struct.pack(_FRAME_FMT, 3, 100))
+            f.write(b"abc")
+        # replayed full frame lands in the next chunk
+        write_wal_archive(arch, [(3, b"replayed")], chunk="000001.wal")
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = list(read_wal_frames(arch))
+        assert got == [(1, b"full1"), (2, b"full2"), (3, b"replayed")]
+        assert any("torn frame" in str(x.message) for x in w)
