@@ -288,7 +288,7 @@ def pg_text_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            epoch_us(o_orderdate) AS ts_back_us,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price_back
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_back_cents
     FROM orders
     """,
     doc="Typed accessors with no prior query coverage: pg_timestamp "
@@ -296,12 +296,15 @@ def pg_text_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is our superset) and pg_numeric at a declared scale. The envelope's "
         "text values are synthesized in PG's own wire formats "
         "(microsecond timestamp text, plain decimal text) and must cast "
-        "back to the exact original values. The comparison column is "
-        "engine-neutral epoch microseconds (BIGINT on both engines): Spark's "
-        "Arrow timestamps are tz-aware UTC while DuckDB's are naive, so a raw "
-        "TIMESTAMP through a value hasher diverges on rendering even when the "
-        "instants agree — same integer-exact convention as the event-time "
-        "queries' epoch-ms bounds.",
+        "back to the exact original values. BOTH comparison columns are "
+        "engine-neutral integers: epoch microseconds for the timestamp "
+        "(Spark's Arrow timestamps are tz-aware UTC while DuckDB's are "
+        "naive) and cents for the numeric (DuckDB's pandas path widens "
+        "low-precision DECIMALs to float64, rendering 123.40 as 123.4, "
+        "while Spark collects Decimal('123.40') — the value hasher then "
+        "diverges on trailing zeros even though the numbers agree). The "
+        "decimal-to-cents multiply happens at DECIMAL(12,2), so it is "
+        "exact on both engines.",
 )
 def pg_timestamp_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgresql_cdc_spark.functions.pg_types import pg_numeric, pg_timestamp
@@ -313,5 +316,5 @@ def pg_timestamp_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.unix_micros(pg_timestamp(ts_text)).alias("ts_back_us"),
-        pg_numeric(price_text, 12, 2).alias("price_back"),
+        (pg_numeric(price_text, 12, 2) * 100).cast("long").alias("price_back_cents"),
     )
