@@ -18,10 +18,14 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def EV(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its INT64-nanos `ts` converted to TimestampType.
+    """events table with `ts` normalized to TimestampType, fixture-agnostic.
 
-    Spark reads TIMESTAMP(NANOS) as long (legacy.parquet.nanosAsLong); truncate
-    to microseconds — same floor DuckDB's epoch_ms/date functions apply.
+    Fixtures have shipped two physical encodings of `ts` across driver
+    regenerations: INT64 TIMESTAMP(NANOS) (read as long under
+    legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS) (read natively
+    as a timestamp). Branch on the *read* dtype: bigint means nanos — floor
+    to micros with integer `div` (ns values overflow double mantissa, so no
+    `/`); any timestamp flavor is already micros and passes through.
 
     The conf is set here (runtime-settable) rather than only in our session
     factory because the correctness/bench harness constructs its own
@@ -29,8 +33,14 @@ def EV(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = T(spark, sf_dir, "events")
-    # integer `div`, not `/`: ns values overflow double mantissa precision
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
+        return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type.startswith("timestamp"):
+        # TIMESTAMP_NTZ compares/bins identically to TIMESTAMP for our
+        # session-UTC harness; cast so downstream window() sees one type.
+        return e.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(f"events.ts has unsupported type {ts_type!r}")
 
 
 def DEC(c, prec: int = 12, scale: int = 4):
