@@ -44,32 +44,63 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from postgresql_cdc_spark.operators.text import h60, h60_seeded, shingles, tokens
-
-
-def _seeded_min(sh, seed: str):
-    """min h60(seed:shingle) over a shingle array.
-
-    NB: the inner lambda must take exactly ONE parameter — PySpark HOFs call
-    a two-parameter callable (even with a default) as (element, index).
-    """
-    return F.array_min(F.transform(sh, lambda s: h60_seeded(s, seed)))
-
+from postgresql_cdc_spark.operators.text import h60, shingles, tokens
 
 # SQL twin of text.h60 — the hot kernels below are generated as SQL strings
 # and parsed JVM-side with one F.expr call; building the same trees through
 # the Column API costs thousands of py4j round trips (see similarity._dot_sql).
 _H60_SQL = "CAST(CONV(SUBSTRING(MD5({x}), 1, 15), 16, 10) AS BIGINT)"
 
+# Affine minhash family over ONE base hash per shingle:
+#     member_i(h) = (A_i * (h mod P) + B_i) mod P,   P = 2^31 - 1.
+# The old family ran k independent seeded md5 passes per shingle — k× the
+# dominant per-row kernel a 100 TB corpus pays. This derives all k members
+# from a single md5-based h60 via integer mixes (a classic universal-hash
+# construction). Reducing h mod P first keeps every product below 2^62, so
+# Spark and DuckDB both evaluate in exact signed-64 arithmetic with identical
+# truncated-% semantics on the nonnegative operands — the oracle
+# (plans/extensions.py) replicates bit-for-bit. Constants are fixed (arbitrary
+# mixed odd multipliers < P) so both engines stay in lockstep.
+MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MH_AB = [
+    (1103515245, 12345),
+    (1588635695, 2531011),
+    (1117695901, 69069),
+    (213486571, 362437),
+    (400005573, 1013904223),
+    (1831565813, 88675123),
+    (1203248689, 1234567),
+    (1495353107, 7654321),
+    (661657741, 43112609),
+    (910959241, 25964951),
+    (1107070793, 30402457),
+    (1754662069, 20996011),
+]
 
-def _mh_sig_sql(sh_col: str, k: int) -> str:
-    """SQL text of the k-element seeded-minhash signature array."""
+
+def _mh_member_sql(h: str, i: int) -> str:
+    a, b = MH_AB[i]
+    return f"(CAST({a} AS BIGINT) * ({h} % {MH_P}) + {b}) % {MH_P}"
+
+
+def _mh_sig_sql(shh_col: str, k: int) -> str:
+    """SQL text of the k-element minhash signature array over pre-hashed
+    shingles (array<long> column ``shh_col``)."""
+    if k > len(MH_AB):
+        raise ValueError(f"k={k} exceeds the {len(MH_AB)} fixed family members")
     mins = ", ".join(
-        "array_min(transform(`%s`, s -> %s))"
-        % (sh_col, _H60_SQL.format(x=f"concat('mh{i}:', s)"))
+        f"array_min(transform(`{shh_col}`, h -> {_mh_member_sql('h', i)}))"
         for i in range(k)
     )
     return f"array({mins})"
+
+
+def _mh_member(i: int):
+    """Column-API twin of ``_mh_member_sql`` as a ONE-parameter callable —
+    PySpark HOFs call a two-parameter callable (even with a default) as
+    (element, index), so the family index must be bound here, not defaulted."""
+    a, b = MH_AB[i]
+    return lambda h: (F.lit(a).cast("long") * (h % MH_P) + b) % MH_P
 
 
 def _band_keys_sql(sig_col: str, bands: int, rows: int) -> str:
@@ -109,12 +140,15 @@ def minhash_signature(text: Column, k: int = BANDS * ROWS_PER_BAND,
                       n: int = 3) -> Column:
     """k-element minhash signature over word n-gram shingles.
 
-    Seeded md5 family — k independent passes, all JVM-side. Docs with fewer
-    than n tokens get a null signature (cannot be near-dup candidates).
+    One md5-based h60 per shingle, k affine mixes (see ``MH_AB``) — all
+    JVM-side. Docs with fewer than n tokens get a null signature (cannot be
+    near-dup candidates).
     """
-    sh = shingles(tokens(text), n)
-    sig = F.array(*[_seeded_min(sh, f"mh{i}") for i in range(k)])
-    return F.when(F.size(sh) > 0, sig).otherwise(
+    shh = F.transform(shingles(tokens(text), n), h60)
+    sig = F.array(*[
+        F.array_min(F.transform(shh, _mh_member(i))) for i in range(k)
+    ])
+    return F.when(F.size(shh) > 0, sig).otherwise(
         F.lit(None).cast("array<long>")
     )
 
@@ -151,16 +185,17 @@ def minhash_lsh_pairs(
     pair. verify: exact shingle Jaccard via the shingle-explode join (no
     signatures in the verdict — LSH only prunes).
     """
-    # base is consumed by THREE branches (signatures, sizes, posting list) and
-    # the posting list by both join sides: without persist Spark re-runs the
-    # tokenize+shingle scan once per reference (measured 4x the pipeline cost
-    # at sf0.1). Persist the skinny intermediates — the same role a
+    # base holds PRE-HASHED shingles (one md5 per shingle, total): it is
+    # consumed by THREE branches (signatures, sizes, posting list) and the
+    # posting list by both join sides — without persist Spark re-runs the
+    # tokenize+shingle+hash scan once per reference (measured 4x the pipeline
+    # cost at sf0.1). Persist the skinny intermediates — the same role a
     # checkpointed shingle table plays in a production-scale dedup pipeline;
     # spills to disk automatically if they outgrow memory.
     base = df.select(
         F.col(id_col).alias("id"),
-        shingles(tokens(F.col(text_col)), ngram).alias("sh"),
-    ).where(F.size("sh") > 0).persist()
+        F.transform(shingles(tokens(F.col(text_col)), ngram), h60).alias("shh"),
+    ).where(F.size("shh") > 0).persist()
 
     # persist the skinny (id, sig) frame: without it Catalyst collapses the
     # projection and inlines the full k-minhash expression into each of the
@@ -168,7 +203,7 @@ def minhash_lsh_pairs(
     # recomputed ~k times per row (measured 141.5 s inlined vs 0.33 s
     # persisted for the bucket stage at sf0.1).
     sig = base.select(
-        "id", F.expr(_mh_sig_sql("sh", bands * rows)).alias("sig")
+        "id", F.expr(_mh_sig_sql("shh", bands * rows)).alias("sig")
     ).persist()
     buckets = (
         sig.select("id", F.explode(F.expr(_band_keys_sql("sig", bands, rows))).alias("bk"))
@@ -187,11 +222,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sizes = base.select("id", F.size("sh").alias("n_sh"))
+    sizes = base.select("id", F.size("shh").alias("n_sh"))
     inter = (
-        base.select("id", F.explode("sh").alias("s"))
-        .withColumn("sh_hash", h60(F.col("s")))
-        .select("id", "sh_hash")
+        base.select("id", F.explode("shh").alias("sh_hash"))
         .persist()  # both sides of the common-shingle join read it
     )
     ia, ib = inter.alias("ia"), inter.alias("ib")
@@ -349,15 +382,15 @@ def ngram_jaccard_pairs(
     # base is read by sizes AND the posting explode; the posting list by the
     # hot-shingle count and both join sides. Persisting both measured faster
     # than deriving sizes from a posting groupBy (the extra size-agg shuffle
-    # costs more than caching the shingle arrays saves).
+    # costs more than caching the shingle arrays saves). Shingles are
+    # pre-hashed in base (longs, not strings) — same md5 count, smaller cache.
     base = df.select(
         F.col(id_col).alias("id"),
-        shingles(tokens(F.col(text_col)), ngram).alias("sh"),
-    ).where(F.size("sh") > 0).persist()
-    sizes = base.select("id", F.size("sh").alias("n_sh"))
+        F.transform(shingles(tokens(F.col(text_col)), ngram), h60).alias("shh"),
+    ).where(F.size("shh") > 0).persist()
+    sizes = base.select("id", F.size("shh").alias("n_sh"))
     posting = (
-        base.select("id", F.explode("sh").alias("s"))
-        .select("id", h60(F.col("s")).alias("sh_hash"))
+        base.select("id", F.explode("shh").alias("sh_hash"))
         .persist()
     )
     hot = posting.groupBy("sh_hash").count().where(F.col("count") > max_df)

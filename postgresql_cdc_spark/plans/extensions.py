@@ -223,8 +223,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- minhash LSH near-dup ----------------------------------------------------
 
 def _mh_sql(i: int) -> str:
-    return ("list_min(list_transform(sh, x -> "
-            + _H60.format(x=f"'mh{i}:' || x") + f")) AS m{i}")
+    # Mirrors operators/dedup.MH_AB: one h60 per shingle (pre-hashed in
+    # `shh`), k affine mixes (A*h%P + B) % P in exact signed-64 arithmetic.
+    a, b = dd.MH_AB[i]
+    return (f"list_min(list_transform(shh, h -> "
+            f"({a}::BIGINT * (h % {dd.MH_P}) + {b}) % {dd.MH_P})) AS m{i}")
 
 
 def _band_sql(b: int, rows: int = 3) -> str:
@@ -238,16 +241,16 @@ _MINHASH_ORACLE = f"""
     WITH c AS ({_CORPUS}),
     t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM c),
     s AS (SELECT id, {_SHINGLES3} AS sh FROM t),
-    base AS (SELECT id, sh FROM s WHERE len(sh) > 0),
+    base AS (SELECT id, list_transform(sh, s -> {_H60.format(x='s')}) AS shh
+             FROM s WHERE len(sh) > 0),
     sig AS (SELECT id, {", ".join(_mh_sql(i) for i in range(12))} FROM base),
     bands AS ({" UNION ALL ".join(_band_sql(b) for b in range(4))}),
     wide AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 50),
     bk AS (SELECT bands.* FROM bands ANTI JOIN wide USING (band, bucket)),
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
              FROM bk a JOIN bk b USING (band, bucket) WHERE a.id < b.id),
-    sizes AS (SELECT id, len(sh) AS n_sh FROM base),
-    posting AS (SELECT id, {_H60.format(x='s')} AS sh_hash
-                FROM (SELECT id, unnest(sh) AS s FROM base)),
+    sizes AS (SELECT id, len(shh) AS n_sh FROM base),
+    posting AS (SELECT id, unnest(shh) AS sh_hash FROM base),
     common AS (SELECT cd.id_a, cd.id_b, COUNT(*) AS n_common
                FROM cand cd
                JOIN posting pa ON pa.id = cd.id_a
