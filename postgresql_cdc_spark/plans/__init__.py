@@ -66,6 +66,106 @@ def _recorded_hashes(root: str) -> dict[str, str]:
     return out
 
 
+FIXTURE_TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+# Helpers whose *call site* in a builder implies a table the source never
+# names literally (table resolution happens inside the helper).
+_HELPER_TABLES = {
+    "EV(": ("events",),
+    "_near_dup_corpus": ("documents",),
+}
+
+
+def fixture_schema_fingerprints(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> dict[str, str]:
+    """table -> short fingerprint of its parquet *physical* schema.
+
+    The driver regenerates fixtures between rounds and has already changed a
+    physical type in place once (events.ts INT64-nanos -> TIMESTAMP(MICROS)),
+    silently invalidating every green stamp that read the column. Recording
+    the arrow schema string (field names + physical/logical types) in
+    QUERIES.md lets ``_staleness_order`` treat a drift exactly like a source
+    change: affected queries re-verify first next round, no hand-editing.
+    """
+    import hashlib
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover — pyarrow is baked into the env
+        return {}
+    out: dict[str, str] = {}
+    for t in FIXTURE_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            schema = pq.read_schema(path)
+        except (OSError, Exception):  # noqa: BLE001 — absent fixture: skip
+            continue
+        blob = "; ".join(f"{f.name}:{f.type}" for f in schema)
+        out[t] = hashlib.md5(blob.encode()).hexdigest()[:10]
+    return out
+
+
+def _recorded_fixture_hashes(root: str) -> dict[str, str]:
+    """table -> fingerprint parsed from QUERIES.md's fixture-schema section."""
+    import re
+
+    path = __import__("os").path.join(root, "QUERIES.md")
+    out: dict[str, str] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                m = re.match(r"- fixture `([a-z]+)`: `([0-9a-f]{10})`", line)
+                if m:
+                    out[m.group(1)] = m.group(2)
+    except OSError:
+        pass
+    return out
+
+
+def tables_of(q: Query) -> set[str]:
+    """Fixture tables a query reads, inferred from builder source + oracle.
+
+    Literal table names appear either as ``T(spark, sf_dir, "events")``-style
+    string arguments or as FROM/JOIN targets in the oracle SQL; helper calls
+    that hide the name are mapped explicitly. Over-approximation is harmless
+    (one extra early re-verify); under-approximation only delays a stamp by a
+    round.
+    """
+    import inspect
+    import re
+
+    fn = q.spark
+    while hasattr(fn, "__wrapped__"):
+        fn = fn.__wrapped__
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = ""
+    blob = src + "\n" + (q.oracle or "")
+    found = {t for t in FIXTURE_TABLES if re.search(rf"\b{t}\b", blob)}
+    for marker, tabs in _HELPER_TABLES.items():
+        if marker in src:
+            found.update(tabs)
+    return found
+
+
+# Queries whose implementation or oracle changed AFTER the round whose driver
+# stamp they carry (so neither a red stamp nor an inventory-hash mismatch can
+# promote them): force them to the absolute front of the verification window
+# until a driver stamp from a LATER round lands, at which point the pin goes
+# inert on its own — no hand-removal needed. name -> round of the now-stale
+# stamp.
+_PIN_UNTIL_STAMPED_AFTER = {
+    "dedup_minhash_lsh": 5,   # oracle rewritten for the affine minhash family
+    "dedup_ngram_jaccard": 5,  # base pre-hashes shingles (same semantics)
+}
+
+
 def _staleness_order() -> None:
     """Reorder QUERIES so a budget-capped harness stamps what needs it most.
 
@@ -112,15 +212,29 @@ def _staleness_order() -> None:
                 last_green[name] = green
 
     recorded = _recorded_hashes(root)
+    rec_fix = _recorded_fixture_hashes(root)
+    live_fix = fixture_schema_fingerprints() if rec_fix else {}
+    drifted_tables = {
+        t for t, h in rec_fix.items() if live_fix.get(t, h) != h
+    }
 
     def changed(n: str) -> bool:
         rec = recorded.get(n)
-        return rec is not None and rec != source_hash(QUERIES[n])
+        if rec is not None and rec != source_hash(QUERIES[n]):
+            return True
+        # fixture drift counts as a change for every query reading the table
+        return bool(drifted_tables and drifted_tables & tables_of(QUERIES[n]))
 
     names = list(QUERIES)
     order = {n: i for i, n in enumerate(names)}
+
+    def pin_active(n: str) -> bool:
+        until = _PIN_UNTIL_STAMPED_AFTER.get(n)
+        return until is not None and last_stamp.get(n, -1) <= until
+
     names.sort(
         key=lambda n: (
+            0 if pin_active(n) else 1,
             0 if (not last_green.get(n, False) or changed(n)) else 1,
             last_stamp.get(n, -1),  # then stalest stamp
             order[n],

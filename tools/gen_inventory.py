@@ -17,7 +17,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from postgresql_cdc_spark.plans import QUERIES, source_hash  # noqa: E402
+from postgresql_cdc_spark.plans import (  # noqa: E402
+    QUERIES,
+    fixture_schema_fingerprints,
+    source_hash,
+)
 
 
 def module_of(q) -> str:
@@ -43,6 +47,17 @@ def main() -> int:
     for i, (name, q) in enumerate(QUERIES.items(), 1):
         doc = " ".join((q.doc or "").split())
         print(f"| {i} | `{name}` | {module_of(q)} | {source_hash(q)} | {doc} |")
+    print()
+    print("## Fixture schemas")
+    print()
+    print("Physical parquet schema fingerprints at generation time. A driver "
+          "fixture regeneration that changes a type shows up as a mismatch "
+          "here, and `plans._staleness_order` re-verifies every query "
+          "reading the drifted table first (same priority as a source "
+          "change).")
+    print()
+    for t, h in fixture_schema_fingerprints().items():
+        print(f"- fixture `{t}`: `{h}`")
     return 0
 
 
