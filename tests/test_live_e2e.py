@@ -43,8 +43,10 @@ from postgresql_cdc_spark.sources.pgoutput import (
     Relation,
     encode_begin,
     encode_commit,
+    encode_delete,
     encode_insert,
     encode_relation,
+    encode_update,
 )
 from postgresql_cdc_spark.streaming.replication import (
     LiveReplicationTransport,
@@ -174,6 +176,91 @@ class TestTypedRoundtripFakeTransport:
             if isinstance(msg, ChangeRecord):
                 records.append(msg)
         _roundtrip_assert(spark, records, fields, values)
+
+
+class TestCrashRecoveryLoop:
+    """Full composed loop under error injection: live transport (fake psycopg
+    stack) → relay → archive → pgcdc batch read → materialize, with the
+    connection dropping MID-TRANSACTION. Exercises the
+    ``LiveReplicationTransport.frames()`` retry branches the happy-path tests
+    skip (close + backoff + reconnect + server-side resume,
+    `CdcEngine.java:143-159`) and proves the at-least-once contract
+    end-to-end: unacked frames are replayed (duplicates in the archive, never
+    loss) and materialization is idempotent to the replay.
+    """
+
+    def test_mid_txn_drop_reconnect_resume_materialize(self, spark, tmp_path):
+        from postgresql_cdc_spark.operators.materialize import materialize
+        from postgresql_cdc_spark.streaming.source import (
+            PgCdcDataSource,
+            run_wal_relay,
+        )
+        from tests.test_replication import make_stack
+        from tests.test_streaming_cdc import REL
+
+        def ins(rid, txt, num):
+            return encode_insert(16384, [str(rid), txt, str(num), "{}"])
+
+        frames = [
+            (1, encode_relation(REL)),
+            (10, encode_begin(13, 0, 100)),
+            (11, ins(0, "zero", 0)),
+            (12, ins(1, "one", 1)),
+            (13, encode_commit(13, 14, 0)),
+            (20, encode_begin(23, 0, 101)),
+            (21, encode_update(16384, ["0", "zero-v2", "10", "{}"])),
+            (22, ins(2, "two", 2)),
+            (23, encode_commit(23, 24, 0)),
+            (30, encode_begin(33, 0, 102)),
+            (31, encode_delete(16384, ["1", None, None, None])),
+            (33, encode_commit(33, 34, 0)),
+        ]
+        server, conns, factory = make_stack(frames)
+        # connection 1 dies after 7 frames — mid-txn 101, with the UPDATE
+        # yielded but not yet durably chunked/acked
+        server.fail_plan = [7]
+
+        sleeps = []
+        transport = LiveReplicationTransport(
+            factory,
+            ReplicationConfig(slot="cr", publication="cr", retry_backoff_s=2.5),
+            sleep=sleeps.append,
+        )
+        arch = str(tmp_path / "crashy")
+        # chunk_frames=4: chunk 0 = frames (1,10,11,12) acked BEFORE the drop,
+        # so the replay starts mid-txn-100-commit and duplicates lsns 13,20,21
+        n = run_wal_relay(transport, arch, chunk_frames=4)
+
+        # transport-level retry branch assertions
+        assert len(conns) == 2, "exactly one reconnect"
+        assert conns[0].closed, "dropped connection torn down"
+        assert 2.5 in sleeps, "backoff honored before reconnect"
+        slot_creates = [
+            s for c in conns for s, _ in c.executed
+            if s.startswith("CREATE_REPLICATION_SLOT")
+        ]
+        assert len(slot_creates) == 1, "DDL idempotent across reconnect"
+        assert server.confirmed_lsn == 33, "acked through the final commit"
+        # 7 frames before the drop + 8 replayed after confirmed LSN 12
+        assert n == 15
+
+        # at-least-once into the archive: the three unacked frames replay
+        spark.dataSource.register(PgCdcDataSource)
+        env = spark.read.format("pgcdc").option("path", arch).load()
+        rows = env.collect()
+        ops = sorted((r.op, r.lsn) for r in rows)
+        assert ops == sorted(
+            [("I", 11), ("I", 12), ("U", 21), ("U", 21), ("I", 22), ("D", 31)]
+        ), "unacked UPDATE duplicated, nothing lost"
+
+        # materialization is idempotent to the duplicate frame
+        state = materialize(env, keys=["id"], merge_sparse=False)
+        got = {
+            r["columns"]["id"]: r["columns"]["v_text"] for r in state.collect()
+        }
+        assert got == {"0": "zero-v2", "2": "two"}, (
+            "update applied once, delete wins for id=1, replay adds nothing"
+        )
 
 
 @pytest.mark.skipif(
