@@ -299,10 +299,10 @@ def pg_text_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "back to the exact original values. BOTH comparison columns are "
         "engine-neutral integers: epoch microseconds for the timestamp "
         "(Spark's Arrow timestamps are tz-aware UTC while DuckDB's are "
-        "naive) and cents for the numeric (DuckDB's pandas path widens "
-        "low-precision DECIMALs to float64, rendering 123.40 as 123.4, "
-        "while Spark collects Decimal('123.40') — the value hasher then "
-        "diverges on trailing zeros even though the numbers agree). The "
+        "naive) and cents for the numeric: integer cents are robust to any "
+        "hasher that renders decimals without trailing zeros (e.g. a "
+        "float64-widening pandas/Arrow fetch path turning 123.40 into "
+        "123.4 while Spark collects Decimal('123.40')). The "
         "decimal-to-cents multiply happens at DECIMAL(12,2), so it is "
         "exact on both engines.",
 )

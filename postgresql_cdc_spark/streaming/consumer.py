@@ -48,20 +48,28 @@ def foreach_txn_batch(handler: Callable[[int, DataFrame], None]):
     (batches never mix transactions, `CdcEngine.java:110-129`).
 
     The txn id list is collected (it is small — one entry per txn in the
-    micro-batch); each transaction's rows stay a DataFrame.
+    micro-batch); each transaction's rows stay a DataFrame. The batch is
+    persisted for the duration of the fan-out: each per-txn ``where`` then
+    reads cached blocks instead of re-running the batch's upstream plan once
+    per transaction — with many small transactions in a batch the rescans
+    were O(txns) source reads.
     """
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        txns = [
-            r.txn_id
-            for r in batch_df.groupBy("txn_id")
-            .agg(F.min("lsn").alias("l"))
-            .orderBy("l").collect()
-        ]
-        for txn in txns:
-            handler(txn, batch_df.where(F.col("txn_id") == txn))
+        batch_df = batch_df.persist()
+        try:
+            if not batch_df.take(1):
+                return
+            txns = [
+                r.txn_id
+                for r in batch_df.groupBy("txn_id")
+                .agg(F.min("lsn").alias("l"))
+                .orderBy("l").collect()
+            ]
+            for txn in txns:
+                handler(txn, batch_df.where(F.col("txn_id") == txn))
+        finally:
+            batch_df.unpersist()
 
     return fn
 
