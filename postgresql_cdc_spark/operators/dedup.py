@@ -83,18 +83,6 @@ def _mh_member_sql(h: str, i: int) -> str:
     return f"(CAST({a} AS BIGINT) * ({h} % {MH_P}) + {b}) % {MH_P}"
 
 
-def _mh_sig_sql(shh_col: str, k: int) -> str:
-    """SQL text of the k-element minhash signature array over pre-hashed
-    shingles (array<long> column ``shh_col``)."""
-    if k > len(MH_AB):
-        raise ValueError(f"k={k} exceeds the {len(MH_AB)} fixed family members")
-    mins = ", ".join(
-        f"array_min(transform(`{shh_col}`, h -> {_mh_member_sql('h', i)}))"
-        for i in range(k)
-    )
-    return f"array({mins})"
-
-
 def _mh_member(i: int):
     """Column-API twin of ``_mh_member_sql`` as a ONE-parameter callable —
     PySpark HOFs call a two-parameter callable (even with a default) as
@@ -103,12 +91,17 @@ def _mh_member(i: int):
     return lambda h: (F.lit(a).cast("long") * (h % MH_P) + b) % MH_P
 
 
-def _band_keys_sql(sig_col: str, bands: int, rows: int) -> str:
-    """SQL text of the array of (band, bucket) structs."""
+def _band_keys_from_shh_sql(shh_col: str, bands: int, rows: int) -> str:
+    """Band keys computed directly from the pre-hashed shingle array in ONE
+    expression: every minhash family member appears exactly once, so there is
+    no signature column for Catalyst to inline k times (the plan bug that
+    cost 430x before the sig persist) and no intermediate frame to persist —
+    one fewer job and cached artifact per pipeline run."""
     entries = []
     for b in range(bands):
         parts = ", ".join(
-            f"CAST(element_at(`{sig_col}`, {b * rows + r + 1}) AS STRING)"
+            "CAST(array_min(transform(`%s`, h -> %s)) AS STRING)"
+            % (shh_col, _mh_member_sql("h", b * rows + r))
             for r in range(rows)
         )
         bucket = _H60_SQL.format(x=f"concat_ws(',', {parts})")
@@ -185,28 +178,37 @@ def minhash_lsh_pairs(
     pair. verify: exact shingle Jaccard via the shingle-explode join (no
     signatures in the verdict — LSH only prunes).
     """
+    if bands * rows > len(MH_AB):
+        raise ValueError(
+            f"bands*rows={bands * rows} exceeds the {len(MH_AB)} fixed "
+            "minhash family members (extend MH_AB and its DuckDB twin)"
+        )
     # base holds PRE-HASHED shingles (one md5 per shingle, total): it is
-    # consumed by THREE branches (signatures, sizes, posting list) and the
+    # consumed by THREE branches (band keys, sizes, posting list) and the
     # posting list by both join sides — without persist Spark re-runs the
     # tokenize+shingle+hash scan once per reference (measured 4x the pipeline
-    # cost at sf0.1). Persist the skinny intermediates — the same role a
-    # checkpointed shingle table plays in a production-scale dedup pipeline;
-    # spills to disk automatically if they outgrow memory.
-    base = df.select(
+    # cost at sf0.1). Persist BEFORE the size filter: the filter would
+    # otherwise evaluate the shingle expression a second time in the uncached
+    # branch (filter condition + projection), and the handful of shingle-less
+    # rows it would exclude cost nothing to cache. Skinny intermediates only —
+    # the same role a checkpointed shingle table plays in a production-scale
+    # dedup pipeline; spills to disk automatically if they outgrow memory.
+    hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(tokens(F.col(text_col)), ngram), h60).alias("shh"),
-    ).where(F.size("shh") > 0).persist()
-
-    # persist the skinny (id, sig) frame: without it Catalyst collapses the
-    # projection and inlines the full k-minhash expression into each of the
-    # k element_at references in the band-key SQL — the signature is then
-    # recomputed ~k times per row (measured 141.5 s inlined vs 0.33 s
-    # persisted for the bucket stage at sf0.1).
-    sig = base.select(
-        "id", F.expr(_mh_sig_sql("shh", bands * rows)).alias("sig")
     ).persist()
+    base = hashed.where(F.size("shh") > 0)
+
+    # band keys straight from shh in one generated expression — every minhash
+    # member is named exactly once, so nothing is recomputed and no signature
+    # frame needs persisting (see _band_keys_from_shh_sql).
     buckets = (
-        sig.select("id", F.explode(F.expr(_band_keys_sql("sig", bands, rows))).alias("bk"))
+        base.select(
+            "id",
+            F.explode(
+                F.expr(_band_keys_from_shh_sql("shh", bands, rows))
+            ).alias("bk"),
+        )
         .select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
         .persist()
     )
@@ -383,11 +385,14 @@ def ngram_jaccard_pairs(
     # hot-shingle count and both join sides. Persisting both measured faster
     # than deriving sizes from a posting groupBy (the extra size-agg shuffle
     # costs more than caching the shingle arrays saves). Shingles are
-    # pre-hashed in base (longs, not strings) — same md5 count, smaller cache.
-    base = df.select(
+    # pre-hashed (longs, not strings) — same md5 count, smaller cache — and
+    # the persist sits BELOW the size filter so the shingle expression is
+    # evaluated once, not again for the filter condition.
+    hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(tokens(F.col(text_col)), ngram), h60).alias("shh"),
-    ).where(F.size("shh") > 0).persist()
+    ).persist()
+    base = hashed.where(F.size("shh") > 0)
     sizes = base.select("id", F.size("shh").alias("n_sh"))
     posting = (
         base.select("id", F.explode("shh").alias("sh_hash"))
