@@ -267,7 +267,7 @@ def simhash_fingerprint(text: Column, bits: int = 60, n: int = 1) -> Column:
     n = F.size(hashes)
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        # one-parameter closure (see _seeded_min note); bit test via mask
+        # one-parameter closure (see _mh_member note); bit test via mask
         # because F.shiftright can't take a HOF lambda variable
         def bit_set(mask):
             return lambda h: h.bitwiseAND(mask) != 0

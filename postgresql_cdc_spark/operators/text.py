@@ -42,11 +42,6 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def h60_seeded(col: Column, seed: str) -> Column:
-    """Seeded variant: independent hash family member per seed string."""
-    return h60(F.concat(F.lit(f"{seed}:"), col))
-
-
 def tokens(col: Column) -> Column:
     """lower, split on non-alphanumeric runs, drop empties.
 
