@@ -53,19 +53,26 @@ def tokens(col: Column) -> Column:
     )
 
 
-def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams joined with spaces; [] when fewer than n tokens.
+def raw_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-grams in positional order WITH multiplicity; [] when fewer
+    than n tokens. Repetition/boilerplate analysis needs the duplicates the
+    set-oriented ``shingles`` drops.
 
     ``sequence(1, size-n+1)`` + ``slice`` keeps it all in codegen.
     """
-    grams = F.when(
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams joined with spaces; [] when fewer than n
+    tokens."""
+    return F.array_distinct(raw_shingles(toks, n))
 
 
 def token_stats(toks: Column) -> dict[str, Column]:

@@ -289,3 +289,116 @@ from postgresql_cdc_spark.plans.extensions import _l2_sql  # noqa: E402
 def ivf_cell_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     return ivf_cell_stats(e, n_centroids=16)
+
+
+# --- training-data hygiene: repetition + contamination -----------------------
+
+from postgresql_cdc_spark.plans.extensions import _H60, _SHINGLES3  # noqa: E402
+
+# Positional (multiplicity-keeping) trigram list — _SHINGLES3 without the
+# list_distinct, the DuckDB twin of text.raw_shingles.
+_RAW_SHINGLES3 = """
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks)-1),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         ELSE [] END
+"""
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, {_RAW_SHINGLES3} AS g FROM t)
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           round(1 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+             AS rep_ratio
+    FROM g WHERE len(g) > 0
+    """,
+    doc="Within-doc repetition ratio (duplicated-trigram fraction) — the "
+        "boilerplate/template-spam signal quality filters cut on. Pure "
+        "per-row projection over multiplicity-keeping shingles: scan speed, "
+        "no shuffle, column-prunes to the text column at 100 TB.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        tx.raw_shingles(tx.tokens(F.col("text")), 3).alias("g"),
+    ).where(F.size("g") > 0)
+    n_grams = F.size("g").cast("bigint")
+    n_distinct = F.size(F.array_distinct("g")).cast("bigint")
+    return g.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            F.lit(1) - n_distinct.cast("double") / n_grams, 6
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "decon_test_train_overlap",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {_SHINGLES3} AS sh FROM t),
+    h AS (SELECT doc_id, list_transform(sh, s -> {_H60.format(x='s')}) AS shh
+          FROM s),
+    test AS (SELECT doc_id, shh FROM h WHERE doc_id % 10 = 0 AND len(shh) > 0),
+    train_sh AS (SELECT DISTINCT unnest(shh) AS sh_hash
+                 FROM h WHERE doc_id % 10 <> 0),
+    tpost AS (SELECT doc_id, unnest(shh) AS sh_hash FROM test),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM tpost
+             WHERE sh_hash IN (SELECT sh_hash FROM train_sh)
+             GROUP BY doc_id)
+    SELECT test.doc_id,
+           CAST(len(test.shh) AS BIGINT) AS n_sh,
+           CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+           round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / len(test.shh), 6)
+             AS containment
+    FROM test LEFT JOIN hits USING (doc_id)
+    """,
+    doc="Train/test contamination check: distinct-trigram containment of "
+        "each held-out doc (doc_id % 10 = 0) against the training split's "
+        "shingle set — the decontamination pass an eval pipeline runs before "
+        "training. Shape: pre-hashed shingles, one distinct-agg over the "
+        "train postings, one semi-join on the 60-bit shingle hash, one "
+        "count-agg — all key-partitioned equi-operations; nothing all-pairs, "
+        "so it scales to a 100 TB corpus the way word-count does.",
+)
+def decon_test_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    # pre-hash distinct shingles once; both splits derive from this scan
+    docs = d.select(
+        "doc_id",
+        F.transform(
+            tx.shingles(tx.tokens(F.col("text")), 3), tx.h60
+        ).alias("shh"),
+    ).persist()
+    test = docs.where((F.col("doc_id") % 10 == 0) & (F.size("shh") > 0))
+    train_sh = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select(F.explode("shh").alias("sh_hash"))
+        .distinct()
+    )
+    tpost = test.select("doc_id", F.explode("shh").alias("sh_hash"))
+    hits = (
+        tpost.join(train_sh, "sh_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sizes = test.select("doc_id", F.size("shh").cast("bigint").alias("n_sh"))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            n_hit.alias("n_hit"),
+            F.round(n_hit.cast("double") / F.col("n_sh"), 6)
+            .alias("containment"),
+        )
+    )
