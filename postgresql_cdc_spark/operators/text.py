@@ -187,3 +187,21 @@ def min_shingle_hash(text: Column, n: int = 3) -> Column:
     return F.when(
         F.size(sh) > 0, F.array_min(F.transform(sh, h60))
     ).otherwise(F.lit(None).cast("long"))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs Java regex
+# (Spark) and RE2 (DuckDB) treat identically: ordered alternation, ASCII
+# classes, no lookaround (RE2 has none). Alternatives are disjoint at any
+# match start except the optional-leading-space forms, which both engines
+# resolve leftmost-first the same way. Kept ASCII (the corpus fixtures are)
+# so \p{L} dialect differences never enter the oracle compare.
+BPE_SPLIT_PATTERN = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+|[ ]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization of lowercased text: contraction tails,
+    space-prefixed word/number/punctuation runs, residual spaces — the
+    GPT-2 ``pat`` shape. This is the unit a byte-pair tokenizer would merge
+    within, so its count is the standard proxy for "how many tokens will
+    this document cost" before a real vocab exists."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_PATTERN), F.lit(0))

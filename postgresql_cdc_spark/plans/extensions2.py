@@ -402,3 +402,53 @@ def decon_test_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment"),
         )
     )
+
+
+from postgresql_cdc_spark.operators.text import BPE_SPLIT_PATTERN  # noqa: E402
+
+# the pattern contains apostrophes (contraction alternative) — double them
+# for the SQL string literal
+_BPE_SQL_PAT = BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+@register(
+    "text_bpe_token_count",
+    f"""
+    WITH g AS (SELECT doc_id,
+                      regexp_extract_all(lower(text),
+                                         '{_BPE_SQL_PAT}') AS pieces,
+                      {_TOKS} AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_bpe_pieces,
+           CAST(len(toks) AS BIGINT) AS n_word_tokens,
+           round(CASE WHEN len(toks) > 0
+                      THEN CAST(len(pieces) AS DOUBLE) / len(toks)
+                      ELSE 0 END, 6) AS pieces_per_word
+    FROM g
+    """,
+    doc="BPE-ish token counting: GPT-2-shaped pre-tokenizer pieces "
+        "(ordered-alternation regex identical under Java regex and RE2) "
+        "vs whitespace-ish word tokens, plus the pieces-per-word cost "
+        "ratio — the standard pre-vocab estimate of a corpus's token "
+        "budget. Per-row regex projection: scan speed, no shuffle.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import bpe_tokens
+
+    d = T(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        bpe_tokens(F.col("text")).alias("pieces"),
+        tx.tokens(F.col("text")).alias("toks"),
+    )
+    n_p = F.size("pieces").cast("bigint")
+    n_w = F.size("toks").cast("bigint")
+    return g.select(
+        "doc_id",
+        n_p.alias("n_bpe_pieces"),
+        n_w.alias("n_word_tokens"),
+        F.round(
+            F.when(n_w > 0, n_p.cast("double") / n_w).otherwise(0.0), 6
+        ).alias("pieces_per_word"),
+    )
