@@ -452,3 +452,64 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_w > 0, n_p.cast("double") / n_w).otherwise(0.0), 6
         ).alias("pieces_per_word"),
     )
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH b AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    mm AS (SELECT vec_id, v,
+                  list_min(v) AS q_min, list_max(v) AS q_max FROM b)
+    SELECT vec_id,
+           round(q_min, 6) AS q_min,
+           round(q_max, 6) AS q_max,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           CAST(list_reduce(list_transform(v, x ->
+                    CASE WHEN q_max = q_min THEN CAST(0 AS BIGINT)
+                         ELSE CAST(floor((x - q_min) / (q_max - q_min) * 255)
+                                   AS BIGINT) END),
+                (a, c) -> a + c) AS BIGINT) AS code_sum
+    FROM mm
+    """,
+    doc="Uniform int8 (0..255) quantization of embeddings — the vector-"
+        "compression pass a training pipeline runs before sharding an "
+        "embedding store. floor-based bucketing (not round) so the Java and "
+        "C++ float paths agree bit-for-bit; constant vectors quantize to 0. "
+        "Output is the per-vector range + exact code checksum: per-row "
+        "projection, scan speed, no shuffle at any scale.",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    # internal names deliberately differ from the rounded output aliases:
+    # aliasing round(q_min) AS q_min in the same select would re-bind the
+    # quantization lambda's q_min reference to the ROUNDED value (selects
+    # resolve same-name references against their own output), silently
+    # quantizing against 6-dp ranges while the oracle uses full precision.
+    mm_df = e.select(
+        "vec_id", v.alias("v"),
+        F.array_min(v).alias("__mn"), F.array_max(v).alias("__mx"),
+    )
+    qmin, qmax = F.col("__mn"), F.col("__mx")
+
+    def code(x):
+        return (
+            F.when(qmax == qmin, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor((x - qmin) / (qmax - qmin) * 255).cast("long")
+            )
+        )
+
+    return mm_df.select(
+        "vec_id",
+        F.round(qmin, 6).alias("q_min"),
+        F.round(qmax, 6).alias("q_max"),
+        F.size("v").cast("bigint").alias("n_dims"),
+        F.aggregate(
+            F.transform(F.col("v"), code),
+            F.lit(0).cast("long"),
+            lambda a, c: a + c,
+        ).alias("code_sum"),
+    )
