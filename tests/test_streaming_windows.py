@@ -115,3 +115,99 @@ class TestStreamingWindows:
         # Sessions [11,27) and [41,57) closed by the final watermark (81-15=66);
         # session starting at 70 is still open → not emitted in append mode.
         assert got == [(11, 2), (41, 2)]
+
+
+class TestLateDataDrop:
+    def test_append_mode_watermark_invariants_with_late_data(
+        self, spark, tmp_path
+    ):
+        """Late-data semantics through the CDC source: event time derives
+        from the PAYLOAD (``v_int`` seconds), not the LSN, so a later
+        transaction can carry an OLDER event — what a watermark exists to
+        bound. Spark's watermark contract is one-directional: on-time rows
+        are never dropped; rows older than the watermark MAY be dropped or
+        may still be processed (observed on this version: the 50 s late row
+        is admitted and its already-expired window finalizes in the same
+        batch). The test pins the invariants that hold either way:
+
+        - every on-time row is aggregated exactly once ([90,120)->1,
+          [120,150)->2 after txn C pushes the watermark to 160 s);
+        - append mode emits each window at most once;
+        - a window the watermark has not passed ([150,180), end 180 s >
+          watermark 160 s) is withheld;
+        - the late row either vanishes or surfaces as its own exact window
+          ([30,60)->1) — it can never corrupt an on-time window's count.
+        """
+        from postgresql_cdc_spark.sources.pgoutput import (
+            encode_begin,
+            encode_commit,
+            encode_insert,
+            encode_relation,
+        )
+        from postgresql_cdc_spark.streaming.source import (
+            PgCdcDataSource,
+            write_wal_archive,
+        )
+        from tests.test_streaming_cdc import REL
+
+        def ins(rid, secs):
+            return encode_insert(16384, [str(rid), "x", str(secs), "{}"])
+
+        frames = [
+            (1, encode_relation(REL)),
+            (10, encode_begin(13, 0, 201)),
+            (11, ins(1, 100)),
+            (12, ins(2, 130)),
+            (13, encode_commit(13, 14, 0)),
+            (20, encode_begin(23, 0, 202)),
+            (21, ins(3, 50)),    # LATE: watermark is already at 120 s
+            (22, ins(4, 140)),
+            (23, encode_commit(23, 24, 0)),
+            (30, encode_begin(32, 0, 203)),
+            (31, ins(5, 170)),
+            (32, encode_commit(32, 33, 0)),
+        ]
+        arch = str(tmp_path / "wal_late")
+        write_wal_archive(arch, frames)
+        spark.dataSource.register(PgCdcDataSource)
+
+        stream = (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            # one txn per micro-batch so the watermark advances between txns
+            .option("maxRecordsPerBatch", "2")
+            .load()
+        )
+        agg = (
+            stream.withColumn(
+                "event_time",
+                F.timestamp_micros(
+                    F.element_at("columns", "v_int").cast("long") * 1_000_000
+                ),
+            )
+            .withWatermark("event_time", "10 seconds")
+            .groupBy(F.window("event_time", "30 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("cdc_late")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM cdc_late").collect()
+        got = {int(r.w.start.timestamp()): r.n for r in rows}
+        assert len(rows) == len(got), "append emitted a window twice"
+        # on-time rows all present, counted once, in the right windows
+        assert got[90] == 1 and got[120] == 2
+        # the open window is withheld
+        assert 150 not in got
+        # the late row is either dropped or isolated in its own window
+        assert set(got) - {90, 120, 30} == set()
+        if 30 in got:
+            assert got[30] == 1
