@@ -70,6 +70,26 @@ class TestPushdownAndPruning:
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols == {"doc_id", "text"}, cols
 
+    @pytest.mark.parametrize(
+        "name,want",
+        [
+            ("text_repetition", {"doc_id", "text"}),
+            ("text_bpe_token_count", {"doc_id", "text"}),
+            ("decon_test_train_overlap", {"doc_id", "text"}),
+            ("emb_quantize_int8", {"vec_id", "embedding"}),
+        ],
+    )
+    def test_hygiene_queries_prune_columns(self, spark, name, want):
+        """The round-6 hygiene operators are scan-speed claims — at 100 TB
+        that only holds if the parquet scan reads just the projected columns
+        (documents also carries lang/source/n_chars; embeddings carries
+        label)."""
+        plan = _plan(spark, name)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m is not None, plan[:1500]
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == want, (name, cols)
+
     def test_q19_no_forced_fact_broadcast(self, spark):
         """q19 must not hard-broadcast the unfiltered part table: the plan
         may still CHOOSE broadcast from runtime stats at tiny SF, but no
