@@ -91,3 +91,37 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.min("o_date").alias("first_date"),
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           MIN(c_custkey) AS min_key,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="ORC sink + source roundtrip: customer -> ORC -> schema-explicit "
+        "read -> aggregate with an exact-decimal balance sum. ORC is the "
+        "columnar lake format Spark supports natively besides parquet "
+        "(predicate pushdown, column pruning, vectorized read) — the "
+        "aggregate matches the oracle's direct parquet scan only if the "
+        "ORC write/read preserved doubles bit-for-bit.",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.plans.common import DEC
+
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _roundtrip_dir(spark, sf_dir, "orc")
+    c.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "c_custkey long, c_mktsegment string, c_acctbal double"
+    ).orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_custkey").alias("min_key"),
+        F.sum(DEC("c_acctbal", 12, 2)).cast("double").alias("sum_bal"),
+    )
