@@ -125,3 +125,38 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("min_key"),
         F.sum(DEC("c_acctbal", 12, 2)).cast("double").alias("sum_bal"),
     )
+
+
+@register(
+    "source_partitioned_pruning",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           MIN(o_orderkey) AS min_key
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="Hive-style partitioned parquet sink + partition-pruned source: "
+        "orders written partitionBy(o_orderstatus), read back filtered to "
+        "one status. At 100 TB this is THE lake layout pattern — the filter "
+        "must resolve at the directory listing (plan shows PartitionFilters,"
+        " asserted in tests/test_plan_shapes.py), so the scan never opens "
+        "the other partitions' files.",
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    path = _roundtrip_dir(spark, sf_dir, "part")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_orderpriority string, o_orderstatus string"
+        )
+        .parquet(path)
+        .where(F.col("o_orderstatus") == "F")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+    )

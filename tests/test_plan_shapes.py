@@ -90,6 +90,15 @@ class TestPushdownAndPruning:
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols == want, (name, cols)
 
+    def test_partitioned_read_prunes_partitions(self, spark):
+        """The partitioned-lake query's status filter must resolve at the
+        directory level (PartitionFilters), not as a data filter over every
+        file — the property that makes a partitioned 100 TB layout readable."""
+        plan = _plan(spark, "source_partitioned_pruning")
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m is not None, plan[:2000]
+        assert "o_orderstatus" in m.group(1) and "= F" in m.group(1), m.group(1)
+
     def test_q19_no_forced_fact_broadcast(self, spark):
         """q19 must not hard-broadcast the unfiltered part table: the plan
         may still CHOOSE broadcast from runtime stats at tiny SF, but no
