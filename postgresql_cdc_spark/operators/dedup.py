@@ -380,22 +380,38 @@ def ngram_jaccard_pairs(
     ``max_df`` drops shingles appearing in more than that many docs (stop-
     shingles): they explode the join fan-out while contributing nothing to
     high-Jaccard pairs — the standard scalable trick.
+
+    Scale: the posting rows carry the owning doc's shingle count ``n_sh`` (one
+    extra int), which buys two things a 100 TB corpus needs:
+
+    - **size-ratio prefilter** — Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|)
+      (intersection <= min, union >= max), so any pair whose size ratio is
+      below the threshold is dropped *before* the pair aggregate. On a
+      boilerplate-heavy corpus this removes most of the pair fan-out, the
+      dominant shuffle (the standard size filter from set-similarity-join
+      literature, e.g. Vernica et al. SIGMOD'10). An epsilon absorbs the final
+      round(..., 6), which can round a just-below-threshold value up.
+    - the sizes ride through the ``groupBy`` (keys are functionally dependent
+      on the ids), so the two post-aggregation size joins disappear — one
+      shuffle instead of three.
     """
-    # base is read by sizes AND the posting explode; the posting list by the
-    # hot-shingle count and both join sides. Persisting both measured faster
-    # than deriving sizes from a posting groupBy (the extra size-agg shuffle
-    # costs more than caching the shingle arrays saves). Shingles are
-    # pre-hashed (longs, not strings) — same md5 count, smaller cache — and
-    # the persist sits BELOW the size filter so the shingle expression is
-    # evaluated once, not again for the filter condition.
+    # hashed is persisted so the tokenize+shingle+hash projection runs once:
+    # the filter condition and the two posting projections would otherwise
+    # each re-evaluate it (Catalyst inlines projected columns per reference).
+    # The posting list is read by the hot-shingle count and both join sides.
+    # Shingles are pre-hashed (longs, not strings) — same md5 count, smaller
+    # cache.
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(tokens(F.col(text_col)), ngram), h60).alias("shh"),
     ).persist()
     base = hashed.where(F.size("shh") > 0)
-    sizes = base.select("id", F.size("shh").alias("n_sh"))
     posting = (
-        base.select("id", F.explode("shh").alias("sh_hash"))
+        base.select(
+            "id",
+            F.size("shh").alias("n_sh"),
+            F.explode("shh").alias("sh_hash"),
+        )
         .persist()
     )
     hot = posting.groupBy("sh_hash").count().where(F.col("count") > max_df)
@@ -405,18 +421,28 @@ def ngram_jaccard_pairs(
     common = (
         pa.join(pb, "sh_hash")
         .where(F.col("pa.id") < F.col("pb.id"))
-        .groupBy(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        # size-ratio prune BEFORE the aggregate: a (10, 100)-sized pair can
+        # never reach Jaccard 0.5 and must not cost groupBy work. Epsilon
+        # covers round-half-up at 6 decimals in the final filter.
+        .where(
+            F.least(F.col("pa.n_sh"), F.col("pb.n_sh"))
+            >= (threshold - 1e-6)
+            * F.greatest(F.col("pa.n_sh"), F.col("pb.n_sh"))
+        )
+        .groupBy(
+            F.col("pa.id").alias("id_a"),
+            F.col("pb.id").alias("id_b"),
+            F.col("pa.n_sh").alias("na"),
+            F.col("pb.n_sh").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
-        common.join(sa, common.id_a == sa.id)
-        .join(sb, common.id_b == F.col("sb.id"))
-        .select(
+        common.select(
             "id_a", "id_b",
             F.round(
                 F.col("n_common")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
                 6,
             ).alias("jaccard"),
         )

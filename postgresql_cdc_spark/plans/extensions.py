@@ -332,22 +332,21 @@ _NGRAM_ORACLE = f"""
     t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM c),
     s AS (SELECT id, {_SHINGLES3} AS sh FROM t),
     base AS (SELECT id, sh FROM s WHERE len(sh) > 0),
-    sizes AS (SELECT id, len(sh) AS n_sh FROM base),
-    posting0 AS (SELECT id, {_H60.format(x='s')} AS sh_hash
-                 FROM (SELECT id, unnest(sh) AS s FROM base)),
+    posting0 AS (SELECT id, len(sh) AS n_sh, {_H60.format(x='s')} AS sh_hash
+                 FROM (SELECT id, sh, unnest(sh) AS s FROM base)),
     hot AS (SELECT sh_hash FROM posting0 GROUP BY 1 HAVING COUNT(*) > 100),
     posting AS (SELECT posting0.* FROM posting0 ANTI JOIN hot USING (sh_hash)),
-    common AS (SELECT pa.id AS id_a, pb.id AS id_b, COUNT(*) AS n_common
+    common AS (SELECT pa.id AS id_a, pb.id AS id_b,
+                      pa.n_sh AS na, pb.n_sh AS nb, COUNT(*) AS n_common
                FROM posting pa JOIN posting pb USING (sh_hash)
-               WHERE pa.id < pb.id GROUP BY 1, 2)
-    SELECT cm.id_a, cm.id_b,
-           round(CAST(cm.n_common AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - cm.n_common), 6) AS jaccard
-    FROM common cm
-    JOIN sizes sa ON sa.id = cm.id_a
-    JOIN sizes sb ON sb.id = cm.id_b
-    WHERE round(CAST(cm.n_common AS DOUBLE)
-                / (sa.n_sh + sb.n_sh - cm.n_common), 6) >= 0.5
+               WHERE pa.id < pb.id
+                 AND least(pa.n_sh, pb.n_sh)
+                     >= (0.5 - 1e-6) * greatest(pa.n_sh, pb.n_sh)
+               GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard
+    FROM common
+    WHERE round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) >= 0.5
 """
 
 
