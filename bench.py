@@ -13,6 +13,16 @@ runs in its own thread under a Spark job group with a wall-clock cap; on
 timeout the job group is cancelled and the query is recorded as failed. The
 JSON line is always printed with whatever completed, and a global deadline
 stops starting new queries before the driver's own timeout can hit.
+
+Noise contract: single-shot timings on a shared box swing 3-4x run-to-run, so
+each query runs ``$BENCH_REPEATS`` (default 3) passes in ROUND-ROBIN order
+(pass 1 all queries, then pass 2, ...) — a transient contention spike hits one
+pass, not all repeats of one query — and ``queries`` reports the per-query
+MEDIAN (all raw runs are kept under ``runs``). A fixed calibration workload
+(pure generated data, identical every round) is measured the same way and
+reported under ``calibration`` so a reader can divide out box speed before
+comparing rounds. A query that errors/times out in one pass is not retried in
+later passes (budget protection); its earlier successful runs still count.
 """
 
 from __future__ import annotations
@@ -57,6 +67,19 @@ BENCH_QUERIES = [
 
 PER_QUERY_CAP_S = float(os.environ.get("BENCH_QUERY_CAP_S", "150"))
 GLOBAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+
+
+def _calibration(spark, sf_dir):
+    """Fixed box-speed probe: identical work every round regardless of
+    fixtures or code under test — 20M generated rows through one hash
+    shuffle + agg. Its round-over-round ratio IS the box factor."""
+    return (
+        spark.range(0, 20_000_000, 1, 32)
+        .selectExpr("id % 4096 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum"})
+    )
 
 
 def _run_capped(spark, name: str, fn, sf_dir: str, cap_s: float):
@@ -106,35 +129,54 @@ def main() -> int:
     # query doesn't pay session spin-up.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    deadline = time.monotonic() + GLOBAL_BUDGET_S
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    skipped: list[str] = []
-    for name in BENCH_QUERIES:
-        if time.monotonic() >= deadline:
-            skipped.append(name)
-            continue
-        q = QUERIES.get(name)
-        if q is None:
-            errors[name] = "not registered"
-            continue
-        cap = min(PER_QUERY_CAP_S, max(5.0, deadline - time.monotonic()))
-        elapsed, err = _run_capped(spark, name, q.spark, sf_dir, cap)
-        # Operators persist() skinny intermediates consumed by multiple plan
-        # branches; they cannot unpersist before their result materializes
-        # (lazy eval), so the harness owns cleanup — without it cached blocks
-        # accumulate across 24 queries and lean on LRU eviction.
-        try:
-            spark.catalog.clearCache()
-        except Exception:  # noqa: BLE001
-            pass
-        if err is not None:
-            errors[name] = err
-            print(f"  {name}: FAILED {err}", file=sys.stderr, flush=True)
-        else:
-            timings[name] = round(elapsed, 3)
-            print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    import statistics
 
+    deadline = time.monotonic() + GLOBAL_BUDGET_S
+    plan = [("__calibration__", _calibration)] + [
+        (name, None) for name in BENCH_QUERIES
+    ]
+    runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    for rep in range(REPEATS):
+        for name, fn in plan:
+            if name in errors and name != "__calibration__":
+                continue  # budget protection: no retries of failed queries
+            if time.monotonic() >= deadline:
+                continue
+            if fn is None:
+                q = QUERIES.get(name)
+                if q is None:
+                    errors[name] = "not registered"
+                    continue
+                fn = q.spark
+            cap = min(PER_QUERY_CAP_S, max(5.0, deadline - time.monotonic()))
+            elapsed, err = _run_capped(spark, name, fn, sf_dir, cap)
+            # Operators persist() skinny intermediates consumed by multiple
+            # plan branches; they cannot unpersist before their result
+            # materializes (lazy eval), so the harness owns cleanup — and
+            # clearing between repeats keeps every pass cold-cache so repeats
+            # measure the same work.
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001
+                pass
+            if err is not None:
+                errors[name] = err
+                print(f"  [{rep + 1}/{REPEATS}] {name}: FAILED {err}",
+                      file=sys.stderr, flush=True)
+            else:
+                runs.setdefault(name, []).append(round(elapsed, 3))
+                print(f"  [{rep + 1}/{REPEATS}] {name}: {round(elapsed, 3)}s",
+                      file=sys.stderr, flush=True)
+
+    timings = {
+        name: round(statistics.median(runs[name]), 3)
+        for name in BENCH_QUERIES
+        if name in runs
+    }
+    # errored-but-partially-measured queries still report their median;
+    # `errors` records what went wrong on the failed pass.
+    skipped = [n for n in BENCH_QUERIES if n not in runs and n not in errors]
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": f"bench_total_{len(BENCH_QUERIES)}q",
@@ -142,7 +184,16 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "repeats": REPEATS,
+        "runs": {n: v for n, v in runs.items() if n != "__calibration__"},
     }
+    cal = runs.get("__calibration__")
+    if cal:
+        payload["calibration"] = {
+            "median": round(statistics.median(cal), 3),
+            "runs": cal,
+            "work": "range(20M,32p) -> groupBy(id%4096).sum",
+        }
     if errors:
         payload["errors"] = errors
     if skipped:

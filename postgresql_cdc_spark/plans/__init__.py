@@ -28,24 +28,107 @@ from postgresql_cdc_spark.plans import relational2  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational3  # noqa: E402,F401
 
 
+def _unwrap(fn):
+    while hasattr(fn, "__wrapped__"):
+        fn = fn.__wrapped__
+    return fn
+
+
+# module name -> md5 of its source (memoized; tests may seed entries to
+# simulate a helper edit without touching files on disk).
+_MOD_HASH_CACHE: dict[str, str] = {}
+# builder-defining module -> its sorted transitive helper-module closure.
+_CLOSURE_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _module_src_fingerprint(modname: str) -> str:
+    h = _MOD_HASH_CACHE.get(modname)
+    if h is None:
+        import hashlib
+        import inspect
+        import sys
+
+        mod = sys.modules.get(modname)
+        try:
+            src = inspect.getsource(mod) if mod is not None else ""
+        except (OSError, TypeError):
+            src = ""
+        h = hashlib.md5(src.encode()).hexdigest()[:10]
+        _MOD_HASH_CACHE[modname] = h
+    return h
+
+
+def _package_deps(modname: str, seen: set[str]) -> None:
+    """DFS the package-internal module graph: every module whose members the
+    given module (transitively) imports."""
+    import inspect
+    import sys
+
+    if modname in seen:
+        return
+    seen.add(modname)
+    mod = sys.modules.get(modname)
+    if mod is None:
+        return
+    for v in vars(mod).values():
+        try:
+            dep = v.__name__ if inspect.ismodule(v) else getattr(v, "__module__", None)
+        except Exception:  # noqa: BLE001 — exotic descriptors
+            dep = None
+        if isinstance(dep, str) and dep.startswith("postgresql_cdc_spark.") and dep not in seen:
+            _package_deps(dep, seen)
+
+
+def _query_defining_modules() -> set[str]:
+    return {
+        m for m in (
+            getattr(_unwrap(q.spark), "__module__", None) for q in QUERIES.values()
+        ) if m
+    }
+
+
+def helper_modules(q: Query) -> tuple[str, ...]:
+    """Transitive package-internal modules a query's builder depends on —
+    ``operators/``, ``functions/``, ``sources/``, ``plans.common``, … —
+    excluding modules that themselves define registered queries (their edits
+    are tracked per-builder by ``source_hash``'s direct source term, so
+    including them wholesale would flip every sibling query on any edit)."""
+    mod0 = getattr(_unwrap(q.spark), "__module__", None)
+    if not mod0:
+        return ()
+    cached = _CLOSURE_CACHE.get(mod0)
+    if cached is None:
+        seen: set[str] = set()
+        _package_deps(mod0, seen)
+        qmods = _query_defining_modules()
+        cached = tuple(sorted((seen - {mod0}) - qmods))
+        _CLOSURE_CACHE[mod0] = cached
+    return cached
+
+
 def source_hash(q: Query) -> str:
-    """Short fingerprint of a query's builder source + oracle SQL.
+    """Short fingerprint of a query's builder source + oracle SQL + the
+    source of every transitive helper module the builder depends on.
 
     Recorded in QUERIES.md by ``tools/gen_inventory.py``; a live registry
     whose hash differs from the recorded one is treated as *changed since
-    last stamped* by ``_staleness_order`` and re-verifies first.
+    last stamped* by ``_staleness_order`` and re-verifies first. The helper
+    term closes the gap where a semantic edit to e.g. ``operators/text.py``
+    left every dependent query's builder text — and so its recorded hash —
+    unchanged, letting stale green stamps survive the edit.
     """
     import hashlib
     import inspect
 
-    fn = q.spark
-    while hasattr(fn, "__wrapped__"):
-        fn = fn.__wrapped__
+    fn = _unwrap(q.spark)
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         src = getattr(fn, "__name__", "?")
-    blob = src + "\n--oracle--\n" + (q.oracle or "")
+    blob = src + "\n--oracle--\n" + (q.oracle or "") + "".join(
+        f"\n--helper {m}:{_module_src_fingerprint(m)}--"
+        for m in helper_modules(q)
+    )
     return hashlib.md5(blob.encode()).hexdigest()[:10]
 
 
@@ -80,9 +163,10 @@ _HELPER_TABLES = {
 
 
 def fixture_schema_fingerprints(
-    sf_dir: str = "/root/testdata/sf0.01",
+    sf_dirs: list[str] | None = None,
 ) -> dict[str, str]:
-    """table -> short fingerprint of its parquet *physical* schema.
+    """table -> short fingerprint of its parquet *physical* schema across
+    every scale factor present.
 
     The driver regenerates fixtures between rounds and has already changed a
     physical type in place once (events.ts INT64-nanos -> TIMESTAMP(MICROS)),
@@ -90,7 +174,14 @@ def fixture_schema_fingerprints(
     the arrow schema string (field names + physical/logical types) in
     QUERIES.md lets ``_staleness_order`` treat a drift exactly like a source
     change: affected queries re-verify first next round, no hand-editing.
+
+    All ``/root/testdata/sf*`` dirs (plus ``$SPARK_GRAFT_SF_DIR`` if it points
+    elsewhere) contribute, so drift at any verified scale is caught; a table
+    that is present but UNREADABLE fingerprints as ``unreadable`` — differing
+    from any recorded schema hash, i.e. treated as drifted, never silently
+    skipped.
     """
+    import glob
     import hashlib
     import os
 
@@ -98,15 +189,30 @@ def fixture_schema_fingerprints(
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover — pyarrow is baked into the env
         return {}
+    if sf_dirs is None:
+        sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+        env_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+        if env_dir and os.path.abspath(env_dir) not in [
+            os.path.abspath(d) for d in sf_dirs
+        ]:
+            sf_dirs.append(env_dir)
     out: dict[str, str] = {}
     for t in FIXTURE_TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        try:
-            schema = pq.read_schema(path)
-        except (OSError, Exception):  # noqa: BLE001 — absent fixture: skip
-            continue
-        blob = "; ".join(f"{f.name}:{f.type}" for f in schema)
-        out[t] = hashlib.md5(blob.encode()).hexdigest()[:10]
+        parts: list[str] = []
+        for d in sf_dirs:
+            path = os.path.join(d, f"{t}.parquet")
+            if not os.path.exists(path):
+                continue  # scale factor genuinely lacks the table: not drift
+            try:
+                schema = pq.read_schema(path)
+                parts.append(
+                    os.path.basename(d.rstrip("/")) + "="
+                    + "; ".join(f"{f.name}:{f.type}" for f in schema)
+                )
+            except Exception:  # noqa: BLE001 — present but unreadable: drift
+                parts.append(os.path.basename(d.rstrip("/")) + "=unreadable")
+        if parts:
+            out[t] = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
     return out
 
 
@@ -161,8 +267,13 @@ def tables_of(q: Query) -> set[str]:
 # inert on its own — no hand-removal needed. name -> round of the now-stale
 # stamp.
 _PIN_UNTIL_STAMPED_AFTER = {
-    "dedup_minhash_lsh": 5,   # oracle rewritten for the affine minhash family
-    "dedup_ngram_jaccard": 5,  # base pre-hashes shingles (same semantics)
+    # r7: size-ratio prefilter + sizes-through-groupBy rewrite, oracle in
+    # lockstep — r6 stamp predates it. (r6 pins for minhash/ngram went inert
+    # when their r6 stamps landed.)
+    "dedup_ngram_jaccard": 6,
+    # r7: operators/dedup.py changed in the same module (ngram path only, but
+    # a module edit warrants one conservative re-stamp of its other consumer).
+    "dedup_minhash_lsh": 6,
 }
 
 
@@ -214,8 +325,10 @@ def _staleness_order() -> None:
     recorded = _recorded_hashes(root)
     rec_fix = _recorded_fixture_hashes(root)
     live_fix = fixture_schema_fingerprints() if rec_fix else {}
+    # .get(t) (no default): a table with a recorded fingerprint but no
+    # readable live schema IS drift — the exact case the canary exists for.
     drifted_tables = {
-        t for t, h in rec_fix.items() if live_fix.get(t, h) != h
+        t for t, h in rec_fix.items() if live_fix.get(t) != h
     }
 
     def changed(n: str) -> bool:

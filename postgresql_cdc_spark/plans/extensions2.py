@@ -371,7 +371,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decon_test_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    # pre-hash distinct shingles once; both splits derive from this scan
+    # pre-hash distinct shingles once; both splits derive from this scan.
+    # Same caching contract as operators/dedup.py: lazy evaluation means the
+    # builder cannot unpersist before the caller materializes the result, so
+    # callers in long-lived sessions own cleanup via
+    # spark.catalog.clearCache() once the result is written (the bench and
+    # correctness harnesses both do).
     docs = d.select(
         "doc_id",
         F.transform(
@@ -466,11 +471,12 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(q_min, 6) AS q_min,
            round(q_max, 6) AS q_max,
            CAST(len(v) AS BIGINT) AS n_dims,
-           CAST(list_reduce(list_transform(v, x ->
-                    CASE WHEN q_max = q_min THEN CAST(0 AS BIGINT)
-                         ELSE CAST(floor((x - q_min) / (q_max - q_min) * 255)
-                                   AS BIGINT) END),
-                (a, c) -> a + c) AS BIGINT) AS code_sum
+           CAST(CASE WHEN len(v) = 0 THEN 0
+                ELSE list_reduce(list_transform(v, x ->
+                         CASE WHEN q_max = q_min THEN CAST(0 AS BIGINT)
+                              ELSE CAST(floor((x - q_min) / (q_max - q_min)
+                                              * 255) AS BIGINT) END),
+                     (a, c) -> a + c) END AS BIGINT) AS code_sum
     FROM mm
     """,
     doc="Uniform int8 (0..255) quantization of embeddings — the vector-"

@@ -11,11 +11,10 @@ feeding garbage into every event-time query.
 
 from __future__ import annotations
 
-import datetime
-
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from postgresql_cdc_spark.plans.common import EV
 
@@ -41,12 +40,17 @@ def _write(tmp_path, name: str, arr: pa.Array) -> str:
     return str(d)
 
 
-def _expected():
+def _micros(df):
+    """Collected epoch-micros — tz-independent (collect() would render
+    TimestampType through the DRIVER's local zone; only
+    spark.sql.session.timeZone is pinned to UTC, so naive-datetime compares
+    fail on a non-UTC machine). Integer comparison, like the rest of the
+    suite."""
     return [
-        datetime.datetime.utcfromtimestamp(us / 1_000_000).replace(
-            microsecond=us % 1_000_000
-        )
-        for us in _TS_US
+        r.us
+        for r in df.select(
+            "event_id", F.unix_micros("ts").alias("us")
+        ).orderBy("event_id").collect()
     ]
 
 
@@ -57,15 +61,13 @@ class TestEvEncodings:
         arr = pa.array([us * 1000 for us in _TS_US], pa.timestamp("ns"))
         e = EV(spark, _write(tmp_path, "nanos", arr))
         assert dict(e.dtypes)["ts"] == "timestamp"
-        got = [r.ts for r in e.orderBy("event_id").collect()]
-        assert got == _expected()
+        assert _micros(e) == _TS_US
 
     def test_micros_fixture(self, spark, tmp_path):
         arr = pa.array(_TS_US, pa.timestamp("us"))
         e = EV(spark, _write(tmp_path, "micros", arr))
         assert dict(e.dtypes)["ts"] == "timestamp"
-        got = [r.ts for r in e.orderBy("event_id").collect()]
-        assert got == _expected()
+        assert _micros(e) == _TS_US
 
     def test_both_encodings_agree(self, spark, tmp_path):
         nanos = EV(

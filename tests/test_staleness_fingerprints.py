@@ -1,0 +1,77 @@
+"""Staleness-machinery tests: the re-verification window in
+``plans._staleness_order`` is driven by per-query source hashes and fixture
+schema fingerprints; these pin the two properties VERDICT r6 flagged:
+
+1. a query's ``source_hash`` must cover its TRANSITIVE helper modules
+   (``operators/*``, ``functions/*``): editing ``operators/text.py`` must
+   flip ``text_token_stats``'s hash even though the builder's own text is
+   unchanged, so its green stamp is invalidated;
+2. a fixture with a recorded fingerprint but no readable live schema must be
+   treated as drifted, not silently skipped.
+"""
+
+from __future__ import annotations
+
+import postgresql_cdc_spark.plans as plans
+from postgresql_cdc_spark.plans import QUERIES, source_hash
+
+
+def _seeded_hash(name: str, module: str, fake: str) -> str:
+    """source_hash with the given helper module's source fingerprint replaced
+    (simulating an edit without touching the file)."""
+    saved_mod = dict(plans._MOD_HASH_CACHE)
+    try:
+        plans._MOD_HASH_CACHE[module] = fake
+        return source_hash(QUERIES[name])
+    finally:
+        plans._MOD_HASH_CACHE.clear()
+        plans._MOD_HASH_CACHE.update(saved_mod)
+
+
+class TestHelperFingerprints:
+    def test_text_helper_edit_flips_dependent_query_hashes(self):
+        # token/shingle kernels live in operators/text.py; every query built
+        # on them must re-verify when that module changes.
+        mod = "postgresql_cdc_spark.operators.text"
+        for name in ("text_token_stats", "dedup_exact", "dedup_ngram_jaccard"):
+            assert mod in plans.helper_modules(QUERIES[name]), name
+            assert _seeded_hash(name, mod, "deadbeef00") != source_hash(
+                QUERIES[name]
+            ), f"{name}: helper edit did not flip source_hash"
+
+    def test_similarity_helper_edit_flips_ann_queries(self):
+        mod = "postgresql_cdc_spark.operators.similarity"
+        assert _seeded_hash("sim_topk_lsh", mod, "deadbeef00") != source_hash(
+            QUERIES["sim_topk_lsh"]
+        )
+
+    def test_unrelated_query_module_excluded_from_closure(self):
+        # Modules that define registered queries are tracked per-builder;
+        # including them wholesale would flip every sibling on any edit.
+        for name, q in QUERIES.items():
+            mods = plans.helper_modules(q)
+            assert not any(
+                m in plans._query_defining_modules() for m in mods
+            ), f"{name} closure contains a query-defining module"
+
+    def test_pg_types_helper_covers_cdc_queries(self):
+        mod = "postgresql_cdc_spark.functions.pg_types"
+        assert mod in plans.helper_modules(QUERIES["cdc_materialize_state"])
+
+
+class TestFixtureDrift:
+    def test_unreadable_fixture_counts_as_drift(self, tmp_path):
+        # present-but-corrupt parquet must fingerprint (as 'unreadable'),
+        # not vanish from the map.
+        bad = tmp_path / "region.parquet"
+        bad.write_bytes(b"not a parquet file")
+        fp = plans.fixture_schema_fingerprints([str(tmp_path)])
+        assert "region" in fp
+
+    def test_absent_table_not_reported(self, tmp_path):
+        fp = plans.fixture_schema_fingerprints([str(tmp_path)])
+        assert fp == {}
+
+    def test_live_fingerprints_cover_all_tables(self):
+        fp = plans.fixture_schema_fingerprints()
+        assert set(fp) == set(plans.FIXTURE_TABLES)
