@@ -263,6 +263,98 @@ class TestCrashRecoveryLoop:
         )
 
 
+class TestTypedRoundtripFullPipeline:
+    """The complete production composition in ONE test — the full
+    `IntegrationTest.java:117-184` analog:
+
+        inserts → replication transport (fake psycopg stack) → run_wal_relay
+        → WAL archive → pgcdc STRUCTURED STREAMING source (micro-batched)
+        → materialize (window-fill merge) → typed_view
+
+    asserting the reference's value-identity property for all nine logical
+    types plus present-but-NULL fidelity. After this, the only code never
+    executed in this container is the literal psycopg2 socket
+    (`streaming/replication.py:58`, exercised by TestTypedRoundtripLiveServer
+    when a DSN exists).
+    """
+
+    def test_insert_relay_stream_materialize_typed_view(self, spark, tmp_path):
+        from postgresql_cdc_spark.functions.pg_types import typed_view
+        from postgresql_cdc_spark.operators.materialize import materialize
+        from postgresql_cdc_spark.streaming.source import (
+            PgCdcDataSource,
+            run_wal_relay,
+        )
+
+        fields = _fields()
+        rel = _relation(fields)
+        values = {name: gen() for name, _oid, gen, *_ in fields}
+
+        frames = [(1, encode_relation(rel))]
+        lsn = 10
+        frames.append((lsn, encode_begin(900, 0, 7)))
+        rid = 0
+        for name, *_ in fields:
+            row = [str(rid)] + [
+                values[n] if n == name else None for n, *_ in fields
+            ]
+            nulls = [str(rid + 1)] + [None] * len(fields)
+            frames.append((lsn + 1, encode_insert(REL_ID, row)))
+            frames.append((lsn + 2, encode_insert(REL_ID, nulls)))
+            lsn += 2
+            rid += 2
+        frames.append((900, encode_commit(900, 901, 0)))
+
+        _server, _conns, factory = make_stack(frames)
+        transport = LiveReplicationTransport(
+            factory, ReplicationConfig(slot="full", publication="full"),
+            sleep=lambda s: None,
+        )
+        arch = str(tmp_path / "arch")
+        assert run_wal_relay(transport, arch, chunk_frames=5) == len(frames)
+
+        spark.dataSource.register(PgCdcDataSource)
+        q = (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("maxRecordsPerBatch", "4")  # force real micro-batching
+            .load()
+            .writeStream.format("memory")
+            .queryName("typed_rt_stream")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        env = spark.sql("select * from typed_rt_stream")
+        assert env.count() == 2 * len(fields)
+
+        state = materialize(
+            env, keys=["id"], merge_sparse=True,
+            columns=["id"] + [name for name, *_ in fields],
+        )
+        types = {
+            "id": "bigint", "v_varchar": "string", "v_int": "int",
+            "v_bigint": "bigint", "v_bool": "boolean",
+            "v_intarr": "array<int>", "v_bigintarr": "array<long>",
+            "v_numarr": "array<double>", "v_textarr": "array<string>",
+            "v_num": "decimal(12,12)",
+        }
+        got = {r["id"]: r for r in typed_view(state, types, keep=()).collect()}
+        assert len(got) == 2 * len(fields)
+
+        for i, (name, _oid, _gen, parse, _accessor) in enumerate(fields):
+            expected = parse(values[name])
+            actual = got[2 * i][name]
+            if isinstance(expected, list) and expected and isinstance(expected[0], float):
+                assert actual == pytest.approx(expected), name
+            else:
+                assert actual == expected, name
+            assert got[2 * i + 1][name] is None, name
+
+
 @pytest.mark.skipif(
     not (HAVE_PSYCOPG2 and LIVE_DSN),
     reason="needs psycopg2 and PGCDC_TEST_DSN pointing at a logical-"
