@@ -116,6 +116,13 @@ def source_hash(q: Query) -> str:
     term closes the gap where a semantic edit to e.g. ``operators/text.py``
     left every dependent query's builder text — and so its recorded hash —
     unchanged, letting stale green stamps survive the edit.
+
+    Known limitation: a helper defined INSIDE a query-defining plans module
+    (e.g. ``cdc._changelog``) is not fingerprinted — including the whole
+    defining module would flip every sibling query on any edit, defeating
+    the verification-budget prioritization. Edits to such intra-module
+    helpers need a ``_PIN_UNTIL_STAMPED_AFTER`` entry when they change
+    semantics.
     """
     import hashlib
     import inspect

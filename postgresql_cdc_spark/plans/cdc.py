@@ -50,33 +50,31 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# The synthesized changelog is deterministic per sf_dir, but costs a per-key
-# window sort over lineitem. Several queries replay it; within one process
-# share one DataFrame and persist it on the SECOND request — a single
-# consumer (e.g. the bench's one materialize query) skips the persist cost
-# (serializing map rows to storage costs more than one recompute), while the
-# correctness harness's five CDC queries get the reuse a real deployment
-# gets from checkpointing the decoded changelog to a table.
-# Keyed by applicationId, not id(spark): CPython can reuse a freed session's
-# id() and hand a new SparkSession a stale DataFrame bound to a stopped
-# SparkContext; applicationId is unique per context.
-_CHANGELOG_CACHE: dict[tuple[str, str], list] = {}
+# The synthesized changelog is deterministic per sf_dir; within one process
+# share one DataFrame (plan identity — building it is cheap, and a shared
+# plan lets Spark reuse shuffle files across the CDC queries of a harness
+# run). Keyed by applicationId, not id(spark): CPython can reuse a freed
+# session's id() and hand a new SparkSession a stale DataFrame bound to a
+# stopped SparkContext; applicationId is unique per context.
+#
+# Deliberately NOT persisted: an earlier persist-on-second-request policy
+# made a repeat-measuring bench pay the columnar cache build of 730k
+# map-typed rows on pass 2 (serializing maps to storage memory costs more
+# than one recompute — measured 6.4s -> 28.7s) for blocks the harness clears
+# right after. A real deployment checkpoints the decoded changelog to a
+# table instead (also the measured-faster option at sf0.1 vs map-typed
+# caching; see r3 note: parquet replay of map rows was ~30% slower than
+# re-synthesizing, and in-memory map caching loses by more).
+_CHANGELOG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NB: measured alternative (round 3): snapshotting the synthesized
-    # changelog to a /tmp parquet archive and replaying it was ~30% SLOWER
-    # than re-synthesizing (decoding 730k map-typed parquet rows costs more
-    # than the in-JVM window that builds them), so the direct path stays.
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    entry = _CHANGELOG_CACHE.get(key)
-    if entry is None:
-        entry = [synthesize_changelog_lineitem(spark, sf_dir), 0]
-        _CHANGELOG_CACHE[key] = entry
-    entry[1] += 1
-    if entry[1] == 2:
-        entry[0] = entry[0].persist()
-    return entry[0]
+    df = _CHANGELOG_CACHE.get(key)
+    if df is None:
+        df = synthesize_changelog_lineitem(spark, sf_dir)
+        _CHANGELOG_CACHE[key] = df
+    return df
 
 
 @register(

@@ -519,3 +519,109 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, c: a + c,
         ).alias("code_sum"),
     )
+
+
+# --- composed corpus-cleaning pass -------------------------------------------
+
+from postgresql_cdc_spark.plans.extensions import (  # noqa: E402
+    _DE_SW,
+    _EN_SW,
+    _ES_SW,
+    _FR_SW,
+)
+
+_CLEAN_GREATEST = "greatest(s_de, s_en, s_es, s_fr)"
+
+_CLEAN_ORACLE = f"""
+    WITH c AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, text FROM documents
+        WHERE doc_id % 7 = 0
+    ),
+    t AS (SELECT doc_id, text, {_TOKS} AS toks FROM c),
+    f AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round((
+                   (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
+                 + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                        AS DOUBLE) / greatest(length(text), 1)
+                 + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 + (CASE WHEN CAST(len(list_filter(toks,
+                            x -> list_contains({_EN_SW}, x))) AS DOUBLE)
+                              / len(toks) > 0.02 THEN 1 ELSE 0 END)
+               ) / 4.0, 6) AS quality,
+               len(list_filter(toks, x -> list_contains({_DE_SW}, x))) AS s_de,
+               len(list_filter(toks, x -> list_contains({_EN_SW}, x))) AS s_en,
+               len(list_filter(toks, x -> list_contains({_ES_SW}, x))) AS s_es,
+               len(list_filter(toks, x -> list_contains({_FR_SW}, x))) AS s_fr,
+               {_H60.format(x="array_to_string(toks, ' ')")} AS content_hash
+        FROM t WHERE len(toks) > 0
+    ),
+    g AS (
+        SELECT *,
+               CASE WHEN {_CLEAN_GREATEST} <= 0 THEN 'und'
+                    WHEN s_de = {_CLEAN_GREATEST} THEN 'de'
+                    WHEN s_en = {_CLEAN_GREATEST} THEN 'en'
+                    WHEN s_es = {_CLEAN_GREATEST} THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM f
+    ),
+    k AS (
+        SELECT doc_id, n_tokens, quality, content_hash,
+               ROW_NUMBER() OVER (PARTITION BY content_hash
+                                  ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+        FROM g
+        WHERE n_tokens BETWEEN 20 AND 2000
+          AND quality >= 0.5 AND lang_pred = 'en'
+    )
+    SELECT doc_id, n_tokens, quality, CAST(n_copies AS BIGINT) AS n_copies
+    FROM k WHERE rn = 1
+"""
+
+
+@register(
+    "corpus_clean_pipeline",
+    _CLEAN_ORACLE,
+    doc="The composed end-to-end corpus-cleaning pass a training-data "
+        "pipeline runs before tokenization: size gate (20..2000 tokens), "
+        "heuristic quality gate (>= 0.5), language gate (en), then exact "
+        "dedup keeping the min-id canonical per normalized-content hash "
+        "with its copy count. Corpus = documents plus exact copies of every "
+        "7th doc so the dedup stage demonstrably removes rows. Shape at "
+        "100 TB: per-row scan-speed feature projection, one filter, one "
+        "hash-partitioned window on content_hash — the same single-shuffle "
+        "profile as exact_dedup; everything upstream column-prunes to "
+        "(doc_id, text).",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    c = d.unionByName(dup)
+    base = c.select(
+        "doc_id", "text", tx.tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    feats = base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.lang_best(F.col("toks")).alias("lang_pred"),
+        tx.h60(F.concat_ws(" ", F.col("toks"))).alias("content_hash"),
+    )
+    kept = feats.where(
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 2000)
+        & (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+    w = Window.partitionBy("content_hash")
+    out = kept.select(
+        "doc_id", "n_tokens", "quality",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return out.where(F.col("rn") == 1).select(
+        "doc_id", "n_tokens", "quality", "n_copies"
+    )
