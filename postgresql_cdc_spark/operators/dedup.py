@@ -224,7 +224,26 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    # Verification = exact shingle Jaccard on candidates only. Sizes attach
+    # to the candidate pairs BEFORE the double posting join, enabling the
+    # size-ratio prune (Jaccard <= min/max; see ngram_jaccard_pairs) to drop
+    # can't-qualify pairs before the expensive per-shingle fan-out — and the
+    # post-aggregation size joins disappear (sizes ride through the groupBy).
     sizes = base.select("id", F.size("shh").alias("n_sh"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cand = (
+        cand.join(sa, cand.id_a == F.col("sa.id"))
+        .join(sb, cand.id_b == F.col("sb.id"))
+        .where(
+            F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+            >= (threshold - 1e-6)
+            * F.greatest(F.col("sa.n_sh"), F.col("sb.n_sh"))
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("sa.n_sh").alias("na"), F.col("sb.n_sh").alias("nb"),
+        )
+    )
     inter = (
         base.select("id", F.explode("shh").alias("sh_hash"))
         .persist()  # both sides of the common-shingle join read it
@@ -233,24 +252,20 @@ def minhash_lsh_pairs(
     common = (
         cand.join(ia, cand.id_a == ia.id)
         .join(ib, (cand.id_b == F.col("ib.id")) & (F.col("ia.sh_hash") == F.col("ib.sh_hash")))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    out = (
-        common.join(sa, common.id_a == sa.id)
-        .join(sb, common.id_b == F.col("sb.id"))
-        .select(
+    return (
+        common.select(
             "id_a", "id_b",
             F.round(
                 F.col("n_common")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
                 6,
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out
 
 
 def simhash_fingerprint(text: Column, bits: int = 60, n: int = 1) -> Column:

@@ -247,23 +247,25 @@ _MINHASH_ORACLE = f"""
     bands AS ({" UNION ALL ".join(_band_sql(b) for b in range(4))}),
     wide AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 50),
     bk AS (SELECT bands.* FROM bands ANTI JOIN wide USING (band, bucket)),
-    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM bk a JOIN bk b USING (band, bucket) WHERE a.id < b.id),
+    cand0 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM bk a JOIN bk b USING (band, bucket) WHERE a.id < b.id),
     sizes AS (SELECT id, len(shh) AS n_sh FROM base),
+    cand AS (SELECT cd.id_a, cd.id_b, sa.n_sh AS na, sb.n_sh AS nb
+             FROM cand0 cd
+             JOIN sizes sa ON sa.id = cd.id_a
+             JOIN sizes sb ON sb.id = cd.id_b
+             WHERE least(sa.n_sh, sb.n_sh)
+                   >= (0.5 - 1e-6) * greatest(sa.n_sh, sb.n_sh)),
     posting AS (SELECT id, unnest(shh) AS sh_hash FROM base),
-    common AS (SELECT cd.id_a, cd.id_b, COUNT(*) AS n_common
+    common AS (SELECT cd.id_a, cd.id_b, cd.na, cd.nb, COUNT(*) AS n_common
                FROM cand cd
                JOIN posting pa ON pa.id = cd.id_a
                JOIN posting pb ON pb.id = cd.id_b AND pb.sh_hash = pa.sh_hash
-               GROUP BY 1, 2)
-    SELECT cm.id_a, cm.id_b,
-           round(CAST(cm.n_common AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - cm.n_common), 6) AS jaccard
-    FROM common cm
-    JOIN sizes sa ON sa.id = cm.id_a
-    JOIN sizes sb ON sb.id = cm.id_b
-    WHERE round(CAST(cm.n_common AS DOUBLE)
-                / (sa.n_sh + sb.n_sh - cm.n_common), 6) >= 0.5
+               GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard
+    FROM common
+    WHERE round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) >= 0.5
 """
 
 
