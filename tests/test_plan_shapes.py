@@ -48,10 +48,18 @@ class TestNoAccidentalCrossJoins:
         offenders = {}
         for name in QUERIES:
             plan = _plan(spark, name)
-            if "CartesianProduct" in plan:
-                offenders[name] = "CartesianProduct"
-            elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
-                offenders[name] = "BroadcastNestedLoopJoin"
+            for shape in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+                if shape in plan and not (
+                    shape == "BroadcastNestedLoopJoin" and name in NESTED_LOOP_OK
+                ):
+                    # keep the join lines so a failure artifact says WHICH
+                    # join degenerated, not just which query
+                    joins = [
+                        ln.strip() for ln in plan.splitlines()
+                        if "Join" in ln or "Cartesian" in ln
+                    ]
+                    offenders[name] = f"{shape}: {joins[:4]}"
+                    break
         assert not offenders, f"undeclared cross-join shapes: {offenders}"
 
 
@@ -77,6 +85,7 @@ class TestPushdownAndPruning:
             ("text_bpe_token_count", {"doc_id", "text"}),
             ("decon_test_train_overlap", {"doc_id", "text"}),
             ("emb_quantize_int8", {"vec_id", "embedding"}),
+            ("corpus_clean_pipeline", {"doc_id", "text"}),
         ],
     )
     def test_hygiene_queries_prune_columns(self, spark, name, want):
