@@ -19,6 +19,10 @@ Semantics: for each left row, the right row with the greatest ``right_time``
 <= ``left_time`` (ties on time: the union orders right rows before left rows,
 and among equal-time right rows the last one wins — pre-dedupe if that
 matters). ``how='inner'`` drops unmatched left rows, ``'left'`` keeps them.
+``tolerance`` (optional) bounds the lookback: a nearest-prior match farther
+than ``left_time - right_time <= tolerance`` counts as NO match (pandas
+``merge_asof(tolerance=...)`` semantics) — pass an interval Column for
+timestamp axes (``F.expr("INTERVAL 7 DAYS")``) or a number for numeric axes.
 """
 
 from __future__ import annotations
@@ -36,6 +40,7 @@ def asof_join(
     left_time: str,
     right_time: str,
     how: str = "inner",
+    tolerance=None,
 ) -> DataFrame:
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
@@ -80,6 +85,15 @@ def asof_join(
         .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
         .where(F.col("__side") == 1)
     )
+    if tolerance is not None:
+        # out-of-tolerance nearest-prior == no match (merge_asof semantics)
+        in_tol = (
+            F.col("__t") - F.col(f"__match.{right_time}")
+        ) <= tolerance
+        filled = filled.withColumn(
+            "__match",
+            F.when(F.col("__match").isNotNull() & in_tol, F.col("__match")),
+        )
     if how == "inner":
         filled = filled.where(F.col("__match").isNotNull())
 

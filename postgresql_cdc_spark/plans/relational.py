@@ -716,3 +716,44 @@ def asof_purchase_to_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, tiers, on="user_id", left_time="ts", right_time="ts", how="inner"
     )
     return joined.select("event_id", "user_id", "signup_event_id", "value")
+
+
+@register(
+    "asof_tolerance_recent_signups",
+    """
+    WITH tiers AS (
+        SELECT user_id, ts, MAX(event_id) AS signup_event_id
+        FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+    purchases AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+    matched AS (
+        SELECT p.event_id, p.user_id, t.signup_event_id, p.value,
+               epoch_ms(p.ts) - epoch_ms(t.ts) AS lag_ms
+        FROM purchases p ASOF JOIN tiers t
+          ON p.user_id = t.user_id AND p.ts >= t.ts)
+    SELECT event_id, user_id, signup_event_id, value
+    FROM matched WHERE lag_ms <= 7 * 86400000
+    """,
+    doc="as-of join with a 7-day tolerance (pandas merge_asof semantics): a "
+        "purchase whose nearest prior signup is older than the tolerance is "
+        "unmatched and drops under 'inner'. Same single-shuffle union+window "
+        "plan as the unbounded as-of; the tolerance is a post-match filter, "
+        "never a range join.",
+)
+def asof_tolerance_recent_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.asof import asof_join
+
+    e = EV(spark, sf_dir)
+    tiers = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases, tiers, on="user_id", left_time="ts", right_time="ts",
+        how="inner", tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    return joined.select("event_id", "user_id", "signup_event_id", "value")

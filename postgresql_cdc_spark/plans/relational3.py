@@ -402,3 +402,36 @@ def scalar_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))),
             9).alias("corr_qty_price"),
     )
+
+
+@register(
+    "agg_percentile_disc",
+    """
+    SELECT l_returnflag,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)
+             AS p99_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="ANSI discrete percentiles (PERCENTILE_DISC WITHIN GROUP): the "
+        "returned value is an actual data element (smallest value whose "
+        "cumulative distribution >= p), so doubles compare exactly across "
+        "engines — no interpolation formula to disagree on. Exact "
+        "percentiles inherently buffer the group (SortAggregate); the "
+        "bounded-memory scale path is approx_percentile, gated in "
+        "agg_approx_sketches.",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+        .alias("p50_qty"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+        .alias("p90_qty"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .alias("p99_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -52,6 +52,37 @@ def test_asof_join_semantics(spark):
     assert got_left == got | {(2, 5, "c", None)}
 
 
+def test_asof_join_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c")], "k int, t int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "r5"), (1, 18, "r18")], "k int, t int, rv string"
+    )
+    # tolerance 5 on a numeric axis: t=10 matches r5 at the exact boundary
+    # (10-5 <= 5, inclusive); t=20 matches r18 (lag 2); t=30's nearest prior
+    # is r18 at lag 12 -> out of tolerance, dropped under inner.
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        how="inner", tolerance=F.lit(5),
+    )
+    got = {(r.k, r.t, r.lv, r.rv) for r in out.collect()}
+    assert got == {(1, 10, "a", "r5"), (1, 20, "b", "r18")}
+
+    # under 'left' the out-of-tolerance row is kept with a null match,
+    # indistinguishable from never-matched (merge_asof semantics)
+    out_left = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        how="left", tolerance=F.lit(5),
+    )
+    got_left = {(r.k, r.t, r.lv, r.rv) for r in out_left.collect()}
+    assert got_left == got | {(1, 30, "c", None)}
+
+
 def test_ivf_assignment_partitions_corpus(spark, sf_dir):
     """Every vector lands in exactly one cell; cells come from the centroid set."""
     from postgresql_cdc_spark.operators import similarity as sim
