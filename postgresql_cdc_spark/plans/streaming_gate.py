@@ -342,3 +342,144 @@ def cdc_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed_view(
         state, {"id": "bigint", "v_int": "int", "v_text": "string"}, keep=()
     )
+
+
+# --- stream-stream join ------------------------------------------------------
+
+_AUDIT_REL = Relation(
+    relation_id=16392,
+    schema="public",
+    name="audits",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("id", 20, flags=1),
+        ColumnMeta("auditor", 1043),
+    ),
+)
+
+# Event-time base for the synthetic streams: changes at minute i, audits 30s
+# later — every audit lands inside its change's 1-minute join window.
+_T0_MS = 1_700_000_000_000
+
+
+def _build_join_archives(arch_a: str, arch_b: str) -> None:
+    """Two deterministic single-table archives: stream A inserts accounts
+    0..N-1 (one txn each); stream B audits every 3rd id."""
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    frames_a = [(1, encode_relation(_REL))]
+    lsn = 10
+    for i in range(N):
+        frames_a.append((lsn, encode_begin(lsn + 2, 0, 1000 + i)))
+        frames_a.append((lsn + 1, encode_insert(
+            _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
+        )))
+        frames_a.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        lsn += 3
+    write_wal_archive(arch_a, frames_a)
+
+    frames_b = [(1, encode_relation(_AUDIT_REL))]
+    lsn = 10
+    for i in range(0, N, 3):
+        frames_b.append((lsn, encode_begin(lsn + 2, 0, 2000 + i)))
+        frames_b.append((lsn + 1, encode_insert(
+            _AUDIT_REL.relation_id, [str(i), f"aud-{i % 7}"]
+        )))
+        frames_b.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        lsn += 3
+    write_wal_archive(arch_b, frames_b)
+
+
+@register(
+    "cdc_stream_stream_join",
+    f"""
+    SELECT i AS id,
+           CAST((i * 7) % 13 AS INT) AS v_int,
+           'aud-' || CAST(i % 7 AS VARCHAR) AS auditor,
+           CAST(30000 AS BIGINT) AS lag_ms
+    FROM range({N}) t(i)
+    WHERE i % 3 = 0
+    """,
+    doc="Watermarked stream-stream inner join under the gate: TWO pgcdc "
+        "streaming sources (account changes; audit events for every 3rd id) "
+        "each derive an event-time from their payload, carry a 2-minute "
+        "watermark, and join on id with the audit constrained to a 1-minute "
+        "window after the change — Spark's symmetric-hash streaming join "
+        "with watermark-driven state eviction, the operator a CDC "
+        "enrichment topology needs. Closed-form oracle: exactly the id%3 "
+        "audits match, each 30s after its change.",
+)
+def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.source import PgCdcDataSource
+
+    try:
+        spark.dataSource.register(PgCdcDataSource)
+    except Exception:  # noqa: BLE001 - already registered in this session
+        pass
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ssj_{run}_")
+    arch_a = os.path.join(base, "wal_a")
+    arch_b = os.path.join(base, "wal_b")
+    _build_join_archives(arch_a, arch_b)
+
+    def read(arch):
+        return (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("readall", "true")
+            .load()
+        )
+
+    # event time derives from the payload id: change at minute i, audit 30s
+    # after — the typed projection happens BEFORE the join so the join state
+    # holds skinny rows, and each side gets its own watermark.
+    ch_id = F.element_at("columns", "id").cast("long")
+    changes = (
+        read(arch_a)
+        .select(
+            ch_id.alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+            F.timestamp_millis(F.lit(_T0_MS) + ch_id * 60_000).alias("ch_ts"),
+        )
+        .withWatermark("ch_ts", "2 minutes")
+    )
+    au_id = F.element_at("columns", "id").cast("long")
+    audits = (
+        read(arch_b)
+        .select(
+            au_id.alias("a_id"),
+            F.element_at("columns", "auditor").alias("auditor"),
+            F.timestamp_millis(
+                F.lit(_T0_MS) + au_id * 60_000 + 30_000
+            ).alias("au_ts"),
+        )
+        .withWatermark("au_ts", "2 minutes")
+    )
+    joined = changes.join(
+        audits,
+        (F.col("id") == F.col("a_id"))
+        & (F.col("au_ts") >= F.col("ch_ts"))
+        & (F.col("au_ts") <= F.col("ch_ts") + F.expr("INTERVAL 1 MINUTE")),
+        "inner",
+    ).select(
+        "id", "v_int", "auditor",
+        (F.unix_millis("au_ts") - F.unix_millis("ch_ts")).alias("lag_ms"),
+    )
+
+    sink = f"cdc_ssj_{run}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("stream-stream join did not finish in 180s")
+    finally:
+        q.stop()
+    return spark.table(sink)
