@@ -483,3 +483,81 @@ def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink)
+
+
+@register(
+    "cdc_stream_dedup_within_watermark",
+    f"""
+    SELECT i AS id,
+           CAST((i * 7) % 13 AS INT) AS v_int
+    FROM range({N}) t(i)
+    """,
+    doc="At-least-once replay deduplicated by Spark's native "
+        "dropDuplicatesWithinWatermark: the archive ships every 4th insert "
+        "TWICE (the duplicate a relay crash between write and ack produces), "
+        "the stream keys on id with a 2-minute watermark, and the sink must "
+        "hold each row exactly once — the built-in twin of the "
+        "applyInPandasWithState dedup (cdc_stream_stateful_dedup), with "
+        "state evicted by watermark instead of TTL. Closed-form oracle: "
+        "one row per id.",
+)
+def cdc_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.source import (
+        PgCdcDataSource,
+        write_wal_archive,
+    )
+
+    try:
+        spark.dataSource.register(PgCdcDataSource)
+    except Exception:  # noqa: BLE001 - already registered in this session
+        pass
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ddw_{run}_")
+    arch = os.path.join(base, "wal")
+
+    frames = [(1, encode_relation(_REL))]
+    lsn = 10
+    for i in range(N):
+        repeats = 2 if i % 4 == 0 else 1  # replayed unacked frame
+        for _ in range(repeats):
+            frames.append((lsn, encode_begin(lsn + 2, 0, 3000 + i)))
+            frames.append((lsn + 1, encode_insert(
+                _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
+            )))
+            frames.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+            lsn += 3
+    write_wal_archive(arch, frames)
+
+    rid = F.element_at("columns", "id").cast("long")
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("readall", "true")
+        .load()
+        .select(
+            rid.alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+            F.timestamp_millis(F.lit(_T0_MS) + rid * 60_000).alias("ts"),
+        )
+        .withWatermark("ts", "2 minutes")
+        .dropDuplicatesWithinWatermark(["id"])
+        .select("id", "v_int")
+    )
+
+    sink = f"cdc_ddw_{run}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("dedup-within-watermark did not finish in 180s")
+    finally:
+        q.stop()
+    return spark.table(sink)
