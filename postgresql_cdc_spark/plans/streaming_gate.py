@@ -97,9 +97,15 @@ def _build_archive(path: str) -> None:
 
 
 def _run_stream_to_memory(spark: SparkSession, arch: str, base: str,
-                          transform=None) -> DataFrame:
-    """readStream(pgcdc) → optional transform → memory sink under
-    Trigger.AvailableNow; returns the sink table."""
+                          transform=None, max_records: int | None = None) -> DataFrame:
+    """readStream(pgcdc) → optional transform → memory sink; returns the
+    sink table.
+
+    Default: whole archive as ONE batch under Trigger.AvailableNow (option
+    readall). With ``max_records``, the source chunks into real micro-batches
+    (txn-aligned, ``maxRecordsPerBatch``) under the default trigger +
+    ``processAllAvailable`` — required when the transform's semantics only
+    show up ACROSS batches (watermark advancement, cross-batch state)."""
     from postgresql_cdc_spark.streaming.source import PgCdcDataSource
 
     try:
@@ -107,27 +113,33 @@ def _run_stream_to_memory(spark: SparkSession, arch: str, base: str,
     except Exception:  # noqa: BLE001 - already registered in this session
         pass
     sink = f"cdc_gate_{uuid.uuid4().hex[:12]}"
-    stream = (
-        spark.readStream.format("pgcdc")
-        .option("path", arch)
-        .option("readall", "true")  # AvailableNow falls back to one batch
-        .load()
-    )
+    reader = spark.readStream.format("pgcdc").option("path", arch)
+    if max_records is None:
+        reader = reader.option("readall", "true")  # AvailableNow: one batch
+    else:
+        reader = reader.option("maxRecordsPerBatch", str(max_records))
+    stream = reader.load()
     if transform is not None:
         stream = transform(stream)
-    q = (
+    writer = (
         stream.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
     )
-    try:
-        if not q.awaitTermination(180):
-            raise TimeoutError("streaming replay did not finish in 180s")
-    finally:
-        q.stop()
+    if max_records is None:
+        q = writer.trigger(availableNow=True).start()
+        try:
+            if not q.awaitTermination(180):
+                raise TimeoutError("streaming replay did not finish in 180s")
+        finally:
+            q.stop()
+    else:
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink)
 
 
@@ -493,71 +505,60 @@ def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM range({N}) t(i)
     """,
     doc="At-least-once replay deduplicated by Spark's native "
-        "dropDuplicatesWithinWatermark: the archive ships every 4th insert "
-        "TWICE (the duplicate a relay crash between write and ack produces), "
-        "the stream keys on id with a 2-minute watermark, and the sink must "
-        "hold each row exactly once — the built-in twin of the "
-        "applyInPandasWithState dedup (cdc_stream_stateful_dedup), with "
-        "state evicted by watermark instead of TTL. Closed-form oracle: "
-        "one row per id.",
+        "dropDuplicatesWithinWatermark under REAL micro-batching "
+        "(maxRecordsPerBatch=25): one adjacent duplicate exercises the "
+        "same-batch path, and a crash-replay tail re-ships ids 88..99 in a "
+        "LATER batch — those still inside the advanced watermark dedup via "
+        "cross-batch state, the older ones drop as late data; every path "
+        "must yield exactly-once delivery. Built-in twin of the "
+        "applyInPandasWithState dedup (cdc_stream_stateful_dedup), state "
+        "evicted by watermark instead of TTL. Closed-form oracle: one row "
+        "per id.",
 )
 def cdc_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from postgresql_cdc_spark.streaming.source import (
-        PgCdcDataSource,
-        write_wal_archive,
-    )
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
 
-    try:
-        spark.dataSource.register(PgCdcDataSource)
-    except Exception:  # noqa: BLE001 - already registered in this session
-        pass
     run = uuid.uuid4().hex[:12]
     base = tempfile.mkdtemp(prefix=f"pgcdc_ddw_{run}_")
     arch = os.path.join(base, "wal")
 
+    def insert_txn(frames, lsn, xid, i):
+        frames.append((lsn, encode_begin(lsn + 2, 0, xid)))
+        frames.append((lsn + 1, encode_insert(
+            _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
+        )))
+        frames.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        return lsn + 3
+
     frames = [(1, encode_relation(_REL))]
     lsn = 10
     for i in range(N):
-        repeats = 2 if i % 4 == 0 else 1  # replayed unacked frame
-        for _ in range(repeats):
-            frames.append((lsn, encode_begin(lsn + 2, 0, 3000 + i)))
-            frames.append((lsn + 1, encode_insert(
-                _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
-            )))
-            frames.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
-            lsn += 3
+        lsn = insert_txn(frames, lsn, 3000 + i, i)
+        if i == 0:  # adjacent duplicate: same-micro-batch dedup path
+            lsn = insert_txn(frames, lsn, 3000 + i, i)
+    # crash-replay tail: the relay re-ships the last unacked chunk AFTER the
+    # originals, so these duplicates arrive in a later micro-batch; by then
+    # the watermark has advanced past the older ones (late-data drop) while
+    # the newest still dedup via cross-batch state.
+    for i in range(88, N):
+        lsn = insert_txn(frames, lsn, 4000 + i, i)
     write_wal_archive(arch, frames)
 
     rid = F.element_at("columns", "id").cast("long")
-    stream = (
-        spark.readStream.format("pgcdc")
-        .option("path", arch)
-        .option("readall", "true")
-        .load()
-        .select(
-            rid.alias("id"),
-            F.element_at("columns", "v_int").cast("int").alias("v_int"),
-            F.timestamp_millis(F.lit(_T0_MS) + rid * 60_000).alias("ts"),
-        )
-        .withWatermark("ts", "2 minutes")
-        .dropDuplicatesWithinWatermark(["id"])
-        .select("id", "v_int")
-    )
 
-    sink = f"cdc_ddw_{run}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(180):
-            raise TimeoutError("dedup-within-watermark did not finish in 180s")
-    finally:
-        q.stop()
-    return spark.table(sink)
+    def dedup(stream):
+        return (
+            stream.select(
+                rid.alias("id"),
+                F.element_at("columns", "v_int").cast("int").alias("v_int"),
+                F.timestamp_millis(F.lit(_T0_MS) + rid * 60_000).alias("ts"),
+            )
+            .withWatermark("ts", "2 minutes")
+            .dropDuplicatesWithinWatermark(["id"])
+            .select("id", "v_int")
+        )
+
+    return _run_stream_to_memory(spark, arch, base, transform=dedup,
+                                 max_records=25)
