@@ -58,10 +58,32 @@ def _module_src_fingerprint(modname: str) -> str:
     return h
 
 
+def _resolve_module(dotted: str):
+    """Longest importable prefix of a dotted package path (the regex scan
+    below can capture ``pkg.module.attr``); imports it if needed — a builder
+    that imports a helper inside its function body leaves the helper out of
+    sys.modules until first call, which must not hide it from the
+    fingerprint."""
+    import importlib
+
+    parts = dotted.split(".")
+    while parts:
+        name = ".".join(parts)
+        try:
+            return importlib.import_module(name)
+        except ImportError:
+            parts.pop()
+    return None
+
+
 def _package_deps(modname: str, seen: set[str]) -> None:
-    """DFS the package-internal module graph: every module whose members the
-    given module (transitively) imports."""
+    """DFS the package-internal module graph: every module the given module
+    (transitively) depends on — via module-level imports (namespace scan)
+    AND via imports inside function bodies (source scan; builders routinely
+    do ``from postgresql_cdc_spark.operators.asof import asof_join`` inside
+    the function, which never surfaces in any module namespace)."""
     import inspect
+    import re
     import sys
 
     if modname in seen:
@@ -69,13 +91,48 @@ def _package_deps(modname: str, seen: set[str]) -> None:
     seen.add(modname)
     mod = sys.modules.get(modname)
     if mod is None:
-        return
+        mod = _resolve_module(modname)
+        if mod is None:
+            return
+    deps: set[str] = set()
     for v in vars(mod).values():
         try:
             dep = v.__name__ if inspect.ismodule(v) else getattr(v, "__module__", None)
         except Exception:  # noqa: BLE001 — exotic descriptors
             dep = None
-        if isinstance(dep, str) and dep.startswith("postgresql_cdc_spark.") and dep not in seen:
+        if isinstance(dep, str) and dep.startswith("postgresql_cdc_spark."):
+            deps.add(dep)
+    try:
+        src = inspect.getsource(mod)
+    except (OSError, TypeError):
+        src = ""
+    for dotted in re.findall(
+        r"postgresql_cdc_spark(?:\.[A-Za-z_][A-Za-z0-9_]*)+", src
+    ):
+        sub = _resolve_module(dotted)
+        if sub is not None and sub.__name__ != "postgresql_cdc_spark":
+            deps.add(sub.__name__)
+    # ``from pkg.sub import name`` where name is itself a MODULE (e.g.
+    # ``from ...operators import multimodal as mm``): the dotted regex only
+    # sees ``pkg.sub``, so try each imported name as a submodule too.
+    for base_path, names in re.findall(
+        r"from\s+(postgresql_cdc_spark(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+import"
+        r"\s+(\([^)]*\)|[^\n]+)",
+        src,
+    ):
+        for item in names.strip("()").split(","):
+            name = item.split(" as ")[0].split("#")[0].strip()
+            if not name.isidentifier():
+                continue
+            import importlib
+
+            try:
+                sub = importlib.import_module(f"{base_path}.{name}")
+            except ImportError:
+                continue
+            deps.add(sub.__name__)
+    for dep in deps:
+        if dep not in seen:
             _package_deps(dep, seen)
 
 

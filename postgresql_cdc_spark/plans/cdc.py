@@ -51,11 +51,12 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # The synthesized changelog is deterministic per sf_dir; within one process
-# share one DataFrame (plan identity — building it is cheap, and a shared
-# plan lets Spark reuse shuffle files across the CDC queries of a harness
-# run). Keyed by applicationId, not id(spark): CPython can reuse a freed
-# session's id() and hand a new SparkSession a stale DataFrame bound to a
-# stopped SparkContext; applicationId is unique per context.
+# share one DataFrame so the (driver-side) plan is built once. NB: exchange
+# reuse is per-query-execution, so each of the harness's CDC queries still
+# re-runs the synthesis window (~1-2s at sf0.01) — an accepted cost, see the
+# persist note below. Keyed by applicationId, not id(spark): CPython can
+# reuse a freed session's id() and hand a new SparkSession a stale DataFrame
+# bound to a stopped SparkContext; applicationId is unique per context.
 #
 # Deliberately NOT persisted: an earlier persist-on-second-request policy
 # made a repeat-measuring bench pay the columnar cache build of 730k

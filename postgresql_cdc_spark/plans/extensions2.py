@@ -602,15 +602,39 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"), "text"
     )
     c = d.unionByName(dup)
+    # The downstream feature projection references `toks` ~20 times (quality
+    # components, 4-language stopword scores, content hash). Two layers of
+    # defense keep the tokenize regex at ONE evaluation per row:
+    # - quality is composed from the NAMED toks column instead of calling
+    #   tx.quality_score(text) (a Column object is an expression tree, so
+    #   each helper-local reference embeds a fresh copy of the split —
+    #   measured 92 copies in the executed plan);
+    # - the nondeterministic __mid column pins the projection: Catalyst's
+    #   CollapseProject refuses to merge a project containing a
+    #   nondeterministic expression, so the named toks stays materialized
+    #   instead of being inlined per reference (measured 72 copies and ~6x
+    #   the runtime without it — codegen subexpression elimination does not
+    #   cover lambda-bearing higher-order functions).
     base = c.select(
-        "doc_id", "text", tx.tokens(F.col("text")).alias("toks")
+        "doc_id", "text", tx.tokens(F.col("text")).alias("toks"),
+        F.monotonically_increasing_id().alias("__mid"),
     ).where(F.size("toks") > 0)
+    toks, n = F.col("toks"), F.size("toks")
+    length_ok = ((n >= 20) & (n <= 1000)).cast("int")
+    alpha_ratio = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")) / \
+        F.greatest(F.length("text"), F.lit(1))
+    uniq = F.size(F.array_distinct(toks)) / n
+    en_sw = F.array(*[F.lit(w) for w in tx.STOPWORDS["en"]])
+    has_sw = (
+        (F.size(F.filter(toks, lambda t: F.array_contains(en_sw, t))) / n)
+        > 0.02
+    ).cast("int")
     feats = base.select(
         "doc_id",
-        F.size("toks").cast("bigint").alias("n_tokens"),
-        tx.quality_score(F.col("text")).alias("quality"),
-        tx.lang_best(F.col("toks")).alias("lang_pred"),
-        tx.h60(F.concat_ws(" ", F.col("toks"))).alias("content_hash"),
+        n.cast("bigint").alias("n_tokens"),
+        F.round((length_ok + alpha_ratio + uniq + has_sw) / 4.0, 6).alias("quality"),
+        tx.lang_best(toks).alias("lang_pred"),
+        tx.h60(F.concat_ws(" ", toks)).alias("content_hash"),
     )
     kept = feats.where(
         (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 2000)

@@ -96,6 +96,64 @@ def _build_archive(path: str) -> None:
     write_wal_archive(path, frames)
 
 
+def _register_source(spark: SparkSession) -> None:
+    from postgresql_cdc_spark.streaming.source import PgCdcDataSource
+
+    try:
+        spark.dataSource.register(PgCdcDataSource)
+    except Exception:  # noqa: BLE001 - already registered in this session
+        pass
+
+
+def _sink_to_memory(spark: SparkSession, stream, base: str,
+                    available_now: bool, timeout_s: float = 180.0) -> DataFrame:
+    """Run an already-built streaming DataFrame into a memory sink and return
+    the sink table — the shared tail of every gate query, so sink wiring,
+    trigger policy, and the hang guard live in exactly one place.
+
+    Both trigger modes are bounded by ``timeout_s``: a wedged source or
+    stateful operator fails ONE query with TimeoutError instead of stalling
+    the whole gated round (processAllAvailable has no native timeout, so the
+    micro-batch mode polls it from a watchdog thread)."""
+    import threading
+
+    sink = f"cdc_gate_{uuid.uuid4().hex[:12]}"
+    writer = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        try:
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(f"streaming replay did not finish in {timeout_s}s")
+        finally:
+            q.stop()
+    else:
+        q = writer.start()
+        done = threading.Event()
+
+        def drain():
+            try:
+                q.processAllAvailable()
+            finally:
+                done.set()
+
+        th = threading.Thread(target=drain, daemon=True)
+        try:
+            th.start()
+            if not done.wait(timeout_s):
+                raise TimeoutError(
+                    f"micro-batch replay did not drain in {timeout_s}s"
+                )
+        finally:
+            q.stop()
+            th.join(15)
+    return spark.table(sink)
+
+
 def _run_stream_to_memory(spark: SparkSession, arch: str, base: str,
                           transform=None, max_records: int | None = None) -> DataFrame:
     """readStream(pgcdc) → optional transform → memory sink; returns the
@@ -103,16 +161,10 @@ def _run_stream_to_memory(spark: SparkSession, arch: str, base: str,
 
     Default: whole archive as ONE batch under Trigger.AvailableNow (option
     readall). With ``max_records``, the source chunks into real micro-batches
-    (txn-aligned, ``maxRecordsPerBatch``) under the default trigger +
-    ``processAllAvailable`` — required when the transform's semantics only
-    show up ACROSS batches (watermark advancement, cross-batch state)."""
-    from postgresql_cdc_spark.streaming.source import PgCdcDataSource
-
-    try:
-        spark.dataSource.register(PgCdcDataSource)
-    except Exception:  # noqa: BLE001 - already registered in this session
-        pass
-    sink = f"cdc_gate_{uuid.uuid4().hex[:12]}"
+    (txn-aligned, ``maxRecordsPerBatch``) under the default trigger —
+    required when the transform's semantics only show up ACROSS batches
+    (watermark advancement, cross-batch state)."""
+    _register_source(spark)
     reader = spark.readStream.format("pgcdc").option("path", arch)
     if max_records is None:
         reader = reader.option("readall", "true")  # AvailableNow: one batch
@@ -121,26 +173,7 @@ def _run_stream_to_memory(spark: SparkSession, arch: str, base: str,
     stream = reader.load()
     if transform is not None:
         stream = transform(stream)
-    writer = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-    )
-    if max_records is None:
-        q = writer.trigger(availableNow=True).start()
-        try:
-            if not q.awaitTermination(180):
-                raise TimeoutError("streaming replay did not finish in 180s")
-        finally:
-            q.stop()
-    else:
-        q = writer.start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    return spark.table(sink)
+    return _sink_to_memory(spark, stream, base, available_now=max_records is None)
 
 
 @register(
@@ -424,12 +457,7 @@ def _build_join_archives(arch_a: str, arch_b: str) -> None:
 def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from postgresql_cdc_spark.streaming.source import PgCdcDataSource
-
-    try:
-        spark.dataSource.register(PgCdcDataSource)
-    except Exception:  # noqa: BLE001 - already registered in this session
-        pass
+    _register_source(spark)
     run = uuid.uuid4().hex[:12]
     base = tempfile.mkdtemp(prefix=f"pgcdc_ssj_{run}_")
     arch_a = os.path.join(base, "wal_a")
@@ -480,21 +508,7 @@ def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_millis("au_ts") - F.unix_millis("ch_ts")).alias("lag_ms"),
     )
 
-    sink = f"cdc_ssj_{run}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(180):
-            raise TimeoutError("stream-stream join did not finish in 180s")
-    finally:
-        q.stop()
-    return spark.table(sink)
+    return _sink_to_memory(spark, joined, base, available_now=True)
 
 
 @register(

@@ -58,6 +58,23 @@ class TestHelperFingerprints:
         mod = "postgresql_cdc_spark.functions.pg_types"
         assert mod in plans.helper_modules(QUERIES["cdc_materialize_state"])
 
+    def test_function_local_imports_are_fingerprinted(self):
+        # Builders routinely import their operator INSIDE the function body
+        # (never surfacing in the module namespace); the closure must still
+        # see them — VERDICT r7 review caught asof/streaming escaping it.
+        cases = {
+            "asof_purchase_to_signup": "postgresql_cdc_spark.operators.asof",
+            "cdc_stream_end_to_end": "postgresql_cdc_spark.streaming.source",
+            "mm_binary_features": "postgresql_cdc_spark.operators.multimodal",
+            "dedup_cluster_labels": "postgresql_cdc_spark.operators.graph",
+        }
+        for name, mod in cases.items():
+            mods = plans.helper_modules(QUERIES[name])
+            assert mod in mods, f"{name}: {mod} missing from closure {mods}"
+            assert _seeded_hash(name, mod, "deadbeef00") != source_hash(
+                QUERIES[name]
+            ), f"{name}: edit to {mod} did not flip source_hash"
+
 
 class TestFixtureDrift:
     def test_unreadable_fixture_counts_as_drift(self, tmp_path):
