@@ -12,6 +12,14 @@ Scale notes: the roundtrip tables are dimension-sized on purpose (the write
 happens per query run); the read path is the same code path a 100 TB CSV/JSON
 lake scan uses — schema-explicit (no inference scan), column-pruned,
 predicate-pushed where the format supports it.
+
+Format matrix status: parquet (everywhere), ORC, CSV, JSON, and
+hive-partitioned parquet with partition pruning are covered. Avro is
+environment-blocked: spark-avro is an EXTERNAL package (only avro core jars
+ship in the pyspark distribution — verified: `spark.read.format("avro")`
+raises "Failed to find data source"), and this container has no network to
+fetch `org.apache.spark:spark-avro`. On a cluster with the package, the
+roundtrip is the same ``_roundtrip_dir`` pattern with ``format("avro")``.
 """
 
 from __future__ import annotations
