@@ -649,3 +649,63 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("rn") == 1).select(
         "doc_id", "n_tokens", "quality", "n_copies"
     )
+
+
+# --- Python UDTF surface -----------------------------------------------------
+
+_SEGMENTS_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' the ') AS arr
+               FROM documents),
+    e AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(arr) + 1),
+                        i -> struct_pack(i := i, seg := trim(arr[i])))) AS u
+          FROM t)
+    SELECT doc_id,
+           CAST(u.i AS INT) AS seg_idx,
+           CAST(length(u.seg) AS INT) AS n_chars,
+           {_H60.format(x="u.seg")} AS seg_hash
+    FROM e WHERE u.seg <> ''
+"""
+
+
+@register(
+    "udtf_sentence_segments",
+    _SEGMENTS_ORACLE,
+    doc="Python UDTF (Spark 4 table function) — the one UDF surface the "
+        "other queries don't touch: each (doc_id, text) row EXPANDS into "
+        "multiple segment rows via a LATERAL correlated call, with segment "
+        "index, length, and the portable h60 hash computed in Python "
+        "(identical md5-prefix arithmetic to the SQL twin). The delimiter "
+        "is the literal ' the ' (the synthetic corpus has no punctuation), "
+        "standing in for sentence boundaries — dialect-free split on all "
+        "engines. Segmenting is the chunk-for-embedding step a pipeline "
+        "runs when chunks must follow linguistic boundaries rather than "
+        "fixed token windows (text_chunking covers the fixed-window "
+        "variant with pure built-ins; the UDTF is the escape hatch for "
+        "logic an expression can't express, e.g. a real sentence "
+        "tokenizer).",
+)
+def udtf_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, seg_idx int, n_chars int, seg_hash bigint")
+    class SentenceSegments:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            for i, part in enumerate(text.split(" the "), 1):
+                seg = part.strip(" ")  # space-only, matching SQL TRIM
+                if seg:
+                    h = int(hashlib.md5(seg.encode()).hexdigest()[:15], 16)
+                    yield doc_id, i, len(seg), h
+
+    spark.udtf.register("pgcdc_sentence_segments", SentenceSegments)
+    d = T(spark, sf_dir, "documents")
+    view = f"pgcdc_docs_{spark.sparkContext.applicationId.replace('-', '_')}"
+    d.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT s.* FROM {view} d, "
+        "LATERAL pgcdc_sentence_segments(d.doc_id, d.text) s"
+    )
