@@ -576,3 +576,133 @@ def cdc_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
 
     return _run_stream_to_memory(spark, arch, base, transform=dedup,
                                  max_records=25)
+
+
+@register(
+    "cdc_stream_static_enrich",
+    f"""
+    SELECT i AS id,
+           CAST((i * 7) % 13 AS INT) AS v_int,
+           n_name
+    FROM range({N}) t(i) JOIN nation ON i % 25 = n_nationkey
+    """,
+    doc="Stream-static enrichment join under the gate: the pgcdc change "
+        "stream's INSERT image joins a static `nation` dimension (broadcast "
+        "hash join — the dimension re-reads per micro-batch, so small dims "
+        "must broadcast, never shuffle the stream). This is the canonical "
+        "CDC enrichment topology: change stream + slowly-changing reference "
+        "table, no stream-stream state needed. Closed-form oracle: every "
+        "insert id keyed to nation by id % 25.",
+)
+def cdc_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_enrich_{run}_")
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+
+    def enrich(stream):
+        inserts = stream.where(F.col("op") == "I").select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+        )
+        return inserts.join(
+            F.broadcast(nation), inserts["id"] % 25 == nation["n_nationkey"]
+        ).select("id", "v_int", "n_name")
+
+    return _run_stream_to_memory(spark, arch, base, transform=enrich)
+
+
+@register(
+    "cdc_foreachbatch_upsert",
+    f"""
+    SELECT i AS id,
+           CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                     ELSE (i * 7) % 13 END AS INT) AS v_int,
+           'acct-' || CAST(i AS VARCHAR) AS v_text
+    FROM range({N}) t(i)
+    WHERE i % 7 <> 0
+    """,
+    doc="foreachBatch incremental-upsert sink under REAL micro-batches "
+        "(maxRecordsPerBatch=25, txn-aligned): each batch latest-wins-merges "
+        "into a versioned parquet state dir (write-new-version-then-swap — "
+        "the idempotent MERGE pattern on a plain object store, what Delta/"
+        "Iceberg do transactionally), deletes drop terminal keys, updates "
+        "replace the full image; the FINAL version must equal the one-shot "
+        "materialization. Scale: per-batch work is one window over (state "
+        "union batch) partitioned by key — at 100 TB the state side is a "
+        "bucketed table so the merge co-locates without a full shuffle. "
+        "Same closed-form oracle as cdc_stream_end_to_end.",
+)
+def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import threading
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_upsert_{run}_")
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+
+    state_dirs: list[str] = []  # driver-side pointer to the latest version
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = batch_df.select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+            F.element_at("columns", "v_text").alias("v_text"),
+            "op", "lsn",
+        )
+        if state_dirs:
+            prev = batch_df.sparkSession.read.parquet(state_dirs[-1])
+            combined = prev.unionByName(decoded)
+        else:
+            combined = decoded
+        w = Window.partitionBy("id").orderBy(F.desc("lsn"))
+        new_state = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+            .drop("__rn")
+        )
+        out = os.path.join(base, f"state_v{batch_id}")
+        new_state.write.mode("overwrite").parquet(out)
+        state_dirs.append(out)
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    done = threading.Event()
+
+    def drain():
+        try:
+            q.processAllAvailable()
+        finally:
+            done.set()
+
+    th = threading.Thread(target=drain, daemon=True)
+    try:
+        th.start()
+        if not done.wait(180.0):
+            raise TimeoutError("foreachBatch upsert did not drain in 180s")
+    finally:
+        q.stop()
+        th.join(15)
+
+    if not state_dirs:
+        raise RuntimeError("no micro-batch reached the upsert sink")
+    return spark.read.parquet(state_dirs[-1]).select("id", "v_int", "v_text")
