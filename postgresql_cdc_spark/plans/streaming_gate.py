@@ -106,7 +106,8 @@ def _register_source(spark: SparkSession) -> None:
 
 
 def _sink_to_memory(spark: SparkSession, stream, base: str,
-                    available_now: bool, timeout_s: float = 180.0) -> DataFrame:
+                    available_now: bool, timeout_s: float = 180.0,
+                    output_mode: str = "append") -> DataFrame:
     """Run an already-built streaming DataFrame into a memory sink and return
     the sink table — the shared tail of every gate query, so sink wiring,
     trigger policy, and the hang guard live in exactly one place.
@@ -121,7 +122,7 @@ def _sink_to_memory(spark: SparkSession, stream, base: str,
     writer = (
         stream.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", os.path.join(base, "ckpt"))
     )
     if available_now:
@@ -706,3 +707,53 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not state_dirs:
         raise RuntimeError("no micro-batch reached the upsert sink")
     return spark.read.parquet(state_dirs[-1]).select("id", "v_int", "v_text")
+
+
+@register(
+    "cdc_stream_agg_complete",
+    f"""
+    SELECT CAST((1700000000000 + i * 60000) // 600000 * 600000 AS BIGINT)
+               AS win_start_ms,
+           count(*) AS n_inserts
+    FROM range({N}) t(i)
+    GROUP BY win_start_ms
+    """,
+    doc="Streaming windowed aggregation in COMPLETE output mode under real "
+        "micro-batches (maxRecordsPerBatch=25): event-time tumbling 10-minute "
+        "windows over the insert stream, aggregation state carried across "
+        "batches and the full result re-emitted each batch — the memory-sink "
+        "table after the final batch must equal the batch group-by. Fills the "
+        "output-mode matrix cell the append-mode gate queries don't touch "
+        "(complete keeps all window state: the dashboard topology, viable "
+        "when window cardinality is bounded; unbounded keys belong in append "
+        "mode with a watermark, gated in events_* and the dedup queries).",
+)
+def cdc_stream_agg_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_aggc_{run}_")
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+
+    rid = F.element_at("columns", "id").cast("long")
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+        .where(F.col("op") == "I")
+        .select(
+            F.timestamp_millis(F.lit(_T0_MS) + rid * 60_000).alias("ts")
+        )
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_inserts"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+            "n_inserts",
+        )
+    )
+    return _sink_to_memory(
+        spark, stream, base, available_now=False, output_mode="complete"
+    )
