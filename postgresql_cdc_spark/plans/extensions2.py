@@ -709,3 +709,119 @@ def udtf_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT s.* FROM {view} d, "
         "LATERAL pgcdc_sentence_segments(d.doc_id, d.text) s"
     )
+
+
+@register(
+    "corpus_mix_report",
+    f"""
+    WITH t AS (SELECT source, lang,
+                      CAST(len({_TOKS}) AS BIGINT) AS nt,
+                      {_H60.format(x="text")} AS h
+               FROM documents),
+    g AS (SELECT source, lang,
+                 count(*) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens,
+                 count(DISTINCT h) AS n_distinct
+          FROM t GROUP BY source, lang)
+    SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS tokens_per_doc,
+           round(1 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate,
+           round(CAST(n_tokens AS DOUBLE)
+                 / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+    FROM g
+    """,
+    doc="Data-mixture report per (source, lang): doc/token counts, exact-dup "
+        "rate from the portable content hash, and each stratum's token share "
+        "of the corpus — the numbers a training run needs to set sampling "
+        "weights. Every ratio divides exact integers, so doubles agree "
+        "bit-for-bit across engines. Shape at 100 TB: one partial+final "
+        "hash-agg over (source, lang); the OVER () window runs on the "
+        "already-aggregated stratum frame (tens of rows), never the corpus.",
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "source", "lang",
+            F.size(tx.tokens(F.col("text"))).cast("long").alias("nt"),
+            tx.h60(F.col("text")).alias("h"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.countDistinct("h").alias("n_distinct"),
+        )
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "source", "lang", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("tokens_per_doc"),
+        F.round(1 - F.col("n_distinct") / F.col("n_docs"), 6).alias("dup_rate"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+from postgresql_cdc_spark.plans.extensions import _TOPK_BRUTE_ORACLE  # noqa: E402
+
+
+@register(
+    "knn_label_vote",
+    f"""
+    WITH votes AS (
+        SELECT nn.query_id, e.label AS pred_label, count(*) AS n_votes
+        FROM ({_TOPK_BRUTE_ORACLE}) nn
+        JOIN embeddings e ON nn.neighbor_id = e.vec_id
+        GROUP BY nn.query_id, e.label
+    ),
+    best AS (
+        SELECT query_id, pred_label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, pred_label ASC) AS rn
+        FROM votes
+    )
+    SELECT b.query_id,
+           CAST(t.label AS INT) AS true_label,
+           CAST(b.pred_label AS INT) AS pred_label,
+           b.n_votes
+    FROM best b JOIN embeddings t ON b.query_id = t.vec_id
+    WHERE rn = 1
+    """,
+    doc="kNN label vote over the embedding column: each query vector's top-5 "
+        "exact-cosine neighbors vote on its label (majority, ties to the "
+        "smallest label) — the label-propagation / weak-supervision eval a "
+        "labeled-subset pipeline runs. Vote ordering is deterministic because "
+        "cosine rounds to 6 dp BEFORE ranking (the sim_topk convention). "
+        "Scale: neighbor ranking is the documented brute baseline (swap in "
+        "the LSH/IVF path at size); the vote itself is one hash-agg plus a "
+        "per-query window over at most k rows.",
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import similarity as sim
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = sim.topk_brute(e, q, k=5)
+    labels = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("pred_label")
+    )
+    votes = nn.join(labels, "neighbor_id").groupBy("query_id", "pred_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("pred_label")
+    )
+    best = votes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    truth = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return best.join(truth, "query_id").select(
+        "query_id",
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("pred_label").cast("int").alias("pred_label"),
+        "n_votes",
+    )

@@ -757,3 +757,85 @@ def cdc_stream_agg_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sink_to_memory(
         spark, stream, base, available_now=False, output_mode="complete"
     )
+
+
+@register(
+    "cdc_stream_agg_update",
+    f"""
+    SELECT CAST((1700000000000 + i * 60000) // 600000 * 600000 AS BIGINT)
+               AS win_start_ms,
+           count(*) AS n_inserts
+    FROM range({N}) t(i)
+    GROUP BY win_start_ms
+    """,
+    doc="The same windowed insert count in UPDATE output mode: each "
+        "micro-batch emits ONLY the windows whose aggregate changed, and a "
+        "driver-side foreachBatch upserts them last-write-wins — the "
+        "incremental-dashboard topology (complete mode re-emits everything; "
+        "update emits deltas, the sink owns the merge). The upserted map "
+        "after the final batch must equal the batch group-by, which fails if "
+        "Spark re-emits a stale aggregate or skips a changed one. The "
+        "per-batch collect() is contract-small: at most the batch's distinct "
+        "windows (bounded by window cardinality, not stream size).",
+)
+def cdc_stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import threading
+
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_aggu_{run}_")
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+
+    rid = F.element_at("columns", "id").cast("long")
+    agg = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+        .where(F.col("op") == "I")
+        .select(
+            F.timestamp_millis(F.lit(_T0_MS) + rid * 60_000).alias("ts")
+        )
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_inserts"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+            "n_inserts",
+        )
+    )
+
+    current: dict[int, int] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():  # ≤ distinct windows per batch
+            current[row["win_start_ms"]] = row["n_inserts"]
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    done = threading.Event()
+
+    def drain():
+        try:
+            q.processAllAvailable()
+        finally:
+            done.set()
+
+    th = threading.Thread(target=drain, daemon=True)
+    try:
+        th.start()
+        if not done.wait(180.0):
+            raise TimeoutError("update-mode agg did not drain in 180s")
+    finally:
+        q.stop()
+        th.join(15)
+
+    return spark.createDataFrame(
+        sorted(current.items()), "win_start_ms bigint, n_inserts bigint"
+    )
