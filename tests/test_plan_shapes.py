@@ -23,6 +23,7 @@ SF = "/root/testdata/sf0.001"
 # a one-row global aggregate.
 NESTED_LOOP_OK = {
     "sim_topk_brute",      # exact baseline: broadcast queries x corpus scan
+    "knn_label_vote",      # built on the same brute baseline (vote is hash-agg)
     "sim_topk_ivf",        # corpus x 16 broadcast centroids (cell assign)
     "ivf_cell_stats",      # same centroid cross
     "q11_important_stock",  # one-row global total broadcast
