@@ -50,12 +50,10 @@ _REL = Relation(
 N = 100
 
 
-def _build_archive(path: str) -> None:
+def _archive_frames() -> list:
     """Deterministic changelog: 10 insert-txns of 10 rows (ids 0..99,
     v_int = (i*7) %% 13), one update-txn (ids %% 5 == 0 -> v_int + 100), one
     delete-txn (ids %% 7 == 0)."""
-    from postgresql_cdc_spark.streaming.source import write_wal_archive
-
     frames = [(1, encode_relation(_REL))]
     lsn = 10
     xid = 1
@@ -93,7 +91,13 @@ def _build_archive(path: str) -> None:
         )
     lsn += 1
     frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
-    write_wal_archive(path, frames)
+    return frames
+
+
+def _build_archive(path: str) -> None:
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    write_wal_archive(path, _archive_frames())
 
 
 def _register_source(spark: SparkSession) -> None:
@@ -839,3 +843,93 @@ def cdc_stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(current.items()), "win_start_ms bigint, n_inserts bigint"
     )
+
+
+@register(
+    "cdc_stream_restart_recovery",
+    f"""
+    SELECT i AS id,
+           CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                     ELSE (i * 7) % 13 END AS INT) AS v_int,
+           'acct-' || CAST(i AS VARCHAR) AS v_text,
+           CAST(1 + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_events
+    FROM range({N}) t(i)
+    WHERE i % 7 <> 0
+    """,
+    doc="Checkpoint recovery across a query RESTART: run one streaming query "
+        "over the archive's first six txns into a parquet changelog sink, "
+        "stop it, ship the remaining WAL as a second chunk, then start a NEW "
+        "query on the SAME checkpoint — it must resume past the stopped "
+        "query's last committed offset (relation registry replayed from the "
+        "archive head). The result carries per-key n_events, so a "
+        "re-delivered batch (duplicate envelope rows) or a skipped one fails "
+        "the hash gate even though latest-wins materialization alone would "
+        "mask duplicates. This is the restart semantics a production CDC "
+        "pipeline relies on (reference analog: resume from the slot's "
+        "confirmed LSN, CdcEngine.java:143-159).",
+)
+def cdc_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_restart_{run}_")
+    arch = os.path.join(base, "wal")
+    ckpt = os.path.join(base, "ckpt")
+    sink_dir = os.path.join(base, "changelog")
+
+    frames = _archive_frames()
+    commit_idx = [i for i, (_, p) in enumerate(frames) if p[:1] == b"C"]
+    cut = commit_idx[5] + 1  # txn boundary after the 6th insert txn
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("maxRecordsPerBatch", "25")
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: b.write.mode("append").parquet(sink_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        done = threading.Event()
+
+        def drain():
+            try:
+                q.processAllAvailable()
+            finally:
+                done.set()
+
+        th = threading.Thread(target=drain, daemon=True)
+        try:
+            th.start()
+            if not done.wait(180.0):
+                raise TimeoutError("restart-recovery run did not drain in 180s")
+        finally:
+            q.stop()
+            th.join(15)
+
+    write_wal_archive(arch, frames[:cut], chunk="000000.wal")
+    run_once()  # first query: six txns, then a clean stop
+    write_wal_archive(arch, frames[cut:], chunk="000001.wal")
+    run_once()  # NEW query, same checkpoint: must resume, not replay
+
+    log = spark.read.parquet(sink_dir)
+    state = materialize(log, keys=["id"], merge_sparse=False)
+    typed = typed_view(
+        state, {"id": "bigint", "v_int": "int", "v_text": "string"}, keep=()
+    )
+    counts = (
+        log.select(F.element_at("columns", "id").cast("long").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return typed.join(counts, "id").select("id", "v_int", "v_text", "n_events")
