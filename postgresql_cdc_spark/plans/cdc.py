@@ -317,3 +317,77 @@ def pg_timestamp_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(pg_timestamp(ts_text)).alias("ts_back_us"),
         (pg_numeric(price_text, 12, 2) * 100).cast("long").alias("price_back_cents"),
     )
+
+
+@register(
+    "cdc_scd2_history",
+    """
+    WITH versioned AS (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey, l_linenumber
+                   ORDER BY l_partkey ASC, l_suppkey ASC, l_quantity ASC,
+                            l_extendedprice ASC, l_discount ASC, l_tax ASC,
+                            l_returnflag ASC, l_linestatus ASC) AS v,
+               COUNT(*) OVER (
+                   PARTITION BY l_orderkey, l_linenumber) AS n
+        FROM lineitem
+    ), ev AS (
+        SELECT l_orderkey, l_linenumber, 'V' AS op,
+               (l_orderkey*16 + l_linenumber)*1024 + v AS lsn,
+               CAST(l_quantity AS DOUBLE) AS l_quantity
+        FROM versioned
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'U',
+               (l_orderkey*16 + l_linenumber)*1024 + 512,
+               CAST(l_quantity + 5 AS DOUBLE)
+        FROM versioned WHERE v = n AND (l_orderkey + l_linenumber) % 7 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'D',
+               (l_orderkey*16 + l_linenumber)*1024 + 600, NULL
+        FROM versioned WHERE v = n AND (l_orderkey + l_linenumber) % 7 = 1
+    ), t AS (
+        SELECT *, LEAD(lsn) OVER (
+                   PARTITION BY l_orderkey, l_linenumber
+                   ORDER BY lsn) AS valid_to_lsn
+        FROM ev
+    )
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS INT) AS l_linenumber,
+           CAST(lsn AS BIGINT) AS valid_from_lsn,
+           CAST(valid_to_lsn AS BIGINT) AS valid_to_lsn,
+           valid_to_lsn IS NULL AS is_current,
+           l_quantity
+    FROM t WHERE op <> 'D'
+    """,
+    doc="SCD Type-2 history from the changelog: every non-DELETE event opens "
+        "a version valid from its LSN until the key's next event (any op "
+        "closes the open version; NULL valid_to = current). One window "
+        "(lead over the key partition) on skinny extracted columns - one "
+        "shuffle, one sort, the standard way a warehouse derives dimension "
+        "history from CDC. The version carries its own image's l_quantity "
+        "(latest-image semantics), so the sparse TOAST update's +5 and the "
+        "text round-trip are both checked along the way.",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    log = _changelog(spark, sf_dir)
+    ev = log.select(
+        F.element_at("columns", "l_orderkey").cast("long").alias("l_orderkey"),
+        F.element_at("columns", "l_linenumber").cast("int").alias("l_linenumber"),
+        "op", "lsn",
+        F.element_at("columns", "l_quantity").cast("double").alias("l_quantity"),
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy("lsn")
+    return (
+        ev.withColumn("valid_to_lsn", F.lead("lsn").over(w))
+        .where(F.col("op") != "D")
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.col("lsn").alias("valid_from_lsn"),
+            "valid_to_lsn",
+            F.col("valid_to_lsn").isNull().alias("is_current"),
+            "l_quantity",
+        )
+    )
