@@ -933,3 +933,97 @@ def cdc_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return typed.join(counts, "id").select("id", "v_int", "v_text", "n_events")
+
+
+_AUDIT_REL = Relation(
+    relation_id=16392,
+    schema="public",
+    name="audit",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("id", 20, flags=1),
+        ColumnMeta("note", 1043),
+    ),
+)
+
+
+@register(
+    "cdc_multi_table_routing",
+    f"""
+    SELECT 'accounts' AS tab, i AS id,
+           CAST(CASE WHEN i % 3 = 0 THEN (i * 7) % 13 + 7
+                     ELSE (i * 7) % 13 END AS VARCHAR) AS v
+    FROM range({N}) t(i)
+    UNION ALL
+    SELECT 'audit', i, 'note-' || CAST(i AS VARCHAR)
+    FROM range({N}) t(i) WHERE i % 2 = 0 AND i % 5 <> 0
+    """,
+    doc="TWO relations interleaved in the SAME WAL stream (accounts + audit, "
+        "events mixed within transactions): the relation registry must "
+        "dispatch each tuple to its own schema, and materialize partitions "
+        "state by (table, key) so the per-table current states come out of "
+        "ONE shuffle over the combined changelog — the multi-table topology "
+        "every real publication produces (reference analog: relation-id "
+        "dispatch, PgWalMessageDecoder.java:65-99). Accounts get updates "
+        "(ids %3), audits get deletes (ids %5); each table's typed view "
+        "must land exactly its own rows.",
+)
+def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_multi_{run}_")
+    arch = os.path.join(base, "wal")
+
+    frames = [(1, encode_relation(_REL)), (2, encode_relation(_AUDIT_REL))]
+    lsn = 10
+    xid = 100
+    for t in range(10):
+        frames.append((lsn, encode_begin(lsn + 25, 0, xid)))
+        for k in range(10):
+            i = t * 10 + k
+            lsn += 1
+            frames.append((lsn, encode_insert(
+                _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
+            )))
+            if i % 2 == 0:  # audit rows interleave inside the same txn
+                lsn += 1
+                frames.append((lsn, encode_insert(
+                    _AUDIT_REL.relation_id, [str(i), f"note-{i}"]
+                )))
+        lsn += 1
+        frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+        lsn += 1
+        xid += 1
+    frames.append((lsn, encode_begin(lsn + 55, 0, xid)))
+    for i in range(0, N, 3):
+        lsn += 1
+        frames.append((lsn, encode_update(
+            _REL.relation_id, [str(i), str((i * 7) % 13 + 7), f"acct-{i}"]
+        )))
+    for i in range(0, N, 5):
+        if i % 2 == 0:
+            lsn += 1
+            frames.append((lsn, encode_delete(
+                _AUDIT_REL.relation_id, [str(i), None]
+            )))
+    lsn += 1
+    frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+    write_wal_archive(arch, frames)
+
+    log = _run_stream_to_memory(spark, arch, base)
+    state = materialize(log, keys=["id"], merge_sparse=False)
+    acct = typed_view(
+        state.where(F.col("table") == "accounts"),
+        {"id": "bigint", "v_int": "int"}, keep=(),
+    ).select(
+        F.lit("accounts").alias("tab"), "id",
+        F.col("v_int").cast("string").alias("v"),
+    )
+    audit = typed_view(
+        state.where(F.col("table") == "audit"),
+        {"id": "bigint", "note": "string"}, keep=(),
+    ).select(F.lit("audit").alias("tab"), "id", F.col("note").alias("v"))
+    return acct.unionByName(audit)
