@@ -935,8 +935,8 @@ def cdc_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.join(counts, "id").select("id", "v_int", "v_text", "n_events")
 
 
-_AUDIT_REL = Relation(
-    relation_id=16392,
+_ROUTE_AUDIT_REL = Relation(
+    relation_id=16393,
     schema="public",
     name="audit",
     replica_identity="d",
@@ -977,7 +977,7 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix=f"pgcdc_multi_{run}_")
     arch = os.path.join(base, "wal")
 
-    frames = [(1, encode_relation(_REL)), (2, encode_relation(_AUDIT_REL))]
+    frames = [(1, encode_relation(_REL)), (2, encode_relation(_ROUTE_AUDIT_REL))]
     lsn = 10
     xid = 100
     for t in range(10):
@@ -991,7 +991,7 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i % 2 == 0:  # audit rows interleave inside the same txn
                 lsn += 1
                 frames.append((lsn, encode_insert(
-                    _AUDIT_REL.relation_id, [str(i), f"note-{i}"]
+                    _ROUTE_AUDIT_REL.relation_id, [str(i), f"note-{i}"]
                 )))
         lsn += 1
         frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
@@ -1007,7 +1007,7 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i % 2 == 0:
             lsn += 1
             frames.append((lsn, encode_delete(
-                _AUDIT_REL.relation_id, [str(i), None]
+                _ROUTE_AUDIT_REL.relation_id, [str(i), None]
             )))
     lsn += 1
     frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
