@@ -139,8 +139,11 @@ def main() -> int:
     errors: dict[str, str] = {}
     for rep in range(REPEATS):
         for name, fn in plan:
-            if name in errors and name != "__calibration__":
-                continue  # budget protection: no retries of failed queries
+            # Budget protection: no retries of failed queries — calibration
+            # included (a timed-out probe burning the cap once per pass
+            # would starve tail queries out of the budget).
+            if name in errors:
+                continue
             if time.monotonic() >= deadline:
                 continue
             if fn is None:

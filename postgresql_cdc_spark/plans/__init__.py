@@ -76,12 +76,14 @@ def _resolve_module(dotted: str):
     return None
 
 
-def _package_deps(modname: str, seen: set[str]) -> None:
+def _package_deps(modname: str, seen: set[str],
+                  stop: set[str] | None = None) -> None:
     """DFS the package-internal module graph: every module the given module
     (transitively) depends on — via module-level imports (namespace scan)
     AND via imports inside function bodies (source scan; builders routinely
     do ``from postgresql_cdc_spark.operators.asof import asof_join`` inside
-    the function, which never surfaces in any module namespace)."""
+    the function, which never surfaces in any module namespace). Modules in
+    ``stop`` are recorded in ``seen`` but not recursed into."""
     import inspect
     import re
     import sys
@@ -133,7 +135,15 @@ def _package_deps(modname: str, seen: set[str]) -> None:
             deps.add(sub.__name__)
     for dep in deps:
         if dep not in seen:
-            _package_deps(dep, seen)
+            if stop and dep in stop:
+                # Query-defining modules are recorded but NOT recursed into:
+                # their helper imports belong to THEIR builders' closures.
+                # Recursing would leak e.g. operators.similarity into every
+                # query that merely imports a constant from plans.extensions,
+                # flipping ~30 unrelated hashes on any similarity edit.
+                seen.add(dep)
+                continue
+            _package_deps(dep, seen, stop)
 
 
 def _query_defining_modules() -> set[str]:
@@ -149,15 +159,28 @@ def helper_modules(q: Query) -> tuple[str, ...]:
     ``operators/``, ``functions/``, ``sources/``, ``plans.common``, … —
     excluding modules that themselves define registered queries (their edits
     are tracked per-builder by ``source_hash``'s direct source term, so
-    including them wholesale would flip every sibling query on any edit)."""
+    including them wholesale would flip every sibling query on any edit);
+    query-defining modules reached as deps are also not recursed into, so
+    e.g. importing one constant from ``plans.extensions`` does not drag in
+    every helper *its* builders use.
+
+    Granularity is deliberately the defining MODULE, not the builder
+    function: a builder that calls a module-local helper inherits that
+    helper's (possibly function-local) imports, which no per-function source
+    scan sees reliably. The cost is over-approximation — every query in a
+    module carries the union of the module's helper imports, so an edit to
+    one helper re-prioritizes some queries that don't use it. That wastes a
+    little verification budget; the alternative (missing a real dependency)
+    would leave stale green stamps on changed code, which is the failure
+    mode this mechanism exists to prevent."""
     mod0 = getattr(_unwrap(q.spark), "__module__", None)
     if not mod0:
         return ()
     cached = _CLOSURE_CACHE.get(mod0)
     if cached is None:
-        seen: set[str] = set()
-        _package_deps(mod0, seen)
         qmods = _query_defining_modules()
+        seen: set[str] = set()
+        _package_deps(mod0, seen, stop=qmods - {mod0})
         cached = tuple(sorted((seen - {mod0}) - qmods))
         _CLOSURE_CACHE[mod0] = cached
     return cached
@@ -229,8 +252,8 @@ _HELPER_TABLES = {
 def fixture_schema_fingerprints(
     sf_dirs: list[str] | None = None,
 ) -> dict[str, str]:
-    """table -> short fingerprint of its parquet *physical* schema across
-    every scale factor present.
+    """``table@sfdir`` -> short fingerprint of that parquet's *physical*
+    schema (or ``absent`` / ``unreadable``).
 
     The driver regenerates fixtures between rounds and has already changed a
     physical type in place once (events.ts INT64-nanos -> TIMESTAMP(MICROS)),
@@ -240,10 +263,12 @@ def fixture_schema_fingerprints(
     change: affected queries re-verify first next round, no hand-editing.
 
     All ``/root/testdata/sf*`` dirs (plus ``$SPARK_GRAFT_SF_DIR`` if it points
-    elsewhere) contribute, so drift at any verified scale is caught; a table
-    that is present but UNREADABLE fingerprints as ``unreadable`` — differing
-    from any recorded schema hash, i.e. treated as drifted, never silently
-    skipped.
+    elsewhere) contribute. Keys are per (table, dir) so adding or removing a
+    whole scale-factor dir between rounds does NOT perturb the other dirs'
+    fingerprints (the comparison ignores keys present on only one side); a
+    table that is present but UNREADABLE — or recorded but now missing from a
+    still-present dir — fingerprints differently from any schema hash, i.e.
+    is treated as drifted, never silently skipped.
     """
     import glob
     import hashlib
@@ -261,27 +286,30 @@ def fixture_schema_fingerprints(
         ]:
             sf_dirs.append(env_dir)
     out: dict[str, str] = {}
-    for t in FIXTURE_TABLES:
-        parts: list[str] = []
-        for d in sf_dirs:
+    for d in sf_dirs:
+        if not os.path.isdir(d):
+            continue
+        dname = os.path.basename(d.rstrip("/"))
+        for t in FIXTURE_TABLES:
             path = os.path.join(d, f"{t}.parquet")
+            key = f"{t}@{dname}"
             if not os.path.exists(path):
-                continue  # scale factor genuinely lacks the table: not drift
+                out[key] = "absent"
+                continue
             try:
                 schema = pq.read_schema(path)
-                parts.append(
-                    os.path.basename(d.rstrip("/")) + "="
-                    + "; ".join(f"{f.name}:{f.type}" for f in schema)
-                )
+                out[key] = hashlib.md5(
+                    "; ".join(f"{f.name}:{f.type}" for f in schema).encode()
+                ).hexdigest()[:10]
             except Exception:  # noqa: BLE001 — present but unreadable: drift
-                parts.append(os.path.basename(d.rstrip("/")) + "=unreadable")
-        if parts:
-            out[t] = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+                out[key] = "unreadable"
     return out
 
 
 def _recorded_fixture_hashes(root: str) -> dict[str, str]:
-    """table -> fingerprint parsed from QUERIES.md's fixture-schema section."""
+    """``table@sfdir`` -> fingerprint parsed from QUERIES.md's fixture-schema
+    section (legacy whole-table keys from older inventories parse too but
+    never match a live per-dir key, so they are inert)."""
     import re
 
     path = __import__("os").path.join(root, "QUERIES.md")
@@ -289,7 +317,11 @@ def _recorded_fixture_hashes(root: str) -> dict[str, str]:
     try:
         with open(path) as f:
             for line in f:
-                m = re.match(r"- fixture `([a-z]+)`: `([0-9a-f]{10})`", line)
+                m = re.match(
+                    r"- fixture `([a-z]+(?:@[A-Za-z0-9._-]+)?)`: "
+                    r"`([0-9a-f]{10}|absent|unreadable)`",
+                    line,
+                )
                 if m:
                     out[m.group(1)] = m.group(2)
     except OSError:
@@ -389,10 +421,15 @@ def _staleness_order() -> None:
     recorded = _recorded_hashes(root)
     rec_fix = _recorded_fixture_hashes(root)
     live_fix = fixture_schema_fingerprints() if rec_fix else {}
-    # .get(t) (no default): a table with a recorded fingerprint but no
-    # readable live schema IS drift — the exact case the canary exists for.
+    # Per (table, dir) comparison: a recorded key with a DIFFERENT live value
+    # (schema change, now-absent, now-unreadable) marks its table drifted; a
+    # recorded key with NO live counterpart means the whole sf dir was added
+    # or removed between rounds — layout churn, not table drift — and legacy
+    # whole-table keys from pre-split inventories land here too, inert.
     drifted_tables = {
-        t for t, h in rec_fix.items() if live_fix.get(t) != h
+        k.split("@", 1)[0]
+        for k, h in rec_fix.items()
+        if k in live_fix and live_fix[k] != h
     }
 
     def changed(n: str) -> bool:

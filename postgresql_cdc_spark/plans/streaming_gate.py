@@ -109,6 +109,44 @@ def _register_source(spark: SparkSession) -> None:
         pass
 
 
+def _drain_bounded(q, timeout_s: float = 180.0) -> None:
+    """Drain a started micro-batch StreamingQuery, bounded and loud.
+
+    ``processAllAvailable`` has no native timeout, so it runs on a watchdog
+    thread: a wedged source or stateful operator fails ONE query with
+    TimeoutError instead of stalling the whole gated round. The thread's
+    exception is captured and re-raised — a query that died mid-stream must
+    surface its StreamingQueryException, never return partial committed
+    batches as success."""
+    import threading
+
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def drain():
+        try:
+            q.processAllAvailable()
+        except BaseException as e:  # noqa: BLE001 — re-raised on main thread
+            err.append(e)
+        finally:
+            done.set()
+
+    th = threading.Thread(target=drain, daemon=True)
+    try:
+        th.start()
+        if not done.wait(timeout_s):
+            raise TimeoutError(
+                f"micro-batch replay did not drain in {timeout_s}s"
+            )
+        if err:
+            raise err[0]
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        q.stop()
+        th.join(15)
+
+
 def _sink_to_memory(spark: SparkSession, stream, base: str,
                     available_now: bool, timeout_s: float = 180.0,
                     output_mode: str = "append") -> DataFrame:
@@ -116,12 +154,8 @@ def _sink_to_memory(spark: SparkSession, stream, base: str,
     the sink table — the shared tail of every gate query, so sink wiring,
     trigger policy, and the hang guard live in exactly one place.
 
-    Both trigger modes are bounded by ``timeout_s``: a wedged source or
-    stateful operator fails ONE query with TimeoutError instead of stalling
-    the whole gated round (processAllAvailable has no native timeout, so the
-    micro-batch mode polls it from a watchdog thread)."""
-    import threading
-
+    Both trigger modes are bounded by ``timeout_s`` via ``_drain_bounded`` /
+    ``awaitTermination``."""
     sink = f"cdc_gate_{uuid.uuid4().hex[:12]}"
     writer = (
         stream.writeStream.format("memory")
@@ -138,24 +172,7 @@ def _sink_to_memory(spark: SparkSession, stream, base: str,
             q.stop()
     else:
         q = writer.start()
-        done = threading.Event()
-
-        def drain():
-            try:
-                q.processAllAvailable()
-            finally:
-                done.set()
-
-        th = threading.Thread(target=drain, daemon=True)
-        try:
-            th.start()
-            if not done.wait(timeout_s):
-                raise TimeoutError(
-                    f"micro-batch replay did not drain in {timeout_s}s"
-                )
-        finally:
-            q.stop()
-            th.join(15)
+        _drain_bounded(q, timeout_s)
     return spark.table(sink)
 
 
@@ -382,10 +399,7 @@ def cdc_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ckpt"))
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_bounded(q)
 
     log = spark.table(sink)
     state = materialize(log, keys=["id"], merge_sparse=False)
@@ -645,7 +659,6 @@ def cdc_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Same closed-form oracle as cdc_stream_end_to_end.",
 )
 def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import threading
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -691,37 +704,56 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ckpt"))
         .start()
     )
-    done = threading.Event()
-
-    def drain():
-        try:
-            q.processAllAvailable()
-        finally:
-            done.set()
-
-    th = threading.Thread(target=drain, daemon=True)
-    try:
-        th.start()
-        if not done.wait(180.0):
-            raise TimeoutError("foreachBatch upsert did not drain in 180s")
-    finally:
-        q.stop()
-        th.join(15)
+    _drain_bounded(q)
 
     if not state_dirs:
         raise RuntimeError("no micro-batch reached the upsert sink")
     return spark.read.parquet(state_dirs[-1]).select("id", "v_int", "v_text")
 
 
-@register(
-    "cdc_stream_agg_complete",
-    f"""
-    SELECT CAST((1700000000000 + i * 60000) // 600000 * 600000 AS BIGINT)
+# One oracle + one streaming pipeline shared by BOTH output-mode variants:
+# only the sink differs, so a window-alignment change cannot drift them apart.
+_WINDOWED_COUNTS_ORACLE = f"""
+    SELECT CAST(({_T0_MS} + i * 60000) // 600000 * 600000 AS BIGINT)
                AS win_start_ms,
            count(*) AS n_inserts
     FROM range({N}) t(i)
     GROUP BY win_start_ms
-    """,
+"""
+
+
+def _windowed_insert_counts(spark: SparkSession, base: str):
+    """Fresh archive + the shared event-time windowed insert-count stream:
+    tumbling 10-minute windows over the insert ops, real micro-batches
+    (maxRecordsPerBatch=25) so aggregation state carries across batches."""
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+
+    rid = F.element_at("columns", "id").cast("long")
+    return (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+        .where(F.col("op") == "I")
+        .select(
+            F.timestamp_millis(F.lit(_T0_MS) + rid * 60_000).alias("ts")
+        )
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_inserts"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+            "n_inserts",
+        )
+    )
+
+
+@register(
+    "cdc_stream_agg_complete",
+    _WINDOWED_COUNTS_ORACLE,
     doc="Streaming windowed aggregation in COMPLETE output mode under real "
         "micro-batches (maxRecordsPerBatch=25): event-time tumbling 10-minute "
         "windows over the insert stream, aggregation state carried across "
@@ -733,31 +765,8 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode with a watermark, gated in events_* and the dedup queries).",
 )
 def cdc_stream_agg_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    _register_source(spark)
-    run = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix=f"pgcdc_aggc_{run}_")
-    arch = os.path.join(base, "wal")
-    _build_archive(arch)
-
-    rid = F.element_at("columns", "id").cast("long")
-    stream = (
-        spark.readStream.format("pgcdc")
-        .option("path", arch)
-        .option("maxRecordsPerBatch", "25")
-        .load()
-        .where(F.col("op") == "I")
-        .select(
-            F.timestamp_millis(F.lit(_T0_MS) + rid * 60_000).alias("ts")
-        )
-        .groupBy(F.window("ts", "10 minutes").alias("win"))
-        .agg(F.count(F.lit(1)).alias("n_inserts"))
-        .select(
-            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
-            "n_inserts",
-        )
-    )
+    base = tempfile.mkdtemp(prefix=f"pgcdc_aggc_{uuid.uuid4().hex[:12]}_")
+    stream = _windowed_insert_counts(spark, base)
     return _sink_to_memory(
         spark, stream, base, available_now=False, output_mode="complete"
     )
@@ -765,13 +774,7 @@ def cdc_stream_agg_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_stream_agg_update",
-    f"""
-    SELECT CAST((1700000000000 + i * 60000) // 600000 * 600000 AS BIGINT)
-               AS win_start_ms,
-           count(*) AS n_inserts
-    FROM range({N}) t(i)
-    GROUP BY win_start_ms
-    """,
+    _WINDOWED_COUNTS_ORACLE,
     doc="The same windowed insert count in UPDATE output mode: each "
         "micro-batch emits ONLY the windows whose aggregate changed, and a "
         "driver-side foreachBatch upserts them last-write-wins — the "
@@ -783,33 +786,8 @@ def cdc_stream_agg_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "windows (bounded by window cardinality, not stream size).",
 )
 def cdc_stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import threading
-
-    from pyspark.sql import functions as F
-
-    _register_source(spark)
-    run = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix=f"pgcdc_aggu_{run}_")
-    arch = os.path.join(base, "wal")
-    _build_archive(arch)
-
-    rid = F.element_at("columns", "id").cast("long")
-    agg = (
-        spark.readStream.format("pgcdc")
-        .option("path", arch)
-        .option("maxRecordsPerBatch", "25")
-        .load()
-        .where(F.col("op") == "I")
-        .select(
-            F.timestamp_millis(F.lit(_T0_MS) + rid * 60_000).alias("ts")
-        )
-        .groupBy(F.window("ts", "10 minutes").alias("win"))
-        .agg(F.count(F.lit(1)).alias("n_inserts"))
-        .select(
-            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
-            "n_inserts",
-        )
-    )
+    base = tempfile.mkdtemp(prefix=f"pgcdc_aggu_{uuid.uuid4().hex[:12]}_")
+    agg = _windowed_insert_counts(spark, base)
 
     current: dict[int, int] = {}
 
@@ -823,22 +801,7 @@ def cdc_stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(base, "ckpt"))
         .start()
     )
-    done = threading.Event()
-
-    def drain():
-        try:
-            q.processAllAvailable()
-        finally:
-            done.set()
-
-    th = threading.Thread(target=drain, daemon=True)
-    try:
-        th.start()
-        if not done.wait(180.0):
-            raise TimeoutError("update-mode agg did not drain in 180s")
-    finally:
-        q.stop()
-        th.join(15)
+    _drain_bounded(q)
 
     return spark.createDataFrame(
         sorted(current.items()), "win_start_ms bigint, n_inserts bigint"
@@ -869,7 +832,6 @@ def cdc_stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "confirmed LSN, CdcEngine.java:143-159).",
 )
 def cdc_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import threading
 
     from pyspark.sql import functions as F
 
@@ -900,22 +862,7 @@ def cdc_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", ckpt)
             .start()
         )
-        done = threading.Event()
-
-        def drain():
-            try:
-                q.processAllAvailable()
-            finally:
-                done.set()
-
-        th = threading.Thread(target=drain, daemon=True)
-        try:
-            th.start()
-            if not done.wait(180.0):
-                raise TimeoutError("restart-recovery run did not drain in 180s")
-        finally:
-            q.stop()
-            th.join(15)
+        _drain_bounded(q)
 
     write_wal_archive(arch, frames[:cut], chunk="000000.wal")
     run_once()  # first query: six txns, then a clean stop

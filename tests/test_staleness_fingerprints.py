@@ -83,12 +83,20 @@ class TestFixtureDrift:
         bad = tmp_path / "region.parquet"
         bad.write_bytes(b"not a parquet file")
         fp = plans.fixture_schema_fingerprints([str(tmp_path)])
-        assert "region" in fp
+        assert fp[f"region@{tmp_path.name}"] == "unreadable"
 
-    def test_absent_table_not_reported(self, tmp_path):
+    def test_absent_table_fingerprints_as_absent(self, tmp_path):
+        # a table missing from a present dir fingerprints as 'absent': if it
+        # was recorded with a schema hash, its disappearance IS drift.
         fp = plans.fixture_schema_fingerprints([str(tmp_path)])
-        assert fp == {}
+        assert fp[f"region@{tmp_path.name}"] == "absent"
+        assert set(fp) == {
+            f"{t}@{tmp_path.name}" for t in plans.FIXTURE_TABLES
+        }
 
-    def test_live_fingerprints_cover_all_tables(self):
+    def test_live_fingerprints_cover_all_tables_per_dir(self):
         fp = plans.fixture_schema_fingerprints()
-        assert set(fp) == set(plans.FIXTURE_TABLES)
+        assert {k.split("@", 1)[0] for k in fp} == set(plans.FIXTURE_TABLES)
+        # per-dir keys: removing one sf dir must not disturb other dirs'
+        # fingerprints (the layout-churn-is-not-drift property)
+        assert all("@" in k for k in fp)
