@@ -230,10 +230,11 @@ def _materialize_window_fill(
         .orderBy(lsn_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_full = (
-        Window.partitionBy(*part_cols, *knames)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    # lead() shares w_ord's partitioning AND ordering, so the final-row
+    # marker evaluates in the SAME WindowExec node as the fills — an
+    # unordered max-over-full-frame window would add a second pass over
+    # every sorted partition just to find the last row.
+    w_lead = Window.partitionBy(*part_cols, *knames).orderBy(lsn_col)
     gen = F.sum((F.col(op_col) == "I").cast("int")).over(w_ord)
     df1 = pre.withColumn("__gen", gen)
 
@@ -249,11 +250,9 @@ def _materialize_window_fill(
     df2 = df1.select(
         *part_cols, *knames, lsn_col, op_col, "__gen",
         *[F.col(c) for c in carry], *fills,
-        F.max(lsn_col).over(w_full).alias("__max_lsn"),
+        F.lead(lsn_col).over(w_lead).isNull().alias("__is_last"),
     )
-    final = df2.where(
-        (F.col(lsn_col) == F.col("__max_lsn")) & (F.col(op_col) != "D")
-    )
+    final = df2.where(F.col("__is_last") & (F.col(op_col) != "D"))
 
     def entry(c: str):
         f = F.col(f"__f_{c}")

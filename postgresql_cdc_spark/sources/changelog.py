@@ -124,9 +124,12 @@ def synthesize_changelog_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     base = (
         li.select(*cols, key.alias("__key"), bucket.alias("__bucket"))
         .withColumn("__v", F.row_number().over(w))  # 1 = first version
-        .withColumn("__n", F.count(F.lit(1)).over(kw))
+        # lead-is-null marks the latest version in the SAME WindowExec node
+        # as row_number (same partition + order); an unordered count window
+        # would run a second pass over every sorted partition.
+        .withColumn("__is_latest", F.lead("l_orderkey").over(w).isNull())
     )
-    is_latest = F.col("__v") == F.col("__n")
+    is_latest = F.col("__is_latest")
     ok = F.col("l_orderkey").cast("long")
 
     def ev(op, lsn, txn, payload):
