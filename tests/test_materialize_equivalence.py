@@ -82,6 +82,11 @@ def _adversarial(first_key: int):
         # TOAST inheritance: U omits b entirely, must inherit the I's b
         ("I", 8, k + 3, {"id": str(k + 3), "a": "1", "b": "toast", "c": "2"}),
         ("U", 9, k + 3, {"id": str(k + 3), "a": "3", "c": None}),
+        # at-least-once replay: the terminal event arrives TWICE with the
+        # same LSN — must still produce exactly one final row
+        ("I", 10, k + 4, {"id": str(k + 4), "a": "p", "b": "q", "c": "r"}),
+        ("U", 11, k + 4, {"id": str(k + 4), "a": "p2"}),
+        ("U", 11, k + 4, {"id": str(k + 4), "a": "p2"}),
     ]
 
 
@@ -89,6 +94,7 @@ def _state(df):
     out = {}
     for r in df.collect():
         m = dict(r["columns"])
+        assert m["id"] not in out, f"duplicate final row for key {m['id']}"
         out[m["id"]] = (r["op"], r["lsn"], m)
     return out
 
@@ -132,3 +138,5 @@ def test_adversarial_semantics_pinned(spark):
     assert st["2"] == ("U", 7, {"id": "2", "a": None, "b": None, "c": "z2"})
     # TOAST: omitted b inherited from the insert; explicit-NULL c is NULL
     assert st["3"] == ("U", 9, {"id": "3", "a": "3", "b": "toast", "c": None})
+    # duplicate-LSN replay collapses to ONE final row, TOAST still merged
+    assert st["4"] == ("U", 11, {"id": "4", "a": "p2", "b": "q", "c": "r"})
