@@ -132,3 +132,22 @@ def test_whole_stage_codegen_present(spark, name):
     )
     # formatted mode marks codegen'd operators with "[codegen id : N]"
     assert "codegen id" in plan, plan[:1500]
+
+
+def test_materialize_pipeline_shuffle_budget(spark):
+    """cdc_materialize_state (synthesis window + window-fill merge) must plan
+    exactly its two inherent shuffles — version-numbering over the raw key
+    columns and latest-wins over the extracted envelope keys — with one sort
+    each. A third Exchange/Sort means a window stopped sharing its
+    partitioning (e.g. the final-row marker regressing to an unordered
+    full-frame window)."""
+    import re
+
+    plan = _plan(spark, "cdc_materialize_state")
+    counts = {
+        k: len(re.findall(rf"\(\d+\) {k}\b", plan))
+        for k in ("Exchange", "Sort", "Window")
+    }
+    assert counts["Exchange"] <= 2, (counts, plan[:1500])
+    assert counts["Sort"] <= 2, (counts, plan[:1500])
+    assert counts["Window"] <= 3, (counts, plan[:1500])
