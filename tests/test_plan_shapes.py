@@ -45,9 +45,20 @@ def _plan(spark, name: str) -> str:
 class TestNoAccidentalCrossJoins:
     def test_registry_sweep(self, spark):
         """No query may plan a CartesianProduct, and only the documented
-        allowlist may plan BroadcastNestedLoopJoin."""
+        allowlist may plan BroadcastNestedLoopJoin.
+
+        Streaming-gate queries are excluded: building their DataFrame RUNS a
+        real StreamingQuery (minutes of wall per sweep) and the returned
+        batch plan is just a memory/parquet sink scan — the interesting plan
+        lives inside the stream, which the oracle gate and streaming unit
+        tests already exercise."""
         offenders = {}
-        for name in QUERIES:
+        for name, q in QUERIES.items():
+            fn = q.spark
+            while hasattr(fn, "__wrapped__"):
+                fn = fn.__wrapped__
+            if (getattr(fn, "__module__", "") or "").endswith("streaming_gate"):
+                continue
             plan = _plan(spark, name)
             for shape in ("CartesianProduct", "BroadcastNestedLoopJoin"):
                 if shape in plan and not (
