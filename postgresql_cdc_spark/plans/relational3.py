@@ -435,3 +435,40 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p99_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F_cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F_qty,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O_cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="PIVOT (long-to-wide): per return flag, one column pair per line "
+        "status, with the pivot values enumerated explicitly — on a real "
+        "cluster an unenumerated pivot first runs a distinct scan to collect "
+        "them, an avoidable job. Plans as ONE hash aggregate with "
+        "conditional aggregation buffers (exactly the FILTER-clause twin the "
+        "oracle runs); quantities route through exact decimals per the DEC "
+        "convention.",
+)
+def agg_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            D(F.sum(DEC("l_quantity"))).alias("qty"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_cnt"), F.col("F_qty"), F.col("O_cnt"), F.col("O_qty"),
+    )
