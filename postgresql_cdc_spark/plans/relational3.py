@@ -472,3 +472,46 @@ def agg_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("F_cnt"), F.col("F_qty"), F.col("O_cnt"), F.col("O_qty"),
     )
+
+
+@register(
+    "agg_unpivot_measures",
+    """
+    WITH u AS (
+        SELECT l_returnflag, 'l_quantity' AS measure,
+               CAST(l_quantity AS DECIMAL(14,4)) AS v FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice',
+               CAST(l_extendedprice AS DECIMAL(14,4)) FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount',
+               CAST(l_discount AS DECIMAL(14,4)) FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax',
+               CAST(l_tax AS DECIMAL(14,4)) FROM lineitem
+    )
+    SELECT l_returnflag, measure, COUNT(*) AS n,
+           CAST(SUM(v) AS DOUBLE) AS total
+    FROM u GROUP BY l_returnflag, measure
+    """,
+    doc="UNPIVOT (wide-to-long, pivot's inverse): four measure columns melt "
+        "into (measure, value) rows via the native unpivot operator — a "
+        "per-row Expand projection, NO extra scan, where the oracle's "
+        "UNION-ALL formulation reads the table four times (Spark's unpivot "
+        "is the operator a metrics-catalog export runs at scale). Exact "
+        "decimal sums; one hash aggregate after the expand.",
+)
+def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.select(
+        "l_returnflag",
+        *[F.col(c).cast("decimal(14,4)").alias(c) for c in measures],
+    ).unpivot(
+        ids=["l_returnflag"], values=measures,
+        variableColumnName="measure", valueColumnName="v",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("total"),
+    )
