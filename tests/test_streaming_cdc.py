@@ -322,3 +322,61 @@ class TestMultiChunkArchive:
         write_wal_archive(arch, [(10, b"C1"), (20, b"C2")], chunk="000000.wal")
         got = list(read_wal_frames(arch))
         assert got == [(10, b"C1"), (20, b"C2"), (30, b"C3"), (40, b"C4")]
+
+
+class TestDrainBounded:
+    def test_sink_failure_surfaces_not_partial_success(self, spark, tmp_path):
+        """A stream that dies mid-run (foreachBatch raises) must raise from
+        _drain_bounded — never report success with only the batches that
+        committed before the failure (the silent-partial-result hole the
+        round-7 review closed)."""
+        from postgresql_cdc_spark.plans.streaming_gate import _drain_bounded
+        from postgresql_cdc_spark.streaming.source import PgCdcDataSource
+
+        arch = str(tmp_path / "wal_fail")
+        _make_archive(arch)
+        try:
+            spark.dataSource.register(PgCdcDataSource)
+        except Exception:
+            pass
+
+        def explode(batch_df, batch_id):
+            raise ValueError("sink blew up")
+
+        q = (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("maxRecordsPerBatch", "2")
+            .load()
+            .writeStream.foreachBatch(explode)
+            .option("checkpointLocation", str(tmp_path / "ckpt_fail"))
+            .start()
+        )
+        with pytest.raises(Exception) as exc_info:
+            _drain_bounded(q, timeout_s=120.0)
+        assert "sink blew up" in str(exc_info.value)
+
+    def test_clean_drain_returns_quietly(self, spark, tmp_path):
+        from postgresql_cdc_spark.plans.streaming_gate import _drain_bounded
+        from postgresql_cdc_spark.streaming.source import PgCdcDataSource
+
+        arch = str(tmp_path / "wal_ok")
+        _make_archive(arch)
+        try:
+            spark.dataSource.register(PgCdcDataSource)
+        except Exception:
+            pass
+        seen = []
+        q = (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("maxRecordsPerBatch", "2")
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, bid: seen.append(b.count())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_ok"))
+            .start()
+        )
+        _drain_bounded(q, timeout_s=120.0)
+        assert sum(seen) == 6  # every archive row delivered exactly once
