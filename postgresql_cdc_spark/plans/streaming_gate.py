@@ -974,3 +974,98 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"id": "bigint", "note": "string"}, keep=(),
     ).select(F.lit("audit").alias("tab"), "id", F.col("note").alias("v"))
     return acct.unionByName(audit)
+
+
+@register(
+    "cdc_restart_with_evolution",
+    f"""
+    SELECT i AS id,
+           CAST((i * 3) % 17 AS INT) AS v_int,
+           CASE WHEN i >= 50 THEN 'n' || CAST(i AS VARCHAR) END AS v_note
+    FROM range({N}) t(i)
+    """,
+    doc="Schema evolution ACROSS a checkpointed restart — the production "
+        "scenario where a DDL deploy lands while the pipeline is down: the "
+        "first query consumes the v1-schema txn (id, v_int) and stops "
+        "cleanly; the WAL shipped while it was offline carries the re-sent "
+        "RELATION with an added column plus v2-schema inserts; the restarted "
+        "query must resume past the checkpointed offset AND pick up the "
+        "evolved registry (replayed from the archive head, "
+        "PgWalMessageDecoder.java:65-99 parity). Pre-DDL rows surface the "
+        "new column as NULL through the sparse envelope; post-DDL rows carry "
+        "it. Composes cdc_stream_schema_evolution x cdc_stream_restart_"
+        "recovery, whose behaviors only meet in this order of events.",
+)
+def cdc_restart_with_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    rel_v1 = Relation(
+        relation_id=16394, schema="public", name="accounts_rv",
+        replica_identity="d",
+        columns=(ColumnMeta("id", 20, flags=1), ColumnMeta("v_int", 23)),
+    )
+    rel_v2 = Relation(
+        relation_id=16394, schema="public", name="accounts_rv",
+        replica_identity="d",
+        columns=(ColumnMeta("id", 20, flags=1), ColumnMeta("v_int", 23),
+                 ColumnMeta("v_note", 1043)),
+    )
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_rve_{run}_")
+    arch = os.path.join(base, "wal")
+    ckpt = os.path.join(base, "ckpt")
+    sink_dir = os.path.join(base, "changelog")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("maxRecordsPerBatch", "25")
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: b.write.mode("append").parquet(sink_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _drain_bounded(q)
+
+    frames = [(1, encode_relation(rel_v1))]
+    lsn = 10
+    frames.append((lsn, encode_begin(lsn + 51, 0, 1)))
+    for i in range(50):
+        lsn += 1
+        frames.append((lsn, encode_insert(
+            rel_v1.relation_id, [str(i), str((i * 3) % 17)])))
+    lsn += 1
+    frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+    write_wal_archive(arch, frames, chunk="000000.wal")
+    run_once()  # consumes the v1-schema txn, stops cleanly
+
+    # shipped while the pipeline was down: DDL (re-sent RELATION) + v2 rows
+    frames2 = []
+    lsn += 1
+    frames2.append((lsn, encode_relation(rel_v2)))
+    lsn += 1
+    frames2.append((lsn, encode_begin(lsn + 51, 0, 2)))
+    for i in range(50, N):
+        lsn += 1
+        frames2.append((lsn, encode_insert(
+            rel_v2.relation_id, [str(i), str((i * 3) % 17), f"n{i}"])))
+    lsn += 1
+    frames2.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+    write_wal_archive(arch, frames2, chunk="000001.wal")
+    run_once()  # NEW query: resume + evolved registry
+
+    log = spark.read.parquet(sink_dir)
+    state = materialize(log, keys=["id"], merge_sparse=False)
+    return typed_view(
+        state,
+        {"id": "bigint", "v_int": "int", "v_note": "string"}, keep=(),
+    )
