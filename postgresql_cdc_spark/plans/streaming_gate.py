@@ -1069,3 +1069,38 @@ def cdc_restart_with_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         state,
         {"id": "bigint", "v_int": "int", "v_note": "string"}, keep=(),
     )
+
+
+@register(
+    "cdc_txn_stats_report",
+    """
+    SELECT CAST(x + 1 AS BIGINT) AS txn_id,
+           CAST(10 AS BIGINT) AS n_events,
+           CAST(10 AS BIGINT) AS n_inserts,
+           CAST(0 AS BIGINT) AS n_updates,
+           CAST(0 AS BIGINT) AS n_deletes,
+           CAST(11 + 12 * x AS BIGINT) AS first_lsn,
+           CAST(20 + 12 * x AS BIGINT) AS last_lsn
+    FROM range(10) t(x)
+    UNION ALL
+    SELECT 11, 20, 0, 20, 0, 131, 150
+    UNION ALL
+    SELECT 12, 15, 0, 0, 15, 153, 167
+    """,
+    doc="Per-transaction batch summary (op counts + LSN span) over the "
+        "archive via the BATCH pgcdc reader — the distributed analog of "
+        "inspecting a CdcConsumer handleBatch list (CdcConsumer.java:5-11), "
+        "and the oracle gate for consumer.txn_stats, previously unit-only. "
+        "Every txn boundary, count, and LSN is pinned against the closed "
+        "arithmetic form of the archive builder: one mis-attributed event "
+        "or off-by-one LSN fails the hash.",
+)
+def cdc_txn_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.streaming.consumer import txn_stats
+
+    _register_source(spark)
+    base = tempfile.mkdtemp(prefix=f"pgcdc_txns_{uuid.uuid4().hex[:12]}_")
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+    log = spark.read.format("pgcdc").option("path", arch).load()
+    return txn_stats(log)
