@@ -962,17 +962,18 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = _run_stream_to_memory(spark, arch, base)
     state = materialize(log, keys=["id"], merge_sparse=False)
-    acct = typed_view(
-        state.where(F.col("table") == "accounts"),
-        {"id": "bigint", "v_int": "int"}, keep=(),
-    ).select(
+    # per-table fan-out through the consumer surface's demux helper
+    # (filter on (table, schema) + typed view), not ad-hoc filters — this
+    # gates consumer.demux itself (CdcConsumer per-table dispatch analog)
+    from postgresql_cdc_spark.streaming.consumer import demux
+
+    acct = demux(state, "accounts", {"id": "bigint", "v_int": "int"}).select(
         F.lit("accounts").alias("tab"), "id",
         F.col("v_int").cast("string").alias("v"),
     )
-    audit = typed_view(
-        state.where(F.col("table") == "audit"),
-        {"id": "bigint", "note": "string"}, keep=(),
-    ).select(F.lit("audit").alias("tab"), "id", F.col("note").alias("v"))
+    audit = demux(state, "audit", {"id": "bigint", "note": "string"}).select(
+        F.lit("audit").alias("tab"), "id", F.col("note").alias("v")
+    )
     return acct.unionByName(audit)
 
 
