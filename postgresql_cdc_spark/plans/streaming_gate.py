@@ -1105,3 +1105,59 @@ def cdc_txn_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     _build_archive(arch)
     log = spark.read.format("pgcdc").option("path", arch).load()
     return txn_stats(log)
+
+
+@register(
+    "cdc_relay_roundtrip",
+    f"""
+    SELECT i AS id,
+           CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                     ELSE (i * 7) % 13 END AS INT) AS v_int,
+           'acct-' || CAST(i AS VARCHAR) AS v_text
+    FROM range({N}) t(i)
+    WHERE i % 7 <> 0
+    """,
+    doc="The relay leg of the production topology under the gate: a "
+        "transport (the replication socket's seam — frames()/ack()) drains "
+        "through run_wal_relay into rotating archive chunks (chunk_frames="
+        "37, so multiple chunks exercise the name-order==LSN-order replay "
+        "contract), each acked only after fsync (at-least-once, "
+        "CdcEngine.java:132-137); the archive then streams through the "
+        "pgcdc source and materializes to the same closed-form oracle as "
+        "the direct-archive query. The relay mis-chunking, dropping, or "
+        "re-ordering one frame fails the hash; an in-query assertion pins "
+        "the final ack at the last frame's LSN.",
+)
+def cdc_relay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.streaming.source import run_wal_relay
+
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_relay_{run}_")
+    arch = os.path.join(base, "wal")
+    frames = _archive_frames()
+
+    class _SeamTransport:
+        """Minimal transport seam (what LiveReplicationTransport exposes):
+        an LSN-framed iterator plus the flush ack."""
+
+        def __init__(self) -> None:
+            self.acked: list[int] = []
+
+        def frames(self):
+            return iter(frames)
+
+        def ack(self, lsn: int) -> None:
+            self.acked.append(lsn)
+
+    t = _SeamTransport()
+    n = run_wal_relay(t, arch, chunk_frames=37)
+    if n != len(frames):
+        raise RuntimeError(f"relay frame count {n} != {len(frames)}")
+    if not t.acked or t.acked[-1] != frames[-1][0]:
+        raise RuntimeError(f"final ack {t.acked[-1:]} != last frame lsn")
+
+    log = _run_stream_to_memory(spark, arch, base)
+    state = materialize(log, keys=["id"], merge_sparse=False)
+    return typed_view(
+        state, {"id": "bigint", "v_int": "int", "v_text": "string"}, keep=()
+    )
