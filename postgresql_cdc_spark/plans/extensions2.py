@@ -825,3 +825,60 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pred_label").cast("int").alias("pred_label"),
         "n_votes",
     )
+
+
+@register(
+    "pack_training_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                      CAST(len({_TOKS}) AS BIGINT) AS nt
+               FROM documents),
+    c AS (SELECT doc_id, shard, nt,
+                 COALESCE(SUM(nt) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM t)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY shard, seq_id
+    """,
+    doc="Sequence packing (concat-and-chunk): documents are hash-sharded, "
+        "concatenated in doc order within each shard, and chunked into "
+        "2048-token training sequences — each doc accounted to the sequence "
+        "its first token lands in (running-sum-before // capacity, the "
+        "standard pretraining packing ledger). Integer-only arithmetic, so "
+        "both engines agree exactly. Scale: ONE shuffle (the per-shard "
+        "window); shard count scales with the cluster, and each shard's "
+        "cumsum is the only sequential dependency — exactly how a real "
+        "packing job parallelizes.",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("long").alias("shard"),
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("nt"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("nt").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn("seq_id", F.floor(F.col("cum_before") / 2048))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
