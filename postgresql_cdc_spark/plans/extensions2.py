@@ -882,3 +882,69 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+from postgresql_cdc_spark.plans.extensions import _SHINGLES3  # noqa: E402
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    s AS (SELECT source, {_SHINGLES3} AS sh FROM t),
+    post AS (SELECT DISTINCT source, {_H60.format(x="u")} AS sh_hash
+             FROM (SELECT source, unnest(sh) AS u FROM s WHERE len(sh) > 0)),
+    cnt AS (SELECT source, COUNT(*) AS n_sh FROM post GROUP BY source),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     COUNT(*) AS n_common
+              FROM post a JOIN post b USING (sh_hash)
+              WHERE a.source < b.source GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b, p.n_common,
+           round(CAST(p.n_common AS DOUBLE)
+                 / least(ca.n_sh, cb.n_sh), 6) AS containment
+    FROM pairs p
+    JOIN cnt ca ON p.source_a = ca.source
+    JOIN cnt cb ON p.source_b = cb.source
+    """,
+    doc="Cross-source duplication matrix: distinct 3-gram shingles per "
+        "source, equi-joined on the shingle hash, aggregated to source "
+        "pairs with containment = shared / min(source sizes) — the "
+        "data-governance report showing which ingest sources recycle each "
+        "other's content. Scale: the posting list is distinct per (source, "
+        "shingle), so the join fan-out per shingle is bounded by "
+        "C(n_sources, 2), not document counts; output is a tiny matrix.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    post = (
+        d.select(
+            "source",
+            F.explode(
+                F.transform(tx.shingles(tx.tokens(F.col("text")), 3), tx.h60)
+            ).alias("sh_hash"),
+        )
+        .distinct()
+    )
+    cnt = post.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
+        a.join(b, "sh_hash")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a", "source_b", "n_common",
+            F.round(F.col("n_common") / F.least("na", "nb"), 6).alias(
+                "containment"
+            ),
+        )
+    )
