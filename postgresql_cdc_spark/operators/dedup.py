@@ -268,6 +268,130 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+    ngram: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Ingest-time near-dup check: match each NEW batch document against an
+    EXISTING corpus without ever self-joining the corpus.
+
+    Returns (batch_id, corpus_id, jaccard) for every batch→corpus pair whose
+    exact shingle Jaccard >= threshold — LSH only prunes candidates, exactly
+    like ``minhash_lsh_pairs``.
+
+    Scale shape: the corpus side here is the LSH *index* a deployment stores
+    as two bucketed tables — band buckets (band, bucket, id) and shingle
+    postings (id, sh_hash) — written once when each document is admitted, so
+    the daily ingest job never rescans corpus text. The batch side is the
+    day's arrivals, orders of magnitude smaller; candidates come from probing
+    the bucket index with batch-sized keys, so cost is O(|batch| × collision
+    rate) and the corpus never pairs with itself. Hot corpus buckets
+    (boilerplate) are dropped with the same broadcast anti-join guard as the
+    self-join path. Same persist contract as ``minhash_lsh_pairs``: the
+    caller clears the cache after materializing the result.
+    """
+    if bands * rows > len(MH_AB):
+        raise ValueError(
+            f"bands*rows={bands * rows} exceeds the {len(MH_AB)} fixed "
+            "minhash family members (extend MH_AB and its DuckDB twin)"
+        )
+
+    def _prep(df: DataFrame):
+        hashed = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(shingles(tokens(F.col(text_col)), ngram), h60)
+            .alias("shh"),
+        ).persist()  # skinny (id, shh); read by buckets + sizes + postings
+        base = hashed.where(F.size("shh") > 0)
+        buckets = (
+            base.select(
+                "id",
+                F.explode(
+                    F.expr(_band_keys_from_shh_sql("shh", bands, rows))
+                ).alias("bk"),
+            )
+            .select(
+                "id", F.col("bk.band").alias("band"),
+                F.col("bk.bucket").alias("bucket"),
+            )
+        )
+        return base, buckets
+
+    base_b, buckets_b = _prep(batch)
+    base_c, buckets_c = _prep(corpus)
+
+    # Skew guard on the INDEX side only: a hot corpus bucket pairs with every
+    # probing batch doc, so the cap bounds per-key fan-out exactly where the
+    # blow-up would happen. (Batch-side buckets are already batch-sized.)
+    hot = (
+        buckets_c.groupBy("band", "bucket").count()
+        .where(F.col("count") > max_bucket)
+    )
+    buckets_c = buckets_c.join(
+        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"],
+        "left_anti",
+    )
+
+    bb, cb = buckets_b.alias("bb"), buckets_c.alias("cb")
+    cand = (
+        bb.join(cb, ["band", "bucket"])
+        .select(
+            F.col("bb.id").alias("batch_id"),
+            F.col("cb.id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+    # Verification = exact shingle Jaccard on candidates only, with the
+    # size-ratio prune applied before the per-shingle fan-out (sizes then
+    # ride through the groupBy — no post-aggregation joins).
+    sz_b = base_b.select("id", F.size("shh").alias("n_sh")).alias("sa")
+    sz_c = base_c.select("id", F.size("shh").alias("n_sh")).alias("sb")
+    cand = (
+        cand.join(sz_b, cand.batch_id == F.col("sa.id"))
+        .join(sz_c, cand.corpus_id == F.col("sb.id"))
+        .where(
+            F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+            >= (threshold - 1e-6)
+            * F.greatest(F.col("sa.n_sh"), F.col("sb.n_sh"))
+        )
+        .select(
+            "batch_id", "corpus_id",
+            F.col("sa.n_sh").alias("na"), F.col("sb.n_sh").alias("nb"),
+        )
+    )
+    post_b = base_b.select("id", F.explode("shh").alias("sh_hash")).alias("ia")
+    post_c = base_c.select("id", F.explode("shh").alias("sh_hash")).alias("ib")
+    common = (
+        cand.join(post_b, cand.batch_id == F.col("ia.id"))
+        .join(
+            post_c,
+            (cand.corpus_id == F.col("ib.id"))
+            & (F.col("ia.sh_hash") == F.col("ib.sh_hash")),
+        )
+        .groupBy("batch_id", "corpus_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.select(
+            "batch_id", "corpus_id",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_fingerprint(text: Column, bits: int = 60, n: int = 1) -> Column:
     """``bits``-bit simhash over word n-grams (n=1: unigram tokens).
 

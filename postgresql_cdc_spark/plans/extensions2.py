@@ -948,3 +948,81 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- incremental (ingest-time) near-dup dedup --------------------------------
+
+from postgresql_cdc_spark.plans.extensions import _mh_sql  # noqa: E402
+
+
+def _band_from_sql(src: str, b: int, rows: int = 3) -> str:
+    parts = ", ".join(f"CAST(m{b*rows+r} AS VARCHAR)" for r in range(rows))
+    return (f"SELECT id, {b} AS band, "
+            + _H60.format(x=f"concat_ws(',', {parts})")
+            + f" AS bucket FROM {src}")
+
+
+_INCR_ORACLE = f"""
+    WITH bat AS (SELECT doc_id + 100000 AS id, text || ' qq zz' AS text
+                 FROM documents WHERE doc_id % 5 = 0),
+    cor AS (SELECT doc_id AS id, text FROM documents),
+    tb AS (SELECT id, {_TOKS} AS toks FROM bat),
+    tc AS (SELECT id, {_TOKS} AS toks FROM cor),
+    shb AS (SELECT id, {_SHINGLES3} AS sh FROM tb),
+    shc AS (SELECT id, {_SHINGLES3} AS sh FROM tc),
+    bb AS (SELECT id, list_transform(sh, s -> {_H60.format(x='s')}) AS shh
+           FROM shb WHERE len(sh) > 0),
+    bc AS (SELECT id, list_transform(sh, s -> {_H60.format(x='s')}) AS shh
+           FROM shc WHERE len(sh) > 0),
+    sigb AS (SELECT id, {", ".join(_mh_sql(i) for i in range(12))} FROM bb),
+    sigc AS (SELECT id, {", ".join(_mh_sql(i) for i in range(12))} FROM bc),
+    bandsb AS ({" UNION ALL ".join(_band_from_sql("sigb", b) for b in range(4))}),
+    bandsc AS ({" UNION ALL ".join(_band_from_sql("sigc", b) for b in range(4))}),
+    wide AS (SELECT band, bucket FROM bandsc GROUP BY 1, 2
+             HAVING COUNT(*) > 50),
+    bkc AS (SELECT bandsc.* FROM bandsc ANTI JOIN wide USING (band, bucket)),
+    cand0 AS (SELECT DISTINCT p.id AS batch_id, q.id AS corpus_id
+              FROM bandsb p JOIN bkc q USING (band, bucket)),
+    szb AS (SELECT id, len(shh) AS n_sh FROM bb),
+    szc AS (SELECT id, len(shh) AS n_sh FROM bc),
+    cand AS (SELECT cd.batch_id, cd.corpus_id, sa.n_sh AS na, sb2.n_sh AS nb
+             FROM cand0 cd
+             JOIN szb sa ON sa.id = cd.batch_id
+             JOIN szc sb2 ON sb2.id = cd.corpus_id
+             WHERE least(sa.n_sh, sb2.n_sh)
+                   >= (0.5 - 1e-6) * greatest(sa.n_sh, sb2.n_sh)),
+    pb AS (SELECT id, unnest(shh) AS sh_hash FROM bb),
+    pc AS (SELECT id, unnest(shh) AS sh_hash FROM bc),
+    common AS (SELECT cd.batch_id, cd.corpus_id, cd.na, cd.nb,
+                      COUNT(*) AS n_common
+               FROM cand cd
+               JOIN pb ON pb.id = cd.batch_id
+               JOIN pc ON pc.id = cd.corpus_id AND pc.sh_hash = pb.sh_hash
+               GROUP BY 1, 2, 3, 4)
+    SELECT batch_id, corpus_id,
+           round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard
+    FROM common
+    WHERE round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) >= 0.5
+"""
+
+
+@register(
+    "dedup_incremental_batch",
+    _INCR_ORACLE,
+    doc="Ingest-time near-dup check: a NEW batch (the perturbed +100000 docs) "
+        "probes the EXISTING corpus's LSH band-bucket index — candidates from "
+        "a batch→index equi-join on (band, bucket), hot corpus buckets "
+        "capped, exact shingle Jaccard verification with the size-ratio "
+        "prune. The corpus never self-joins, so daily-ingest cost is "
+        "O(|batch| × collision rate) regardless of corpus size — the shape a "
+        "stored (band, bucket, id) index table gives a 100 TB deployment.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import dedup as dd
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+    )
+    return dd.minhash_lsh_incremental(batch, d, "text", "doc_id", threshold=0.5)

@@ -1,0 +1,54 @@
+"""minhash_lsh_incremental: batch→corpus near-dup matching semantics.
+
+The oracle-paired registry query (`dedup_incremental_batch`) pins the exact
+values against DuckDB at sf0.01; these tests pin the operator-level contract
+on tiny hand-built frames — matches come only from batch→corpus probes (never
+corpus self-pairs), non-dups stay out, and empty/degenerate inputs behave.
+"""
+
+from __future__ import annotations
+
+from postgresql_cdc_spark.operators.dedup import minhash_lsh_incremental
+
+LONG = ("the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions beneath the ancient oak tree at midnight")
+OTHER = ("completely unrelated legal boilerplate concerning maritime "
+         "insurance claims filed pursuant to statute twelve subsection four "
+         "governing vessel tonnage declarations and harbor duties")
+
+
+def test_batch_matches_only_its_corpus_near_dup(spark):
+    corpus = spark.createDataFrame(
+        [(1, LONG), (2, OTHER)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(101, LONG + " qq zz"),          # near-dup of corpus doc 1
+         (102, "totally fresh content about gardening tulip bulbs in "
+               "early spring frost conditions near the northern fjords")],
+        ["doc_id", "text"],
+    )
+    out = minhash_lsh_incremental(batch, corpus, "text", "doc_id").collect()
+    spark.catalog.clearCache()
+    assert [(r.batch_id, r.corpus_id) for r in out] == [(101, 1)]
+    assert out[0].jaccard >= 0.5
+
+
+def test_identical_batch_doc_scores_jaccard_one(spark):
+    corpus = spark.createDataFrame([(1, LONG)], ["doc_id", "text"])
+    batch = spark.createDataFrame([(7, LONG)], ["doc_id", "text"])
+    out = minhash_lsh_incremental(batch, corpus, "text", "doc_id").collect()
+    spark.catalog.clearCache()
+    assert [(r.batch_id, r.corpus_id, r.jaccard) for r in out] == [(7, 1, 1.0)]
+
+
+def test_no_corpus_self_pairs_and_empty_batch(spark):
+    # two near-identical corpus docs must NOT pair with each other — the
+    # operator only reports batch→corpus matches (the corpus was deduped
+    # when it was admitted; re-pairing it is the self-join job's work).
+    corpus = spark.createDataFrame(
+        [(1, LONG), (2, LONG + " qq zz")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame([], "doc_id long, text string")
+    out = minhash_lsh_incremental(batch, corpus, "text", "doc_id").collect()
+    spark.catalog.clearCache()
+    assert out == []
