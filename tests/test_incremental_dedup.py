@@ -52,3 +52,46 @@ def test_no_corpus_self_pairs_and_empty_batch(spark):
     out = minhash_lsh_incremental(batch, corpus, "text", "doc_id").collect()
     spark.catalog.clearCache()
     assert out == []
+
+
+def test_incremental_equals_cross_boundary_subset_of_self_join(spark):
+    """On any corpus, incremental(batch, corpus) must produce EXACTLY the
+    batch↔corpus pairs that the self-join operator finds on the union —
+    same pairs, same jaccard — since both share the minhash family, band
+    geometry, and exact-Jaccard verification. Caps are lifted so the only
+    difference left is the probe topology."""
+    import random
+
+    from postgresql_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i:02d}" for i in range(50)]
+    corpus_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(15, 30))))
+        for i in range(40)
+    ]
+    batch_rows = [
+        (1000 + i, text + " zz" + str(i) + " yy" + str(i))
+        for i, text in corpus_rows[:10]
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    union = corpus.unionByName(batch)
+
+    full = minhash_lsh_pairs(
+        union, "text", "doc_id", threshold=0.5, max_bucket=10**6
+    ).collect()
+    spark.catalog.clearCache()
+    inc = minhash_lsh_incremental(
+        batch, corpus, "text", "doc_id", threshold=0.5, max_bucket=10**6
+    ).collect()
+    spark.catalog.clearCache()
+
+    cross = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.jaccard
+        for r in full
+        if (r.id_a >= 1000) != (r.id_b >= 1000)
+    }
+    got = {(r.batch_id, r.corpus_id): r.jaccard for r in inc}
+    assert got == cross
+    assert got  # the seeded perturbations must actually produce matches
