@@ -42,6 +42,8 @@ result is written — the bench harness does exactly this between queries.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from postgresql_cdc_spark.operators.text import h60, shingles, tokens
@@ -268,9 +270,68 @@ def minhash_lsh_pairs(
     )
 
 
+class LshIndex(NamedTuple):
+    """Materializable MinHash-LSH index of a corpus — the three skinny tables
+    a deployment writes once at admission time and probes on every ingest:
+
+    - ``buckets``  (id, band, bucket): LSH band keys
+    - ``sizes``    (id, n_sh): shingle count, for the size-ratio prune
+    - ``postings`` (id, sh_hash): shingle posting list, for exact verification
+
+    At 100 TB each is written bucketed/sorted by its join key — buckets by
+    (band, bucket), sizes and postings by id — so index-side probe joins read
+    co-located data with no corpus-wide shuffle. All three derive from one
+    scan of the corpus text.
+    """
+
+    buckets: DataFrame
+    sizes: DataFrame
+    postings: DataFrame
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+    ngram: int = 3,
+) -> LshIndex:
+    """One-scan LSH index build (see ``LshIndex``). The intermediate
+    (id, shingle-hash-array) frame is persisted because all three outputs
+    read it; caller clears the cache after materializing (or writing) them —
+    same contract as ``minhash_lsh_pairs``."""
+    if bands * rows > len(MH_AB):
+        raise ValueError(
+            f"bands*rows={bands * rows} exceeds the {len(MH_AB)} fixed "
+            "minhash family members (extend MH_AB and its DuckDB twin)"
+        )
+    hashed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(tokens(F.col(text_col)), ngram), h60)
+        .alias("shh"),
+    ).persist()  # skinny (id, shh); read by buckets + sizes + postings
+    base = hashed.where(F.size("shh") > 0)
+    buckets = (
+        base.select(
+            "id",
+            F.explode(
+                F.expr(_band_keys_from_shh_sql("shh", bands, rows))
+            ).alias("bk"),
+        )
+        .select(
+            "id", F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+        )
+    )
+    sizes = base.select("id", F.size("shh").alias("n_sh"))
+    postings = base.select("id", F.explode("shh").alias("sh_hash"))
+    return LshIndex(buckets, sizes, postings)
+
+
 def minhash_lsh_incremental(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
@@ -278,6 +339,7 @@ def minhash_lsh_incremental(
     rows: int = ROWS_PER_BAND,
     ngram: int = 3,
     max_bucket: int = 50,
+    corpus_index: LshIndex | None = None,
 ) -> DataFrame:
     """Ingest-time near-dup check: match each NEW batch document against an
     EXISTING corpus without ever self-joining the corpus.
@@ -286,60 +348,37 @@ def minhash_lsh_incremental(
     exact shingle Jaccard >= threshold — LSH only prunes candidates, exactly
     like ``minhash_lsh_pairs``.
 
-    Scale shape: the corpus side here is the LSH *index* a deployment stores
-    as two bucketed tables — band buckets (band, bucket, id) and shingle
-    postings (id, sh_hash) — written once when each document is admitted, so
-    the daily ingest job never rescans corpus text. The batch side is the
-    day's arrivals, orders of magnitude smaller; candidates come from probing
-    the bucket index with batch-sized keys, so cost is O(|batch| × collision
-    rate) and the corpus never pairs with itself. Hot corpus buckets
-    (boilerplate) are dropped with the same broadcast anti-join guard as the
-    self-join path. Same persist contract as ``minhash_lsh_pairs``: the
-    caller clears the cache after materializing the result.
+    Scale shape: the corpus side is an ``LshIndex`` — pass ``corpus_index``
+    (e.g. read back from the parquet tables a previous run wrote) and the
+    corpus text is never rescanned; pass ``corpus`` and the index is built
+    inline from one scan. The batch side is the day's arrivals, orders of
+    magnitude smaller; candidates come from probing the bucket index with
+    batch-sized keys, so cost is O(|batch| × collision rate) and the corpus
+    never pairs with itself. Hot corpus buckets (boilerplate) are dropped
+    with the same broadcast anti-join guard as the self-join path. Same
+    persist contract as ``minhash_lsh_pairs``: the caller clears the cache
+    after materializing the result.
     """
-    if bands * rows > len(MH_AB):
-        raise ValueError(
-            f"bands*rows={bands * rows} exceeds the {len(MH_AB)} fixed "
-            "minhash family members (extend MH_AB and its DuckDB twin)"
-        )
-
-    def _prep(df: DataFrame):
-        hashed = df.select(
-            F.col(id_col).alias("id"),
-            F.transform(shingles(tokens(F.col(text_col)), ngram), h60)
-            .alias("shh"),
-        ).persist()  # skinny (id, shh); read by buckets + sizes + postings
-        base = hashed.where(F.size("shh") > 0)
-        buckets = (
-            base.select(
-                "id",
-                F.explode(
-                    F.expr(_band_keys_from_shh_sql("shh", bands, rows))
-                ).alias("bk"),
-            )
-            .select(
-                "id", F.col("bk.band").alias("band"),
-                F.col("bk.bucket").alias("bucket"),
-            )
-        )
-        return base, buckets
-
-    base_b, buckets_b = _prep(batch)
-    base_c, buckets_c = _prep(corpus)
+    bi = build_lsh_index(batch, text_col, id_col, bands, rows, ngram)
+    ci = corpus_index
+    if ci is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or corpus_index")
+        ci = build_lsh_index(corpus, text_col, id_col, bands, rows, ngram)
 
     # Skew guard on the INDEX side only: a hot corpus bucket pairs with every
     # probing batch doc, so the cap bounds per-key fan-out exactly where the
     # blow-up would happen. (Batch-side buckets are already batch-sized.)
     hot = (
-        buckets_c.groupBy("band", "bucket").count()
+        ci.buckets.groupBy("band", "bucket").count()
         .where(F.col("count") > max_bucket)
     )
-    buckets_c = buckets_c.join(
+    buckets_c = ci.buckets.join(
         F.broadcast(hot.select("band", "bucket")), ["band", "bucket"],
         "left_anti",
     )
 
-    bb, cb = buckets_b.alias("bb"), buckets_c.alias("cb")
+    bb, cb = bi.buckets.alias("bb"), buckets_c.alias("cb")
     cand = (
         bb.join(cb, ["band", "bucket"])
         .select(
@@ -352,8 +391,8 @@ def minhash_lsh_incremental(
     # Verification = exact shingle Jaccard on candidates only, with the
     # size-ratio prune applied before the per-shingle fan-out (sizes then
     # ride through the groupBy — no post-aggregation joins).
-    sz_b = base_b.select("id", F.size("shh").alias("n_sh")).alias("sa")
-    sz_c = base_c.select("id", F.size("shh").alias("n_sh")).alias("sb")
+    sz_b = bi.sizes.alias("sa")
+    sz_c = ci.sizes.alias("sb")
     cand = (
         cand.join(sz_b, cand.batch_id == F.col("sa.id"))
         .join(sz_c, cand.corpus_id == F.col("sb.id"))
@@ -367,8 +406,8 @@ def minhash_lsh_incremental(
             F.col("sa.n_sh").alias("na"), F.col("sb.n_sh").alias("nb"),
         )
     )
-    post_b = base_b.select("id", F.explode("shh").alias("sh_hash")).alias("ia")
-    post_c = base_c.select("id", F.explode("shh").alias("sh_hash")).alias("ib")
+    post_b = bi.postings.alias("ia")
+    post_c = ci.postings.alias("ib")
     common = (
         cand.join(post_b, cand.batch_id == F.col("ia.id"))
         .join(

@@ -95,3 +95,34 @@ def test_incremental_equals_cross_boundary_subset_of_self_join(spark):
     got = {(r.batch_id, r.corpus_id): r.jaccard for r in inc}
     assert got == cross
     assert got  # the seeded perturbations must actually produce matches
+
+
+def test_probe_from_parquet_written_index(spark, tmp_path):
+    """The stored-index contract: write the three LshIndex tables to parquet,
+    read them back, and probe with corpus_index= — results must be identical
+    to probing the corpus text directly (the corpus is never rescanned)."""
+    from postgresql_cdc_spark.operators.dedup import LshIndex, build_lsh_index
+
+    corpus = spark.createDataFrame(
+        [(1, LONG), (2, OTHER)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(101, LONG + " qq zz")], ["doc_id", "text"]
+    )
+    idx = build_lsh_index(corpus, "text", "doc_id")
+    for name, df in zip(LshIndex._fields, idx):
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    spark.catalog.clearCache()
+    stored = LshIndex(*[
+        spark.read.parquet(str(tmp_path / name)) for name in LshIndex._fields
+    ])
+
+    direct = minhash_lsh_incremental(batch, corpus, "text", "doc_id").collect()
+    spark.catalog.clearCache()
+    probed = minhash_lsh_incremental(
+        batch, None, "text", "doc_id", corpus_index=stored
+    ).collect()
+    spark.catalog.clearCache()
+    key = lambda r: (r.batch_id, r.corpus_id, r.jaccard)  # noqa: E731
+    assert sorted(map(key, probed)) == sorted(map(key, direct))
+    assert [(r.batch_id, r.corpus_id) for r in probed] == [(101, 1)]
