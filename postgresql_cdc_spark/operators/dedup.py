@@ -26,6 +26,12 @@ Five families, each shuffle-conscious and expressible against a DuckDB oracle:
 - ``embedding_near_dups``  — random-hyperplane LSH over embeddings → bucket
                              join → exact cosine filter (see similarity.py).
 
+Plus the ingest-time variant: ``build_lsh_index`` materializes a corpus's
+MinHash index as three skinny tables (band buckets, sizes, shingle postings)
+and ``minhash_lsh_incremental`` probes it with a new batch — batch→corpus
+matches only, no corpus self-join, so daily-ingest cost is independent of
+corpus size.
+
 Scale: every pipeline is (projection) → (equi-join or groupBy on a hash key).
 Skewed buckets (a shingle shared by millions of docs) are the classic hazard:
 ``max_bucket`` caps bucket width, dropping degenerate buckets like the
