@@ -486,3 +486,141 @@ def near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# --- trained coarse quantizer: integer-exact Lloyd's k-means ----------------
+
+# Quantization scale for k-means training: multiplying a double by a power of
+# two is exact (exponent shift, no mantissa rounding), and floor() is exact,
+# so floor(x * 2^20) is bit-identical in ANY IEEE-754 engine — the property
+# that lets a DuckDB oracle replay the whole training loop.
+KMEANS_SCALE = 1 << 20
+KMEANS_ITERS = 2
+
+
+def quantize_sql(vec_sql: str, scale: int = KMEANS_SCALE) -> str:
+    """SQL text of the integer quantization: floor(double(x) * scale).
+
+    With |x| < 2 and scale = 2^20 the codes stay under 2^21, so a 64-dim
+    squared-L2 distance tops out near 2^46 — far inside int64."""
+    return (
+        f"transform(CAST({vec_sql} AS ARRAY<DOUBLE>), "
+        f"x -> CAST(floor(x * {float(scale):.1f}D) AS BIGINT))"
+    )
+
+
+def _qdist_sql(qv_sql: str, cent: list[int]) -> str:
+    """Exact integer squared-L2 between a quantized vector column and one
+    driver-side centroid literal."""
+    arr = "array(" + ",".join(f"{int(v)}L" for v in cent) + ")"
+    return (
+        f"aggregate(zip_with({qv_sql}, {arr}, (a, b) -> (a-b)*(a-b)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+
+
+def argmin_cell_sql(qv_sql: str, cents: list[list[int]]) -> str:
+    """SQL text of the nearest-centroid assignment: array_min over
+    (distance, cell) structs — integer struct ordering, ties to the lower
+    cell id. A pure projection: no join, no window, no shuffle (the old
+    broadcast-join + row_number assignment shuffled a centroids-times-corpus
+    blow-up just to run argmin)."""
+    structs = ", ".join(
+        f"struct({_qdist_sql(qv_sql, c)} AS d, {j}L AS cell)"
+        for j, c in enumerate(cents)
+    )
+    return f"array_min(array({structs})).cell"
+
+
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> list[list[int]]:
+    """Lloyd's k-means over integer-quantized vectors; returns the trained
+    centroids as driver-side ``[[int]]`` (cell = list index).
+
+    Every step is exact integer arithmetic, so any engine replays it
+    bit-for-bit (the DuckDB oracle in plans/extensions3.py does):
+
+    - seed     = quantized vectors of the ``n_centroids`` lowest ids
+      (TakeOrdered, no full sort);
+    - assign   = argmin of integer squared-L2, ties to the lower cell —
+      a literal-centroid projection, zero shuffle;
+    - recenter = per-cell element-wise floor(mean): exact int64 sums via ONE
+      hash agg (``dim`` fixed-width sum buffers, map-side partials reduce the
+      shuffle to ``n_centroids`` rows of ``dim`` longs), then Python's exact
+      floor division driver-side. An empty cell keeps its previous centroid.
+
+    Scale: per iteration ONE corpus scan + one tiny agg; driver holds only
+    O(n_centroids * dim) ints — the same collect MLlib's KMeans performs.
+    The quantized projection is persisted for the 1 + iters passes and
+    unpersisted before returning.
+    """
+    q = (
+        corpus.where(F.size(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(quantize_sql(vec_col, scale)).alias("qv"),
+        )
+        .persist()
+    )
+    try:
+        seed = q.orderBy("id").limit(n_centroids).collect()
+        cents = [list(r.qv) for r in sorted(seed, key=lambda r: r.id)]
+        if not cents:
+            return []
+        dim = len(cents[0])
+        for _ in range(iters):
+            sums = (
+                q.select(F.expr(argmin_cell_sql("qv", cents)).alias("cell"), "qv")
+                .groupBy("cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("qv")[p]).alias(f"s{p}") for p in range(dim)],
+                )
+                .collect()
+            )
+            new = list(cents)
+            for r in sums:
+                new[r["cell"]] = [r[f"s{p}"] // r["n"] for p in range(dim)]
+            cents = new
+    finally:
+        q.unpersist()
+    return cents
+
+
+def assign_cells_trained(
+    corpus: DataFrame,
+    cents: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """Nearest-trained-centroid assignment: ``(id, vec, cell)`` — one
+    projection over the corpus scan, no shuffle (contrast ivf_assign's
+    broadcast-join + window, which the untrained path still uses)."""
+    return corpus.where(F.size(F.col(vec_col)) > 0).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(
+            argmin_cell_sql(quantize_sql(vec_col, scale), cents)
+        ).alias("cell"),
+    )
+
+
+def topn_cells_sql(qv_sql: str, cents: list[list[int]], n: int) -> str:
+    """SQL text of the ``n`` nearest trained cells, nearest first: sort the
+    (distance, cell) structs, slice, project the cell ids. Still a pure
+    projection — probing needs no join against a centroid table."""
+    structs = ", ".join(
+        f"struct({_qdist_sql(qv_sql, c)} AS d, {j}L AS cell)"
+        for j, c in enumerate(cents)
+    )
+    return (
+        f"transform(slice(array_sort(array({structs})), 1, {n}), "
+        "s -> s.cell)"
+    )

@@ -1,0 +1,234 @@
+"""Trained-quantizer similarity queries: integer-exact k-means IVF.
+
+The untrained IVF path (plans/extensions.py `sim_topk_ivf`) seeds its coarse
+quantizer with the lowest-id vectors — reproducible anywhere, but the cells it
+carves are arbitrary. This module adds the *trained* variant a production ANN
+deployment runs: Lloyd's k-means refines the seed centroids, then assignment /
+probing use the trained cells. Training is exact integer arithmetic end to end
+(``operators/similarity.train_centroids_kmeans``): vectors quantize via
+floor(x * 2^20) — exact in any IEEE-754 engine because multiplying by a power
+of two never rounds — distances and sums are int64, and recentering is exact
+floor division. That is what lets a DuckDB oracle replay BOTH Lloyd
+iterations bit-for-bit: the CTE chain below is the same loop, unrolled.
+
+Scale shape (100 TB story): per training iteration ONE corpus scan + a
+``dim``-column hash agg whose map-side partials shuffle just
+``n_centroids × dim`` longs; the driver holds O(n_centroids × dim) ints (the
+same collect MLlib's KMeans does). Assignment and probing are literal-centroid
+projections — zero shuffle, no centroid join anywhere.
+
+Reference parity: the reference implements no vector search (SURVEY.md §2.2);
+these are north-star extension operators over the `embeddings` fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from postgresql_cdc_spark.operators import similarity as sim
+from postgresql_cdc_spark.plans.extensions import _cos_sql
+from postgresql_cdc_spark.plans.registry import register
+
+_K = sim.IVF_CENTROIDS
+_ITERS = sim.KMEANS_ITERS
+_SCALE = sim.KMEANS_SCALE
+_N_PROBE = sim.IVF_PROBES
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- oracle SQL: the k-means loop, unrolled into CTEs -----------------------
+
+def _quant_cte() -> str:
+    return f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE}.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE len(embedding) > 0
+)"""
+
+
+def _seed_cte() -> str:
+    return f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_K})
+)"""
+
+
+_IDIST = """list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(range(1, len({v}) + 1),
+                 i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))),
+               (acc, x) -> acc + x)"""
+
+
+def _assign_cte(t: int, prev: str) -> str:
+    d = _IDIST.format(v="q.qv", c="c.cv")
+    return f"""a{t} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT q.vec_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d} ASC, c.cell ASC) AS rn
+    FROM q CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+
+
+def _recenter_cte(t: int, prev: str) -> str:
+    # Exact floored division regardless of the engine's integer-division
+    # rounding: (s - nonneg_residue) is exactly divisible by n.
+    return f"""s{t} AS (
+  SELECT cell, pos, SUM(x) AS s, COUNT(*) AS n
+  FROM (SELECT cell, unnest(list_transform(range(1, len(qv) + 1),
+                  i -> {{'pos': i, 'x': qv[i]}}), recursive := true)
+        FROM a{t})
+  GROUP BY cell, pos
+),
+c{t} AS (
+  SELECT p.cell, coalesce(nc.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS cv
+    FROM s{t} GROUP BY cell
+  ) nc USING (cell)
+)"""
+
+
+def _kmeans_ctes(iters: int = _ITERS) -> tuple[str, str, int]:
+    """(CTE chain, name of the trained-centroid CTE, final assign index)."""
+    parts = [_quant_cte(), _seed_cte()]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(_assign_cte(t, prev))
+        parts.append(_recenter_cte(t, prev))
+        prev = f"c{t}"
+    final_t = iters + 1
+    parts.append(_assign_cte(final_t, prev))
+    return ",\n".join(parts), prev, final_t
+
+
+_CTES, _CFINAL, _AFINAL = _kmeans_ctes()
+
+_KMEANS_CELL_STATS_ORACLE = f"""
+WITH {_CTES}
+SELECT a{_AFINAL}.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       MIN(a{_AFINAL}.vec_id) AS min_vec_id,
+       MIN(cs.centroid_sum) AS centroid_sum
+FROM a{_AFINAL} JOIN (SELECT cell, list_reduce(cv, (a, b) -> a + b)
+                          AS centroid_sum
+                      FROM {_CFINAL}) cs USING (cell)
+GROUP BY a{_AFINAL}.cell
+"""
+
+
+@register(
+    "ivf_kmeans_cell_stats",
+    _KMEANS_CELL_STATS_ORACLE,
+    doc="IVF quantizer training health check: 2 Lloyd iterations of integer-"
+        "exact k-means (floor(x*2^20) quantization), then per trained cell "
+        "the member count, min member id, and the exact integer centroid "
+        "checksum. Training = one scan + one tiny hash agg per iteration; "
+        "assignment = literal-centroid projection, zero shuffle.",
+)
+def ivf_kmeans_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    cents = sim.train_centroids_kmeans(e, n_centroids=_K, iters=_ITERS)
+    assigned = sim.assign_cells_trained(e, cents)
+    sums = [sum(c) for c in cents]
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .withColumn(
+            "centroid_sum",
+            F.element_at(
+                F.array(*[F.lit(s) for s in sums]),
+                F.col("cell").cast("int") + 1,
+            ),
+        )
+    )
+
+
+_TOPK_IVF_TRAINED_ORACLE = f"""
+WITH {_CTES},
+qr AS (SELECT vec_id AS query_id, embedding AS qe,
+              list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE}.0)
+                       AS BIGINT)) AS qqv
+       FROM embeddings WHERE vec_id % 100 = 0 AND len(embedding) > 0),
+probes AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT qr.query_id, qr.qe, c.cell,
+           row_number() OVER (PARTITION BY qr.query_id
+                              ORDER BY {_IDIST.format(v="qr.qqv", c="c.cv")}
+                                       ASC, c.cell ASC) AS rn
+    FROM qr CROSS JOIN {_CFINAL} c
+  ) WHERE rn <= {_N_PROBE}
+),
+ne AS (SELECT a.vec_id AS neighbor_id, e.embedding AS nv, a.cell
+       FROM a{_AFINAL} a JOIN embeddings e ON a.vec_id = e.vec_id),
+scored AS (
+  SELECT p.query_id, ne.neighbor_id, {_cos_sql('ne.nv', 'p.qe')} AS cos_sim
+  FROM ne JOIN probes p USING (cell)
+  WHERE ne.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_topk_ivf_trained",
+    _TOPK_IVF_TRAINED_ORACLE,
+    doc="ANN top-5 over the TRAINED IVF index: k-means cells, integer-exact "
+        "probe ranking (4 of 16 cells), exact cosine re-rank. Assignment and "
+        "probing are literal-centroid projections (no centroid join, no "
+        "window over a centroid cross product) — strictly less shuffle than "
+        "the untrained path at any scale.",
+)
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    cents = sim.train_centroids_kmeans(e, n_centroids=_K, iters=_ITERS)
+
+    assigned = sim.assign_cells_trained(
+        e.withColumnRenamed("vec_id", "neighbor_id"), cents, "neighbor_id"
+    ).withColumnRenamed("embedding", "__nvec")
+
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.size("embedding") > 0)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    probes = q.select(
+        "query_id", "__qvec",
+        F.explode(
+            F.expr(sim.topn_cells_sql(sim.quantize_sql("__qvec"), cents, _N_PROBE))
+        ).alias("cell"),
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            sim.cosine_expr("__nvec", "__qvec").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
