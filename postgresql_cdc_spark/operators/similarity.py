@@ -624,3 +624,39 @@ def topn_cells_sql(qv_sql: str, cents: list[list[int]], n: int) -> str:
         f"transform(slice(array_sort(array({structs})), 1, {n}), "
         "s -> s.cell)"
     )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    cents: list[list[int]],
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the trained coarse quantizer,
+    then WITHIN each cell drop every vector that has a lower-id member at
+    cosine >= threshold. Returns the survivors as ``(id, cell)``.
+
+    The greedy lowest-id-wins rule is deterministic and engine-replayable
+    (the paper keeps one arbitrary representative per epsilon-group; fixing
+    "lowest id" removes the arbitrariness). The pairwise pass is the point
+    of the clustering: the self-join is equi on ``cell``, so the candidate
+    set is cell-bounded — with k = O(sqrt N) cells this is O(N^1.5) worst
+    case instead of the O(N^2) all-pairs scan, and in practice hot cells are
+    what k-means training shrinks. No all-pairs path exists here.
+    """
+    a = assign_cells_trained(corpus, cents, id_col, vec_col, scale)
+    l = a.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"),
+                 "cell")
+    r = a.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"),
+                 "cell")
+    dropped = (
+        l.join(r, "cell")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(cosine_expr("__va", "__vb") >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return a.join(dropped, id_col, "left_anti").select(id_col, "cell")

@@ -44,12 +44,12 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- oracle SQL: the k-means loop, unrolled into CTEs -----------------------
 
-def _quant_cte() -> str:
+def _quant_cte(src: str = "embeddings") -> str:
     return f"""q AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE}.0) AS BIGINT)) AS qv
-  FROM embeddings WHERE len(embedding) > 0
+  FROM {src} WHERE len(embedding) > 0
 )"""
 
 
@@ -98,9 +98,9 @@ c{t} AS (
 )"""
 
 
-def _kmeans_ctes(iters: int = _ITERS) -> tuple[str, str, int]:
+def _kmeans_ctes(iters: int = _ITERS, src: str = "embeddings") -> tuple[str, str, int]:
     """(CTE chain, name of the trained-centroid CTE, final assign index)."""
-    parts = [_quant_cte(), _seed_cte()]
+    parts = [_quant_cte(src), _seed_cte()]
     prev = "c0"
     for t in range(1, iters + 1):
         parts.append(_assign_cte(t, prev))
@@ -202,7 +202,13 @@ FROM ranked WHERE rank <= 5
 def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     cents = sim.train_centroids_kmeans(e, n_centroids=_K, iters=_ITERS)
+    return _trained_topk(e, cents)
 
+
+def _trained_topk(e: DataFrame, cents: list[list[int]], k: int = 5) -> DataFrame:
+    """Top-k over the trained IVF index for the standard query set
+    (vec_id % 100 == 0): literal-centroid assignment + probe, cosine
+    re-rank."""
     assigned = sim.assign_cells_trained(
         e.withColumnRenamed("vec_id", "neighbor_id"), cents, "neighbor_id"
     ).withColumnRenamed("embedding", "__nvec")
@@ -230,5 +236,131 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 5)
+        .where(F.col("rank") <= k)
+    )
+
+
+# --- SemDeDup: semantic dedup via the trained quantizer ---------------------
+
+# Corpus with planted duplicates (same construction as dedup_embedding_cosine:
+# every 50th vector re-enters under id+100000), so the prune provably fires.
+_SEM_SRC = """src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+)"""
+
+_SEM_CTES, _SEM_CFINAL, _SEM_AFINAL = _kmeans_ctes(src="src")
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_SEM_SRC},
+{_SEM_CTES},
+av AS (SELECT a.vec_id, a.cell, s.embedding
+       FROM a{_SEM_AFINAL} a JOIN src s ON a.vec_id = s.vec_id),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.999
+)
+SELECT av.vec_id, av.cell FROM av ANTI JOIN dropped USING (vec_id)
+"""
+
+
+@register(
+    "semdedup_survivors",
+    _SEMDEDUP_ORACLE,
+    doc="SemDeDup (Abbas et al. 2023) semantic dedup: k-means-cluster the "
+        "embeddings (trained quantizer), then within each cell drop every "
+        "vector with a lower-id member at cosine >= 0.999. The self-join is "
+        "equi on cell, so candidates are cell-bounded — O(N^1.5) with "
+        "k = O(sqrt N) cells, never all-pairs. Planted duplicates "
+        "(id+100000 copies of every 50th vector) verify the prune fires.",
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    dup = e.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    src = e.select("vec_id", "embedding").unionByName(dup)
+    cents = sim.train_centroids_kmeans(src, n_centroids=_K, iters=_ITERS)
+    return sim.semdedup_prune(src, cents, threshold=0.999)
+
+
+# --- ANN quality evaluation: trained-IVF recall vs brute-force truth --------
+
+_RECALL_ORACLE = f"""
+WITH {_CTES},
+qr AS (SELECT vec_id AS query_id, embedding AS qe,
+              list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE}.0)
+                       AS BIGINT)) AS qqv
+       FROM embeddings WHERE vec_id % 100 = 0 AND len(embedding) > 0),
+probes AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT qr.query_id, qr.qe, c.cell,
+           row_number() OVER (PARTITION BY qr.query_id
+                              ORDER BY {_IDIST.format(v="qr.qqv", c="c.cv")}
+                                       ASC, c.cell ASC) AS rn
+    FROM qr CROSS JOIN {_CFINAL} c
+  ) WHERE rn <= {_N_PROBE}
+),
+ne AS (SELECT a.vec_id AS neighbor_id, e.embedding AS nv, a.cell
+       FROM a{_AFINAL} a JOIN embeddings e ON a.vec_id = e.vec_id),
+ivf_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM (SELECT p.query_id, ne.neighbor_id,
+               {_cos_sql('ne.nv', 'p.qe')} AS cos_sim
+        FROM ne JOIN probes p USING (cell)
+        WHERE ne.neighbor_id <> p.query_id)
+),
+brute_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM (SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_cos_sql('e.embedding', 'q.qe')} AS cos_sim
+        FROM embeddings e JOIN qr q ON e.vec_id <> q.query_id)
+),
+overlap AS (
+  SELECT i.query_id, COUNT(*) AS n_overlap
+  FROM ivf_ranked i JOIN brute_ranked b
+    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+  WHERE i.rank <= 5 AND b.rank <= 5
+  GROUP BY i.query_id
+)
+SELECT qr.query_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM qr LEFT JOIN overlap o USING (query_id)
+"""
+
+
+@register(
+    "ivf_recall_eval",
+    _RECALL_ORACLE,
+    doc="ANN index quality evaluation: per query, how many of the trained-"
+        "IVF top-5 appear in the exact brute-force top-5 (recall@5 "
+        "numerator). The measure-don't-guess gate every ANN deployment "
+        "runs before trusting an index; brute truth is the documented "
+        "quadratic baseline over the 1% query sample.",
+)
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    cents = sim.train_centroids_kmeans(e, n_centroids=_K, iters=_ITERS)
+    ivf = _trained_topk(e, cents)
+
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.size("embedding") > 0)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = sim.topk_brute(e, q, k=5)
+    ov = (
+        ivf.select("query_id", "neighbor_id")
+        .join(brute.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return q.select("query_id").join(ov, "query_id", "left").select(
+        "query_id", F.coalesce(F.col("__n"), F.lit(0)).alias("n_overlap")
     )
