@@ -110,3 +110,59 @@ def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+from postgresql_cdc_spark.operators.layout import z_sql  # noqa: E402
+
+
+_Z_ORACLE = f"""
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % 256 AS px, l_suppkey % 256 AS sy
+  FROM lineitem
+),
+z AS (SELECT *, {z_sql('px', 'sy', 8, 'duckdb')} AS zval FROM b),
+f AS (SELECT *, zval // 2048 AS file_id FROM z)
+SELECT CAST(file_id AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(px) AS BIGINT) AS min_px, CAST(MAX(px) AS BIGINT) AS max_px,
+       CAST(MIN(sy) AS BIGINT) AS min_sy, CAST(MAX(sy) AS BIGINT) AS max_sy,
+       CAST((MAX(px) - MIN(px) + 1) * (MAX(sy) - MIN(sy) + 1) AS BIGINT)
+         AS bbox_area
+FROM f GROUP BY file_id
+"""
+
+
+@register(
+    "layout_zorder_file_stats",
+    _Z_ORACLE,
+    doc="Z-order (Morton) layout statistics: interleave the bits of two "
+        "bucketed dimensions (l_partkey, l_suppkey mod 256) into one "
+        "Z-value, range-bucket into 32 'files', and report each file's "
+        "min/max bounding box in BOTH dimensions. Tight boxes are the point: "
+        "at 100 TB the write path is repartitionByRange(zval) + "
+        "sortWithinPartitions before the parquet write, and the min/max file "
+        "stats then prune scans on EITHER dimension — the OPTIMIZE ZORDER "
+        "layout. Pure integer bit math (scan-speed projection + one hash "
+        "agg), bit-identical in any engine.",
+)
+def layout_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    b = l.select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sy"),
+    )
+    # Fixed Z-ranges (zval div 2048 over the 16-bit Z space) stand in for the
+    # range partitioner's split points: a pure projection here, so the whole
+    # query is scan + one agg — no global sort/window anywhere.
+    f = b.select(
+        "px", "sy",
+        F.expr(f"{z_sql('px', 'sy', 8)} div 2048").alias("file_id"),
+    )
+    return f.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("px").alias("min_px"), F.max("px").alias("max_px"),
+        F.min("sy").alias("min_sy"), F.max("sy").alias("max_sy"),
+        ((F.max("px") - F.min("px") + 1)
+         * (F.max("sy") - F.min("sy") + 1)).alias("bbox_area"),
+    )
