@@ -52,7 +52,7 @@ from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from postgresql_cdc_spark.operators.text import h60, shingles, tokens
+from postgresql_cdc_spark.operators.text import h60, raw_shingles, shingles, tokens
 
 # SQL twin of text.h60 — the hot kernels below are generated as SQL strings
 # and parsed JVM-side with one F.expr call; building the same trees through
@@ -631,4 +631,112 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def duplicate_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_span: int = 12,
+    max_df: int = 20,
+    max_occ: int = 10,
+) -> DataFrame:
+    """EXACT substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): for every document pair sharing at least
+    one duplicated token span of ``min_span``+ tokens, report how many such
+    maximal spans they share, the longest one, and their summed length.
+
+    Doc-level near-dup (Jaccard/MinHash) misses the partial-copy failure mode
+    — a page quoting 200 tokens of another page verbatim scores low Jaccard
+    but still leaks memorizable spans into training data. Substring dedup
+    catches exactly that.
+
+    Suffix arrays don't distribute; the Spark-shaped equivalent is
+    gaps-and-islands over matching POSITIONAL k-gram hashes:
+
+    1. posting (id, pos, h): one h60 per k-gram occurrence, with its token
+       position (``raw_shingles`` keeps multiplicity and order);
+    2. equi-join postings on h (id_a < id_b) — candidates fan out per
+       *matching k-gram occurrence*, never per document pair;
+    3. a run of consecutive matches on one pair lies on one DIAGONAL
+       (pos_a - pos_b constant), so ``pos_a - row_number() OVER
+       (PARTITION BY id_a, id_b, diag ORDER BY pos_a)`` labels maximal
+       islands (the classic gaps-and-islands key — positions within a
+       diagonal are unique, so the labeling is deterministic);
+    4. an island of m k-grams is a duplicated span of m + k - 1 tokens;
+       spans below ``min_span`` tokens are dropped.
+
+    Skew guards, both mirrored in the oracle:
+
+    - ``max_df``  — drop k-grams occurring in more than this many DISTINCT
+      docs (boilerplate; a df-capped variant of stop-shingle removal —
+      without it the posting join fans out quadratically on templated text);
+    - ``max_occ`` — drop (doc, k-gram) groups repeated more than this many
+      times within one doc ("spam spam spam…" would otherwise pair every
+      occurrence with every occurrence: quadratic in the repeat count on a
+      SINGLE pair).
+
+    Scale: the posting join is a hash equi-join on the k-gram hash whose
+    per-key fan-out is bounded by max_df x max_occ; the island window
+    partitions by (pair, diagonal) — skinny keyed rows, no corpus-wide sort;
+    output is one row per offending pair. Same persist contract as the other
+    dedup pipelines (caller clears the cache after materializing).
+
+    Returns (id_a, id_b, n_spans, max_span_tokens, dup_tokens); dup_tokens
+    sums maximal-span lengths per pair (spans on different diagonals may
+    overlap in token range — it is a severity score, not a distinct-token
+    count).
+    """
+    from pyspark.sql.window import Window
+
+    posting = (
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens(F.col(text_col)).alias("tk"),
+        )
+        .where(F.size("tk") >= k)
+        .select(
+            "id",
+            F.posexplode(F.transform(raw_shingles(F.col("tk"), k), h60)),
+        )
+        .select("id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("h"))
+        .persist()  # read by two guard aggs and both posting join sides
+    )
+    hot = (
+        posting.groupBy("h")
+        .agg(F.countDistinct("id").alias("df"))
+        .where(F.col("df") > max_df)
+    )
+    spam = (
+        posting.groupBy("id", "h").count().where(F.col("count") > max_occ)
+    )
+    pruned = (
+        posting.join(F.broadcast(hot.select("h")), "h", "left_anti")
+        .join(F.broadcast(spam.select("id", "h")), ["id", "h"], "left_anti")
+    )
+
+    pa, pb = pruned.alias("pa"), pruned.alias("pb")
+    pairs = (
+        pa.join(pb, "h")
+        .where(F.col("pa.id") < F.col("pb.id"))
+        .select(
+            F.col("pa.id").alias("id_a"),
+            F.col("pb.id").alias("id_b"),
+            F.col("pa.pos").alias("pos_a"),
+            (F.col("pa.pos") - F.col("pb.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    spans = (
+        pairs.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("span_tokens"))
+        .where(F.col("span_tokens") >= min_span)
+    )
+    return spans.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_tokens").alias("max_span_tokens"),
+        F.sum("span_tokens").alias("dup_tokens"),
     )
