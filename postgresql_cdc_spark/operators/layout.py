@@ -41,3 +41,71 @@ def zvalue(a: Column | str, b: Column | str, bits: int = 8) -> Column:
     a_sql = a if isinstance(a, str) else a._jc.toString()
     b_sql = b if isinstance(b, str) else b._jc.toString()
     return F.expr(z_sql(a_sql, b_sql, bits))
+
+
+def list_data_files(spark, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file under ``path``, recursively, via the
+    Hadoop FileSystem API — the same listing works on file://, hdfs:// and
+    s3a://, so the operator is lake-portable (a table format like
+    Delta/Iceberg reads this from its manifest instead of the namenode;
+    either way the stats feeding compaction are these). Hidden and metadata
+    entries (``_SUCCESS``, ``.crc``) are skipped."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def compact(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the OPTIMIZE pass every 100 TB lake runs.
+
+    Streaming sinks and fine-grained upserts leave directories with
+    thousands of KB-sized files; every downstream scan then pays a task, a
+    footer read and an open() per file, and the driver pays the listing.
+    Compaction rewrites the directory into ``ceil(total_bytes /
+    target_file_bytes)`` files:
+
+    - without ``sort_by``: ``coalesce(n)`` — merges read partitions with NO
+      shuffle (each output task concatenates input splits; this is the cheap
+      path and preserves existing order);
+    - with ``sort_by``: ``repartitionByRange(n, *sort_by)`` +
+      ``sortWithinPartitions`` — one shuffle that also re-clusters the data
+      so min/max file statistics prune on the sort key afterwards (combine
+      with ``zvalue`` for two-dimension pruning).
+
+    Sizing uses the INPUT byte total as the estimate for the output (same
+    codec family in and out); the target is a soft ceiling, exactly like
+    Delta OPTIMIZE's. Returns the decision record a maintenance job logs:
+    ``{n_files_in, bytes_in, n_files_out}``.
+    """
+    files = list_data_files(spark, in_path)
+    total = sum(b for _, b in files)
+    n_out = max(1, -(-total // int(target_file_bytes)))
+    df = spark.read.parquet(in_path)
+    if sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(out_path)
+    return {
+        "n_files_in": len(files),
+        "bytes_in": total,
+        "n_files_out": n_out,
+    }

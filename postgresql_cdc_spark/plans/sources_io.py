@@ -168,3 +168,42 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+
+@register(
+    "layout_compaction_roundtrip",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           MIN(l_orderkey) AS min_key,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Small-file compaction (the lake OPTIMIZE pass): lineitem written "
+        "deliberately fragmented (repartition(64) => 64 tiny files), then "
+        "operators/layout.compact coalesces it to ceil(bytes/target) files "
+        "with NO shuffle and the aggregate over the compacted copy must "
+        "equal the oracle's direct scan — content-preservation is the gate; "
+        "the file-count arithmetic and shuffle-free plan are pinned in "
+        "tests/test_compaction.py. At 100 TB this is how streaming-sink "
+        "directories stay scannable.",
+)
+def layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.layout import compact
+    from postgresql_cdc_spark.plans.common import DEC
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    frag = _roundtrip_dir(spark, sf_dir, "frag")
+    out = _roundtrip_dir(spark, sf_dir, "compact")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compact(spark, frag, out, target_file_bytes=64 * 1024 * 1024)
+    back = spark.read.schema(
+        "l_orderkey long, l_returnflag string, l_quantity double"
+    ).parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.sum(DEC("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+    )
