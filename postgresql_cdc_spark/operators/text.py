@@ -20,7 +20,7 @@ scan speed and column-prune to just the text column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # Languages for the stopword heuristic. Tiny closed-class word lists — the
 # classic cheap language-ID signal (function words dominate any real corpus).
@@ -205,3 +205,47 @@ def bpe_tokens(col: Column) -> Column:
     within, so its count is the standard proxy for "how many tokens will
     this document cost" before a real vocab exists."""
     return F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def unigram_df_scores(df: DataFrame, text_col: str, id_col: str,
+                      rare_df: int = 2) -> DataFrame:
+    """Corpus-statistics quality scoring: per document, the mean corpus
+    document-frequency of its token occurrences and the fraction of
+    occurrences that are corpus-rare (df <= ``rare_df``).
+
+    The integer-exact stand-in for unigram language-model scoring (the
+    CCNet-style perplexity filter): df is a monotone proxy for unigram
+    probability, so a LOW mean_df / HIGH rare_frac document is built from
+    words the corpus has never agreed on — gibberish, OCR noise, hash dumps —
+    while boilerplate scores the opposite extreme. Using counts instead of
+    log-probabilities keeps every aggregate exact (BIGINT sums; one final
+    double division rounded to 6 dp), so a cross-engine oracle can gate it
+    bit-for-bit — a real log-prob scorer differs only in the final map.
+
+    Two-pass shape, both passes word-count-shaped at 100 TB: (1) the
+    vocabulary pass — explode + groupBy(token) with map-side partials;
+    (2) the scoring pass — one hash equi-join of occurrences to the df
+    table on the token, then a per-doc aggregate. The occurrence frame is
+    persisted because both passes read it (same caller-clears-cache
+    contract as operators/dedup).
+    """
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).persist()
+    dfreq = occ.groupBy("t").agg(F.countDistinct("id").alias("df"))
+    n = F.count(F.lit(1))
+    return (
+        occ.join(dfreq, "t")
+        .groupBy("id")
+        .agg(
+            n.alias("n_tokens"),
+            F.round(F.sum("df").cast("double") / n, 6).alias("mean_df"),
+            F.round(
+                F.sum(
+                    F.when(F.col("df") <= rare_df, 1).otherwise(0)
+                ).cast("double") / n,
+                6,
+            ).alias("rare_frac"),
+        )
+    )

@@ -1,4 +1,5 @@
-"""Exact substring dedup: the partial-copy detector doc-level near-dup misses.
+"""Later-round corpus operators: exact substring dedup and corpus-statistics
+quality scoring.
 
 ``operators/dedup.duplicate_span_pairs`` finds duplicated token SPANS shared
 across documents (Lee et al. 2021, arXiv:2107.06499) via gaps-and-islands
@@ -118,4 +119,34 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_span_pairs(
         _span_corpus(spark, sf_dir), "text", "doc_id",
         k=_K, min_span=_MIN_SPAN, max_df=_MAX_DF, max_occ=_MAX_OCC,
+    )
+
+
+@register(
+    "text_quality_unigram",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    occ AS (SELECT doc_id, unnest(tk) AS t FROM tk WHERE len(tk) > 0),
+    dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY t)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(df) AS DOUBLE) / COUNT(*), 6) AS mean_df,
+           round(CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_frac
+    FROM occ JOIN dfreq USING (t)
+    GROUP BY doc_id
+    """,
+    doc="Corpus-statistics quality scoring (integer-exact CCNet-style LM "
+        "filter proxy): per doc, mean corpus document-frequency of its "
+        "token occurrences and the corpus-rare (df<=2) occurrence fraction "
+        "— low mean_df / high rare_frac flags gibberish and OCR noise. Two "
+        "word-count-shaped passes: vocabulary groupBy(token), then one "
+        "token-keyed equi-join back to occurrences + per-doc agg.",
+)
+def text_quality_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import unigram_df_scores
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return unigram_df_scores(d, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
     )
