@@ -193,3 +193,54 @@ def events_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id long, n_events long, n_transitions int, "
                "first_type string, span_ms long",
     )
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH obs AS (
+        SELECT user_id AS k, date_trunc('day', ts) AS bucket, value AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id,
+                              date_trunc('day', ts)) AS n_events
+        FROM events
+    ),
+    b AS (SELECT k, bucket, v, n_events FROM obs WHERE rn = 1),
+    rng AS (SELECT k, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY k),
+    spine AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+              FROM rng),
+    j AS (SELECT s.k, s.bucket, b.v, b.n_events
+          FROM spine s LEFT JOIN b ON s.k = b.k AND s.bucket = b.bucket)
+    SELECT k AS user_id,
+           CAST(bucket AS VARCHAR) AS bucket_start,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           v IS NULL AS is_filled
+    FROM j
+    """,
+    doc="Hypertable-style gap-filled rollup (TimescaleDB time_bucket_gapfill"
+        " + locf): per-user DAILY buckets over each user's observed range, "
+        "missing days emitted with the last observed value carried forward "
+        "and n_events=0. The deterministic last observation (ordered by ts, "
+        "event_id) and the verbatim value carry keep both engines "
+        "bit-identical with no float arithmetic. Scale: one (key, bucket) "
+        "window pass + a per-key spine explode bounded by range/bucket — "
+        "the continuous-aggregate shape of any metrics store.",
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.timeseries import gapfill_locf
+
+    e = EV(spark, sf_dir)
+    out = gapfill_locf(e, "ts", "user_id", "value", "event_id", unit="day")
+    return out.select(
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        ),
+        "value",
+        "n_events",
+        "is_filled",
+    )
