@@ -23,6 +23,7 @@ from postgresql_cdc_spark.plans import cdc  # noqa: E402,F401
 from postgresql_cdc_spark.plans import streaming_gate  # noqa: E402,F401
 from postgresql_cdc_spark.plans import sources_io  # noqa: E402,F401
 from postgresql_cdc_spark.plans import events_ext  # noqa: E402,F401
+from postgresql_cdc_spark.plans import events_funnels  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational4  # noqa: E402,F401
 from postgresql_cdc_spark.plans import scale_patterns  # noqa: E402,F401
 from postgresql_cdc_spark.plans import relational  # noqa: E402,F401
