@@ -177,7 +177,8 @@ def _sink_to_memory(spark: SparkSession, stream, base: str,
 
 
 def _run_stream_to_memory(spark: SparkSession, arch: str, base: str,
-                          transform=None, max_records: int | None = None) -> DataFrame:
+                          transform=None, max_records: int | None = None,
+                          options: dict | None = None) -> DataFrame:
     """readStream(pgcdc) → optional transform → memory sink; returns the
     sink table.
 
@@ -188,6 +189,8 @@ def _run_stream_to_memory(spark: SparkSession, arch: str, base: str,
     (watermark advancement, cross-batch state)."""
     _register_source(spark)
     reader = spark.readStream.format("pgcdc").option("path", arch)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, str(v))
     if max_records is None:
         reader = reader.option("readall", "true")  # AvailableNow: one batch
     else:
@@ -1160,4 +1163,83 @@ def cdc_relay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = materialize(log, keys=["id"], merge_sparse=False)
     return typed_view(
         state, {"id": "bigint", "v_int": "int", "v_text": "string"}, keep=()
+    )
+
+
+@register(
+    "cdc_snapshot_handover",
+    f"""
+    SELECT i AS id,
+           CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                     ELSE (i * 7) % 13 END AS INT) AS v_int,
+           'acct-' || CAST(i AS VARCHAR) AS v_text,
+           CAST((CASE WHEN i >= 50 THEN 1 ELSE 0 END)
+                + (CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stream_events
+    FROM range({N}) t(i)
+    WHERE i % 7 <> 0
+    """,
+    doc="Initial-snapshot + stream handover (the Debezium bootstrap "
+        "topology; reference has no snapshot phase): a consistent snapshot "
+        "taken at the 5th txn's commit LSN becomes op='R' envelope rows at "
+        "that LSN; the stream starts with option startLsn=S, so the archive "
+        "rows the snapshot already reflects are never re-consumed even "
+        "though they are still on disk. The result carries per-key "
+        "n_stream_events (0 for keys only the snapshot saw), so an ignored "
+        "startLsn — which latest-image materialization alone would mask, "
+        "CDC merge being idempotent — inflates the counts and fails the "
+        "hash. Closed-form oracle: inserts past the snapshot are ids >= 50; "
+        "updates touch ids % 5 = 0; deletes (ids % 7 = 0) drop out.",
+)
+def cdc_snapshot_handover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_snap_{run}_")
+    arch = os.path.join(base, "wal")
+    frames = _archive_frames()
+    _build_archive(arch)
+
+    # The snapshot's consistent point: the commit LSN of the 5th insert
+    # transaction (payload tag 'C' is protocol-fixed, pgoutput commit).
+    commit_lsns = [lsn for lsn, payload in frames if payload[:1] == b"C"]
+    snap_lsn = commit_lsns[4]
+
+    # The snapshot itself = table state as of snap_lsn (ids 0..49, insert
+    # images only), shipped as op='R' envelope rows AT the snapshot LSN —
+    # any streamed change (lsn > snap_lsn) outranks it in the merge, any
+    # untouched key keeps its snapshot image.
+    snap = spark.range(0, N // 2).select(
+        F.lit("R").alias("op"),
+        F.lit("public").alias("schema"),
+        F.lit("accounts").alias("table"),
+        F.lit(_REL.relation_id).cast("int").alias("relation_id"),
+        F.lit(snap_lsn).cast("long").alias("lsn"),
+        F.lit(-1).cast("long").alias("txn_id"),
+        F.create_map(
+            F.lit("id"), F.col("id").cast("string"),
+            F.lit("v_int"), ((F.col("id") * 7) % 13).cast("int").cast("string"),
+            F.lit("v_text"), F.concat(F.lit("acct-"), F.col("id").cast("string")),
+        ).alias("columns"),
+    )
+
+    log = _run_stream_to_memory(
+        spark, arch, base, options={"startLsn": snap_lsn}
+    )
+    counts = (
+        log.select(F.element_at("columns", "id").cast("long").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_stream_events"))
+    )
+    state = materialize(
+        snap.unionByName(log), keys=["id"], merge_sparse=False
+    )
+    view = typed_view(
+        state, {"id": "bigint", "v_int": "int", "v_text": "string"}, keep=()
+    )
+    return view.join(counts, "id", "left").select(
+        "id", "v_int", "v_text",
+        F.coalesce("n_stream_events", F.lit(0).cast("long")).alias(
+            "n_stream_events"
+        ),
     )

@@ -160,6 +160,18 @@ class WalArchiveStreamReader(DataSourceStreamReader):
                 self._restored = {"lsn": int(flushed), "txn_open": False}
         except (OSError, ValueError):
             pass
+        # startLsn: begin streaming strictly AFTER this LSN — the snapshot
+        # handover point. A pipeline that bootstraps from a consistent table
+        # snapshot taken at LSN S (Debezium-style initial snapshot; PG's
+        # pg_export_snapshot at slot creation) must not re-consume changes
+        # the snapshot already reflects, even when the archive still holds
+        # them. A checkpoint/ack that is already PAST the handover wins
+        # (max) — restart recovery outranks the bootstrap parameter.
+        start_opt = options.get("startlsn")
+        if start_opt is not None:
+            start_lsn = int(start_opt)
+            if self._restored is None or self._restored["lsn"] < start_lsn:
+                self._restored = {"lsn": start_lsn, "txn_open": False}
         self._last_offset: Optional[dict] = (
             dict(self._restored) if self._restored else None
         )

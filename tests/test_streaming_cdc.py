@@ -380,3 +380,57 @@ class TestDrainBounded:
         )
         _drain_bounded(q, timeout_s=120.0)
         assert sum(seen) == 6  # every archive row delivered exactly once
+
+
+class TestStartLsnHandover:
+    def test_startlsn_skips_snapshot_covered_changes(self, tmp_path):
+        from postgresql_cdc_spark.streaming.source import WalArchiveStreamReader
+
+        arch = str(tmp_path / "wal_snap")
+        _make_archive(arch)
+        # snapshot taken at the first txn's commit (LSN 30): the two inserts
+        # it covers must never be re-consumed, later txns flow normally
+        r = WalArchiveStreamReader(
+            {"path": arch, "readall": "true", "startlsn": "30"}
+        )
+        start = r.initialOffset()
+        assert start == {"lsn": 30, "txn_open": False}
+        end = r.latestOffset()
+        rows = list(r.read(r.partitions(start, end)[0]))
+        assert [(row[0], row[4]) for row in rows] == [
+            ("U", 41), ("D", 42), ("I", 70), ("I", 81),
+        ]
+
+    def test_checkpoint_ahead_of_startlsn_wins(self, tmp_path):
+        import json as _json
+        import os as _os
+
+        from postgresql_cdc_spark.streaming.source import WalArchiveStreamReader
+
+        arch = str(tmp_path / "wal_snap2")
+        _make_archive(arch)
+        with open(_os.path.join(arch, "_flushed_lsn"), "w") as f:
+            _json.dump({"flushed_lsn": 60}, f)
+        # restart recovery outranks the bootstrap parameter: resume at 60
+        r = WalArchiveStreamReader(
+            {"path": arch, "readall": "true", "startlsn": "30"}
+        )
+        assert r.initialOffset()["lsn"] == 60
+        end = r.latestOffset()
+        rows = list(r.read(r.partitions(r.initialOffset(), end)[0]))
+        assert [(row[0], row[4]) for row in rows] == [("I", 70), ("I", 81)]
+
+    def test_startlsn_ahead_of_stale_checkpoint_wins(self, tmp_path):
+        import json as _json
+        import os as _os
+
+        from postgresql_cdc_spark.streaming.source import WalArchiveStreamReader
+
+        arch = str(tmp_path / "wal_snap3")
+        _make_archive(arch)
+        with open(_os.path.join(arch, "_flushed_lsn"), "w") as f:
+            _json.dump({"flushed_lsn": 12}, f)
+        r = WalArchiveStreamReader(
+            {"path": arch, "readall": "true", "startlsn": "30"}
+        )
+        assert r.initialOffset()["lsn"] == 30
