@@ -634,6 +634,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    ngram: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact all-pairs n-gram CONTAINMENT above threshold:
+    ``|A∩B| / min(|A|, |B|)``.
+
+    Jaccard misses the doc-in-doc failure mode — a short page fully quoted
+    inside a long page scores near-zero Jaccard (the union is dominated by
+    the long page) but containment ~1. This is the asymmetric near-dup
+    family a training-corpus build runs alongside Jaccard to catch excerpt
+    pages, syndicated snippets, and quote-wrapper boilerplate.
+
+    Same scale shape as ``ngram_jaccard_pairs`` — pre-hashed shingle
+    postings, stop-shingle (df > ``max_df``) pruning, one pair aggregate
+    with the sizes riding through the groupBy. The one structural
+    difference: the size-ratio prefilter is deliberately ABSENT, because
+    containment is exactly the score that asymmetric-size pairs are
+    screened for (min(|A|,|B|) is the denominator, so no size ratio bounds
+    it). The candidate space is still bounded by the posting equi-join —
+    only pairs sharing a non-hot shingle ever meet — so nothing is
+    quadratic. Same persist contract as ``minhash_lsh_pairs``: the caller
+    clears the cache after materializing the result.
+
+    Reference parity: the reference has no text operators (north-star
+    extension per SURVEY.md §2); algorithm per Broder's containment measure
+    (resemblance/containment, SEQUENCES'97).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(tokens(F.col(text_col)), ngram), h60).alias("shh"),
+    ).persist()
+    base = hashed.where(F.size("shh") > 0)
+    posting = (
+        base.select(
+            "id",
+            F.size("shh").alias("n_sh"),
+            F.explode("shh").alias("sh_hash"),
+        )
+        .persist()
+    )
+    hot = posting.groupBy("sh_hash").count().where(F.col("count") > max_df)
+    posting = posting.join(F.broadcast(hot), "sh_hash", "left_anti")
+
+    pa, pb = posting.alias("pa"), posting.alias("pb")
+    common = (
+        pa.join(pb, "sh_hash")
+        .where(F.col("pa.id") < F.col("pb.id"))
+        .groupBy(
+            F.col("pa.id").alias("id_a"),
+            F.col("pb.id").alias("id_b"),
+            F.col("pa.n_sh").alias("na"),
+            F.col("pb.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_common") / F.least(F.col("na"), F.col("nb")), 6
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def duplicate_span_pairs(
     df: DataFrame,
     text_col: str,

@@ -1,0 +1,148 @@
+"""Operator-level contracts for the part-5 extension surface.
+
+The oracle-paired registry queries pin cross-engine values at sf0.01; these
+tests pin the semantics on tiny hand-built frames — containment's asymmetry
+(the property Jaccard cannot express), split-assignment determinism and
+filter-commutation, random-projection linearity, and IQR fence arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresql_cdc_spark.operators.dedup import (
+    containment_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+def _w(a: int, b: int) -> str:
+    return " ".join(f"w{i}" for i in range(a, b + 1))
+
+
+def _pairs(spark, rows, **kw):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = containment_pairs(df, "text", "doc_id", **kw).collect()
+    spark.catalog.clearCache()
+    return sorted((r.id_a, r.id_b, r.containment) for r in out)
+
+
+class TestContainment:
+    def test_doc_fully_inside_long_doc_scores_one(self, spark):
+        # B = A's tokens 1..20; every one of B's 18 shingles appears in A.
+        rows = [(1, _w(1, 100)), (2, _w(1, 20))]
+        got = _pairs(spark, rows, threshold=0.9)
+        assert got == [(1, 2, 1.0)]
+
+    def test_jaccard_misses_what_containment_catches(self, spark):
+        # Same pair: Jaccard = 18/98 ≈ 0.18 — far below any near-dup
+        # threshold, which is exactly the doc-in-doc blind spot.
+        df = spark.createDataFrame(
+            [(1, _w(1, 100)), (2, _w(1, 20))], ["doc_id", "text"]
+        )
+        jac = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+        spark.catalog.clearCache()
+        assert jac == []
+
+    def test_disjoint_docs_produce_no_pairs(self, spark):
+        rows = [(1, _w(1, 30)), (2, _w(100, 130))]
+        assert _pairs(spark, rows, threshold=0.1) == []
+
+    def test_threshold_filters(self, spark):
+        # B = A's tokens 1..10 plus 10 junk tokens: 8 of B's 18 shingles
+        # hit A => containment 8/18 ≈ 0.444.
+        rows = [(1, _w(1, 50)), (2, _w(1, 10) + " " + _w(200, 209))]
+        assert _pairs(spark, rows, threshold=0.5) == []
+        got = _pairs(spark, rows, threshold=0.4)
+        assert len(got) == 1 and abs(got[0][2] - 8 / 18) < 1e-6
+
+
+class TestSplitAssign:
+    def test_deterministic_and_filter_commuting(self, spark, sf_dir):
+        from postgresql_cdc_spark.plans import QUERIES
+
+        q = QUERIES["corpus_split_assign"].spark
+        a = {r.doc_id: r.split for r in q(spark, sf_dir).collect()}
+        b = {r.doc_id: r.split for r in q(spark, sf_dir).collect()}
+        assert a == b  # rerun-stable: no randomness, no row-position input
+        # membership is a pure function of doc_id: any subset assigns the
+        # same splits (re-sharding/filtering cannot leak docs across splits)
+        sub = {
+            r.doc_id: r.split
+            for r in q(spark, sf_dir).where(F.col("doc_id") % 3 == 0).collect()
+        }
+        assert sub == {k: v for k, v in a.items() if k % 3 == 0}
+
+    def test_all_three_splits_present(self, spark, sf_dir):
+        from postgresql_cdc_spark.plans import QUERIES
+
+        q = QUERIES["corpus_split_assign"].spark
+        splits = {r.split for r in q(spark, sf_dir).collect()}
+        assert splits == {"train", "val", "test"}
+
+
+class TestRandomProjection:
+    def test_projection_is_linear_in_quantized_input(self, spark, sf_dir):
+        """p(2v) uses q=floor(2000x) = 2*floor(1000x) only when exact; use
+        a vector of exact millis so doubling commutes — pins that the
+        projection is the advertised linear map, not an opaque hash."""
+        from postgresql_cdc_spark.operators.similarity import (
+            hyperplane_weights,
+        )
+
+        v = [i / 1000.0 for i in range(64)]  # exact millis
+        df = spark.createDataFrame([(1, v), (2, [2 * x for x in v])],
+                                   ["vec_id", "embedding"])
+        import postgresql_cdc_spark.plans.extensions5 as e5
+
+        w = hyperplane_weights("rp", e5._RP_PLANES, e5._RP_DIM)
+        q = [int(x * 1000) for x in v]
+        expect = [
+            sum(int(wi) * qi for wi, qi in zip(plane, q)) for plane in w
+        ]
+
+        b = df.select(
+            "vec_id",
+            F.expr(
+                "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+                "x -> CAST(floor(x * 1000) AS BIGINT))"
+            ).alias("q"),
+        )
+        p = b.select(
+            "vec_id",
+            F.expr(
+                f"transform({e5._rp_wmat_spark()}, wp -> "
+                "aggregate(zip_with(q, wp, (x, y) -> x * y), "
+                "0L, (acc, x) -> acc + x))"
+            ).alias("proj"),
+        ).collect()
+        got = {r.vec_id: list(r.proj) for r in p}
+        assert got[1] == expect
+        assert got[2] == [2 * x for x in expect]
+
+
+class TestOutliersIqr:
+    def test_fences_flag_exactly_the_planted_outliers(self, spark):
+        from postgresql_cdc_spark.plans import QUERIES
+        import tempfile, os
+
+        # 20 values 1.0..2.0 plus one wild point per side
+        vals = [1.0 + i * 0.05 for i in range(21)] + [100.0, -100.0]
+        rows = [(i, "2024-01-01 00:00:00", 1, "t", v, "{}")
+                for i, v in enumerate(vals)]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts string, user_id long, event_type string,"
+                " value double, props string",
+            ).select(
+                "event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value", "props",
+            ).write.parquet(os.path.join(d, "events.parquet"))
+            out = QUERIES["events_outliers_iqr"].spark(spark, d).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n, r.n_hi, r.n_lo) == (23, 1, 1)
+        # p25/p75 are actual data elements in micros
+        assert r.p25_micros in {int(v * 1e6) for v in vals}
+        assert r.p75_micros in {int(v * 1e6) for v in vals}

@@ -30,6 +30,7 @@ NESTED_LOOP_OK = {
     "q11_important_stock",  # one-row global total broadcast
     "q15_top_supplier",     # one-row MAX broadcast
     "q22_idle_rich_customers",  # one-row AVG(acctbal) scalar broadcast
+    "text_collocations",   # one-row corpus-token-total scalar broadcast
     "join_range_buckets",  # genuine non-equi range join vs tiny bucket table
 }
 
