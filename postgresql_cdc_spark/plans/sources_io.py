@@ -207,3 +207,34 @@ def layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_key"),
         F.sum(DEC("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "source_text_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+             AS corpus_xor
+    FROM documents
+    """,
+    doc="Line-oriented text sink + source roundtrip: documents.text -> "
+        "spark.write.text (one line per doc; fixture texts are newline-free) "
+        "-> spark.read.text -> corpus checksum. The XOR of per-line portable "
+        "hashes is order-independent, so the check is layout-insensitive "
+        "but corrupts on ANY lost, duplicated, or altered line. The oracle "
+        "computes the same checksum from the parquet table directly — equal "
+        "only if the text roundtrip was lossless.",
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import h60
+
+    d = T(spark, sf_dir, "documents")
+    path = _roundtrip_dir(spark, sf_dir, "text")
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)  # one column: value
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.bit_xor(h60(F.col("value"))).alias("corpus_xor"),
+    )

@@ -89,3 +89,47 @@ class TestZOrder:
         assert len(stats) == 32
         for r in stats:
             assert r.wx <= 31 and r.wy <= 63
+
+
+class TestBloomlikePrefilter:
+    def test_semi_prefilter_sits_below_the_fact_shuffle(self, spark):
+        """The point of the pattern: the broadcast LeftSemi bucket filter
+        must apply to the lineitem scan BEFORE any exchange of fact rows —
+        if it floats above the shuffle (or disappears), the rewrite no
+        longer saves the fact-table exchange it exists for."""
+        from postgresql_cdc_spark.plans import QUERIES
+
+        df = QUERIES["join_bloomlike_prefilter"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        semi = plan.index("LeftSemi")
+        # the lineitem scan feeding the semi join is below it in the tree
+        assert "lineitem" in plan[semi:]
+        assert "CartesianProduct" not in plan
+
+    def test_prefilter_result_equals_plain_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_cdc_spark.plans import QUERIES
+        from postgresql_cdc_spark.plans.common import D, DEC, ONE_MINUS, T
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.l_returnflag: (r.revenue, r.n_items)
+            for r in QUERIES["join_bloomlike_prefilter"].spark(spark, sf).collect()
+        }
+        li, o = T(spark, sf, "lineitem"), T(spark, sf, "orders")
+        plain = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .groupBy("l_returnflag")
+            .agg(
+                D(F.sum(DEC("l_extendedprice") * ONE_MINUS("l_discount")))
+                .alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+        want = {r.l_returnflag: (r.revenue, r.n_items) for r in plain.collect()}
+        assert got == want
