@@ -315,3 +315,94 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def _prof_sql(col: str, min_s: str, max_s: str) -> str:
+    return f"""
+    SELECT '{col}' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+           {min_s} AS min_s, {max_s} AS max_s
+    FROM orders"""
+
+
+@register(
+    "stats_column_profile",
+    " UNION ALL ".join(
+        [
+            _prof_sql("o_orderkey", "CAST(MIN(o_orderkey) AS VARCHAR)",
+                      "CAST(MAX(o_orderkey) AS VARCHAR)"),
+            _prof_sql("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)",
+                      "CAST(MAX(o_custkey) AS VARCHAR)"),
+            _prof_sql("o_orderstatus", "MIN(o_orderstatus)",
+                      "MAX(o_orderstatus)"),
+            _prof_sql("o_orderpriority", "MIN(o_orderpriority)",
+                      "MAX(o_orderpriority)"),
+            _prof_sql("o_orderdate",
+                      "CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR)",
+                      "CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)"),
+            _prof_sql("o_totalprice",
+                      "CAST(CAST(floor(MIN(o_totalprice) * 100) AS BIGINT)"
+                      " AS VARCHAR)",
+                      "CAST(CAST(floor(MAX(o_totalprice) * 100) AS BIGINT)"
+                      " AS VARCHAR)"),
+        ]
+    ),
+    doc="ANALYZE-style column profiling: per-column row count, null count, "
+        "exact NDV, and min/max (rendered engine-neutrally: integers and "
+        "strings directly, timestamps via their date part, money as floored "
+        "cents) — the table-statistics pass that feeds CBO join ordering "
+        "and file-skipping metadata. The Spark side is ONE scan computing "
+        "every column's aggregates in a single multi-distinct agg, then a "
+        "stack() melt to the long (col, stats) shape — at 100 TB the "
+        "single-pass formulation is the entire point (the oracle states the "
+        "semantically identical per-column UNION, which DuckDB can afford "
+        "at gate scale).",
+)
+def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    cents_mn = F.floor(F.min("o_totalprice") * 100).cast("bigint")
+    cents_mx = F.floor(F.max("o_totalprice") * 100).cast("bigint")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for c in (
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority", "o_orderdate",
+            )
+            for x in (
+                F.count(c).alias(f"cnt_{c}"),
+                F.count_distinct(F.col(c)).alias(f"ndv_{c}"),
+            )
+        ],
+        F.count("o_totalprice").alias("cnt_o_totalprice"),
+        F.count_distinct(F.col("o_totalprice")).alias("ndv_o_totalprice"),
+        F.min("o_orderkey").cast("string").alias("mn_o_orderkey"),
+        F.max("o_orderkey").cast("string").alias("mx_o_orderkey"),
+        F.min("o_custkey").cast("string").alias("mn_o_custkey"),
+        F.max("o_custkey").cast("string").alias("mx_o_custkey"),
+        F.min("o_orderstatus").alias("mn_o_orderstatus"),
+        F.max("o_orderstatus").alias("mx_o_orderstatus"),
+        F.min("o_orderpriority").alias("mn_o_orderpriority"),
+        F.max("o_orderpriority").alias("mx_o_orderpriority"),
+        F.min("o_orderdate").cast("date").cast("string")
+        .alias("mn_o_orderdate"),
+        F.max("o_orderdate").cast("date").cast("string")
+        .alias("mx_o_orderdate"),
+        cents_mn.cast("string").alias("mn_o_totalprice"),
+        cents_mx.cast("string").alias("mx_o_totalprice"),
+    )
+    cols = (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate", "o_totalprice",
+    )
+    stack_args = ", ".join(
+        f"'{c}', n - cnt_{c}, ndv_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return a.selectExpr(
+        "n",
+        f"stack({len(cols)}, {stack_args})"
+        " AS (col, n_null, ndv, min_s, max_s)",
+    ).select("col", "n", "n_null", "ndv", "min_s", "max_s")

@@ -133,3 +133,32 @@ class TestBloomlikePrefilter:
         )
         want = {r.l_returnflag: (r.revenue, r.n_items) for r in plain.collect()}
         assert got == want
+
+
+class TestPreaggPushdown:
+    def test_preagg_equals_naive_join_then_agg(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_cdc_spark.plans import QUERIES
+        from postgresql_cdc_spark.plans.common import D, DEC, T
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.o_orderpriority: (r.n_orders, r.n_items, r.total_qty)
+            for r in QUERIES["join_preagg_pushdown"].spark(spark, sf).collect()
+        }
+        li, o = T(spark, sf, "lineitem"), T(spark, sf, "orders")
+        naive = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count_distinct("o_orderkey").alias("n_orders"),
+                F.count(F.lit(1)).alias("n_items"),
+                D(F.sum(DEC("l_quantity"))).alias("total_qty"),
+            )
+        )
+        want = {
+            r.o_orderpriority: (r.n_orders, r.n_items, r.total_qty)
+            for r in naive.collect()
+        }
+        assert got == want
