@@ -86,3 +86,74 @@ def connected_components(
             "labels at this point would be plausible but wrong"
         )
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    iters: int = 3,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Weighted PageRank with INTEGER-EXACT arithmetic: ``iters`` power
+    iterations at damping 0.85 (= 17/20 exactly), every rank a BIGINT in
+    units of 1/``scale``.
+
+    Floating PageRank is engine- and order-dependent (float sums); keeping
+    ranks as scaled integers with the per-edge contribution floored —
+
+        r'(v) = floor(3*scale / (20*N))
+              + sum over u->v of floor(17 * r(u) * w(u,v) / (20 * W(u)))
+
+    — makes every iteration bit-reproducible anywhere (the DuckDB oracle
+    replays the identical chain), the same determinism trick as the k-means
+    IVF trainer. Dangling mass and floor dust are dropped identically on
+    both engines (ranks then sum slightly under ``scale``; ordering — the
+    thing PageRank is FOR — is unaffected).
+
+    Shape per iteration: one equi-join of the skinny (src,dst,w,wout) edge
+    table against the rank table + one hash agg on dst + a left join back
+    to the node set — all keyed shuffles, no driver data path. ``n_nodes``
+    is metadata (the caller counts its dimension table, cf.
+    similarity.infer_dim). Overflow bound: 17 * scale * max(w) must fit in
+    int64, so at larger edge weights shrink ``scale`` accordingly.
+
+    Persist contract: ``edges``-derived state is persisted for reuse across
+    iterations; the caller clears the cache after materializing (same
+    contract as operators/dedup).
+    """
+    outw = edges.groupBy(src).agg(F.sum(w).alias("wout"))
+    e = (
+        edges.join(outw, src)
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                F.col(w).alias("w"), "wout")
+        .persist()
+    )
+    tele = (3 * scale) // (20 * n_nodes)
+    r = nodes.select(
+        F.col(nodes.columns[0]).alias("id"),
+        F.lit(scale // n_nodes).cast("long").alias("r"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(r, e.src == r.id)
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("CAST((17 * r * w) DIV (20 * wout) AS BIGINT)").alias("c"),
+            )
+        )
+        agg = contrib.groupBy("id").agg(F.sum("c").alias("cin"))
+        r = (
+            nodes.select(F.col(nodes.columns[0]).alias("id"))
+            .join(agg, "id", "left")
+            .select(
+                "id",
+                (F.lit(tele) + F.coalesce(F.col("cin"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return r

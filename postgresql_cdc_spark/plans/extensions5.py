@@ -344,3 +344,81 @@ def events_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p75").cast("bigint").alias("p75_micros"),
         )
     )
+
+
+# --- iterative graph analytics: PageRank over the trade graph ----------------
+
+_PR_SCALE = 10**12
+
+
+def _pr_oracle(iters: int = 3) -> str:
+    head = f"""
+    WITH e0 AS (SELECT c_nationkey AS src, s_nationkey AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY 1, 2),
+    outw AS (SELECT src, SUM(w) AS wout FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, e0.w, outw.wout FROM e0 JOIN outw USING (src)),
+    nodes AS (SELECT n_nationkey AS id, n_name FROM nation),
+    c AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT id, (SELECT {_PR_SCALE} // n FROM c) AS r FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    r{k} AS (SELECT nodes.id,
+                  CAST((SELECT 3 * {_PR_SCALE} // (20 * n) FROM c)
+                       + COALESCE(SUM((17 * rr.r * e.w) // (20 * e.wout)), 0)
+                       AS BIGINT) AS r
+           FROM nodes
+           LEFT JOIN e ON e.dst = nodes.id
+           LEFT JOIN r{k - 1} rr ON e.src = rr.id
+           GROUP BY nodes.id)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+    SELECT n_name, r{iters}.r AS rank
+    FROM r{iters} JOIN nodes USING (id)"""
+    )
+
+
+@register(
+    "graph_pagerank_trade",
+    _pr_oracle(3),
+    doc="Weighted PageRank (3 power iterations, damping 17/20) over the "
+        "nation-to-nation trade graph — customer nation -> supplier nation, "
+        "edge weight = lineitems shipped. The canonical ITERATIVE dataflow "
+        "algorithm, stated as plain join+agg rounds with integer-exact "
+        "scaled-rank arithmetic (operators/graph.pagerank_int), so the "
+        "DuckDB oracle replays the identical chain bit-for-bit — no float "
+        "accumulation order to disagree on. The fact-table star join "
+        "collapses to a <=N^2-row edge list before any iteration; each "
+        "round then shuffles only the skinny rank table. Node count is "
+        "metadata from the 25-row dimension (cf. similarity.infer_dim).",
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.graph import pagerank_int
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = n.select("n_nationkey")
+    n_nodes = nodes.count()  # 25-row dimension: metadata, not a data path
+    r = pagerank_int(edges, nodes, n_nodes, iters=3, scale=_PR_SCALE)
+    return r.join(F.broadcast(n), r.id == n.n_nationkey).select(
+        "n_name", F.col("r").alias("rank")
+    )

@@ -40,3 +40,58 @@ class TestNonConvergence:
         )
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(edges, max_iter=1)
+
+
+class TestPagerankInt:
+    def test_symmetric_two_cycle_is_stationary(self, spark):
+        from postgresql_cdc_spark.operators.graph import pagerank_int
+        from pyspark.sql import functions as F
+
+        edges = spark.createDataFrame(
+            [(1, 2, 1), (2, 1, 1)], "src long, dst long, w long"
+        )
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        r = {
+            x.id: x.r
+            for x in pagerank_int(edges, nodes, 2, iters=3,
+                                  scale=10**6).collect()
+        }
+        spark.catalog.clearCache()
+        # uniform start is the stationary point of a symmetric cycle, and
+        # 17/20 damping splits exactly: 75000 teleport + 425000 propagated
+        assert r == {1: 500000, 2: 500000}
+
+    def test_dangling_sink_hand_values(self, spark):
+        from postgresql_cdc_spark.operators.graph import pagerank_int
+
+        edges = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        r = {
+            x.id: x.r
+            for x in pagerank_int(edges, nodes, 2, iters=2,
+                                  scale=10**6).collect()
+        }
+        spark.catalog.clearCache()
+        # iter1: r(1)=75000, r(2)=75000+floor(17*500000/20)=500000
+        # iter2: r(1)=75000, r(2)=75000+floor(17*75000/20)=138750
+        # (node 2 is dangling: its mass leaks, identically on any engine)
+        assert r == {1: 75000, 2: 138750}
+
+    def test_weighted_split_floors_per_edge(self, spark):
+        from postgresql_cdc_spark.operators.graph import pagerank_int
+
+        # node 1 splits 2:1 over (2, 3); per-edge floor, not rounded
+        edges = spark.createDataFrame(
+            [(1, 2, 2), (1, 3, 1)], "src long, dst long, w long"
+        )
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        r = {
+            x.id: x.r
+            for x in pagerank_int(edges, nodes, 3, iters=1,
+                                  scale=10**6).collect()
+        }
+        spark.catalog.clearCache()
+        # tele = floor(3e6/60) = 50000; r0 = 333333
+        # to 2: floor(17*333333*2/60) = floor(188888.7) = 188888
+        # to 3: floor(17*333333*1/60) = floor(94444.35) = 94444
+        assert r == {1: 50000, 2: 238888, 3: 144444}
