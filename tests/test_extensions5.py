@@ -146,3 +146,48 @@ class TestOutliersIqr:
         # p25/p75 are actual data elements in micros
         assert r.p25_micros in {int(v * 1e6) for v in vals}
         assert r.p75_micros in {int(v * 1e6) for v in vals}
+
+
+class TestContainmentBruteForce:
+    def test_matches_python_set_arithmetic_on_seeded_corpus(self, spark):
+        """containment_pairs == literal set arithmetic over every pair, on a
+        corpus random enough to hit seam shingles, short docs, and repeated
+        tokens (max_df high so the stop-shingle cap stays out of the way —
+        its effect is pinned separately by the oracle-paired query)."""
+        import itertools
+        import random
+
+        from postgresql_cdc_spark.operators.dedup import containment_pairs
+
+        rng = random.Random(11)
+        vocab = [f"t{i}" for i in range(30)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+            for i in range(40)
+        ]
+
+        def sh(text):
+            toks = [t for t in text.split() if t]
+            return {
+                " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+            }
+
+        threshold = 0.3
+        want = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            A, B = sh(ta), sh(tb)
+            if not A or not B:
+                continue
+            cont = round(len(A & B) / min(len(A), len(B)), 6)
+            if cont >= threshold:
+                want[(ia, ib)] = cont
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in containment_pairs(
+                df, "text", "doc_id", threshold=threshold, max_df=10**9
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        assert got == want
