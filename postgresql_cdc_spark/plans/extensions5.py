@@ -422,3 +422,75 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(F.broadcast(n), r.id == n.n_nationkey).select(
         "n_name", F.col("r").alias("rank")
     )
+
+
+# --- canonical survivor selection per dedup cluster --------------------------
+
+from postgresql_cdc_spark.plans.extensions import (  # noqa: E402
+    _CORPUS,
+    _NGRAM_ORACLE,
+    _near_dup_corpus,
+)
+
+
+@register(
+    "dedup_survivor_selection",
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    c AS ({_CORPUS}),
+    m AS (SELECT comp.component, comp.doc_id, length(c.text) AS n_chars
+          FROM comp JOIN c ON c.doc_id = comp.doc_id),
+    rk AS (SELECT component, doc_id, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY component
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+           FROM m)
+    SELECT component,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM rk GROUP BY component
+    """,
+    doc="The last step of the dedup pipeline: pairs -> connected components "
+        "-> ONE canonical survivor per cluster, chosen by a quality policy "
+        "(longest text, doc_id tie-break) rather than the arbitrary min-id "
+        "— the policy hook where real pipelines prefer the highest-quality "
+        "or most-recent copy. One window ranking partitioned by component "
+        "(clusters are tiny, so no skew) + one agg; the oracle replays the "
+        "same policy over its recursive-CTE components.",
+)
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.dedup import ngram_jaccard_pairs
+    from postgresql_cdc_spark.operators.graph import connected_components
+    from pyspark.sql.window import Window
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    m = comp.join(corpus, "doc_id").select(
+        "component", "doc_id", F.length("text").alias("n_chars")
+    )
+    rk = m.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component")
+            .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        ),
+    )
+    return rk.groupBy("component").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+    )
