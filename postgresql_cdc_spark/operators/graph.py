@@ -125,6 +125,11 @@ def pagerank_int(
     iterations; the caller clears the cache after materializing (same
     contract as operators/dedup).
     """
+    # Persist the RAW edge list before deriving out-weights: ``edges`` is
+    # referenced twice below (probe side and the outw aggregate), and without
+    # this the whole upstream edge build — typically an expensive fact-table
+    # join — executes twice inside the persisted (src,dst,w,wout) relation.
+    edges = edges.persist()
     outw = edges.groupBy(src).agg(F.sum(w).alias("wout"))
     e = (
         edges.join(outw, src)
