@@ -1,0 +1,209 @@
+"""Extension-operator query surface, part 6: entity resolution and event
+analytics — fuzzy record linkage via symmetric-delete blocking, marketing
+attribution, and distribution histograms.
+
+Design rules follow plans/extensions.py: integer/string outputs or portable
+h60-derived values only, so the DuckDB oracle hash-matches exactly; blocked
+equi-joins and hash-aggs only — nothing all-pairs, nothing driver-side.
+
+Reference parity: the reference implements no analytics operators
+(SURVEY.md §2.2); these are north-star extensions over the `customer` and
+`events` fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgresql_cdc_spark.plans.common import EV, T
+from postgresql_cdc_spark.plans.registry import register
+
+_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+# --- fuzzy record linkage (symmetric-delete blocking + exact verify) ---------
+
+# Planted dirty registry: every 11th customer reappears (id + 100000) with
+# ONE character of its name replaced by 'X' at an h60-derived digit position
+# (10..18 of 'Customer#ddddddddd') — the single-substitution corruption a
+# data-entry feed produces. Both engines construct the identical dirty side.
+_FUZZ_POS = (
+    "({h} % 9) + 10".format(h=_H60.format(x="'fz:' || CAST(c_custkey AS VARCHAR)"))
+)
+
+_FUZZ_DIRTY = f"""
+    SELECT c_custkey + 100000 AS dirty_id,
+           substr(c_name, 1, CAST({_FUZZ_POS} AS INT) - 1) || 'X'
+             || substr(c_name, CAST({_FUZZ_POS} AS INT) + 1,
+                       length(c_name)) AS dirty_name
+    FROM customer WHERE c_custkey % 11 = 0
+"""
+
+# 1-deletion neighborhood: the name with character i removed, for every i.
+_DEL_KEYS = (
+    "list_transform(range(1, length({nm}) + 1), "
+    "i -> substr({nm}, 1, i - 1) || substr({nm}, i + 1, length({nm})))"
+)
+
+
+@register(
+    "fuzzy_name_match",
+    f"""
+    WITH dirty AS ({_FUZZ_DIRTY}),
+    mk AS (SELECT c_custkey AS master_id, c_name AS master_name,
+                  unnest({_DEL_KEYS.format(nm='c_name')}) AS k
+           FROM customer),
+    dk AS (SELECT dirty_id, dirty_name,
+                  unnest({_DEL_KEYS.format(nm='dirty_name')}) AS k
+           FROM dirty),
+    cand AS (SELECT DISTINCT dirty_id, dirty_name, master_id, master_name
+             FROM dk JOIN mk USING (k))
+    SELECT dirty_id, master_id,
+           CAST(levenshtein(dirty_name, master_name) AS INT) AS lev
+    FROM cand
+    WHERE levenshtein(dirty_name, master_name) <= 1
+    """,
+    doc="Fuzzy record linkage with symmetric-delete blocking (SymSpell, "
+        "Garbe 2012): every name is indexed under all its 1-deletion "
+        "variants; two names within edit distance 1 (substitution, "
+        "insertion, or deletion) are GUARANTEED to share a deletion key, so "
+        "candidates come from a plain equi-join on the key — never an "
+        "all-pairs scan — and an exact levenshtein verify (built-in on both "
+        "engines) prunes block collisions. The blocking index grows "
+        "linearly (length(name) keys per record) and the verify runs only "
+        "on candidates: the standard scalable shape for dedupe/linkage at "
+        "corpus size. The query plants single-substitution dirty copies of "
+        "every 11th customer so the gate has known true matches.",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import h60
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pos = (
+        (h60(F.concat(F.lit("fz:"), F.col("c_custkey").cast("string"))) % 9)
+        + 10
+    ).cast("int")
+    dirty = (
+        c.where(F.col("c_custkey") % 11 == 0)
+        .withColumn("__p", pos)
+        .select(
+            (F.col("c_custkey") + 100000).alias("dirty_id"),
+            F.concat(
+                F.expr("substr(c_name, 1, __p - 1)"),
+                F.lit("X"),
+                F.expr("substr(c_name, __p + 1, length(c_name))"),
+            ).alias("dirty_name"),
+        )
+    )
+
+    def del_keys(nm: str):
+        return F.expr(
+            f"transform(sequence(1, length({nm})), "
+            f"i -> concat(substr({nm}, 1, i - 1), "
+            f"substr({nm}, i + 1, length({nm}))))"
+        )
+
+    mk = c.select(
+        F.col("c_custkey").alias("master_id"),
+        F.col("c_name").alias("master_name"),
+        F.explode(del_keys("c_name")).alias("k"),
+    )
+    dk = dirty.select(
+        "dirty_id", "dirty_name",
+        F.explode(del_keys("dirty_name")).alias("k"),
+    )
+    cand = (
+        dk.join(mk, "k")
+        .select("dirty_id", "dirty_name", "master_id", "master_name")
+        .distinct()
+    )
+    lev = F.levenshtein("dirty_name", "master_name")
+    return (
+        cand.where(lev <= 1)
+        .select("dirty_id", "master_id", lev.cast("int").alias("lev"))
+    )
+
+
+# --- marketing attribution (last non-purchase touch before each purchase) ----
+
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH o AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+                      last_value(CASE WHEN event_type <> 'purchase'
+                                      THEN event_type END IGNORE NULLS)
+                          OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS touch
+               FROM events)
+    SELECT COALESCE(touch, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM o WHERE event_type = 'purchase'
+    GROUP BY COALESCE(touch, 'none')
+    """,
+    doc="Last-touch attribution: each purchase credits the user's most "
+        "recent preceding non-purchase event (ties broken by event_id, both "
+        "engines). One user-partitioned window (IGNORE NULLS last_value "
+        "over the preceding frame) + one hash agg — the window shuffles on "
+        "user_id exactly once, the same partitioning every sessionization "
+        "query reuses. Purchases with no prior touch attribute to 'none'.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = EV(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_millis("ts").alias("ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    o = e.withColumn("touch", touch)
+    return (
+        o.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+# --- distribution histogram ---------------------------------------------------
+
+@register(
+    "events_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 5.0) AS BIGINT) AS bin,
+           CAST(floor(value / 5.0) * 5 AS BIGINT) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, floor(value / 5.0)
+    """,
+    doc="Fixed-width histogram of event values per type (width 5): the "
+        "distribution summary a monitoring pipeline emits per batch. floor "
+        "binning is engine-exact on doubles; one hash agg, fully partial-"
+        "aggregatable, so at 100 TB it map-side combines to "
+        "types x bins rows before the exchange.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = EV(spark, sf_dir)
+    b = F.floor(F.col("value") / 5.0)
+    return (
+        e.groupBy(
+            "event_type",
+            b.cast("bigint").alias("bin"),
+            (b * 5).cast("bigint").alias("bin_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "bin", "bin_lo", "n")
+    )
