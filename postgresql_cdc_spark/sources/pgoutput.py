@@ -169,7 +169,23 @@ class PgOutputDecoder:
 
     def decode(self, buf: bytes):
         """One WAL message → Relation | TxBegin | TxCommit | ChangeRecord |
-        None (recognized-but-ignored kinds)."""
+        None (recognized-but-ignored kinds).
+
+        ONE exception type for malformed input: any low-level failure on a
+        truncated or bit-flipped buffer (struct underrun, missing C-string
+        terminator, invalid UTF-8) surfaces as ``ProtocolError`` — a relay
+        loop catches exactly one error class for its drop-and-reconnect
+        path instead of whichever internal error the corruption happened to
+        hit (the reference leans on the JVM equivalent: any decoder throw
+        reaches the engine's single catch at ``CdcEngine.java:143``)."""
+        try:
+            return self._decode(buf)
+        except ProtocolError:
+            raise
+        except (struct.error, IndexError, UnicodeDecodeError, ValueError) as e:
+            raise ProtocolError(f"malformed message: {e}") from e
+
+    def _decode(self, buf: bytes):
         if not buf:
             raise ProtocolError("empty message")
         tag = buf[0:1]

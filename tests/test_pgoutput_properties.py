@@ -98,3 +98,48 @@ class TestDecodeRoundtrip:
         assert rec.columns == {
             c.name: v for c, v in zip(rel.columns, values)
         }
+
+
+class TestMalformedInput:
+    """S22 error channel under corruption: ANY truncation or byte flip of a
+    valid message either still decodes to a structurally valid result (flips
+    in value bytes legitimately change text payloads) or raises
+    ProtocolError — never a different exception type, never a record whose
+    columns stray outside the relation's schema."""
+
+    @given(relation_and_rows(), st.data())
+    @settings(max_examples=150, deadline=None)
+    def test_truncation_raises_protocol_error_or_decodes(self, rv, data):
+        from postgresql_cdc_spark.sources.pgoutput import ProtocolError
+
+        rel, values, toast = rv
+        dec = PgOutputDecoder()
+        dec.decode(encode_relation(rel))
+        msg = encode_insert(rel.relation_id, values, toast)
+        cut = data.draw(st.integers(min_value=0, max_value=len(msg) - 1))
+        try:
+            out = dec.decode(msg[:cut])
+        except ProtocolError:
+            return
+        # a prefix that still parses must still be a well-formed record
+        if out is not None:
+            assert set(out.columns) <= {c.name for c in rel.columns}
+
+    @given(relation_and_rows(), st.data())
+    @settings(max_examples=150, deadline=None)
+    def test_byte_flip_raises_protocol_error_or_decodes(self, rv, data):
+        from postgresql_cdc_spark.sources.pgoutput import ProtocolError
+
+        rel, values, toast = rv
+        dec = PgOutputDecoder()
+        dec.decode(encode_relation(rel))
+        msg = bytearray(encode_insert(rel.relation_id, values, toast))
+        pos = data.draw(st.integers(min_value=0, max_value=len(msg) - 1))
+        bit = data.draw(st.integers(min_value=0, max_value=7))
+        msg[pos] ^= 1 << bit
+        try:
+            out = dec.decode(bytes(msg))
+        except ProtocolError:
+            return
+        if out is not None and hasattr(out, "columns"):
+            assert set(out.columns) <= {c.name for c in rel.columns}
