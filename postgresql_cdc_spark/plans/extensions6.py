@@ -207,3 +207,98 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select("event_type", "bin", "bin_lo", "n")
     )
+
+
+# --- quantile bucketing + distribution ranks ---------------------------------
+
+@register(
+    "window_ntile_cume",
+    """
+    SELECT c_mktsegment, c_custkey,
+           CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Quantile bucketing and distribution ranks (NTILE / PERCENT_RANK / "
+        "CUME_DIST): the feature-engineering pass that turns a raw score "
+        "into segment-relative quartiles and percentiles. The order key "
+        "includes the primary key so ranks are total-order deterministic; "
+        "percent_rank and cume_dist are small-integer ratios, so the "
+        "doubles agree bit-for-bit across engines. One window shuffle on "
+        "the segment key.",
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# --- deterministic A/B assignment + conversion lift --------------------------
+
+@register(
+    "events_ab_test_lift",
+    f"""
+    WITH a AS (SELECT user_id,
+                      CASE WHEN {_H60.format(x="'ab:' || CAST(user_id AS VARCHAR)")}
+                                % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                      MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS exposed,
+                      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS converted
+               FROM events GROUP BY 1, 2)
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(exposed) AS BIGINT) AS n_exposed,
+           CAST(SUM(CASE WHEN exposed = 1 THEN converted ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           CAST((1000 * SUM(CASE WHEN exposed = 1 THEN converted ELSE 0 END))
+                // NULLIF(SUM(exposed), 0) AS BIGINT) AS conv_milli
+    FROM a GROUP BY arm
+    """,
+    doc="Deterministic A/B experiment readout: users hash into stable arms "
+        "(salted portable hash — assignment survives re-runs and "
+        "re-sharding, same property as corpus_split_assign), and per arm "
+        "the exposed-user conversion rate lands as an exact integer "
+        "per-mille. Two hash aggs (user rollup, then arm rollup) — the "
+        "user rollup is the same shuffle key every per-user query reuses.",
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import h60
+
+    e = EV(spark, sf_dir)
+    arm = F.when(
+        h60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2 == 0,
+        "A",
+    ).otherwise("B")
+    a = (
+        e.groupBy("user_id", arm.alias("arm"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("exposed"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    conv = F.sum(
+        F.when(F.col("exposed") == 1, F.col("converted")).otherwise(0)
+    )
+    return a.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("exposed").cast("bigint").alias("n_exposed"),
+        conv.cast("bigint").alias("n_converted"),
+        F.expr(
+            "CAST((1000 * SUM(CASE WHEN exposed = 1 THEN converted ELSE 0 END))"
+            " DIV NULLIF(SUM(exposed), 0) AS BIGINT)"
+        ).alias("conv_milli"),
+    )
