@@ -212,3 +212,106 @@ def frame_sample_offsets(df: DataFrame, frame_size: int = 256,
             F.array().cast("array<long>")
         ).alias("byte_offsets"),
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("c0", LongType()),
+        StructField("c1", LongType()),
+        StructField("c2", LongType()),
+        StructField("c3", LongType()),
+    ]
+)
+
+
+def perceptual_ahash_chunks(df: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) of the payload head, as 4x16-bit chunks.
+
+    The first 64 payload bytes stand in for the 8x8 grayscale downsample a
+    real image pipeline feeds aHash (zero-padded when shorter); bit i is
+    [byte_i > floor(mean)] with an INTEGER mean so the threshold is
+    engine-exact. Emitting the hash as four 16-bit chunk columns does two
+    jobs at once: no signed-64-bit packing edge case, and the chunks ARE
+    the pigeonhole blocking keys for Hamming pairing (any two hashes within
+    distance 3 agree exactly on at least one chunk).
+
+    numpy-vectorized mapInPandas over the Arrow batch — the same kernel
+    shape a real perceptual hasher (pHash DCT, wavelet) drops into; bytes
+    never shuffle.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.int64(1) << np.arange(16, dtype=np.int64))
+        for pdf in batches:
+            n = len(pdf)
+            mat = np.zeros((n, 64), dtype=np.int64)
+            for r, b in enumerate(pdf["payload"]):
+                bb = bytes(b)[:64]
+                if bb:
+                    mat[r, : len(bb)] = np.frombuffer(bb, np.uint8)
+            mean = mat.sum(axis=1) // 64
+            bits = mat > mean[:, None]
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for k in range(4):
+                out[f"c{k}"] = (
+                    bits[:, k * 16:(k + 1) * 16] @ weights
+                ).astype("int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def phash_dup_pairs(
+    hashes: DataFrame, max_distance: int = 3, max_bucket: int = 200
+) -> DataFrame:
+    """(id_a, id_b, hamming) for every pair of aHashes within
+    ``max_distance``, via pigeonhole chunk blocking.
+
+    With 4 chunks, distance <= 3 forces at least one identical chunk, so
+    candidates come from 4 equi-joins on (chunk_index, chunk_value) — the
+    same guarantee simhash pairing uses — and the exact popcount filter
+    makes the RESULT independent of the blocking path. Chunks seen in more
+    than ``max_bucket`` docs are dropped from blocking (boilerplate heads);
+    the caller's oracle must mirror the cap. Persist contract as usual:
+    caller clears the cache after materializing.
+    """
+    h = hashes.persist()
+    posting = h.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("k"), F.col(f"c{k}").alias("v"))
+                for k in range(4)
+            ])
+        ).alias("p"),
+    ).select("doc_id", "p.k", "p.v")
+    hot = (
+        posting.groupBy("k", "v").count()
+        .where(F.col("count") > max_bucket)
+        .select("k", "v")
+    )
+    posting = posting.join(F.broadcast(hot), ["k", "v"], "left_anti")
+    pa, pb = posting.alias("pa"), posting.alias("pb")
+    cand = (
+        pa.join(pb, ["k", "v"])
+        .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("id_a"),
+            F.col("pb.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(*[F.col(c).alias(f"{c}_a") for c in h.columns])
+    hb = h.select(*[F.col(c).alias(f"{c}_b") for c in h.columns])
+    ham = sum(
+        F.bit_count(F.col(f"c{k}_a").bitwiseXOR(F.col(f"c{k}_b")))
+        for k in range(4)
+    )
+    return (
+        cand.join(ha, cand.id_a == F.col("doc_id_a"))
+        .join(hb, cand.id_b == F.col("doc_id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_distance)
+    )

@@ -302,3 +302,75 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV NULLIF(SUM(exposed), 0) AS BIGINT)"
         ).alias("conv_milli"),
     )
+
+
+# --- multimodal near-dup: perceptual hash (aHash) + Hamming pairing ----------
+
+_PHASH_CORPUS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text || ' qq zz' FROM documents WHERE doc_id % 5 = 0
+"""
+
+# byte i (0-based) of the UTF-8 payload, zero-padded past the end
+_PH_BYTE = "CASE WHEN i < least(n, 64) THEN CAST('0x' || substr(hx, i * 2 + 1, 2) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+
+_PHASH_ORACLE = f"""
+    WITH c AS ({_PHASH_CORPUS}),
+    b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n FROM c),
+    arrs AS (SELECT doc_id,
+                    list_transform(range(0, 64), i -> {_PH_BYTE}) AS arr
+             FROM b),
+    m AS (SELECT doc_id, arr, list_sum(arr) // 64 AS mean FROM arrs),
+    h AS (SELECT doc_id,
+                 list_transform(range(0, 4), k ->
+                     list_sum(list_transform(range(0, 16), j ->
+                         CASE WHEN arr[k * 16 + j + 1] > mean
+                              THEN CAST(1 AS BIGINT) << j
+                              ELSE CAST(0 AS BIGINT) END))) AS ch
+          FROM m),
+    hx AS (SELECT doc_id, ch[1] AS c0, ch[2] AS c1, ch[3] AS c2, ch[4] AS c3
+           FROM h),
+    posting AS (
+        SELECT doc_id, 0 AS k, c0 AS v FROM hx UNION ALL
+        SELECT doc_id, 1, c1 FROM hx UNION ALL
+        SELECT doc_id, 2, c2 FROM hx UNION ALL
+        SELECT doc_id, 3, c3 FROM hx),
+    hot AS (SELECT k, v FROM posting GROUP BY k, v HAVING COUNT(*) > 200),
+    pf AS (SELECT posting.* FROM posting ANTI JOIN hot USING (k, v)),
+    cand AS (SELECT DISTINCT pa.doc_id AS id_a, pb.doc_id AS id_b
+             FROM pf pa JOIN pf pb USING (k, v)
+             WHERE pa.doc_id < pb.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(a.c0, bb.c0)) + bit_count(xor(a.c1, bb.c1))
+              + bit_count(xor(a.c2, bb.c2)) + bit_count(xor(a.c3, bb.c3))
+              AS INT) AS hamming
+    FROM cand JOIN hx a ON cand.id_a = a.doc_id
+              JOIN hx bb ON cand.id_b = bb.doc_id
+    WHERE bit_count(xor(a.c0, bb.c0)) + bit_count(xor(a.c1, bb.c1))
+        + bit_count(xor(a.c2, bb.c2)) + bit_count(xor(a.c3, bb.c3)) <= 3
+"""
+
+
+@register(
+    "mm_phash_dedup",
+    _PHASH_ORACLE,
+    doc="Multimodal near-dup via perceptual hash: 64-bit average-hash "
+        "(aHash) of the payload head — integer-mean threshold bitmap, the "
+        "image-dedup standard — computed in a numpy mapInPandas kernel "
+        "(operators/multimodal.perceptual_ahash_chunks), then all pairs "
+        "within Hamming distance 3 via pigeonhole chunk blocking "
+        "(4x16-bit chunks: distance <=3 guarantees a shared chunk), a "
+        "capped posting equi-join, and an exact popcount verify — the "
+        "image-side twin of SimHash text dedup, end-to-end over the "
+        "binary-column plumbing. Byte-level oracle (hex-pair arithmetic) "
+        "replays the identical hash and pairing.",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import multimodal as mm
+    from postgresql_cdc_spark.plans.extensions import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    hashes = mm.perceptual_ahash_chunks(mm.attach_binary(corpus))
+    return mm.phash_dup_pairs(hashes, max_distance=3, max_bucket=200)

@@ -214,3 +214,55 @@ class TestFuzzyLinkage:
             assert links[(k + 100000, k)] == 1
         # and nothing links at distance > 1
         assert all(v <= 1 for v in links.values())
+
+
+class TestPerceptualHash:
+    def test_ahash_chunks_hand_computed(self, spark):
+        from postgresql_cdc_spark.operators import multimodal as mm
+
+        # payload 'ab' -> bytes [97, 98] + 62 zero pad; mean = 195//64 = 3
+        # bits 0 and 1 set -> c0 = 0b11 = 3, c1..c3 = 0
+        df = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+        r = mm.perceptual_ahash_chunks(mm.attach_binary(df)).collect()[0]
+        assert (r.c0, r.c1, r.c2, r.c3) == (3, 0, 0, 0)
+
+    def test_identical_heads_pair_at_distance_zero(self, spark):
+        from postgresql_cdc_spark.operators import multimodal as mm
+
+        base = "x" * 70  # first 64 bytes identical; tails differ
+        df = spark.createDataFrame(
+            [(1, base + "AAA"), (2, base + "BBB"), (3, "totally different")],
+            ["doc_id", "text"],
+        )
+        pairs = mm.phash_dup_pairs(
+            mm.perceptual_ahash_chunks(mm.attach_binary(df)), max_distance=0
+        ).collect()
+        spark.catalog.clearCache()
+        assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+    def test_pigeonhole_blocking_never_misses_distance_3(self, spark):
+        """Flip exactly 3 bits across three different chunks of a hash by
+        crafting byte payloads; the pair must still surface (distance <= 3
+        guarantees one untouched chunk)."""
+        from postgresql_cdc_spark.operators import multimodal as mm
+
+        # bytes chosen so mean stays 0-ish and single bytes control bits:
+        # doc1: bytes 0..63 all 0 except byte 10 = 200
+        # doc2: same, plus bytes 20, 40, 55 = 200 (3 extra bits, 3 chunks)
+        def payload(hot):
+            # ASCII-only so attach_binary's UTF-8 encode is byte-identity
+            # (a high byte would expand to two bytes and shift positions);
+            # fill byte 1 avoids NULs, hot byte 126 ('~') exceeds the mean.
+            return "".join(
+                chr(126) if i in hot else chr(1) for i in range(64)
+            )
+
+        df = spark.createDataFrame(
+            [(1, payload({10})), (2, payload({10, 20, 40, 55}))],
+            ["doc_id", "text"],
+        )
+        pairs = mm.phash_dup_pairs(
+            mm.perceptual_ahash_chunks(mm.attach_binary(df)), max_distance=3
+        ).collect()
+        spark.catalog.clearCache()
+        assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 3)]
