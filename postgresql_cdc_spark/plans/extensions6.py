@@ -374,3 +374,163 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir)
     hashes = mm.perceptual_ahash_chunks(mm.attach_binary(corpus))
     return mm.phash_dup_pairs(hashes, max_distance=3, max_bucket=200)
+
+
+# --- product quantization (PQ) codes -----------------------------------------
+
+_PQ_SUB = 8      # subspaces
+_PQ_DIM = 8      # dims per subspace
+_PQ_K = 16       # codewords per subspace (first 16 vectors, like the IVF seed)
+
+
+@register(
+    "emb_pq_codes",
+    f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                    AS BIGINT)) AS qv
+               FROM embeddings),
+    cb AS (SELECT vec_id AS c, qv AS cv FROM q
+           ORDER BY vec_id LIMIT {_PQ_K}),
+    sub AS (SELECT vec_id, qv, unnest(range(0, {_PQ_SUB})) AS s FROM q),
+    dists AS (SELECT sub.vec_id, sub.s, cb.c,
+                     list_sum(list_transform(
+                         range(1, {_PQ_DIM} + 1),
+                         j -> (qv[s * {_PQ_DIM} + j] - cv[s * {_PQ_DIM} + j])
+                            * (qv[s * {_PQ_DIM} + j] - cv[s * {_PQ_DIM} + j])
+                     )) AS d
+              FROM sub CROSS JOIN cb),
+    w AS (SELECT vec_id, s, c, d,
+                 MIN(d) OVER (PARTITION BY vec_id, s) AS dmin
+          FROM dists)
+    SELECT vec_id, CAST(s AS INT) AS subspace,
+           CAST(MIN(c) AS INT) AS code,
+           CAST(MIN(dmin) AS BIGINT) AS distortion
+    FROM w WHERE d = dmin
+    GROUP BY vec_id, s
+    """,
+    doc="Product quantization (PQ, Jegou et al. TPAMI'11): each 64-dim "
+        "embedding splits into 8 subvectors, each assigned to its nearest "
+        "of 16 codewords (seeded from the first 16 vectors, same "
+        "convention as the IVF coarse quantizer) — the vector-compression "
+        "standard behind IVF-PQ indexes, 64 dims -> 8 bytes. Arithmetic is "
+        "integer-quantized squared-L2 with a smallest-index tie-break, so "
+        "codes and per-subspace distortion match the oracle exactly. "
+        "Shape: corpus x tiny broadcast codebook (the declared IVF-style "
+        "nested-loop), one window min per (vector, subspace) — linear in "
+        "the corpus, no self-joins.",
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(floor(x * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    cb = (
+        q.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(F.col("vec_id").alias("c"), F.col("qv").alias("cv"))
+    )
+    sub = q.select(
+        "vec_id", "qv",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUB - 1))).alias("s"),
+    )
+    d = F.expr(
+        f"aggregate(zip_with(slice(qv, s * {_PQ_DIM} + 1, {_PQ_DIM}), "
+        f"slice(cv, s * {_PQ_DIM} + 1, {_PQ_DIM}), "
+        "(x, y) -> (x - y) * (x - y)), 0L, (a, z) -> a + z)"
+    )
+    dists = sub.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "s", "c", d.alias("d")
+    )
+    w = dists.withColumn(
+        "dmin", F.min("d").over(Window.partitionBy("vec_id", "s"))
+    )
+    return (
+        w.where(F.col("d") == F.col("dmin"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min("c").cast("int").alias("code"),
+            F.min("dmin").cast("bigint").alias("distortion"),
+        )
+        .select(
+            "vec_id", F.col("s").cast("int").alias("subspace"),
+            "code", "distortion",
+        )
+    )
+
+
+# --- triangle census on the trade graph --------------------------------------
+
+@register(
+    "graph_triangle_census",
+    """
+    WITH e0 AS (SELECT DISTINCT
+                    least(c_nationkey, s_nationkey) AS a,
+                    greatest(c_nationkey, s_nationkey) AS b
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE c_nationkey <> s_nationkey),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e0 e1
+            JOIN e0 e2 ON e2.a = e1.b
+            JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST((SELECT COUNT(DISTINCT n)
+                 FROM (SELECT a AS n FROM e0
+                       UNION SELECT b FROM e0)) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+    doc="Triangle census of the undirected trade graph: canonical a<b edge "
+        "orientation, then the standard two-join triangle enumeration "
+        "(x<y<z once each). At scale this is the degree-ordered edge-join "
+        "shape (each triangle counted exactly once, no candidate "
+        "duplication); the fact-table star collapses to the <=N^2 edge "
+        "list first.",
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = e0.alias("e1"), e0.alias("e2"), e0.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+    )
+    nodes = e0.select(F.col("a").alias("n")).union(
+        e0.select(F.col("b").alias("n"))
+    )
+    return (
+        nodes.agg(F.count_distinct(F.col("n")).alias("n_nodes"))
+        .crossJoin(F.broadcast(e0.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint"),
+            F.col("n_triangles").cast("bigint"),
+        )
+    )

@@ -31,6 +31,8 @@ NESTED_LOOP_OK = {
     "q15_top_supplier",     # one-row MAX broadcast
     "q22_idle_rich_customers",  # one-row AVG(acctbal) scalar broadcast
     "text_collocations",   # one-row corpus-token-total scalar broadcast
+    "emb_pq_codes",        # corpus x 16-codeword broadcast codebook (PQ assign)
+    "graph_triangle_census",  # one-row edge/triangle-count scalar broadcasts
     "join_range_buckets",  # genuine non-equi range join vs tiny bucket table
 }
 
