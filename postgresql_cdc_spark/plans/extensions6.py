@@ -1,6 +1,8 @@
-"""Extension-operator query surface, part 6: entity resolution and event
-analytics — fuzzy record linkage via symmetric-delete blocking, marketing
-attribution, and distribution histograms.
+"""Extension-operator query surface, part 6: entity resolution, event
+analytics, and index-compression stages — fuzzy record linkage via
+symmetric-delete blocking, marketing attribution, distribution histograms,
+quantile bucketing, A/B readout, perceptual-hash multimodal near-dup,
+product-quantization codes, and a triangle census.
 
 Design rules follow plans/extensions.py: integer/string outputs or portable
 h60-derived values only, so the DuckDB oracle hash-matches exactly; blocked
