@@ -319,9 +319,7 @@ def pg_timestamp_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cdc_scd2_history",
-    """
+_SCD2_ORACLE = """
     WITH versioned AS (
         SELECT l_orderkey, l_linenumber, l_quantity,
                ROW_NUMBER() OVER (
@@ -359,7 +357,12 @@ def pg_timestamp_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
            valid_to_lsn IS NULL AS is_current,
            l_quantity
     FROM t WHERE op <> 'D'
-    """,
+"""
+
+
+@register(
+    "cdc_scd2_history",
+    _SCD2_ORACLE,
     doc="SCD Type-2 history from the changelog: every non-DELETE event opens "
         "a version valid from its LSN until the key's next event (any op "
         "closes the open version; NULL valid_to = current). One window "
@@ -389,5 +392,72 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_to_lsn",
             F.col("valid_to_lsn").isNull().alias("is_current"),
             "l_quantity",
+        )
+    )
+
+
+@register(
+    "cdc_scd2_point_in_time",
+    f"""
+    WITH h AS ({_SCD2_ORACLE}),
+    keys AS (SELECT DISTINCT l_orderkey, l_linenumber FROM h),
+    probes AS (
+        SELECT l_orderkey, l_linenumber,
+               (l_orderkey * 16 + l_linenumber) * 1024 + off AS probe_lsn
+        FROM keys, (SELECT unnest([5, 550]) AS off)
+    )
+    SELECT p.l_orderkey, p.l_linenumber,
+           CAST(p.probe_lsn AS BIGINT) AS probe_lsn,
+           h.l_quantity,
+           h.is_current
+    FROM probes p JOIN h
+      ON p.l_orderkey = h.l_orderkey AND p.l_linenumber = h.l_linenumber
+     AND p.probe_lsn >= h.valid_from_lsn
+     AND (h.valid_to_lsn IS NULL OR p.probe_lsn < h.valid_to_lsn)
+    """,
+    doc="Point-in-time (as-of LSN) lookup against the SCD Type-2 history: "
+        "for each key, two probe LSNs (early in its version chain and "
+        "after the planted update) fetch the version whose validity "
+        "interval covers the probe — the temporal-join primitive behind "
+        "'report as of last Tuesday' warehouse queries and CDC debugging. "
+        "Equi-join on the key with the interval predicate as a residual "
+        "filter: versions per key are few and bounded, so the join scales "
+        "as the key join, never as an interval cross product. Probes "
+        "landing after a DELETE (or before the first version) correctly "
+        "match nothing.",
+)
+def cdc_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.plans.registry import QUERIES
+
+    hist = QUERIES["cdc_scd2_history"].spark(spark, sf_dir)
+    keys = hist.select("l_orderkey", "l_linenumber").distinct()
+    probes = keys.select(
+        "l_orderkey", "l_linenumber",
+        F.explode(F.array(F.lit(5), F.lit(550))).alias("off"),
+    ).select(
+        "l_orderkey", "l_linenumber",
+        (
+            (F.col("l_orderkey") * 16 + F.col("l_linenumber")) * 1024
+            + F.col("off")
+        ).alias("probe_lsn"),
+    )
+    p, h = probes.alias("p"), hist.alias("h")
+    return (
+        p.join(
+            h,
+            (F.col("p.l_orderkey") == F.col("h.l_orderkey"))
+            & (F.col("p.l_linenumber") == F.col("h.l_linenumber"))
+            & (F.col("p.probe_lsn") >= F.col("h.valid_from_lsn"))
+            & (
+                F.col("h.valid_to_lsn").isNull()
+                | (F.col("p.probe_lsn") < F.col("h.valid_to_lsn"))
+            ),
+        )
+        .select(
+            F.col("p.l_orderkey").alias("l_orderkey"),
+            F.col("p.l_linenumber").alias("l_linenumber"),
+            F.col("p.probe_lsn").cast("bigint").alias("probe_lsn"),
+            F.col("h.l_quantity").alias("l_quantity"),
+            F.col("h.is_current").alias("is_current"),
         )
     )
