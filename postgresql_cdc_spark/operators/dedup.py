@@ -550,6 +550,62 @@ def simhash_pairs(
     )
 
 
+def _shingle_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int,
+    max_df: int,
+    size_ratio_min: float | None = None,
+) -> DataFrame:
+    """Shared core of the exact set-similarity joins: (id_a, id_b, na, nb,
+    n_common) for every pair sharing at least one non-stop shingle.
+
+    One tokenize+shingle+hash projection (persisted — the filter condition
+    and both posting projections would otherwise re-evaluate it), one
+    posting explode (persisted — read by the hot-shingle count and both
+    join sides), a broadcast stop-shingle anti-join (df > ``max_df``), and
+    ONE pair aggregate with the sizes riding through the groupBy keys.
+    ``size_ratio_min`` applies the size-ratio prune BEFORE the aggregate
+    (Jaccard callers); containment callers pass None — asymmetric pairs
+    are their point. Persist contract: the caller clears the cache after
+    materializing the result.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(tokens(F.col(text_col)), ngram), h60).alias("shh"),
+    ).persist()
+    base = hashed.where(F.size("shh") > 0)
+    posting = (
+        base.select(
+            "id",
+            F.size("shh").alias("n_sh"),
+            F.explode("shh").alias("sh_hash"),
+        )
+        .persist()
+    )
+    hot = posting.groupBy("sh_hash").count().where(F.col("count") > max_df)
+    posting = posting.join(F.broadcast(hot), "sh_hash", "left_anti")
+
+    pa, pb = posting.alias("pa"), posting.alias("pb")
+    joined = pa.join(pb, "sh_hash").where(F.col("pa.id") < F.col("pb.id"))
+    if size_ratio_min is not None:
+        # a (10, 100)-sized pair can never reach Jaccard >= size_ratio_min
+        # and must not cost groupBy work; epsilon covers round-half-up at
+        # 6 decimals in the caller's final filter.
+        joined = joined.where(
+            F.least(F.col("pa.n_sh"), F.col("pb.n_sh"))
+            >= (size_ratio_min - 1e-6)
+            * F.greatest(F.col("pa.n_sh"), F.col("pb.n_sh"))
+        )
+    return joined.groupBy(
+        F.col("pa.id").alias("id_a"),
+        F.col("pb.id").alias("id_b"),
+        F.col("pa.n_sh").alias("na"),
+        F.col("pb.n_sh").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("n_common"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -579,47 +635,8 @@ def ngram_jaccard_pairs(
       on the ids), so the two post-aggregation size joins disappear — one
       shuffle instead of three.
     """
-    # hashed is persisted so the tokenize+shingle+hash projection runs once:
-    # the filter condition and the two posting projections would otherwise
-    # each re-evaluate it (Catalyst inlines projected columns per reference).
-    # The posting list is read by the hot-shingle count and both join sides.
-    # Shingles are pre-hashed (longs, not strings) — same md5 count, smaller
-    # cache.
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(tokens(F.col(text_col)), ngram), h60).alias("shh"),
-    ).persist()
-    base = hashed.where(F.size("shh") > 0)
-    posting = (
-        base.select(
-            "id",
-            F.size("shh").alias("n_sh"),
-            F.explode("shh").alias("sh_hash"),
-        )
-        .persist()
-    )
-    hot = posting.groupBy("sh_hash").count().where(F.col("count") > max_df)
-    posting = posting.join(F.broadcast(hot), "sh_hash", "left_anti")
-
-    pa, pb = posting.alias("pa"), posting.alias("pb")
-    common = (
-        pa.join(pb, "sh_hash")
-        .where(F.col("pa.id") < F.col("pb.id"))
-        # size-ratio prune BEFORE the aggregate: a (10, 100)-sized pair can
-        # never reach Jaccard 0.5 and must not cost groupBy work. Epsilon
-        # covers round-half-up at 6 decimals in the final filter.
-        .where(
-            F.least(F.col("pa.n_sh"), F.col("pb.n_sh"))
-            >= (threshold - 1e-6)
-            * F.greatest(F.col("pa.n_sh"), F.col("pb.n_sh"))
-        )
-        .groupBy(
-            F.col("pa.id").alias("id_a"),
-            F.col("pb.id").alias("id_b"),
-            F.col("pa.n_sh").alias("na"),
-            F.col("pb.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    common = _shingle_pair_counts(
+        df, text_col, id_col, ngram, max_df, size_ratio_min=threshold
     )
     return (
         common.select(
@@ -666,33 +683,8 @@ def containment_pairs(
     extension per SURVEY.md §2); algorithm per Broder's containment measure
     (resemblance/containment, SEQUENCES'97).
     """
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(tokens(F.col(text_col)), ngram), h60).alias("shh"),
-    ).persist()
-    base = hashed.where(F.size("shh") > 0)
-    posting = (
-        base.select(
-            "id",
-            F.size("shh").alias("n_sh"),
-            F.explode("shh").alias("sh_hash"),
-        )
-        .persist()
-    )
-    hot = posting.groupBy("sh_hash").count().where(F.col("count") > max_df)
-    posting = posting.join(F.broadcast(hot), "sh_hash", "left_anti")
-
-    pa, pb = posting.alias("pa"), posting.alias("pb")
-    common = (
-        pa.join(pb, "sh_hash")
-        .where(F.col("pa.id") < F.col("pb.id"))
-        .groupBy(
-            F.col("pa.id").alias("id_a"),
-            F.col("pb.id").alias("id_b"),
-            F.col("pa.n_sh").alias("na"),
-            F.col("pb.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    common = _shingle_pair_counts(
+        df, text_col, id_col, ngram, max_df, size_ratio_min=None
     )
     return (
         common.select(

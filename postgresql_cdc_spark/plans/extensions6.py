@@ -308,11 +308,10 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- multimodal near-dup: perceptual hash (aHash) + Hamming pairing ----------
 
-_PHASH_CORPUS = """
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 100000, text || ' qq zz' FROM documents WHERE doc_id % 5 = 0
-"""
+# The phash oracle verifies against the SAME corpus the Spark side builds
+# (_near_dup_corpus); import its SQL twin so an edit to the perturbation in
+# plans/extensions.py moves both engines together.
+from postgresql_cdc_spark.plans.extensions import _CORPUS as _PHASH_CORPUS  # noqa: E402
 
 # byte i (0-based) of the UTF-8 payload, zero-padded past the end
 _PH_BYTE = "CASE WHEN i < least(n, 64) THEN CAST('0x' || substr(hx, i * 2 + 1, 2) AS BIGINT) ELSE CAST(0 AS BIGINT) END"

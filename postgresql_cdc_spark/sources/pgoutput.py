@@ -109,6 +109,16 @@ class PgOutputDecoder:
             if kind == b"t":
                 (ln,) = struct.unpack_from(">i", buf, pos)
                 pos += 4
+                # Python slicing forgives out-of-range where the JVM's
+                # ByteBuffer throws: without this check a truncated or
+                # length-corrupted value SILENTLY decodes short (or, for a
+                # negative length, rewinds pos and re-reads earlier bytes as
+                # later columns) instead of hitting the error channel.
+                if ln < 0 or pos + ln > len(buf):
+                    raise ProtocolError(
+                        f"value length {ln} at offset {pos} exceeds "
+                        f"message size {len(buf)}"
+                    )
                 out[meta.name] = buf[pos:pos + ln].decode("utf-8")
                 pos += ln
             elif kind == b"n":
@@ -130,7 +140,13 @@ class PgOutputDecoder:
             pos += 1
             if kind == b"t":
                 (ln,) = struct.unpack_from(">i", buf, pos)
-                pos += 4 + ln
+                pos += 4
+                if ln < 0 or pos + ln > len(buf):
+                    raise ProtocolError(
+                        f"value length {ln} at offset {pos} exceeds "
+                        f"message size {len(buf)}"
+                    )
+                pos += ln
             elif kind in (b"n", b"u"):
                 continue
             else:

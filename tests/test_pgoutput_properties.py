@@ -117,13 +117,14 @@ class TestMalformedInput:
         dec.decode(encode_relation(rel))
         msg = encode_insert(rel.relation_id, values, toast)
         cut = data.draw(st.integers(min_value=0, max_value=len(msg) - 1))
+        # EVERY strict prefix of an INSERT is malformed (the column count is
+        # fixed by the tuple header, so missing bytes always surface): the
+        # decoder must refuse, never return a silently-short record.
         try:
-            out = dec.decode(msg[:cut])
+            dec.decode(msg[:cut])
         except ProtocolError:
             return
-        # a prefix that still parses must still be a well-formed record
-        if out is not None:
-            assert set(out.columns) <= {c.name for c in rel.columns}
+        raise AssertionError(f"truncation at {cut}/{len(msg)} decoded silently")
 
     @given(relation_and_rows(), st.data())
     @settings(max_examples=150, deadline=None)
@@ -143,3 +144,22 @@ class TestMalformedInput:
             return
         if out is not None and hasattr(out, "columns"):
             assert set(out.columns) <= {c.name for c in rel.columns}
+
+
+    def test_truncated_value_is_refused_not_shortened(self):
+        """Regression (review finding): a 3-byte truncation used to decode
+        to {'a': 'hello', 'b': 'wo'} — the relay would ingest the truncated
+        value as real data and never reconnect."""
+        import pytest
+
+        from postgresql_cdc_spark.sources.pgoutput import ProtocolError
+
+        rel = Relation(
+            relation_id=7, schema="public", name="t", replica_identity="d",
+            columns=(ColumnMeta("a", 25), ColumnMeta("b", 25)),
+        )
+        dec = PgOutputDecoder()
+        dec.decode(encode_relation(rel))
+        msg = encode_insert(rel.relation_id, ["hello", "world"])
+        with pytest.raises(ProtocolError):
+            dec.decode(msg[:-3])
