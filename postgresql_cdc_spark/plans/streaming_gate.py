@@ -1243,3 +1243,88 @@ def cdc_snapshot_handover(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_stream_events"
         ),
     )
+
+
+@register(
+    "cdc_stream_scd2_history",
+    f"""
+    WITH base AS (SELECT i,
+                         11 + 12 * (i // 10) + (i % 10) AS ins_lsn,
+                         131 + i // 5 AS upd_lsn,
+                         153 + i // 7 AS del_lsn,
+                         (i * 7) % 13 AS v0
+                  FROM range({N}) t(i)),
+    v1 AS (SELECT i AS id,
+                  CAST(ins_lsn AS BIGINT) AS valid_from_lsn,
+                  CAST(CASE WHEN i % 5 = 0 THEN upd_lsn
+                            WHEN i % 7 = 0 THEN del_lsn END AS BIGINT)
+                    AS valid_to_lsn,
+                  CAST(v0 AS INT) AS v_int
+           FROM base),
+    v2 AS (SELECT i AS id,
+                  CAST(upd_lsn AS BIGINT),
+                  CAST(CASE WHEN i % 7 = 0 THEN del_lsn END AS BIGINT),
+                  CAST(v0 + 100 AS INT)
+           FROM base WHERE i % 5 = 0),
+    hist AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT id, valid_from_lsn, valid_to_lsn,
+           valid_to_lsn IS NULL AS is_current, v_int
+    FROM hist
+    """,
+    doc="Streaming CDC -> SCD Type-2 dimension history: the pgcdc stream "
+        "(txn-aligned micro-batches) lands each batch's decoded events in "
+        "an append-only changelog table via foreachBatch — the cheap, "
+        "idempotent-per-batch write a warehouse uses — and version "
+        "validity intervals derive from the accumulated log with ONE lead "
+        "window per key (DELETEs close the open version and emit no row). "
+        "The oracle is the CLOSED FORM of the archive's LSN schedule "
+        "(inserts 11+12t+k, updates 131+i/5, deletes 153+i/7), so a drift "
+        "anywhere in source batching, append plumbing, or the window "
+        "derivation breaks the hash.",
+)
+def cdc_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_scd2_{run}_")
+    arch = os.path.join(base, "wal")
+    log_dir = os.path.join(base, "changelog")
+    _build_archive(arch)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+            "op", "lsn",
+        ).write.mode("append").parquet(log_dir)
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+
+    log = spark.read.schema("id long, v_int int, op string, lsn long").parquet(
+        log_dir
+    )
+    w = Window.partitionBy("id").orderBy("lsn")
+    return (
+        log.withColumn("valid_to_lsn", F.lead("lsn").over(w))
+        .where(F.col("op") != "D")
+        .select(
+            "id",
+            F.col("lsn").alias("valid_from_lsn"),
+            "valid_to_lsn",
+            F.col("valid_to_lsn").isNull().alias("is_current"),
+            "v_int",
+        )
+    )
