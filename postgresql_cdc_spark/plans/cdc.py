@@ -399,7 +399,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_scd2_point_in_time",
     f"""
-    WITH h AS ({_SCD2_ORACLE}),
+    WITH h AS MATERIALIZED ({_SCD2_ORACLE}),
     keys AS (SELECT DISTINCT l_orderkey, l_linenumber FROM h),
     probes AS (
         SELECT l_orderkey, l_linenumber,

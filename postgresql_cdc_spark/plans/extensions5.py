@@ -353,7 +353,7 @@ _PR_SCALE = 10**12
 
 def _pr_oracle(iters: int = 3) -> str:
     head = f"""
-    WITH e0 AS (SELECT c_nationkey AS src, s_nationkey AS dst,
+    WITH e0 AS MATERIALIZED (SELECT c_nationkey AS src, s_nationkey AS dst,
                        CAST(COUNT(*) AS BIGINT) AS w
                 FROM lineitem
                 JOIN orders   ON l_orderkey = o_orderkey
@@ -361,7 +361,8 @@ def _pr_oracle(iters: int = 3) -> str:
                 JOIN supplier ON l_suppkey = s_suppkey
                 GROUP BY 1, 2),
     outw AS (SELECT src, SUM(w) AS wout FROM e0 GROUP BY src),
-    e AS (SELECT e0.src, e0.dst, e0.w, outw.wout FROM e0 JOIN outw USING (src)),
+    e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, outw.wout
+          FROM e0 JOIN outw USING (src)),
     nodes AS (SELECT n_nationkey AS id, n_name FROM nation),
     c AS (SELECT COUNT(*) AS n FROM nodes),
     r0 AS (SELECT id, (SELECT {_PR_SCALE} // n FROM c) AS r FROM nodes)"""

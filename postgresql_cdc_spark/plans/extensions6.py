@@ -472,7 +472,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_census",
     """
-    WITH e0 AS (SELECT DISTINCT
+    WITH e0 AS MATERIALIZED (SELECT DISTINCT
                     least(c_nationkey, s_nationkey) AS a,
                     greatest(c_nationkey, s_nationkey) AS b
                 FROM lineitem
