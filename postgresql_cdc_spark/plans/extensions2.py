@@ -201,7 +201,7 @@ from postgresql_cdc_spark.plans.extensions import _NGRAM_ORACLE  # noqa: E402
 @register(
     "dedup_cluster_labels",
     f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+    WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_ORACLE}),
     sym AS (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
     reach(id, r) AS (
