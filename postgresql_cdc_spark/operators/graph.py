@@ -1,7 +1,8 @@
-"""Iterative graph computation: connected components by min-label
-propagation — the step that turns near-duplicate PAIRS into dedup GROUPS
-(every doc gets the smallest doc-id reachable through the similarity graph;
-keep one representative per label, drop the rest).
+"""Iterative graph computation in plain DataFrame ops: connected components
+by min-label propagation — the step that turns near-duplicate PAIRS into
+dedup GROUPS (every doc gets the smallest doc-id reachable through the
+similarity graph; keep one representative per label, drop the rest) — and
+integer-exact weighted PageRank (``pagerank_int``).
 
 Shape: the classic bounded-iteration dataflow loop (what GraphX/Pregel do
 under the hood) written in plain DataFrame ops —
