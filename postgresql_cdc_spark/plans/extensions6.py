@@ -535,3 +535,60 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("bigint"),
         )
     )
+
+
+# --- dedup-pipeline recall evaluation ----------------------------------------
+
+from postgresql_cdc_spark.plans.extensions import (  # noqa: E402
+    _MINHASH_ORACLE,
+    _NGRAM_ORACLE,
+    _near_dup_corpus,
+)
+
+
+@register(
+    "dedup_minhash_recall_eval",
+    f"""
+    WITH truth AS MATERIALIZED ({_NGRAM_ORACLE}),
+    found AS MATERIALIZED ({_MINHASH_ORACLE})
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
+           CAST((SELECT COUNT(*) FROM truth SEMI JOIN found
+                 USING (id_a, id_b)) AS BIGINT) AS n_hit,
+           CAST((1000 * (SELECT COUNT(*) FROM truth SEMI JOIN found
+                         USING (id_a, id_b)))
+                // NULLIF((SELECT COUNT(*) FROM truth), 0) AS BIGINT)
+             AS recall_milli
+    """,
+    doc="Quality evaluation of the MinHash+LSH dedup pipeline against the "
+        "exact n-gram-Jaccard truth on the same corpus — the dedup-family "
+        "twin of ivf_recall_eval: band geometry and hot-bucket caps trade "
+        "recall for scalability, and this query MEASURES the trade "
+        "(pair-set hit count and integer per-mille recall) instead of "
+        "assuming it. Both pair sets are the already-gated pipelines; the "
+        "comparison is two counts and a semi join on the pair key.",
+)
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import dedup as dd
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    truth = dd.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.5
+    ).select("id_a", "id_b").persist()
+    found = dd.minhash_lsh_pairs(
+        corpus, "text", "doc_id", threshold=0.5
+    ).select("id_a", "id_b").persist()
+    hit = truth.join(found, ["id_a", "id_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth", "n_found", "n_hit",
+            F.expr(
+                "CAST((1000 * n_hit) DIV NULLIF(n_truth, 0) AS BIGINT)"
+            ).alias("recall_milli"),
+        )
+    )

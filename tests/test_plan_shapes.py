@@ -33,6 +33,7 @@ NESTED_LOOP_OK = {
     "text_collocations",   # one-row corpus-token-total scalar broadcast
     "emb_pq_codes",        # corpus x 16-codeword broadcast codebook (PQ assign)
     "graph_triangle_census",  # one-row edge/triangle-count scalar broadcasts
+    "dedup_minhash_recall_eval",  # one-row truth/found/hit-count scalar broadcasts
     "join_range_buckets",  # genuine non-equi range join vs tiny bucket table
 }
 
