@@ -370,7 +370,6 @@ _PHASH_ORACLE = f"""
 )
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgresql_cdc_spark.operators import multimodal as mm
-    from postgresql_cdc_spark.plans.extensions import _near_dup_corpus
 
     corpus = _near_dup_corpus(spark, sf_dir)
     hashes = mm.perceptual_ahash_chunks(mm.attach_binary(corpus))
@@ -550,15 +549,17 @@ from postgresql_cdc_spark.plans.extensions import (  # noqa: E402
     "dedup_minhash_recall_eval",
     f"""
     WITH truth AS MATERIALIZED ({_NGRAM_ORACLE}),
-    found AS MATERIALIZED ({_MINHASH_ORACLE})
-    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
-           CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
-           CAST((SELECT COUNT(*) FROM truth SEMI JOIN found
-                 USING (id_a, id_b)) AS BIGINT) AS n_hit,
-           CAST((1000 * (SELECT COUNT(*) FROM truth SEMI JOIN found
-                         USING (id_a, id_b)))
-                // NULLIF((SELECT COUNT(*) FROM truth), 0) AS BIGINT)
+    found AS MATERIALIZED ({_MINHASH_ORACLE}),
+    nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+    nf AS (SELECT COUNT(*) AS n_found FROM found),
+    nh AS (SELECT COUNT(*) AS n_hit
+           FROM truth SEMI JOIN found USING (id_a, id_b))
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST((1000 * n_hit) // NULLIF(n_truth, 0) AS BIGINT)
              AS recall_milli
+    FROM nt CROSS JOIN nf CROSS JOIN nh
     """,
     doc="Quality evaluation of the MinHash+LSH dedup pipeline against the "
         "exact n-gram-Jaccard truth on the same corpus — the dedup-family "

@@ -1273,8 +1273,10 @@ def cdc_snapshot_handover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Streaming CDC -> SCD Type-2 dimension history: the pgcdc stream "
         "(txn-aligned micro-batches) lands each batch's decoded events in "
-        "an append-only changelog table via foreachBatch — the cheap, "
-        "idempotent-per-batch write a warehouse uses — and version "
+        "an append-only changelog table via foreachBatch (at-least-once: "
+        "a restartable deployment would add a batch_id-keyed overwrite like "
+        "the upsert sinks above; this one-shot gate run cannot replay) and "
+        "version "
         "validity intervals derive from the accumulated log with ONE lead "
         "window per key (DELETEs close the open version and emit no row). "
         "The oracle is the CLOSED FORM of the archive's LSN schedule "
