@@ -593,3 +593,131 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_milli"),
         )
     )
+
+
+# --- session-length histogram (bounce report) --------------------------------
+
+@register(
+    "events_session_length_hist",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_ms(ts), event_id)
+                        > 1800000 THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts_ms, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
+        FROM flagged),
+    per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id)
+    SELECT CAST(n_events AS BIGINT) AS session_len,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM per_session GROUP BY n_events
+    """,
+    doc="Session-length distribution over gap-sessionized events (30 min, "
+        "same boundary rules as events_sessionize): the bounce report — "
+        "the session_len=1 row IS the bounce count, and the full histogram "
+        "is what an engagement dashboard plots. One user-partitioned "
+        "window + two hash aggs; the user shuffle is shared with every "
+        "other sessionization query.",
+)
+def events_session_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = EV(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000, 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy(
+        F.col("n_events").cast("bigint").alias("session_len")
+    ).agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+# --- market-basket affinity (association lift) -------------------------------
+
+@register(
+    "basket_part_affinity",
+    """
+    WITH items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+             FROM items GROUP BY l_partkey),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     CAST(COUNT(*) AS BIGINT) AS c_ab
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT part_a, part_b, c_ab,
+           CAST((1000 * c_ab * n.n_orders) // (fa.c * fb.c) AS BIGINT)
+             AS lift_milli
+    FROM pairs CROSS JOIN n
+         JOIN freq fa ON part_a = fa.l_partkey
+         JOIN freq fb ON part_b = fb.l_partkey
+    """,
+    doc="Market-basket association mining: part pairs co-purchased in >= 3 "
+        "orders, scored by integer-scaled lift (1000 * P(ab)/(P(a)P(b)) "
+        "truncated — no float log, exact both engines). The within-order "
+        "pair fan-out is bounded by basket size squared (baskets are "
+        "small; a degenerate mega-basket would get a basket-size cap, the "
+        "same guard as stop-shingles), then two hash aggs and two "
+        "part-frequency equi-joins — the same word-count shape as "
+        "collocation mining, one level up the cart.",
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(
+            freq.select(F.col("l_partkey").alias("part_a"),
+                        F.col("c").alias("ca")), "part_a")
+        .join(
+            freq.select(F.col("l_partkey").alias("part_b"),
+                        F.col("c").alias("cb")), "part_b")
+        .select(
+            "part_a", "part_b", "c_ab",
+            F.expr("CAST((1000 * c_ab * n_orders) DIV (ca * cb) AS BIGINT)")
+            .alias("lift_milli"),
+        )
+    )

@@ -34,6 +34,7 @@ NESTED_LOOP_OK = {
     "emb_pq_codes",        # corpus x 16-codeword broadcast codebook (PQ assign)
     "graph_triangle_census",  # one-row edge/triangle-count scalar broadcasts
     "dedup_minhash_recall_eval",  # one-row truth/found/hit-count scalar broadcasts
+    "basket_part_affinity",  # one-row order-total scalar broadcast
     "join_range_buckets",  # genuine non-equi range join vs tiny bucket table
 }
 
