@@ -721,3 +721,53 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_milli"),
         )
     )
+
+
+# --- month-over-month trend ---------------------------------------------------
+
+@register(
+    "orders_mom_revenue_trend",
+    """
+    WITH m AS (SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                           AS VARCHAR) AS month_start,
+                      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev_cents,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT month_start, rev_cents, n_orders,
+           lag(rev_cents) OVER (ORDER BY month_start) AS prev_cents,
+           CAST((1000 * (rev_cents - lag(rev_cents) OVER (ORDER BY month_start)))
+                // NULLIF(lag(rev_cents) OVER (ORDER BY month_start), 0)
+                AS BIGINT) AS growth_milli
+    FROM m
+    """,
+    doc="Month-over-month revenue trend: monthly rollup (floored cents — "
+        "engine-exact money) with LAG growth in integer per-mille. The "
+        "heavy work is one partial-aggregatable hash agg over the fact "
+        "table; the trend window runs over the tiny month table (one row "
+        "per month — a single-partition window is CORRECT here, unlike "
+        "over fact rows). The dashboard time-series every warehouse "
+        "serves.",
+)
+def orders_mom_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date").cast("string").alias("month_start")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month_start", "rev_cents", "n_orders",
+        prev.alias("prev_cents"),
+        F.expr(
+            "CAST((1000 * (rev_cents - lag(rev_cents) OVER (ORDER BY month_start)))"
+            " DIV NULLIF(lag(rev_cents) OVER (ORDER BY month_start), 0) AS BIGINT)"
+        ).alias("growth_milli"),
+    )
