@@ -23,6 +23,12 @@ matters). ``how='inner'`` drops unmatched left rows, ``'left'`` keeps them.
 than ``left_time - right_time <= tolerance`` counts as NO match (pandas
 ``merge_asof(tolerance=...)`` semantics) — pass an interval Column for
 timestamp axes (``F.expr("INTERVAL 7 DAYS")``) or a number for numeric axes.
+
+``direction`` selects the pandas ``merge_asof`` mode: ``backward`` (default,
+greatest right_time <= left_time), ``forward`` (smallest right_time >=
+left_time), or ``nearest`` (smaller absolute gap; exact tie -> the prior
+match). All three ride the SAME single shuffle + sort — forward/nearest add
+window functions over the other frame direction, not another exchange.
 """
 
 from __future__ import annotations
@@ -41,9 +47,14 @@ def asof_join(
     right_time: str,
     how: str = "inner",
     tolerance=None,
+    direction: str = "backward",
 ) -> DataFrame:
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be backward/forward/nearest, got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
 
     payload_cols = [c for c in right.columns if c not in keys]
@@ -75,24 +86,73 @@ def asof_join(
         F.struct(*[F.col(c) for c in payload_cols]).alias("__r"),
     )
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = (
-        l_tagged.unionByName(r_tagged)
-        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
-        .where(F.col("__side") == 1)
-    )
-    if tolerance is not None:
-        # out-of-tolerance nearest-prior == no match (merge_asof semantics)
-        in_tol = (
-            F.col("__t") - F.col(f"__match.{right_time}")
-        ) <= tolerance
+    # Frame geometry shares ONE sort for every direction. Ordering puts
+    # right rows before left rows at equal time, so an equal-time right is
+    # inclusive for backward (and therefore for nearest, at distance zero)
+    # while the strictly-after forward frame skips it.
+    order = Window.partitionBy(*keys).orderBy(F.col("__t"), F.col("__side"))
+    w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    union = l_tagged.unionByName(r_tagged)
+
+    def _in_tol(match_col):
+        if tolerance is None:
+            return F.lit(True)
+        # distance is nonnegative by construction on each side
+        dist = F.when(
+            F.col("__t") >= match_col[right_time],
+            F.col("__t") - match_col[right_time],
+        ).otherwise(match_col[right_time] - F.col("__t"))
+        return dist <= tolerance
+
+    if direction == "backward":
+        filled = union.withColumn(
+            "__match", F.last("__r", ignorenulls=True).over(w_back)
+        ).where(F.col("__side") == 1)
+    elif direction == "forward":
+        # inclusive forward: an equal-time right sits in the backward frame
+        # under this ordering, so OR it in from there (it is the LATEST
+        # prior row at equal __t, i.e. exactly the equal-time candidate).
+        filled = (
+            union.withColumn("__prior", F.last("__r", ignorenulls=True).over(w_back))
+            .withColumn("__next", F.first("__r", ignorenulls=True).over(w_fwd))
+            .withColumn(
+                "__match",
+                F.when(
+                    F.col("__prior").isNotNull()
+                    & (F.col(f"__prior.{right_time}") == F.col("__t")),
+                    F.col("__prior"),
+                ).otherwise(F.col("__next")),
+            )
+            .where(F.col("__side") == 1)
+            .drop("__prior", "__next")
+        )
+    else:  # nearest
+        back = F.last("__r", ignorenulls=True).over(w_back)
+        fwd = F.first("__r", ignorenulls=True).over(w_fwd)
+        filled = (
+            union.withColumn("__b", back)
+            .withColumn("__f", fwd)
+            .where(F.col("__side") == 1)
+        )
+        bd = F.col("__t") - F.col(f"__b.{right_time}")
+        fd = F.col(f"__f.{right_time}") - F.col("__t")
+        # prefer the closer side; exact tie -> the prior match (documented;
+        # pre-dedupe equal-time right rows if that matters, as backward)
         filled = filled.withColumn(
             "__match",
-            F.when(F.col("__match").isNotNull() & in_tol, F.col("__match")),
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(bd <= fd, F.col("__b"))
+            .otherwise(F.col("__f")),
+        ).drop("__b", "__f")
+    if tolerance is not None:
+        filled = filled.withColumn(
+            "__match",
+            F.when(
+                F.col("__match").isNotNull() & _in_tol(F.col("__match")),
+                F.col("__match"),
+            ),
         )
     if how == "inner":
         filled = filled.where(F.col("__match").isNotNull())

@@ -771,3 +771,50 @@ def orders_mom_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV NULLIF(lag(rev_cents) OVER (ORDER BY month_start), 0) AS BIGINT)"
         ).alias("growth_milli"),
     )
+
+
+# --- as-of join, nearest direction -------------------------------------------
+
+@register(
+    "asof_nearest_purchase_to_view",
+    """
+    WITH views AS (SELECT user_id, ts, MAX(event_id) AS view_event_id
+                   FROM events WHERE event_type = 'view'
+                   GROUP BY user_id, ts),
+    purch AS (SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase'),
+    cand AS (SELECT p.event_id, p.user_id, p.value, v.view_event_id,
+                    abs(epoch_ms(p.ts) - epoch_ms(v.ts)) AS dist,
+                    CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END AS fwd
+             FROM purch p JOIN views v USING (user_id)),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                       ORDER BY dist, fwd) AS rn
+          FROM cand)
+    SELECT event_id, user_id, view_event_id, value
+    FROM r WHERE rn = 1
+    """,
+    doc="merge_asof direction='nearest': each purchase matched to the "
+        "user's CLOSEST view on either side of it (exact tie -> the prior "
+        "one, the operator's documented rule). Same single-shuffle "
+        "union+window as-of machinery — nearest adds a window over the "
+        "following frame, not a second exchange; the oracle enumerates "
+        "per-user candidates and argmins, tractable at gate scale only "
+        "(DuckDB ASOF JOIN itself is backward-only).",
+)
+def asof_nearest_purchase_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.asof import asof_join
+
+    e = EV(spark, sf_dir)
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purch, views, on="user_id", left_time="ts", right_time="ts",
+        how="inner", direction="nearest",
+    )
+    return joined.select("event_id", "user_id", "view_event_id", "value")

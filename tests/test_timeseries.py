@@ -76,3 +76,61 @@ def test_unknown_unit_rejected(spark):
     )
     with pytest.raises(ValueError):
         gapfill_locf(df, "ts", "user_id", "value", "event_id", unit="fortnight")
+
+
+class TestAsofDirections:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, "p1"), (1, 100, "p2"), (2, 50, "p3")],
+            "k long, t long, lbl string",
+        )
+        right = spark.createDataFrame(
+            [(1, 8, "r8"), (1, 13, "r13"), (1, 100, "r100"), (2, 400, "r400")],
+            "k long, t long, rlbl string",
+        )
+        return left, right
+
+    def _run(self, spark, direction, how="left", tolerance=None):
+        from postgresql_cdc_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            how=how, tolerance=tolerance, direction=direction,
+        )
+        return {r.lbl: r.rlbl for r in out.collect()}
+
+    def test_forward_picks_smallest_following_inclusive(self, spark):
+        # p1(t=10) -> r13; p2(t=100) -> r100 (equal time IS a forward
+        # match, pandas semantics); p3(t=50) -> r400
+        assert self._run(spark, "forward") == {
+            "p1": "r13", "p2": "r100", "p3": "r400"
+        }
+
+    def test_nearest_prefers_closer_side_and_prior_on_tie(self, spark):
+        # p1: |10-8|=2 back vs |13-10|=3 fwd -> r8; p2: exact hit r100;
+        # p3: only forward exists -> r400
+        assert self._run(spark, "nearest") == {
+            "p1": "r8", "p2": "r100", "p3": "r400"
+        }
+
+    def test_nearest_tie_goes_backward(self, spark):
+        from postgresql_cdc_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10, "p")], "k long, t long, lbl string")
+        right = spark.createDataFrame(
+            [(1, 7, "back"), (1, 13, "fwd")], "k long, t long, rlbl string"
+        )
+        out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                        direction="nearest")
+        assert [r.rlbl for r in out.collect()] == ["back"]
+
+    def test_nearest_tolerance_drops_far_matches(self, spark):
+        # p3's only candidate is 350 away; tolerance 100 nulls it (how=left)
+        got = self._run(spark, "nearest", tolerance=100)
+        assert got == {"p1": "r8", "p2": "r100", "p3": None}
+
+    def test_backward_unchanged(self, spark):
+        assert self._run(spark, "backward") == {
+            "p1": "r8", "p2": "r100", "p3": None
+        }
