@@ -76,7 +76,13 @@ def asof_join(
         .cast(right.select(F.struct(*payload_cols).alias("s")).schema["s"].dataType)
         .alias("__r"),
     )
-    r_tagged = right.select(
+    # Null-time rows never participate in matching (pandas merge_asof
+    # raises on null keys; our rule: a null right_time is never a match
+    # source, a null left_time row matches nothing — NULLS FIRST ordering
+    # would otherwise park every null-t left before all rights, handing
+    # forward/nearest the partition's EARLIEST right as a bogus match).
+    r_tagged_src = right.where(F.col(right_time).isNotNull())
+    r_tagged = r_tagged_src.select(
         *[F.col(k) for k in keys],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
@@ -154,6 +160,9 @@ def asof_join(
                 F.col("__match"),
             ),
         )
+    filled = filled.withColumn(
+        "__match", F.when(F.col("__t").isNotNull(), F.col("__match"))
+    )
     if how == "inner":
         filled = filled.where(F.col("__match").isNotNull())
 

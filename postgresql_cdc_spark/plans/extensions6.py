@@ -629,25 +629,13 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "other sessionization query.",
 )
 def events_session_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    # Reuse the canonical sessionizer — the "same boundary rules" promise
+    # holds by construction instead of by a third hand-copied pipeline.
+    # Function-body import: a module-level one would register relational's
+    # whole inventory ahead of its place in the registration order.
+    from postgresql_cdc_spark.plans.relational import events_sessionize
 
-    e = EV(spark, sf_dir).select(
-        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    flagged = e.withColumn(
-        "new_session",
-        F.when(
-            F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000, 1
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    per_session = sessions.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
+    per_session = events_sessionize(spark, sf_dir)
     return per_session.groupBy(
         F.col("n_events").cast("bigint").alias("session_len")
     ).agg(F.count(F.lit(1)).alias("n_sessions"))
@@ -730,8 +718,8 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
                            AS VARCHAR) AS month_start,
-                      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
-                           AS BIGINT) AS rev_cents,
+                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                    * 100 AS BIGINT)) AS BIGINT) AS rev_cents,
                       CAST(COUNT(*) AS BIGINT) AS n_orders
                FROM orders GROUP BY 1)
     SELECT month_start, rev_cents, n_orders,
@@ -741,8 +729,9 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS growth_milli
     FROM m
     """,
-    doc="Month-over-month revenue trend: monthly rollup (floored cents — "
-        "engine-exact money) with LAG growth in integer per-mille. The "
+    doc="Month-over-month revenue trend: monthly rollup in true cents (the "
+        "repo's DECIMAL money idiom — floor(double*100) would lose a cent "
+        "on half the orders) with LAG growth in integer per-mille. The "
         "heavy work is one partial-aggregatable hash agg over the fact "
         "table; the trend window runs over the tiny month table (one row "
         "per month — a single-partition window is CORRECT here, unlike "
@@ -757,8 +746,9 @@ def orders_mom_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("o_orderdate"))
         .cast("date").cast("string").alias("month_start")
     ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
-        .cast("bigint").alias("rev_cents"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+        ).cast("bigint").alias("rev_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     w = Window.orderBy("month_start")

@@ -134,3 +134,34 @@ class TestAsofDirections:
         assert self._run(spark, "backward") == {
             "p1": "r8", "p2": "r100", "p3": None
         }
+
+
+class TestAsofNullTimes:
+    def test_null_left_time_matches_nothing_in_all_directions(self, spark):
+        from postgresql_cdc_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, None, "pnull"), (1, 50, "p50")], "k long, t long, lbl string"
+        )
+        right = spark.createDataFrame(
+            [(1, 40, "r40"), (1, 60, "r60")], "k long, t long, rlbl string"
+        )
+        for d, want50 in (("backward", "r40"), ("forward", "r60"),
+                          ("nearest", "r40")):
+            out = asof_join(left, right, on="k", left_time="t",
+                            right_time="t", how="left", direction=d)
+            got = {r.lbl: r.rlbl for r in out.collect()}
+            assert got == {"pnull": None, "p50": want50}, (d, got)
+
+    def test_null_right_time_is_never_a_match_source(self, spark):
+        from postgresql_cdc_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 50, "p")], "k long, t long, lbl string")
+        right = spark.createDataFrame(
+            [(1, None, "rnull"), (1, 40, "r40")], "k long, t long, rlbl string"
+        )
+        for d in ("backward", "forward", "nearest"):
+            out = asof_join(left, right, on="k", left_time="t",
+                            right_time="t", how="left", direction=d)
+            got = {r.lbl: r.rlbl for r in out.collect()}
+            assert got == {"p": ("r40" if d != "forward" else None)}, (d, got)
