@@ -82,6 +82,10 @@ def _assign_cte(t: int, prev: str) -> str:
 def _recenter_cte(t: int, prev: str) -> str:
     # Exact floored division regardless of the engine's integer-division
     # rounding: (s - nonneg_residue) is exactly divisible by n.
+    # CAST back to BIGINT: DuckDB's SUM over BIGINT promotes to HUGEINT, and
+    # a HUGEINT list column in the final output renders as float through the
+    # driver's arrow/pandas fetch (44482.0 vs Spark's 44482) — the recentered
+    # value always fits BIGINT (mean of BIGINT inputs), so the cast is exact.
     return f"""s{t} AS (
   SELECT cell, pos, SUM(x) AS s, COUNT(*) AS n
   FROM (SELECT cell, unnest(list_transform(range(1, len(qv) + 1),
@@ -92,7 +96,8 @@ def _recenter_cte(t: int, prev: str) -> str:
 c{t} AS (
   SELECT p.cell, coalesce(nc.cv, p.cv) AS cv
   FROM {prev} p LEFT JOIN (
-    SELECT cell, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS cv
+    SELECT cell, list(CAST((s - ((s % n + n) % n)) // n AS BIGINT)
+                      ORDER BY pos) AS cv
     FROM s{t} GROUP BY cell
   ) nc USING (cell)
 )"""
@@ -118,7 +123,7 @@ WITH {_CTES}
 SELECT a{_AFINAL}.cell,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
        MIN(a{_AFINAL}.vec_id) AS min_vec_id,
-       MIN(cs.centroid_sum) AS centroid_sum
+       CAST(MIN(cs.centroid_sum) AS BIGINT) AS centroid_sum
 FROM a{_AFINAL} JOIN (SELECT cell, list_reduce(cv, (a, b) -> a + b)
                           AS centroid_sum
                       FROM {_CFINAL}) cs USING (cell)

@@ -50,6 +50,23 @@ def canon(v) -> str:
     return str(v)
 
 
+def _has_decimal(t) -> bool:
+    """True if an arrow type contains a decimal anywhere (incl. nested lists/
+    structs) — the signature of DuckDB HUGEINT promotion leaking into an
+    oracle output column."""
+    import pyarrow.types as pat
+
+    if pat.is_decimal(t):
+        return True
+    if pat.is_list(t) or pat.is_large_list(t) or pat.is_fixed_size_list(t):
+        return _has_decimal(t.value_type)
+    if pat.is_struct(t):
+        return any(_has_decimal(f.type) for f in t)
+    if pat.is_map(t):
+        return _has_decimal(t.key_type) or _has_decimal(t.item_type)
+    return False
+
+
 def table_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -119,12 +136,29 @@ def main() -> int:
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
+            # Driver parity: the driver fetches the oracle via arrow/pandas,
+            # where HUGEINT / DECIMAL columns (e.g. SUM over BIGINT promotes
+            # to HUGEINT) render as float/Decimal and hash-mismatch Spark's
+            # int64 even when fetchall() shows identical Python ints. Make
+            # that failure class visible locally via the arrow schema.
+            otypes = con.execute(sql).fetch_arrow_table().schema
+            bad = [
+                f"{f.name}:{f.type}"
+                for f in otypes
+                if _has_decimal(f.type)
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
 
         problems = []
+        if bad:
+            problems.append(
+                "oracle type leak (HUGEINT/DECIMAL renders as float via the "
+                f"driver's arrow fetch): {', '.join(bad)} — CAST the output "
+                "column to BIGINT/DOUBLE in the oracle SQL"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
