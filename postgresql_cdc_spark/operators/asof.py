@@ -16,9 +16,12 @@ intermediate blowup. Skewed keys are handled by AQE skew-split since this is
 a plain window shuffle.
 
 Semantics: for each left row, the right row with the greatest ``right_time``
-<= ``left_time`` (ties on time: the union orders right rows before left rows,
-and among equal-time right rows the last one wins — pre-dedupe if that
-matters). ``how='inner'`` drops unmatched left rows, ``'left'`` keeps them.
+<= ``left_time`` (ties on time: the union orders right rows before left rows;
+among DUPLICATE (key, time) right rows the winner is chosen deterministically
+by xxhash64 of the right payload — greatest hash for backward/nearest-prior,
+least for forward — so output is run-to-run stable on any partitioning; rows
+with identical payloads are interchangeable anyway). ``how='inner'`` drops
+unmatched left rows, ``'left'`` keeps them.
 ``tolerance`` (optional) bounds the lookback: a nearest-prior match farther
 than ``left_time - right_time <= tolerance`` counts as NO match (pandas
 ``merge_asof(tolerance=...)`` semantics) — pass an interval Column for
@@ -75,6 +78,7 @@ def asof_join(
         F.lit(None)
         .cast(right.select(F.struct(*payload_cols).alias("s")).schema["s"].dataType)
         .alias("__r"),
+        F.lit(0).cast("long").alias("__tb"),
     )
     # Null-time rows never participate in matching (pandas merge_asof
     # raises on null keys; our rule: a null right_time is never a match
@@ -90,13 +94,19 @@ def asof_join(
         .cast(left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType)
         .alias("__l"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("__r"),
+        F.xxhash64(F.struct(*[F.col(c) for c in payload_cols])).alias("__tb"),
     )
 
     # Frame geometry shares ONE sort for every direction. Ordering puts
     # right rows before left rows at equal time, so an equal-time right is
     # inclusive for backward (and therefore for nearest, at distance zero)
-    # while the strictly-after forward frame skips it.
-    order = Window.partitionBy(*keys).orderBy(F.col("__t"), F.col("__side"))
+    # while the strictly-after forward frame skips it. __tb totalizes the
+    # order among duplicate (key, time) right rows (left rows carry a
+    # constant 0 — tied lefts only ever see null __r between each other),
+    # making last()/first() deterministic under any partition layout.
+    order = Window.partitionBy(*keys).orderBy(
+        F.col("__t"), F.col("__side"), F.col("__tb")
+    )
     w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = order.rowsBetween(1, Window.unboundedFollowing)
     union = l_tagged.unionByName(r_tagged)

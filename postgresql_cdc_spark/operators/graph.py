@@ -119,8 +119,11 @@ def pagerank_int(
     table against the rank table + one hash agg on dst + a left join back
     to the node set — all keyed shuffles, no driver data path. ``n_nodes``
     is metadata (the caller counts its dimension table, cf.
-    similarity.infer_dim). Overflow bound: 17 * scale * max(w) must fit in
-    int64, so at larger edge weights shrink ``scale`` accordingly.
+    similarity.infer_dim). Overflow bound: 17 * r * w must fit in int64;
+    it is ENFORCED per row — rows where the product would overflow raise
+    (``raise_error`` inside codegen, no extra pass) instead of silently
+    wrapping in non-ANSI Spark while the oracle promotes to HUGEINT; shrink
+    ``scale`` when edge weights grow (w scales with fact-table size).
 
     Persist contract: ``edges``-derived state is persisted for reuse across
     iterations; the caller clears the cache after materializing (same
@@ -143,13 +146,18 @@ def pagerank_int(
         F.col(nodes.columns[0]).alias("id"),
         F.lit(scale // n_nodes).cast("long").alias("r"),
     )
+    # Fail loudly instead of wrapping: check r against INT64_MAX DIV (17*w)
+    # BEFORE forming 17*r*w (the product itself would overflow first).
+    _c = (
+        f"CAST(CASE WHEN r <= CAST({2**63 - 1} AS BIGINT) DIV (17 * w) "
+        "THEN (17 * r * w) DIV (20 * wout) "
+        "ELSE raise_error('pagerank_int: 17*r*w overflows int64 (r=' || r "
+        "|| ', w=' || w || '); shrink scale') END AS BIGINT)"
+    )
     for _ in range(iters):
         contrib = (
             e.join(r, e.src == r.id)
-            .select(
-                F.col("dst").alias("id"),
-                F.expr("CAST((17 * r * w) DIV (20 * wout) AS BIGINT)").alias("c"),
-            )
+            .select(F.col("dst").alias("id"), F.expr(_c).alias("c"))
         )
         agg = contrib.groupBy("id").agg(F.sum("c").alias("cin"))
         r = (

@@ -41,11 +41,29 @@ _FUZZ_DIRTY = f"""
     FROM customer WHERE c_custkey % 11 = 0
 """
 
-# 1-deletion neighborhood: the name with character i removed, for every i.
+# Symmetric-delete neighborhood: the name ITSELF (0-deletion identity key)
+# plus the name with character i removed, for every i. The identity key is
+# load-bearing: for an insertion/deletion pair like 'abc' vs 'abcd' the
+# shorter string's 1-deletion keys are all length-2 while the longer's are
+# length-3, so without indexing 'abc' under itself the true match shares no
+# key and is silently missed — true SymSpell indexes term + deletions.
 _DEL_KEYS = (
+    "list_concat([{nm}], "
     "list_transform(range(1, length({nm}) + 1), "
-    "i -> substr({nm}, 1, i - 1) || substr({nm}, i + 1, length({nm})))"
+    "i -> substr({nm}, 1, i - 1) || substr({nm}, i + 1, length({nm}))))"
 )
+
+
+def sym_del_keys(nm: str):
+    """Spark twin of _DEL_KEYS: identity key + every 1-deletion variant of
+    string column expression ``nm``. Guarantees any pair within edit
+    distance 1 (substitution, insertion, OR deletion) shares ≥1 key."""
+    return F.expr(
+        f"concat(array({nm}), "
+        f"transform(sequence(1, length({nm})), "
+        f"i -> concat(substr({nm}, 1, i - 1), "
+        f"substr({nm}, i + 1, length({nm})))))"
+    )
 
 
 @register(
@@ -66,9 +84,11 @@ _DEL_KEYS = (
     WHERE levenshtein(dirty_name, master_name) <= 1
     """,
     doc="Fuzzy record linkage with symmetric-delete blocking (SymSpell, "
-        "Garbe 2012): every name is indexed under all its 1-deletion "
-        "variants; two names within edit distance 1 (substitution, "
-        "insertion, or deletion) are GUARANTEED to share a deletion key, so "
+        "Garbe 2012): every name is indexed under itself AND all its "
+        "1-deletion variants; two names within edit distance 1 "
+        "(substitution, insertion, or deletion) are GUARANTEED to share a "
+        "key — substitutions meet at the common 1-deletion, insertions/"
+        "deletions meet at the shorter string's identity key — so "
         "candidates come from a plain equi-join on the key — never an "
         "all-pairs scan — and an exact levenshtein verify (built-in on both "
         "engines) prunes block collisions. The blocking index grows "
@@ -98,21 +118,14 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def del_keys(nm: str):
-        return F.expr(
-            f"transform(sequence(1, length({nm})), "
-            f"i -> concat(substr({nm}, 1, i - 1), "
-            f"substr({nm}, i + 1, length({nm}))))"
-        )
-
     mk = c.select(
         F.col("c_custkey").alias("master_id"),
         F.col("c_name").alias("master_name"),
-        F.explode(del_keys("c_name")).alias("k"),
+        F.explode(sym_del_keys("c_name")).alias("k"),
     )
     dk = dirty.select(
         "dirty_id", "dirty_name",
-        F.explode(del_keys("dirty_name")).alias("k"),
+        F.explode(sym_del_keys("dirty_name")).alias("k"),
     )
     cand = (
         dk.join(mk, "k")

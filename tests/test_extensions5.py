@@ -215,6 +215,71 @@ class TestFuzzyLinkage:
         # and nothing links at distance > 1
         assert all(v <= 1 for v in links.values())
 
+    def test_recall_all_three_edit_kinds(self, spark):
+        """The symmetric-delete index must block substitution, insertion,
+        AND deletion pairs. Insertions/deletions only share a key because
+        the shorter string is indexed under itself (identity key) — the
+        1-deletion keys of 'abc' are all length 2 while those of 'abcd' are
+        length 3, so deletion-only indexing silently drops those matches."""
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from postgresql_cdc_spark.plans.extensions6 import sym_del_keys
+
+        masters = [(1, "abcd"), (2, "zzzz"), (3, "hello")]
+        dirty = [
+            (101, "aXcd", 1),   # substitution
+            (102, "abcde", 1),  # insertion (dirty longer)
+            (103, "abc", 1),    # deletion (dirty shorter)
+            (104, "heXlo", 3),  # substitution
+            (105, "helo", 3),   # deletion
+            (106, "qqqq", 0),   # no master within distance 1
+        ]
+        m = spark.createDataFrame(masters, ["master_id", "master_name"])
+        d = spark.createDataFrame(
+            [(i, s) for i, s, _ in dirty], ["dirty_id", "dirty_name"]
+        )
+        mk = m.select(
+            "master_id", "master_name",
+            F.explode(sym_del_keys("master_name")).alias("k"),
+        )
+        dk = d.select(
+            "dirty_id", "dirty_name",
+            F.explode(sym_del_keys("dirty_name")).alias("k"),
+        )
+        cand = (
+            dk.join(mk, "k")
+            .select("dirty_id", "master_id", "dirty_name", "master_name")
+            .distinct()
+        )
+        got = {
+            (r.dirty_id, r.master_id)
+            for r in cand.where(
+                F.levenshtein("dirty_name", "master_name") <= 1
+            ).collect()
+        }
+        # brute-force truth over all pairs
+        lev = self._lev
+        want = {
+            (di, mi)
+            for (di, ds, _), (mi, ms) in itertools.product(dirty, masters)
+            if lev(ds, ms) <= 1
+        }
+        assert got == want
+        assert (102, 1) in got and (103, 1) in got  # the old blind spot
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
 
 class TestPerceptualHash:
     def test_ahash_chunks_hand_computed(self, spark):

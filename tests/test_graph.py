@@ -3,6 +3,8 @@ graphs (the oracle-paired query covers the near-dup integration)."""
 
 from __future__ import annotations
 
+import pytest
+
 from postgresql_cdc_spark.operators.graph import connected_components
 
 
@@ -95,3 +97,17 @@ class TestPagerankInt:
         # to 2: floor(17*333333*2/60) = floor(188888.7) = 188888
         # to 3: floor(17*333333*1/60) = floor(94444.35) = 94444
         assert r == {1: 50000, 2: 238888, 3: 144444}
+
+    def test_overflow_raises_instead_of_wrapping(self, spark):
+        """17*r*w past int64 must fail loudly (non-ANSI Spark would silently
+        wrap while the DuckDB oracle promotes to HUGEINT — divergence)."""
+        from postgresql_cdc_spark.operators.graph import pagerank_int
+
+        # r0 = scale/2 = 5e17; 17 * 5e17 * 2 = 1.7e19 > 2^63-1 ≈ 9.2e18
+        edges = spark.createDataFrame(
+            [(1, 2, 2), (2, 1, 2)], "src long, dst long, w long"
+        )
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        with pytest.raises(Exception, match="overflows int64"):
+            pagerank_int(edges, nodes, 2, iters=1, scale=10**18).collect()
+        spark.catalog.clearCache()

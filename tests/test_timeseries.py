@@ -165,3 +165,48 @@ class TestAsofNullTimes:
                             right_time="t", how="left", direction=d)
             got = {r.lbl: r.rlbl for r in out.collect()}
             assert got == {"p": ("r40" if d != "forward" else None)}, (d, got)
+
+
+class TestAsofDuplicateRightTies:
+    def test_duplicate_right_times_resolve_deterministically(self, spark):
+        """Duplicate (key, time) right rows with distinct payloads must pick
+        the same winner regardless of partition-internal row order (the
+        window carries an xxhash64 tiebreak over the right payload)."""
+        from pyspark.sql import functions as F
+
+        from postgresql_cdc_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 50, "pb"), (1, 30, "pf")], "k long, t long, lbl string"
+        )
+        dup_rows = [(1, 40, f"r{i}") for i in range(8)]  # 8 ties at t=40
+        # the documented rule: backward/nearest -> greatest payload hash,
+        # forward -> least payload hash
+        hashes = {
+            r.rlbl: r.h
+            for r in spark.createDataFrame(dup_rows, "k long, t long, rlbl string")
+            .select("rlbl", F.xxhash64(F.struct("t", "rlbl")).alias("h"))
+            .collect()
+        }
+        want_back = max(hashes, key=hashes.get)
+        want_fwd = min(hashes, key=hashes.get)
+
+        for perm in (dup_rows, dup_rows[::-1], dup_rows[3:] + dup_rows[:3]):
+            for nparts in (1, 5):
+                right = spark.createDataFrame(
+                    perm, "k long, t long, rlbl string"
+                ).repartition(nparts)
+                # pb(t=50) sees the dups as prior rows (backward frame ->
+                # greatest hash); pf(t=30) sees them as following rows
+                # (forward frame -> least hash); nearest routes each left
+                # row to its only populated side.
+                expects = {
+                    "backward": {"pb": want_back, "pf": None},
+                    "forward": {"pb": None, "pf": want_fwd},
+                    "nearest": {"pb": want_back, "pf": want_fwd},
+                }
+                for d, expect in expects.items():
+                    out = asof_join(left, right, on="k", left_time="t",
+                                    right_time="t", how="left", direction=d)
+                    got = {r.lbl: r.rlbl for r in out.collect()}
+                    assert got == expect, (d, perm[0], nparts, got)
