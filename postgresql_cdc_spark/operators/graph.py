@@ -67,17 +67,17 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                # label shrank this round iff a neighbor offered a smaller one
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label"))
+                .alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # The convergence probe reads the flag off the just-materialized
+        # checkpoint blocks (limit-1 early exit) — no join back to the old
+        # label table, so the only shuffle per round is the propagation agg.
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     else:
