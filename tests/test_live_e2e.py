@@ -411,3 +411,76 @@ class TestTypedRoundtripLiveServer:  # pragma: no cover - needs a server
         for r in records:
             r.columns["id"] = str(int(r.columns["id"]) - 1)
         _roundtrip_assert(spark, records, fields, values)
+
+    def test_slot_ddl_stream_materialize_live(self, spark):
+        """The full S1-S4/S16 chain on one command (VERDICT r7 #5 runbook):
+
+            PGCDC_TEST_DSN=postgres://... pytest tests/test_live_e2e.py
+
+        slot DDL -> publication DDL -> live replication stream -> decode ->
+        materialize(merge_sparse) -> assert current state. The same chain
+        minus the socket runs in CI via TestTypedRoundtripFullPipeline's
+        fake transport; this test lights the real path up wherever a
+        wal_level=logical server exists."""
+        from postgresql_cdc_spark.operators.materialize import materialize
+        from postgresql_cdc_spark.streaming.replication import (
+            ensure_publication,
+            ensure_replication_slot,
+            psycopg2_connection_factory,
+        )
+
+        cfg = ReplicationConfig(
+            dsn=LIVE_DSN, slot="pgcdc_e2e_mat_slot",
+            publication="pgcdc_e2e_mat_pub",
+        )
+        factory = psycopg2_connection_factory(cfg)
+
+        plain = factory(False)
+        plain.autocommit = True
+        cur = plain.cursor()
+        cur.execute("DROP TABLE IF EXISTS mat_live")
+        cur.execute(
+            "CREATE TABLE mat_live (id bigint PRIMARY KEY, v text, n int)"
+        )
+        ensure_publication(plain, cfg.publication)
+        repl = factory(True)
+        repl.autocommit = True
+        ensure_replication_slot(repl, cfg.slot)
+
+        # I/U/D mix AFTER the slot exists: 1 survives updated, 2 deleted,
+        # 3 inserted late
+        cur.execute("INSERT INTO mat_live VALUES (1, 'a', 10), (2, 'b', 20)")
+        cur.execute("UPDATE mat_live SET v = 'a2' WHERE id = 1")
+        cur.execute("DELETE FROM mat_live WHERE id = 2")
+        cur.execute("INSERT INTO mat_live VALUES (3, 'c', 30)")
+
+        transport = LiveReplicationTransport(factory, cfg)
+        decoder = PgOutputDecoder()
+        records: list[ChangeRecord] = []
+        for i, (lsn, payload) in enumerate(transport.frames()):
+            msg = decoder.decode(payload)
+            if isinstance(msg, ChangeRecord):
+                records.append((lsn, msg))
+                if len(records) == 5:  # 2 I + 1 U + 1 D + 1 I
+                    break
+            assert i < 10_000, "did not capture the changes in time"
+
+        env = spark.createDataFrame(
+            [
+                {"lsn": lsn, "op": r.op, "columns": dict(r.columns)}
+                for lsn, r in records
+            ],
+            "lsn long, op string, columns map<string,string>",
+        )
+        state = materialize(
+            env, keys=["id"], merge_sparse=True, columns=["id", "v", "n"]
+        )
+        got = {
+            r["id"]: (r["v"], r["n"])
+            for r in state.select(
+                F.element_at("columns", "id").cast("long").alias("id"),
+                F.element_at("columns", "v").alias("v"),
+                F.element_at("columns", "n").cast("int").alias("n"),
+            ).collect()
+        }
+        assert got == {1: ("a2", 10), 3: ("c", 30)}
