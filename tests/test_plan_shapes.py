@@ -36,6 +36,9 @@ NESTED_LOOP_OK = {
     "dedup_minhash_recall_eval",  # one-row truth/found/hit-count scalar broadcasts
     "basket_part_affinity",  # one-row order-total scalar broadcast
     "join_range_buckets",  # genuine non-equi range join vs tiny bucket table
+    "customer_rfm_segments",  # one-row quartile-fence scalar broadcast
+    "corpus_importance_resample",  # one-row corpus-total scalar broadcast
+    "emb_matryoshka_recall",  # both sides are the documented brute baseline
 }
 
 
