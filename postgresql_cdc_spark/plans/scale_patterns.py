@@ -257,3 +257,171 @@ def join_preagg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             D(F.sum("qty_dec")).alias("total_qty"),
         )
     )
+
+
+# --- large x large interval-overlap join via time-bucket blocking ------------
+
+_SESSIONS_CTE = """
+    flagged AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_ms(ts), event_id)
+                        > 1800000 THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    snum AS (
+        SELECT user_id, ts_ms,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts_ms, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
+        FROM flagged),
+    sessions AS (
+        SELECT user_id, session_id,
+               MIN(ts_ms) AS s, MAX(ts_ms) AS e
+        FROM snum GROUP BY user_id, session_id)
+"""
+
+
+@register(
+    "join_interval_overlap",
+    f"""
+    WITH {_SESSIONS_CTE}
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+               AS overlap_ms
+    FROM sessions a JOIN sessions b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.user_id, b.user_id
+    """,
+    doc="Large x large interval-overlap join (concurrent sessions across "
+        "users) via TIME-BUCKET BLOCKING: each session explodes into the "
+        "hour buckets it covers, candidates come from a plain equi-join on "
+        "the bucket (overlapping intervals ALWAYS share the bucket holding "
+        "the later start, so recall is exact), a distinct collapses multi-"
+        "bucket pairs, and the exact predicate prunes co-bucketed non-"
+        "overlaps. The naive theta-join is a quadratic nested loop Spark "
+        "cannot hash; bucketing turns it into a shuffle join whose fan-out "
+        "per bucket is bounded by concurrency, not corpus size — the same "
+        "blocking every interval-join engine (and this repo's as-of join) "
+        "builds on. The oracle states the naive theta-join (tractable at "
+        "oracle scale; DuckDB plans an IEJoin): equality proves the "
+        "blocking loses nothing. Bucket width tunes fan-out vs explode "
+        "factor; sessions here are minutes-long, so hour buckets explode "
+        "~1.02x.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.plans.common import EV
+
+    _BUCKET_MS = 3_600_000
+    e = EV(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000, 1)
+        .otherwise(0),
+    )
+    sess = (
+        flagged.withColumn(
+            "session_id", F.sum("new_session").over(cum)
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_ms").alias("s"), F.max("ts_ms").alias("e"))
+    )
+    # skinny (user, session, s, e) persists: exploded twice below
+    sess = sess.persist()
+    bucketed = sess.select(
+        "user_id", "session_id", "s", "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_BUCKET_MS}"), F.expr(f"e div {_BUCKET_MS}")
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_id").alias("sa"),
+            F.col("a.s").alias("s_a"), F.col("a.e").alias("e_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_id").alias("sb"),
+            F.col("b.s").alias("s_b"), F.col("b.e").alias("e_b"),
+        )
+        .distinct()  # a pair sharing n buckets appears n times
+        .where((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
+    )
+    return cand.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+        ).alias("overlap_ms"),
+    )
+
+
+# --- skew-resistant two-phase per-group top-k --------------------------------
+
+@register(
+    "window_topk_two_phase",
+    """
+    SELECT o_orderpriority, rank, o_orderkey, total_tm
+    FROM (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS BIGINT)
+                   AS total_tm,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000
+                                 AS BIGINT) DESC, o_orderkey ASC)
+                   AS rank
+        FROM orders)
+    WHERE rank <= 3
+    """,
+    doc="Skew-resistant two-phase per-group top-k: o_orderpriority has FIVE "
+        "values over the whole fact table, so a single "
+        "row_number-over-group window funnels ~1/5 of 100 TB through each "
+        "of five reducers. Phase 1 ranks within (group, salt=key%16) — a "
+        "balanced 80-partition shuffle — and keeps k rows per salt; phase "
+        "2 re-ranks the <= groups*salts*k survivors (240 rows at ANY "
+        "scale). The group top-k is always contained in the union of its "
+        "per-salt top-ks, so the rewrite is result-identical — the same "
+        "guarantee behind salted_agg, applied to an order-statistic. The "
+        "ordering includes the key, so ranks are total-order "
+        "deterministic; the oracle states the naive single window.",
+)
+def window_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey",
+        (DEC("o_totalprice") * 10000).cast("bigint").alias("total_tm"),
+    )
+    salted = o.withColumn("__salt", F.col("o_orderkey") % 16)
+    w1 = Window.partitionBy("o_orderpriority", "__salt").orderBy(
+        F.desc("total_tm"), F.asc("o_orderkey")
+    )
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= 3)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("total_tm"), F.asc("o_orderkey")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "total_tm")
+    )
