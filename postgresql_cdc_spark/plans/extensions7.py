@@ -632,3 +632,250 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
         )
     )
+
+
+# --- rolling 7-day active users (WAU spine) ----------------------------------
+
+@register(
+    "events_rolling_wau",
+    """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                           AS d
+                FROM events),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+    contrib AS (SELECT DISTINCT user_id, d + g AS target_d
+                FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS g)),
+    wau AS (SELECT target_d, CAST(COUNT(*) AS BIGINT) AS wau
+            FROM contrib GROUP BY target_d)
+    SELECT w.target_d AS day_num, w.wau
+    FROM wau w CROSS JOIN bounds
+    WHERE w.target_d BETWEEN bounds.d0 AND bounds.d1
+    """,
+    doc="Rolling 7-day active users per day (WAU) via CONTRIBUTION "
+        "EXPLODE: each (user, active-day) fans out to the 7 report days "
+        "it makes the user active on, a distinct collapses multi-visit "
+        "weeks, and one hash agg counts per day — rolling DISTINCT is not "
+        "decomposable over a window (you cannot merge adjacent days' "
+        "distinct counts), so the window formulation would re-scan 7 days "
+        "of raw events per day; the explode states the 7x fan-out ONCE on "
+        "the deduped (user, day) table, which is already |users| x |days| "
+        "bounded. Report days clamp to the observed range so edge days "
+        "with partial windows still report (pandas rolling-style). "
+        "Integer day ordinals, engine-exact.",
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint").alias("d"),
+    ).distinct()
+    ud = ud.persist()  # consumed by bounds AND contrib; harness unpersists
+    bounds = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("target_d"),
+    ).distinct()
+    wau = contrib.groupBy("target_d").agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        wau.crossJoin(F.broadcast(bounds))
+        .where(F.col("target_d").between(F.col("d0"), F.col("d1")))
+        .select(F.col("target_d").alias("day_num"), "wau")
+    )
+
+
+# --- join-key skew diagnostics ----------------------------------------------
+
+@register(
+    "stats_key_skew_profile",
+    """
+    WITH k AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders GROUP BY o_custkey),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS nk,
+                   CAST(MAX(n) AS BIGINT) AS mx FROM k),
+    top AS (SELECT key, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rank
+            FROM k)
+    SELECT top.rank, top.key, top.n,
+           CAST((1000 * top.n) // tot.t AS BIGINT) AS share_permille,
+           CAST((1000 * tot.mx * tot.nk) // tot.t AS BIGINT)
+               AS skew_x1000
+    FROM top CROSS JOIN tot
+    WHERE top.rank <= 10
+    """,
+    doc="Join-key skew diagnostic: the top-10 heaviest o_custkey values "
+        "with integer per-mille share, plus the skew factor (max key "
+        "frequency over mean, x1000) every row repeats — the profile an "
+        "engineer reads BEFORE picking broadcast/salt/AQE strategy for a "
+        "big join, and exactly what this repo's salted patterns act on. "
+        "Shape: one hash agg to the key histogram, one one-row scalar "
+        "broadcast, and a top-10 rank over the (already aggregated) "
+        "histogram — at 100 TB the histogram is |distinct keys| rows, and "
+        "the global window runs on its top slice only after a "
+        "partial-top-k pushdown (TakeOrdered); nothing touches raw fact "
+        "rows twice.",
+)
+def stats_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k = k.persist()  # histogram feeds tot AND top; harness unpersists
+    tot = k.agg(
+        F.sum("n").alias("t"),
+        F.count(F.lit(1)).alias("nk"),
+        F.max("n").alias("mx"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    top = (
+        k.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rank", "key", "n",
+        F.expr("(1000 * n) div t").alias("share_permille"),
+        F.expr("(1000 * mx * nk) div t").alias("skew_x1000"),
+    )
+
+
+# --- integer-exact TF-IDF top terms ------------------------------------------
+
+_TOKS7 = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "t -> t <> '')"
+)
+
+
+@register(
+    "text_tfidf_topterms",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS7}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               (1000 * tf.tf * nd.n) // df.df AS score
+        FROM tf JOIN df USING (tok) CROSS JOIN nd),
+    ranked AS (
+        SELECT doc_id, tok, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, tok ASC) AS rank
+        FROM scored)
+    SELECT doc_id, rank, tok, CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Top-3 characteristic terms per document by tf-idf-style "
+        "weighting, in the LOG-FREE integer form floor(1000 * tf * N / "
+        "df) — monotone in tf and 1/df exactly like tf x idf, but every "
+        "score is exact integer arithmetic, so the cross-engine ranking "
+        "(and the rank ties, broken on the term) is bit-deterministic "
+        "where a float ln() could disagree in the last ulp at a rank "
+        "boundary. The keyword-extraction pass behind search snippets and "
+        "topic labeling. Shape: two word-count hash aggs (tf, then df), "
+        "one token-keyed equi-join back, a one-row corpus-size broadcast, "
+        "and a per-doc top-3 window — every stage is the word-count "
+        "shape that defined map-reduce scalability.",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from postgresql_cdc_spark.operators.text import tokens
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()  # feeds df, nd, and scored; harness unpersists
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "tok",
+            F.expr("(1000 * tf * n) div df").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "score")
+    )
+
+
+# --- BPE merge candidates (tokenizer training inner loop) --------------------
+
+@register(
+    "text_bpe_merge_candidates",
+    f"""
+    WITH w AS (SELECT unnest({_TOKS7}) AS word FROM documents),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM w GROUP BY word),
+    pairs AS (
+        SELECT substr(word, i, 1) AS left_sym,
+               substr(word, i + 1, 1) AS right_sym,
+               freq
+        FROM wc CROSS JOIN LATERAL (
+            SELECT unnest(range(1, length(word))) AS i)
+        WHERE length(word) >= 2),
+    pc AS (SELECT left_sym, right_sym,
+                  CAST(SUM(freq) AS BIGINT) AS pair_count
+           FROM pairs GROUP BY left_sym, right_sym)
+    SELECT left_sym, right_sym, pair_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC,
+                                   left_sym ASC, right_sym ASC) AS BIGINT)
+               AS rank
+    FROM pc
+    ORDER BY rank LIMIT 20
+    """,
+    doc="BPE tokenizer training, one inner-loop round: the 20 most "
+        "frequent adjacent CHARACTER pairs across the corpus, weighted by "
+        "word frequency — exactly the statistic byte-pair encoding "
+        "(Sennrich et al. 2016) greedily merges each round. Counting runs "
+        "on the word-frequency table, not raw text (the standard BPE "
+        "trick: a word seen 10k times contributes its pairs once with "
+        "weight 10k), so the pair explode is |vocab| x word-length, "
+        "corpus-size independent. Shape: two word-count hash aggs + one "
+        "positional explode; the final rank runs over the tiny "
+        "symbol-pair table.",
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from postgresql_cdc_spark.operators.text import tokens
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    w = d.select(F.explode(tokens(F.col("text"))).alias("word"))
+    wc = w.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wc.where(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> struct(substr(word, i, 1) AS left_sym, "
+                "substr(word, i + 1, 1) AS right_sym))"
+            )
+        ).alias("p"),
+    )
+    pc = pairs.groupBy(
+        F.col("p.left_sym").alias("left_sym"),
+        F.col("p.right_sym").alias("right_sym"),
+    ).agg(F.sum("freq").alias("pair_count"))
+    wn = Window.orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    )
+    return (
+        pc.withColumn("rank", F.row_number().over(wn).cast("bigint"))
+        .where(F.col("rank") <= 20)
+        .select("left_sym", "right_sym", "pair_count", "rank")
+    )

@@ -39,6 +39,9 @@ NESTED_LOOP_OK = {
     "customer_rfm_segments",  # one-row quartile-fence scalar broadcast
     "corpus_importance_resample",  # one-row corpus-total scalar broadcast
     "emb_matryoshka_recall",  # both sides are the documented brute baseline
+    "events_rolling_wau",  # one-row (d0, d1) bounds scalar broadcast
+    "stats_key_skew_profile",  # one-row (t, nk, mx) scalar broadcast
+    "text_tfidf_topterms",  # one-row corpus-size scalar broadcast
 }
 
 
