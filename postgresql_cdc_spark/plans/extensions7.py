@@ -58,57 +58,18 @@ _H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
         "map-side-combinable to |groups| rows.",
 )
 def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.ivm import incremental_group_agg
     from postgresql_cdc_spark.plans.cdc import _changelog
 
     log = _changelog(spark, sf_dir)
-    m = F.col("columns")
-    ev = log.select(
-        F.element_at(m, "l_orderkey").cast("long").alias("k1"),
-        F.element_at(m, "l_linenumber").cast("int").alias("k2"),
-        "lsn",
-        "op",
-        # presence-aware: absent (TOAST-unchanged / delete tuple) -> null,
-        # so the running fill inherits the prior image's value
-        F.when(F.map_contains_key(m, "l_quantity"),
-               F.element_at(m, "l_quantity").cast("double").cast("long"))
-        .alias("q"),
-        F.when(F.map_contains_key(m, "l_returnflag"),
-               F.element_at(m, "l_returnflag")).alias("rf"),
+    out = incremental_group_agg(
+        log,
+        keys=["l_orderkey", "l_linenumber"],
+        group_col="l_returnflag",
+        sum_col="l_quantity",
     )
-    w = (
-        Window.partitionBy("k1", "k2")
-        .orderBy("lsn")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_lag = Window.partitionBy("k1", "k2").orderBy("lsn")
-    filled = ev.select(
-        "k1", "k2", "lsn", "op",
-        F.last("q", ignorenulls=True).over(w).alias("cq"),
-        F.last("rf", ignorenulls=True).over(w).alias("crf"),
-    ).select(
-        "op", "cq", "crf",
-        F.lag("cq").over(w_lag).alias("pq"),
-        F.lag("crf").over(w_lag).alias("prf"),
-    )
-    minus = F.when(
-        F.col("op").isin("U", "D"),
-        F.struct(F.col("prf").alias("rf"), (-F.col("pq")).alias("dq"),
-                 F.lit(-1).cast("long").alias("dn")),
-    )
-    plus = F.when(
-        F.col("op").isin("I", "U"),
-        F.struct(F.col("crf").alias("rf"), F.col("cq").alias("dq"),
-                 F.lit(1).cast("long").alias("dn")),
-    )
-    deltas = filled.select(
-        F.explode(F.array_compact(F.array(minus, plus))).alias("d")
-    )
-    return (
-        deltas.groupBy(F.col("d.rf").alias("l_returnflag"))
-        .agg(
-            F.sum("d.dn").alias("n_rows"),
-            F.sum("d.dq").alias("total_qty"),
-        )
+    return out.select(
+        "l_returnflag", "n_rows", F.col("total").alias("total_qty")
     )
 
 
