@@ -108,3 +108,18 @@ def test_replay_cases_pinned(spark):
         ("g1", 2, 10), ("g2", 1, 6), ("g3", 1, 13), (None, 1, None)
     }
     assert not any(g == "drain" for g, _, _ in got)
+
+
+def test_toast_inheritance_across_group_move(spark):
+    """A sparse UPDATE that moves the group but omits the sum column must
+    carry the inherited value into the new group (and vice versa)."""
+    rows = [
+        ("I", 1, 1, {"id": "1", "a": "7.0", "b": "g1"}),
+        ("U", 2, 1, {"id": "1", "b": "g2"}),       # value 7 travels to g2
+        ("I", 3, 2, {"id": "2", "a": "5.0", "b": "g1"}),
+        ("U", 4, 2, {"id": "2", "a": "6.0"}),      # group g1 inherited
+    ]
+    log = spark.createDataFrame(
+        [(op, lsn, k, m) for op, lsn, k, m in rows], SCHEMA
+    )
+    assert _got(spark, log) == {("g2", 1, 7), ("g1", 1, 6)}
