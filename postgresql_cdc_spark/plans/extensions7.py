@@ -840,3 +840,107 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .select("left_sym", "right_sym", "pair_count", "rank")
     )
+
+
+# --- order-vs-ship backlog time series ---------------------------------------
+
+@register(
+    "orders_backlog_timeseries",
+    """
+    WITH li AS (
+        SELECT CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS od,
+               CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS sd,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    daily AS (
+        SELECT d, CAST(SUM(ordered) AS BIGINT) AS ordered_qty,
+               CAST(SUM(shipped) AS BIGINT) AS shipped_qty
+        FROM (
+            SELECT od AS d, qty AS ordered, 0 AS shipped FROM li
+            UNION ALL
+            SELECT sd, 0, qty FROM li)
+        GROUP BY d)
+    SELECT d AS day_num, ordered_qty, shipped_qty,
+           CAST(SUM(ordered_qty - shipped_qty)
+                OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS backlog_qty
+    FROM daily
+    """,
+    doc="Order-vs-ship backlog time series: daily ordered quantity (by "
+        "order date) and shipped quantity (by ship date) from ONE pass "
+        "over the joined fact — each lineitem explodes into its two "
+        "(day, measure) contributions, so the double rollup costs one "
+        "shuffle instead of two scans — then the running difference is "
+        "the open backlog, cumulated by a window over the aggregated "
+        "per-day table (hundreds of rows at ANY fact size, so the "
+        "unpartitioned cumsum window is correct here, unlike over raw "
+        "rows). The operations-dashboard staple for fulfillment lag. "
+        "Integer day ordinals and integral quantities: engine-exact.",
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint").alias("sd"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint").alias("od"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    contrib = j.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("od").alias("d"), F.col("qty").alias("ordered"),
+                         F.lit(0).cast("bigint").alias("shipped")),
+                F.struct(F.col("sd").alias("d"), F.lit(0).cast("bigint").alias("ordered"),
+                         F.col("qty").alias("shipped")),
+            )
+        ).alias("c")
+    )
+    daily = contrib.groupBy(F.col("c.d").alias("d")).agg(
+        F.sum("c.ordered").alias("ordered_qty"),
+        F.sum("c.shipped").alias("shipped_qty"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    return daily.select(
+        F.col("d").alias("day_num"), "ordered_qty", "shipped_qty",
+        F.sum(F.col("ordered_qty") - F.col("shipped_qty")).over(w)
+        .alias("backlog_qty"),
+    )
+
+
+# --- k-anonymity audit -------------------------------------------------------
+
+@register(
+    "privacy_k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < 5 AS violates_k5
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc="k-anonymity audit over the quasi-identifier (nation, market "
+        "segment): any equivalence class smaller than k=5 re-identifies "
+        "its members and is flagged for suppression/generalization before "
+        "the table ships to analysts or a training corpus — the standard "
+        "privacy gate (Sweeney 2002) next to PII scrubbing. One "
+        "partial-aggregatable hash agg; output is bounded by the "
+        "quasi-identifier domain, not row count.",
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "c_nationkey", "c_mktsegment", "group_size",
+            (F.col("group_size") < 5).alias("violates_k5"),
+        )
+    )
