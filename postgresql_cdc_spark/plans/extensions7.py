@@ -944,3 +944,138 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < 5).alias("violates_k5"),
         )
     )
+
+
+# --- data-quality constraint audit -------------------------------------------
+
+@register(
+    "dq_constraint_audit",
+    """
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+        SELECT 'orders_orphan_custkey' AS rule, COUNT(*) AS n_violations
+        FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'orders_nonpositive_total', COUNT(*)
+        FROM orders WHERE o_totalprice <= 0
+        UNION ALL
+        SELECT 'lineitem_discount_range', COUNT(*)
+        FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+        UNION ALL
+        SELECT 'lineitem_nonpositive_qty', COUNT(*)
+        FROM lineitem WHERE l_quantity <= 0
+        UNION ALL
+        SELECT 'customer_duplicate_pk', COUNT(*) FROM (
+            SELECT c_custkey FROM customer
+            GROUP BY c_custkey HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'customer_null_pk', COUNT(*)
+        FROM customer WHERE c_custkey IS NULL)
+    """,
+    doc="Data-contract audit (dbt-test style) in one report: referential "
+        "integrity (orders whose custkey has no customer — LEFT ANTI "
+        "join), domain ranges (non-positive totals/quantities, discount "
+        "outside [0,1]), primary-key uniqueness and non-null. Each rule is "
+        "a partial-aggregatable count over exactly the columns it needs "
+        "(scans column-prune to 1-2 columns); the anti join broadcasts "
+        "the key side when small and degrades to a shuffle join at scale. "
+        "A healthy fixture reports all zeros — the value is the harness "
+        "proving the CHECKS agree across engines, so a real violation "
+        "count would too.",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    li = T(spark, sf_dir, "lineitem")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(rule).alias("rule"), "n_violations"
+        )
+
+    orphan = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    dup_pk = (
+        c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    parts = [
+        one("orders_orphan_custkey", orphan),
+        one("orders_nonpositive_total", o.where(F.col("o_totalprice") <= 0)),
+        one("lineitem_discount_range",
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))),
+        one("lineitem_nonpositive_qty", li.where(F.col("l_quantity") <= 0)),
+        one("customer_duplicate_pk", dup_pk),
+        one("customer_null_pk", c.where(F.col("c_custkey").isNull())),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- embedding distribution drift between batches ----------------------------
+
+@register(
+    "emb_drift_report",
+    """
+    WITH q AS (SELECT vec_id, vec_id % 2 AS half,
+                      unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {'pos': i,
+                                'x': CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                          * 1000000) AS BIGINT)}),
+                          recursive := true)
+               FROM embeddings WHERE len(embedding) > 0),
+    h AS (SELECT half, pos, SUM(x) AS s, COUNT(*) AS n
+          FROM q GROUP BY half, pos),
+    m AS (SELECT half, pos,
+                 (s - ((s % n + n) % n)) // n AS mean_micros
+          FROM h)
+    SELECT a.pos AS dim,
+           CAST(a.mean_micros AS BIGINT) AS mean_a_micros,
+           CAST(b.mean_micros AS BIGINT) AS mean_b_micros,
+           CAST(abs(a.mean_micros - b.mean_micros) AS BIGINT)
+               AS drift_micros
+    FROM m a JOIN m b ON a.pos = b.pos AND a.half = 0 AND b.half = 1
+    """,
+    doc="Embedding distribution drift between two batches (even vs odd "
+        "vec_ids standing in for yesterday-vs-today): per dimension, the "
+        "floor-quantized integer mean of each batch and the absolute "
+        "delta — the monitoring gate that catches an upstream encoder "
+        "change or corrupt ingest before a retrieval index degrades. "
+        "Exact floored division over integer micros (the kmeans recenter "
+        "trick), so both engines agree bit-for-bit. Shape: one positional "
+        "explode + one (half, dim)-keyed hash agg — word-count scalable; "
+        "output is 64 rows at any corpus size.",
+)
+def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").where(F.size("embedding") > 0)
+    q = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, "
+                "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("pos0", "x"),
+    )
+    h = q.groupBy("half", (F.col("pos0") + 1).alias("pos")).agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    m = h.select(
+        "half", "pos",
+        F.expr("(s - ((s % n + n) % n)) div n").alias("mean_micros"),
+    )
+    a = m.where(F.col("half") == 0).select(
+        F.col("pos").alias("dim"), F.col("mean_micros").alias("mean_a_micros")
+    )
+    b = m.where(F.col("half") == 1).select(
+        F.col("pos").alias("pos_b"), F.col("mean_micros").alias("mean_b_micros")
+    )
+    return (
+        a.join(b, a.dim == b.pos_b)
+        .select(
+            "dim", "mean_a_micros", "mean_b_micros",
+            F.abs(
+                F.col("mean_a_micros") - F.col("mean_b_micros")
+            ).alias("drift_micros"),
+        )
+    )
