@@ -1330,3 +1330,136 @@ def cdc_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_int",
         )
     )
+
+
+@register(
+    "cdc_stream_ivm_group_sums",
+    f"""
+    WITH state AS (
+        SELECT i AS id,
+               CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                         ELSE (i * 7) % 13 END AS INT) AS v_int
+        FROM range({N}) t(i)
+        WHERE i % 7 <> 0)
+    SELECT CAST(v_int % 3 AS INT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v_int) AS BIGINT) AS total
+    FROM state GROUP BY 1
+    """,
+    doc="STREAMING incremental view maintenance under real micro-batches "
+        "(maxRecordsPerBatch=25): each foreachBatch merges the batch into "
+        "the versioned key state (latest-wins, as cdc_foreachbatch_upsert), "
+        "SNAPSHOT-DIFFS old state vs new state into I/U/D row deltas (the "
+        "cdc_snapshot_diff primitive), and folds those deltas into a tiny "
+        "persisted (group, count, sum) table — the running aggregate is "
+        "never recomputed from history, only adjusted, and groups whose "
+        "count reaches zero are deleted (counting IVM, the batch twin is "
+        "operators/ivm.py). The FINAL sums table must equal the grouped "
+        "one-shot materialization's closed form. Scale: per batch the "
+        "state merge is the bucketed-key upsert every CDC sink already "
+        "pays; the diff is a co-partitioned join on the same key; the "
+        "sums fold touches |groups| + |changed rows| rows, independent of "
+        "state size.",
+)
+def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ivm_{run}_")
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+
+    state_dirs: list[str] = []
+    sums_dirs: list[str] = []
+
+    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        decoded = batch_df.select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+            "op", "lsn",
+        )
+        if state_dirs:
+            prev = ss.read.schema("id long, v_int int, op string, lsn long") \
+                .parquet(state_dirs[-1])
+            combined = prev.unionByName(decoded)
+        else:
+            prev = None
+            combined = decoded
+        w = Window.partitionBy("id").orderBy(F.desc("lsn"))
+        new_state = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+            .drop("__rn")
+        )
+        state_out = os.path.join(base, f"state_v{batch_id}")
+        new_state.write.mode("overwrite").parquet(state_out)
+
+        # snapshot-diff old vs new state -> retract/assert deltas
+        new_s = ss.read.schema("id long, v_int int, op string, lsn long") \
+            .parquet(state_out).select("id", "v_int")
+        if prev is not None:
+            old_s = prev.select(
+                F.col("id").alias("oid"), F.col("v_int").alias("ov")
+            )
+            j = old_s.join(new_s, old_s.oid == new_s.id, "full_outer")
+            changed = (
+                F.col("id").isNotNull() & F.col("oid").isNotNull()
+                & (F.col("v_int") != F.col("ov"))
+            )
+            plus = F.when(
+                F.col("id").isNotNull() & (F.col("oid").isNull() | changed),
+                F.struct((F.col("v_int") % 3).cast("int").alias("grp"),
+                         F.lit(1).cast("long").alias("dn"),
+                         F.col("v_int").cast("long").alias("dq")),
+            )
+            minus = F.when(
+                F.col("oid").isNotNull() & (F.col("id").isNull() | changed),
+                F.struct((F.col("ov") % 3).cast("int").alias("grp"),
+                         F.lit(-1).cast("long").alias("dn"),
+                         (-F.col("ov")).cast("long").alias("dq")),
+            )
+            deltas = j.select(
+                F.explode(F.array_compact(F.array(minus, plus))).alias("d")
+            ).select("d.grp", "d.dn", "d.dq")
+        else:
+            deltas = new_s.select(
+                (F.col("v_int") % 3).cast("int").alias("grp"),
+                F.lit(1).cast("long").alias("dn"),
+                F.col("v_int").cast("long").alias("dq"),
+            )
+        if sums_dirs:
+            prev_sums = ss.read.schema("grp int, dn long, dq long") \
+                .parquet(sums_dirs[-1])
+            deltas = prev_sums.unionByName(deltas)
+        new_sums = (
+            deltas.groupBy("grp")
+            .agg(F.sum("dn").alias("dn"), F.sum("dq").alias("dq"))
+            .where(F.col("dn") != 0)
+        )
+        sums_out = os.path.join(base, f"sums_v{batch_id}")
+        new_sums.write.mode("overwrite").parquet(sums_out)
+        state_dirs.append(state_out)
+        sums_dirs.append(sums_out)
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivm_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+
+    if not sums_dirs:
+        raise RuntimeError("no micro-batch reached the IVM sink")
+    return (
+        spark.read.schema("grp int, dn long, dq long").parquet(sums_dirs[-1])
+        .select("grp", F.col("dn").alias("n_rows"), F.col("dq").alias("total"))
+    )
