@@ -1079,3 +1079,136 @@ def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_micros"),
         )
     )
+
+
+# --- exact AUC (Mann-Whitney with tie correction) ----------------------------
+
+@register(
+    "eval_auc_exact",
+    """
+    WITH s AS (
+        SELECT vec_id,
+               CAST(label < 5 AS INT) AS pos,
+               list_reduce(list_concat([CAST(0 AS BIGINT)],
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+                   (a, b) -> a + b) AS score
+        FROM embeddings WHERE len(embedding) > 0),
+    r AS (
+        SELECT pos,
+               2 * RANK() OVER (ORDER BY score ASC)
+                 + COUNT(*) OVER (PARTITION BY score) - 1 AS avg_rank_x2
+        FROM s),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN pos = 1 THEN avg_rank_x2 END) AS BIGINT)
+                   AS s2,
+               CAST(SUM(pos) AS BIGINT) AS npos,
+               CAST(SUM(1 - pos) AS BIGINT) AS nneg
+        FROM r)
+    SELECT npos, nneg,
+           CAST(s2 - npos * (npos + 1) AS BIGINT) AS u_x2,
+           CAST((1000000 * (s2 - npos * (npos + 1)))
+                // (2 * npos * nneg) AS BIGINT) AS auc_ppm
+    FROM agg
+    """,
+    doc="Exact AUC / Mann-Whitney U for a binary task (label < 5) scored "
+        "by an integer embedding statistic, with PROPER tie handling: "
+        "average ranks carried doubled (2*min_rank + tie_count - 1) so "
+        "every intermediate stays integer and the final AUC lands as "
+        "exact parts-per-million — the classifier-eval primitive, "
+        "computed at corpus scale without sampling. Ranking is a global "
+        "sort (AUC is inherently a global order statistic — same cost "
+        "class as any ranking job; at extreme scale swap in a "
+        "score-histogram formulation, which this integer scoring makes "
+        "exact too). One scan, one sort, one one-row aggregate.",
+)
+def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").where(F.size("embedding") > 0)
+    s = e.select(
+        (F.col("label") < 5).cast("int").alias("pos"),
+        F.expr(
+            "aggregate(transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)), "
+            "0L, (a, b) -> a + b)"
+        ).alias("score"),
+    )
+    w_rank = Window.orderBy(F.asc("score"))
+    w_tie = Window.partitionBy("score")
+    r = s.select(
+        "pos",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+        .cast("long").alias("avg_rank_x2"),
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("avg_rank_x2"))).alias("s2"),
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("nneg"),
+    )
+    return agg.select(
+        "npos", "nneg",
+        (F.col("s2") - F.col("npos") * (F.col("npos") + 1)).alias("u_x2"),
+        F.expr(
+            "(1000000 * (s2 - npos * (npos + 1))) div (2 * npos * nneg)"
+        ).alias("auc_ppm"),
+    )
+
+
+# --- scaling-ladder corpus subsets -------------------------------------------
+
+_LADDER = (10, 50, 100, 250, 500, 1000)
+
+
+@register(
+    "corpus_scaling_ladder",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_H60.format(x="'lad:' || CAST(doc_id AS VARCHAR)")} % 1000
+                   AS h,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS tok
+        FROM documents)
+    SELECT f.permille,
+           CAST(COUNT(DISTINCT CASE WHEN t.h < f.permille
+                                    THEN t.doc_id END) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN t.h < f.permille THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tokens,
+           CAST(COUNT(DISTINCT CASE WHEN t.h < f.permille
+                                    THEN t.tok END) AS BIGINT) AS vocab
+    FROM t CROSS JOIN (SELECT unnest({list(_LADDER)}) AS permille) f
+    GROUP BY f.permille
+    """,
+    doc="Scaling-law data ladder: NESTED corpus subsets at 1%%..100%% by "
+        "salted-hash threshold (h < 10 is a strict subset of h < 50, so "
+        "every ladder rung trains on a superset of the last — the "
+        "prerequisite for clean scaling curves, which independent random "
+        "samples violate), reporting docs, token occurrences, and vocab "
+        "size per rung. One token explode crossed with the 6-rung "
+        "literal; the multi-distinct aggregate expands 6x on the deduped "
+        "stream — bounded, and each rung's membership is reproducible "
+        "across runs and re-shards (hash, never rand()).",
+)
+def corpus_scaling_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import h60, tokens
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select(
+        "doc_id",
+        (h60(F.concat(F.lit("lad:"), F.col("doc_id").cast("string")))
+         % 1000).alias("h"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    f = spark.createDataFrame([(p,) for p in _LADDER], "permille int")
+    j = t.crossJoin(F.broadcast(f))
+    return j.groupBy("permille").agg(
+        F.countDistinct(
+            F.when(F.col("h") < F.col("permille"), F.col("doc_id"))
+        ).alias("n_docs"),
+        F.sum(
+            F.when(F.col("h") < F.col("permille"), 1).otherwise(0)
+        ).alias("n_tokens"),
+        F.countDistinct(
+            F.when(F.col("h") < F.col("permille"), F.col("tok"))
+        ).alias("vocab"),
+    )

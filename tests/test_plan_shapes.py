@@ -42,6 +42,7 @@ NESTED_LOOP_OK = {
     "events_rolling_wau",  # one-row (d0, d1) bounds scalar broadcast
     "stats_key_skew_profile",  # one-row (t, nk, mx) scalar broadcast
     "text_tfidf_topterms",  # one-row corpus-size scalar broadcast
+    "corpus_scaling_ladder",  # 6-rung literal ladder broadcast cross
 }
 
 
