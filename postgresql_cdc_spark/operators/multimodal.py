@@ -315,3 +315,76 @@ def phash_dup_pairs(
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_distance)
     )
+
+
+CDC_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_h60", LongType()),
+        StructField("chunk_len", LongType()),
+    ]
+)
+
+
+def content_defined_chunks(
+    df: DataFrame, window: int = 8, mod: int = 32
+) -> DataFrame:
+    """Content-defined chunking (the rsync/borg/restic storage-dedup
+    primitive): split each binary payload at positions where a rolling
+    window statistic hits a target value, so chunk boundaries depend only
+    on LOCAL content — an insertion near the head shifts every byte, yet
+    all boundaries after the edit re-align and the downstream chunks hash
+    identically, which fixed-size chunking structurally cannot do.
+
+    Boundary rule (deterministic, oracle-replicable): after prefix length
+    ``p`` (window <= p < n) iff ``sum(b[p-W+j] * j, j=1..W) % mod == 0`` —
+    a weighted window sum standing in for a Rabin polynomial (same
+    locality property; a production system swaps in gear/Rabin hashing in
+    this same kernel). Expected chunk length = ``mod`` bytes.
+
+    Emits one (doc_id, chunk_h60, chunk_len) row per chunk — the chunk
+    store's index keys. numpy-vectorized mapInPandas over the Arrow batch
+    (sliding-window matmul per payload); bytes never shuffle, only the
+    skinny hash rows do.
+    """
+    import hashlib
+
+    import numpy as np
+
+    W, M = window, mod
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.arange(1, W + 1, dtype=np.int64)
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_h: list[int] = []
+            out_len: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                if n == 0:
+                    continue
+                if n >= W:
+                    b = np.frombuffer(raw, np.uint8).astype(np.int64)
+                    sw = np.lib.stride_tricks.sliding_window_view(b, W)
+                    conv = sw @ weights  # conv[k] = sum b[k+j-1]*j
+                    ends = np.nonzero(conv % M == 0)[0] + W
+                    cuts = [0] + [int(e) for e in ends if e < n] + [n]
+                else:
+                    cuts = [0, n]
+                for a, c in zip(cuts, cuts[1:]):
+                    chunk = raw[a:c]
+                    out_doc.append(int(doc_id))
+                    out_h.append(
+                        int(hashlib.md5(chunk).hexdigest()[:15], 16)
+                    )
+                    out_len.append(c - a)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_doc, dtype="int64"),
+                    "chunk_h60": pd.array(out_h, dtype="int64"),
+                    "chunk_len": pd.array(out_len, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(kernel, CDC_CHUNK_SCHEMA)

@@ -1212,3 +1212,89 @@ def corpus_scaling_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("h") < F.col("permille"), F.col("tok"))
         ).alias("vocab"),
     )
+
+
+# --- content-defined chunking dedup (storage-dedup primitive) ----------------
+
+_CDC_W, _CDC_M = 8, 32
+
+# Corpus with a PREFIX-shifted copy ('zz ' prepended) of every 9th doc: the
+# 3-byte shift moves every byte, so fixed-size chunking shares nothing, but
+# content-defined boundaries re-align after the edit and the tail chunks
+# hash identically — the property this query exists to demonstrate.
+_CDC_CORPUS = """
+    SELECT doc_id, text FROM documents WHERE length(text) > 0
+    UNION ALL
+    SELECT doc_id + 200000, 'zz ' || text FROM documents
+    WHERE doc_id % 9 = 0 AND length(text) > 0
+"""
+
+_CDC_CONV = (
+    "list_reduce(list_concat([CAST(0 AS BIGINT)], "
+    f"list_transform(range(1, {_CDC_W} + 1), "
+    f"j -> bl[p - {_CDC_W} + j] * j)), (a, b) -> a + b)"
+)
+
+
+@register(
+    "mm_cdc_chunk_dedup",
+    f"""
+    WITH c AS ({_CDC_CORPUS}),
+    b AS (SELECT doc_id, text,
+                 list_transform(range(1, length(text) + 1),
+                     i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bl
+          FROM c),
+    cut AS (SELECT doc_id, text,
+                   list_concat(list_concat([CAST(0 AS BIGINT)],
+                       list_filter(range({_CDC_W}, length(text)),
+                           p -> {_CDC_CONV} % {_CDC_M} = 0)),
+                       [CAST(length(text) AS BIGINT)]) AS cuts
+            FROM b),
+    chunks AS (
+        SELECT doc_id,
+               substr(text, CAST(cuts[k] + 1 AS INT),
+                      CAST(cuts[k + 1] - cuts[k] AS INT)) AS chunk
+        FROM cut CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(cuts))) AS k))
+    SELECT CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS chunk_h60,
+           CAST(MIN(length(chunk)) AS BIGINT) AS chunk_len,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM chunks
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="Content-defined chunking dedup (rsync/borg/restic primitive) over "
+        "binary payloads: chunks split where a rolling window statistic "
+        "hits a target, so boundaries depend only on local content — the "
+        "planted PREFIX-shifted copies ('zz ' prepended, every byte "
+        "moved) still share every post-edit chunk with their originals, "
+        "which fixed-size chunking structurally cannot achieve. Reports "
+        "each chunk stored once but referenced by >= 2 documents (the "
+        "chunk-store dedup win). Spark side: numpy sliding-window kernel "
+        "in mapInPandas (operators/multimodal.content_defined_chunks), "
+        "bytes never shuffle; the byte-level DuckDB oracle replays the "
+        "identical boundary rule via ord() lists. One hash agg on the "
+        "skinny chunk-hash rows.",
+)
+def mm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import postgresql_cdc_spark.operators.multimodal as mm
+
+    d = T(spark, sf_dir, "documents").where(F.length("text") > 0)
+    shifted = d.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zz "), F.col("text")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(shifted)
+    chunks = mm.content_defined_chunks(
+        mm.attach_binary(corpus), window=_CDC_W, mod=_CDC_M
+    )
+    return (
+        chunks.groupBy("chunk_h60")
+        .agg(
+            F.min("chunk_len").alias("chunk_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
