@@ -1298,3 +1298,156 @@ def mm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# --- day-over-day rate-change alerts -----------------------------------------
+
+@register(
+    "events_rate_change_alerts",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                          AS day_num,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, day_num, n,
+                 lag(n) OVER (PARTITION BY event_type ORDER BY day_num)
+                     AS prev_n
+          FROM d)
+    SELECT event_type, day_num, n, prev_n,
+           CAST((1000 * (n - prev_n)) // prev_n AS BIGINT)
+               AS change_permille,
+           abs(1000 * (n - prev_n)) // prev_n > 300 AS alert
+    FROM l WHERE prev_n IS NOT NULL
+    """,
+    doc="Day-over-day event-rate change monitor: per (type, day), the "
+        "integer per-mille change vs the previous observed day, flagging "
+        "swings beyond +/-30% — the pipeline-health alert that catches a "
+        "dead producer or a runaway retry loop before downstream metrics "
+        "drift. One hash agg to the tiny (type, day) table, then a window "
+        "over it (hundreds of rows at any event volume). Integer "
+        "arithmetic throughout; floored division keeps both engines "
+        "bit-identical on negative changes too.",
+)
+def events_rate_change_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV(spark, sf_dir)
+    d = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint").alias("day_num"),
+    ).groupBy("event_type", "day_num").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day_num")
+    l = d.withColumn("prev_n", F.lag("n").over(w)).where(
+        F.col("prev_n").isNotNull()
+    )
+    change = F.expr("(1000 * (n - prev_n)) div prev_n")
+    return l.select(
+        "event_type", "day_num", "n", "prev_n",
+        change.alias("change_permille"),
+        (F.expr("abs(1000 * (n - prev_n)) div prev_n") > 300).alias("alert"),
+    )
+
+
+# --- embedding class-separability report -------------------------------------
+
+@register(
+    "emb_class_separability",
+    """
+    WITH q AS (SELECT label,
+                      unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {'pos': i,
+                                'x': CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                          * 1000) AS BIGINT)}),
+                          recursive := true)
+               FROM embeddings WHERE len(embedding) > 0),
+    c AS (SELECT label, pos, SUM(x) AS s, COUNT(*) AS n FROM q GROUP BY 1, 2),
+    m AS (SELECT label, pos,
+                 (s - ((s % n + n) % n)) // n AS mu FROM c)
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(SUM((a.mu - b.mu) * (a.mu - b.mu)) AS BIGINT) AS centroid_l2sq
+    FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+    doc="Embedding class-separability report: exact integer squared-L2 "
+        "between every pair of label centroids (floor-quantized millis, "
+        "exact floored-division means — the kmeans recenter trick) — the "
+        "embedding-quality screen run before trusting labels for kNN or "
+        "linear probes: collapsed centroid pairs predict confusable "
+        "classes. Shape: one positional explode + one (label, dim) hash "
+        "agg, then the pair join runs on the 10x64-row centroid table — "
+        "output is label-pairs, corpus-size independent.",
+)
+def emb_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").where(F.size("embedding") > 0)
+    q = e.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, "
+                "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+            )
+        ).alias("pos0", "x"),
+    )
+    c = q.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    m = c.select(
+        "label", "pos",
+        F.expr("(s - ((s % n + n) % n)) div n").alias("mu"),
+    )
+    a = m.select(F.col("label").alias("label_a"), "pos",
+                 F.col("mu").alias("mu_a"))
+    b = m.select(F.col("label").alias("label_b"),
+                 F.col("pos").alias("pos_b"), F.col("mu").alias("mu_b"))
+    return (
+        a.join(b, (a.pos == b.pos_b) & (a.label_a < b.label_b))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                (F.col("mu_a") - F.col("mu_b"))
+                * (F.col("mu_a") - F.col("mu_b"))
+            ).alias("centroid_l2sq")
+        )
+    )
+
+
+# --- hourly latency-style percentile monitoring ------------------------------
+
+@register(
+    "events_windowed_percentiles",
+    """
+    WITH s AS (SELECT event_type,
+                      epoch_ms(ts) // 3600000 AS hour_num,
+                      CAST(floor(value * 1000000) AS BIGINT) AS vmic
+               FROM events)
+    SELECT event_type, CAST(hour_num AS BIGINT) AS hour_num,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY vmic)
+                AS BIGINT) AS p50_micros,
+           CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY vmic)
+                AS BIGINT) AS p95_micros
+    FROM s GROUP BY event_type, hour_num
+    """,
+    doc="Hourly p50/p95 per event type — the latency-dashboard staple, "
+        "computed as EXACT discrete percentiles over floor-quantized "
+        "integer micros so both engines agree bit-for-bit (approximate "
+        "t-digest sketches are the usual scale answer but are engine-"
+        "specific and unverifiable cross-engine; the exact form shuffles "
+        "once on (type, hour), whose cardinality — not raw volume — "
+        "bounds every group's sort). One hash-partitioned sorted "
+        "aggregate; fully parallel across the type x hour grid.",
+)
+def events_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV(spark, sf_dir)
+    s = ev.select(
+        "event_type",
+        F.expr("unix_millis(ts) div 3600000").alias("hour_num"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("vmic"),
+    )
+    return s.groupBy("event_type", "hour_num").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY vmic)")
+        .cast("bigint").alias("p50_micros"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY vmic)")
+        .cast("bigint").alias("p95_micros"),
+    )
