@@ -18,9 +18,11 @@ a plain window shuffle.
 Semantics: for each left row, the right row with the greatest ``right_time``
 <= ``left_time`` (ties on time: the union orders right rows before left rows;
 among DUPLICATE (key, time) right rows the winner is chosen deterministically
-by xxhash64 of the right payload — greatest hash for backward/nearest-prior,
-least for forward — so output is run-to-run stable on any partitioning; rows
-with identical payloads are interchangeable anyway). ``how='inner'`` drops
+by xxhash64 of the right payload — greatest hash for backward/nearest-prior
+AND for a forward match at EXACTLY the left time (equal-time forward matches
+resolve through the shared backward frame), least hash for a strictly-future
+forward match — so output is run-to-run stable on any partitioning; rows with
+identical payloads are interchangeable anyway). ``how='inner'`` drops
 unmatched left rows, ``'left'`` keeps them.
 ``tolerance`` (optional) bounds the lookback: a nearest-prior match farther
 than ``left_time - right_time <= tolerance`` counts as NO match (pandas

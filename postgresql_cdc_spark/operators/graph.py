@@ -147,9 +147,12 @@ def pagerank_int(
         F.lit(scale // n_nodes).cast("long").alias("r"),
     )
     # Fail loudly instead of wrapping: check r against INT64_MAX DIV (17*w)
-    # BEFORE forming 17*r*w (the product itself would overflow first).
+    # BEFORE forming 17*r*w (the product itself would overflow first). A
+    # zero-weight edge short-circuits to 0 so the guard never divides by
+    # zero (its contribution is exactly 0 regardless of r).
     _c = (
-        f"CAST(CASE WHEN r <= CAST({2**63 - 1} AS BIGINT) DIV (17 * w) "
+        "CAST(CASE WHEN w = 0 THEN 0 "
+        f"WHEN r <= CAST({2**63 - 1} AS BIGINT) DIV (17 * w) "
         "THEN (17 * r * w) DIV (20 * wout) "
         "ELSE raise_error('pagerank_int: 17*r*w overflows int64 (r=' || r "
         "|| ', w=' || w || '); shrink scale') END AS BIGINT)"

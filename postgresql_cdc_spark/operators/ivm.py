@@ -87,23 +87,51 @@ def incremental_group_agg(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_lag = Window.partitionBy(*knames).orderBy("__lsn")
-    filled = ev.select(
-        *knames, "__lsn", "__op",
-        F.last("__s", ignorenulls=True).over(w).alias("__cs"),
-        F.last("__g", ignorenulls=True).over(w).alias("__cg"),
+    # Generation-aware fill (same rule as materialize's window-fill): a
+    # running count of INSERTs numbers row generations, every fill struct
+    # carries the generation it was written in, and a fill read in a LATER
+    # generation is stale — without this, a re-insert after DELETE would
+    # inherit pre-delete column values and silently diverge from
+    # materialize (the module's pinned correctness contract).
+    df1 = ev.withColumn(
+        "__gen", F.sum((F.col("__op") == "I").cast("int")).over(w)
+    )
+
+    def genfill(c: str):
+        s = F.col(c)
+        return F.last(
+            F.when(
+                s.isNotNull(),
+                F.struct(
+                    F.col("__gen").alias("g"),
+                    s["nv"].alias("nv"),
+                    s["v"].alias("v"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w)
+
+    filled = df1.select(
+        *knames, "__lsn", "__op", "__gen",
+        genfill("__s").alias("__cs"),
+        genfill("__g").alias("__cg"),
     ).select(
-        "__op",
+        "__op", "__gen",
         "__cs", "__cg",
         F.lag("__cs").over(w_lag).alias("__ps"),
         F.lag("__cg").over(w_lag).alias("__pg"),
         F.lag("__op").over(w_lag).alias("__pop"),
+        F.lag("__gen").over(w_lag).alias("__pgen"),
     )
 
-    def val(s):
-        return F.when(s["nv"], s["v"].cast("double").cast(sum_type))
+    def val(s, gen):
+        return F.when(
+            s.isNotNull() & (s["g"] == gen) & s["nv"],
+            s["v"].cast("double").cast(sum_type),
+        )
 
-    def grp(g):
-        return F.when(g.isNotNull() & g["nv"], g["v"])
+    def grp(g, gen):
+        return F.when(g.isNotNull() & (g["g"] == gen) & g["nv"], g["v"])
 
     op = F.col("__op")
     opens_gen = F.col("__pop").isNull() | (F.col("__pop") == "D")
@@ -111,20 +139,27 @@ def incremental_group_agg(
     assert_ev = ((op == "I") & opens_gen) | (op == "U")
     retract_ev = op.isin("U", "D") & alive
 
+    cur_v = val(F.col("__cs"), F.col("__gen"))
+    prev_v = val(F.col("__ps"), F.col("__pgen"))
+    # dnn tracks the NON-NULL value count per group: SUM must report NULL
+    # when every live value is NULL, which the running sum alone cannot
+    # distinguish from deltas cancelling to exactly zero.
     plus = F.when(
         assert_ev,
         F.struct(
-            grp(F.col("__cg")).alias("g"),
-            val(F.col("__cs")).alias("dq"),
+            grp(F.col("__cg"), F.col("__gen")).alias("g"),
+            cur_v.alias("dq"),
             F.lit(1).cast("long").alias("dn"),
+            cur_v.isNotNull().cast("long").alias("dnn"),
         ),
     )
     minus = F.when(
         retract_ev,
         F.struct(
-            grp(F.col("__pg")).alias("g"),
-            (-val(F.col("__ps"))).alias("dq"),
+            grp(F.col("__pg"), F.col("__pgen")).alias("g"),
+            (-prev_v).alias("dq"),
             F.lit(-1).cast("long").alias("dn"),
+            (-prev_v.isNotNull().cast("long")).alias("dnn"),
         ),
     )
     deltas = filled.select(
@@ -134,9 +169,15 @@ def incremental_group_agg(
         deltas.groupBy(F.col("d.g").alias(group_col))
         .agg(
             F.sum("d.dn").alias("n_rows"),
-            F.sum("d.dq").alias("total"),
+            F.sum("d.dq").alias("__raw"),
+            F.sum("d.dnn").alias("__nn"),
         )
         # counting algorithm: a group whose membership count reaches zero is
-        # deleted from the view (its residual total is exactly zero too)
+        # deleted from the view; a group whose non-null count reaches zero
+        # reports SUM = NULL (SQL SUM semantics), not the residual zero
         .where(F.col("n_rows") != 0)
+        .select(
+            group_col, "n_rows",
+            F.when(F.col("__nn") > 0, F.col("__raw")).alias("total"),
+        )
     )

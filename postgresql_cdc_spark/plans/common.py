@@ -59,3 +59,48 @@ def ONE_MINUS(c):
 
 def ONE_PLUS(c):
     return F.lit(1).cast("decimal(3,2)") + F.col(c).cast("decimal(4,2)")
+
+
+# THE canonical 30-minute gap sessionizer — every session-derived query
+# (events_sessionize, length hist, interval overlap, ...) builds on these
+# two definitions so a boundary-rule change propagates everywhere by
+# construction. The CTE ends with
+# `sessions(user_id, event_id, ts_ms, session_id)`.
+SESSIONIZED_EVENTS_CTE = """
+    flagged AS (
+        -- order by epoch_ms(ts) (NOT raw nanosecond ts): Spark's window orders
+        -- by ts_ms, and a same-user same-millisecond tie could legally order
+        -- differently and move a session boundary
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                        > 1800000 THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        -- DuckDB's windowed SUM yields HUGEINT; cast to BIGINT to match
+        -- Spark's long session_id
+        SELECT user_id, event_id, ts_ms,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged)
+"""
+
+
+def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_id, ts_ms, session_id) under the canonical 30-min
+    gap rule — the Spark twin of SESSIONIZED_EVENTS_CTE."""
+    from pyspark.sql.window import Window
+
+    e = EV(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000, 1)
+        .otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.withColumn(
+        "session_id", F.sum("new_session").over(cum)
+    ).select("user_id", "event_id", "ts_ms", "session_id")

@@ -240,7 +240,10 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         h60(F.concat(F.lit("lsplit:"), F.col("component").cast("string")))
         % 100
     )
-    assigned = allc.join(F.broadcast(sz), "component").select(
+    # plain equi-join on component: sz has one row PER COMPONENT (isolated
+    # docs are their own), so it scales with the corpus — broadcasting it
+    # would ship the whole table to every executor at 100 TB
+    assigned = allc.join(sz, "component").select(
         "doc_id", "component", "csize",
         F.when(pm < 90, "train").when(pm < 95, "val").otherwise("test")
         .alias("split"),

@@ -33,7 +33,9 @@ from postgresql_cdc_spark.plans.common import (  # noqa: F401
     EV,
     ONE_MINUS,
     ONE_PLUS,
+    SESSIONIZED_EVENTS_CTE,
     T,
+    sessionized_events,
 )
 
 
@@ -643,23 +645,8 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionize",
-    """
-    WITH flagged AS (
-        -- order by epoch_ms(ts) (NOT raw nanosecond ts): Spark's window orders
-        -- by ts_ms, and a same-user same-millisecond tie could legally order
-        -- differently and move a session boundary
-        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
-                        > 1800000 THEN 1 ELSE 0 END AS new_session
-        FROM events),
-    sessions AS (
-        -- DuckDB's windowed SUM yields HUGEINT; cast to BIGINT to match
-        -- Spark's long session_id
-        SELECT user_id, event_id, ts_ms,
-               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        FROM flagged)
+    f"""
+    WITH {SESSIONIZED_EVENTS_CTE}
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MAX(ts_ms) - MIN(ts_ms) AS duration_ms
     FROM sessions
@@ -668,19 +655,9 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="gap-based sessionization (30 min) via windowed cumulative flag.",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = EV(spark, sf_dir).select(
-        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    flagged = e.withColumn(
-        "new_session",
-        F.when(F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000, 1).otherwise(0),
-    )
-    cum = Window.partitionBy("user_id").orderBy("ts_ms", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
-    return sessions.groupBy("user_id", "session_id").agg(
+    return sessionized_events(spark, sf_dir).groupBy(
+        "user_id", "session_id"
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
     )

@@ -261,37 +261,25 @@ def join_preagg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- large x large interval-overlap join via time-bucket blocking ------------
 
-_SESSIONS_CTE = """
-    flagged AS (
-        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                        OVER (PARTITION BY user_id
-                              ORDER BY epoch_ms(ts), event_id)
-                        > 1800000 THEN 1 ELSE 0 END AS new_session
-        FROM events),
-    snum AS (
-        SELECT user_id, ts_ms,
-               CAST(SUM(new_session) OVER (PARTITION BY user_id
-                                           ORDER BY ts_ms, event_id
-                                           ROWS UNBOUNDED PRECEDING)
-                    AS BIGINT) AS session_id
-        FROM flagged),
-    sessions AS (
-        SELECT user_id, session_id,
-               MIN(ts_ms) AS s, MAX(ts_ms) AS e
-        FROM snum GROUP BY user_id, session_id)
-"""
+from postgresql_cdc_spark.plans.common import (  # noqa: E402
+    SESSIONIZED_EVENTS_CTE,
+    sessionized_events,
+)
 
 
 @register(
     "join_interval_overlap",
     f"""
-    WITH {_SESSIONS_CTE}
+    WITH {SESSIONIZED_EVENTS_CTE},
+    spans AS (
+        SELECT user_id, session_id,
+               MIN(ts_ms) AS s, MAX(ts_ms) AS e
+        FROM sessions GROUP BY user_id, session_id)
     SELECT a.user_id AS user_a, b.user_id AS user_b,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
                AS overlap_ms
-    FROM sessions a JOIN sessions b
+    FROM spans a JOIN spans b
       ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
     GROUP BY a.user_id, b.user_id
     """,
@@ -312,25 +300,9 @@ _SESSIONS_CTE = """
         "~1.02x.",
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from postgresql_cdc_spark.plans.common import EV
-
     _BUCKET_MS = 3_600_000
-    e = EV(spark, sf_dir).select(
-        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged = e.withColumn(
-        "new_session",
-        F.when(F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000, 1)
-        .otherwise(0),
-    )
     sess = (
-        flagged.withColumn(
-            "session_id", F.sum("new_session").over(cum)
-        )
+        sessionized_events(spark, sf_dir)  # the canonical 30-min gap rule
         .groupBy("user_id", "session_id")
         .agg(F.min("ts_ms").alias("s"), F.max("ts_ms").alias("e"))
     )

@@ -1405,9 +1405,12 @@ def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id").alias("oid"), F.col("v_int").alias("ov")
             )
             j = old_s.join(new_s, old_s.oid == new_s.id, "full_outer")
+            # null-safe, matching the cdc_snapshot_diff primitive: a
+            # value->NULL transition must fire a retract+assert, not
+            # evaluate to NULL and silently drop both deltas
             changed = (
                 F.col("id").isNotNull() & F.col("oid").isNotNull()
-                & (F.col("v_int") != F.col("ov"))
+                & ~F.col("v_int").eqNullSafe(F.col("ov"))
             )
             plus = F.when(
                 F.col("id").isNotNull() & (F.col("oid").isNull() | changed),

@@ -110,6 +110,30 @@ def test_replay_cases_pinned(spark):
     assert not any(g == "drain" for g, _, _ in got)
 
 
+def test_no_inheritance_across_delete(spark):
+    """A re-insert after DELETE starts a fresh generation: a column absent
+    from the new image must read NULL, never the pre-delete value (the fill
+    is generation-aware, same rule as materialize's window-fill). Sparse
+    INSERT images are protocol-stretch, but materialize handles them
+    defensively and the IVM contract is equality with materialize."""
+    rows = [
+        ("I", 1, 1, {"id": "1", "a": "7.0", "b": "g1"}),
+        ("D", 2, 1, {"id": "1"}),
+        ("I", 3, 1, {"id": "1", "b": "g1"}),   # sparse re-insert: no 'a'
+        ("I", 4, 2, {"id": "2", "a": "3.0", "b": "g1"}),
+        ("D", 5, 2, {"id": "2"}),
+        ("I", 6, 2, {"id": "2", "a": "4.0"}),  # sparse: no group column
+    ]
+    log = spark.createDataFrame(
+        [(op, lsn, k, m) for op, lsn, k, m in rows], SCHEMA
+    )
+    got = _got(spark, log)
+    assert got == _expected_from_state(spark, log)
+    # absolute: key 1 alive in g1 with NULL value (not 7); key 2 alive in
+    # NULL group with 4 (not g1)
+    assert got == {("g1", 1, None), (None, 1, 4)}
+
+
 def test_toast_inheritance_across_group_move(spark):
     """A sparse UPDATE that moves the group but omits the sum column must
     carry the inherited value into the new group (and vice versa)."""

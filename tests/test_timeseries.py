@@ -210,3 +210,32 @@ class TestAsofDuplicateRightTies:
                                     right_time="t", how="left", direction=d)
                     got = {r.lbl: r.rlbl for r in out.collect()}
                     assert got == expect, (d, perm[0], nparts, got)
+
+    def test_equal_time_forward_ties_resolve_like_backward(self, spark):
+        """A forward match at EXACTLY the left time routes through the
+        shared backward frame, so among duplicate equal-time rights the
+        GREATEST payload hash wins (documented), and stays stable across
+        partition layouts."""
+        from pyspark.sql import functions as F
+
+        from postgresql_cdc_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 40, "p")], "k long, t long, lbl string")
+        dup_rows = [(1, 40, f"e{i}") for i in range(6)]
+        hashes = {
+            r.rlbl: r.h
+            for r in spark.createDataFrame(dup_rows, "k long, t long, rlbl string")
+            .select("rlbl", F.xxhash64(F.struct("t", "rlbl")).alias("h"))
+            .collect()
+        }
+        want = max(hashes, key=hashes.get)
+        for perm in (dup_rows, dup_rows[::-1]):
+            for nparts in (1, 4):
+                right = spark.createDataFrame(
+                    perm, "k long, t long, rlbl string"
+                ).repartition(nparts)
+                for d in ("forward", "backward", "nearest"):
+                    out = asof_join(left, right, on="k", left_time="t",
+                                    right_time="t", how="left", direction=d)
+                    got = {r.lbl: r.rlbl for r in out.collect()}
+                    assert got == {"p": want}, (d, perm[0], nparts, got)

@@ -141,7 +141,10 @@ def main() -> int:
             # to HUGEINT) render as float/Decimal and hash-mismatch Spark's
             # int64 even when fetchall() shows identical Python ints. Make
             # that failure class visible locally via the arrow schema.
-            otypes = con.execute(sql).fetch_arrow_table().schema
+            # LIMIT 0 wrapper: schema only, never re-executes the query.
+            otypes = con.execute(
+                f"SELECT * FROM ({sql}) LIMIT 0"
+            ).fetch_arrow_table().schema
             bad = [
                 f"{f.name}:{f.type}"
                 for f in otypes
