@@ -1454,3 +1454,87 @@ def events_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY vmic)")
         .cast("bigint").alias("p95_micros"),
     )
+
+
+# --- watermark lateness profile (two-phase distributed prefix-max) -----------
+
+_ARR = _H60.format(x="'arr:' || CAST(event_id AS VARCHAR)")
+
+
+@register(
+    "events_lateness_profile",
+    f"""
+    WITH o AS (SELECT event_id, {_ARR} AS arr, epoch_ms(ts) AS ts_ms
+               FROM events),
+    r AS (SELECT arr, event_id, ts_ms,
+                 MAX(ts_ms) OVER (ORDER BY arr, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS hwm
+          FROM o)
+    SELECT CAST(greatest(hwm - ts_ms, 0) // 3600000 AS BIGINT) AS late_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r WHERE hwm IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Watermark design diagnostic: per event, lateness = (high-water "
+        "mark of event time over all EARLIER-ARRIVING events) minus its "
+        "own event time, as an hours histogram — read off the p99 to "
+        "choose withWatermark() so state stays bounded while dropping "
+        "almost nothing. The fixture has no arrival column (event_ids are "
+        "time-ordered), so arrival order is modeled as a deterministic "
+        "salted-hash shuffle of event_id — same stand-in on both engines. "
+        "The running max is a GLOBAL prefix scan, which a single window "
+        "funnels through one partition; the Spark side runs the classic "
+        "TWO-PHASE distributed scan instead: per-chunk maxima (tiny "
+        "table) -> exclusive cumulative max across chunks (window over "
+        "|chunks| rows) -> broadcast back and combine with the in-chunk "
+        "exclusive running max. Identical result, all heavy stages "
+        "partitioned by chunk (contiguous hash ranges, uniform by "
+        "construction). The oracle states the naive single window.",
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import h60
+
+    ev = EV(spark, sf_dir)
+    o = ev.select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        h60(F.concat(F.lit("arr:"), F.col("event_id").cast("string")))
+        .alias("arr"),
+    ).withColumn("chunk", F.expr(f"arr div {2 ** 50}"))
+    # phase 1: per-chunk max (tiny table, |chunks| rows)
+    cmax = o.groupBy("chunk").agg(F.max("ts_ms").alias("cmax"))
+    w_excl = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = cmax.select(
+        "chunk", F.max("cmax").over(w_excl).alias("carry_in")
+    )
+    # phase 2: in-chunk exclusive running max, combined with the carry-in
+    w_chunk = (
+        Window.partitionBy("chunk")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = (
+        o.join(F.broadcast(carry), "chunk")
+        .withColumn("in_chunk", F.max("ts_ms").over(w_chunk))
+        .select(
+            "ts_ms",
+            F.when(
+                F.col("in_chunk").isNotNull() | F.col("carry_in").isNotNull(),
+                F.greatest(
+                    F.coalesce("in_chunk", "carry_in"),
+                    F.coalesce("carry_in", "in_chunk"),
+                ),
+            ).alias("hwm"),
+        )
+    )
+    return (
+        r.where(F.col("hwm").isNotNull())
+        .select(
+            F.expr("greatest(hwm - ts_ms, 0L) div 3600000")
+            .alias("late_hours")
+        )
+        .groupBy("late_hours")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
