@@ -89,6 +89,69 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, hops) = shortest hop count from the seed set, by min-distance
+    relaxation: dist(i+1) = min(dist(i), 1 + min over in-neighbors dist(i)).
+
+    Directed: follows ``src -> dst`` edges as given; pass a symmetrized edge
+    list for undirected semantics. Nodes unreachable from the seeds are
+    absent from the output (never a fake sentinel distance).
+
+    Shape per round: one equi-join of the edge list against the skinny
+    (id, d) frontier table + one min-agg on the node id — co-partitioned
+    shuffles only, same dataflow-loop contract as ``connected_components``
+    (localCheckpoint truncates lineage; the driver sees one scalar per
+    round). Convergence detection uses monotonicity: under min-relaxation
+    the reached-node count never shrinks and no distance ever grows, so the
+    (count, sum(d)) pair is invariant exactly at the fixpoint — one tiny
+    agg per round, no join against the previous state.
+
+    Raises if still changing after ``max_iter`` rounds, for the same
+    reason ``connected_components`` does: a silently-truncated BFS returns
+    plausible but wrong distances.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("d", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    row = dist.agg(F.count(F.lit(1)), F.sum("d")).first()
+    prev = (row[0], row[1] or 0)
+    for _ in range(max_iter):
+        cand = e.join(dist, e.s == dist.id).select(
+            F.col("t").alias("id"), (F.col("d") + F.lit(1)).alias("d")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        row = dist.agg(F.count(F.lit(1)), F.sum("d")).first()
+        cur = (row[0], row[1] or 0)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"bfs_hops did not converge in {max_iter} rounds (graph "
+            "diameter from the seed set exceeds the bound); raise max_iter"
+        )
+    return dist.select("id", F.col("d").alias("hops"))
+
+
 def pagerank_int(
     edges: DataFrame,
     nodes: DataFrame,

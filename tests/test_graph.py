@@ -111,3 +111,36 @@ class TestPagerankInt:
         with pytest.raises(Exception, match="overflows int64"):
             pagerank_int(edges, nodes, 2, iters=1, scale=10**18).collect()
         spark.catalog.clearCache()
+
+
+class TestBfsHops:
+    def _bfs(self, spark, edges, seeds, **kw):
+        from postgresql_cdc_spark.operators.graph import bfs_hops
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "id long")
+        return {r.id: r.hops for r in bfs_hops(e, s, **kw).collect()}
+
+    def test_chain_distances(self, spark):
+        # 1->2->3->4 directed chain from seed {1}
+        got = self._bfs(spark, [(1, 2), (2, 3), (3, 4)], [1])
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_multi_source_takes_min(self, spark):
+        # seeds {1, 5} on 1->2->3<-4<-5: node 3 is 2 hops from both
+        got = self._bfs(spark, [(1, 2), (2, 3), (5, 4), (4, 3)], [1, 5])
+        assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+    def test_unreachable_nodes_absent(self, spark):
+        got = self._bfs(spark, [(1, 2), (10, 11)], [1])
+        assert got == {1: 0, 2: 1}
+
+    def test_cycle_terminates(self, spark):
+        got = self._bfs(spark, [(1, 2), (2, 3), (3, 1)], [1])
+        assert got == {1: 0, 2: 1, 3: 2}
+
+    def test_non_convergence_raises(self, spark):
+        with pytest.raises(RuntimeError, match="did not converge"):
+            self._bfs(
+                spark, [(i, i + 1) for i in range(1, 6)], [1], max_iter=2
+            )

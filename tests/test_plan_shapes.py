@@ -43,6 +43,7 @@ NESTED_LOOP_OK = {
     "stats_key_skew_profile",  # one-row (t, nk, mx) scalar broadcast
     "text_tfidf_topterms",  # one-row corpus-size scalar broadcast
     "corpus_scaling_ladder",  # 6-rung literal ladder broadcast cross
+    "feat_quantile_binning",  # one-row decile-bounds scalar broadcast
 }
 
 
