@@ -337,3 +337,328 @@ def feat_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+# --- seasonal-baseline anomaly detection -------------------------------------
+
+@register(
+    "events_seasonal_anomaly",
+    """
+    WITH s AS (SELECT event_type,
+                      epoch_ms(ts) // 3600000 AS hour_num,
+                      (epoch_ms(ts) // 3600000) % 168 AS how,
+                      CAST(floor(value * 1000000) AS BIGINT) AS vmic
+               FROM events),
+    hourly AS (SELECT event_type, hour_num, how,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY vmic)
+                        AS med_h
+               FROM s GROUP BY event_type, hour_num, how),
+    base AS (SELECT event_type, how,
+                    percentile_disc(0.5) WITHIN GROUP (ORDER BY vmic)
+                      AS med_b
+             FROM s GROUP BY event_type, how),
+    mad AS (SELECT s.event_type, s.how,
+                   percentile_disc(0.5) WITHIN GROUP
+                     (ORDER BY abs(s.vmic - b.med_b)) AS mad_b
+            FROM s JOIN base b
+              ON s.event_type = b.event_type AND s.how = b.how
+            GROUP BY s.event_type, s.how)
+    SELECT h.event_type, CAST(h.hour_num AS BIGINT) AS hour_num,
+           CAST(h.med_h AS BIGINT) AS med_micros,
+           CAST(b.med_b AS BIGINT) AS baseline_micros,
+           CAST(m.mad_b AS BIGINT) AS mad_micros
+    FROM hourly h
+    JOIN base b ON h.event_type = b.event_type AND h.how = b.how
+    JOIN mad  m ON h.event_type = m.event_type AND h.how = m.how
+    WHERE abs(h.med_h - b.med_b) > 3 * greatest(m.mad_b, 1)
+    """,
+    doc="Seasonal-baseline anomaly detection: each (event_type, hour) "
+        "bucket's median value is compared against the hour-of-week "
+        "seasonal baseline (median over every same-slot hour) with a "
+        "robust MAD threshold — the monitoring pattern that catches "
+        "'this Tuesday 3pm is unlike every other Tuesday 3pm', which "
+        "adjacent-bucket rate alerts (events_rate_change_alerts) are "
+        "blind to. Hour-of-week comes from pure epoch arithmetic "
+        "(engine-neutral, no calendar functions); medians and MAD are "
+        "exact discrete percentiles over floor-quantized integer micros, "
+        "so both engines agree bit-for-bit. Shape: two grouped sorted "
+        "aggs keyed on (type, hour-of-week) — 168 x |types| groups — one "
+        "keyed on (type, hour), and a broadcast-size join of the "
+        "baseline frame back to hourly rows; no window over raw events.",
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV(spark, sf_dir)
+    s = ev.select(
+        "event_type",
+        F.expr("unix_millis(ts) div 3600000").alias("hour_num"),
+        (F.expr("unix_millis(ts) div 3600000") % 168).alias("how"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("vmic"),
+    ).persist()
+    hourly = s.groupBy("event_type", "hour_num", "how").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY vmic)")
+        .alias("med_h")
+    )
+    base = s.groupBy("event_type", "how").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY vmic)")
+        .alias("med_b")
+    )
+    mad = (
+        s.join(F.broadcast(base), ["event_type", "how"])
+        .select(
+            "event_type", "how",
+            F.abs(F.col("vmic") - F.col("med_b")).alias("dev"),
+        )
+        .groupBy("event_type", "how")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+            .alias("mad_b")
+        )
+    )
+    return (
+        hourly.join(F.broadcast(base), ["event_type", "how"])
+        .join(F.broadcast(mad), ["event_type", "how"])
+        .where(
+            F.abs(F.col("med_h") - F.col("med_b"))
+            > 3 * F.greatest(F.col("mad_b"), F.lit(1))
+        )
+        .select(
+            "event_type",
+            F.col("hour_num").cast("bigint").alias("hour_num"),
+            F.col("med_h").cast("bigint").alias("med_micros"),
+            F.col("med_b").cast("bigint").alias("baseline_micros"),
+            F.col("mad_b").cast("bigint").alias("mad_micros"),
+        )
+    )
+
+
+# --- entity resolution: blocking -> verify -> components -> golden record ----
+
+# Synthetic mention table, identical on both engines: every customer key
+# becomes a distinctive 11-char entity name ('E' + 10 md5 hex chars — no
+# cross-entity edit-distance-1 collisions, unlike sequential c_name digits),
+# every 7th entity gains a substituted mention ('q' never occurs in hex, so
+# lev = 1 exactly), every 13th a deleted-character mention (exercises the
+# identity-key half of the SymSpell index).
+_ER_POS = (
+    "(CAST('0x' || substr(md5('erp:' || CAST(c_custkey AS VARCHAR)), 1, 15) "
+    "AS BIGINT) % 10) + 2"
+)
+
+_ER_MENTIONS = f"""
+    SELECT c_custkey AS mid,
+           'E' || substr(md5('er:' || CAST(c_custkey AS VARCHAR)), 1, 10)
+             AS name
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 200000,
+           substr(nm, 1, p - 1) || 'q' || substr(nm, p + 1, length(nm))
+    FROM (SELECT c_custkey,
+                 'E' || substr(md5('er:' || CAST(c_custkey AS VARCHAR)), 1, 10)
+                   AS nm,
+                 CAST({_ER_POS} AS INT) AS p
+          FROM customer WHERE c_custkey % 7 = 0)
+    UNION ALL
+    SELECT c_custkey + 400000,
+           substr(nm, 1, p - 1) || substr(nm, p + 1, length(nm))
+    FROM (SELECT c_custkey,
+                 'E' || substr(md5('er:' || CAST(c_custkey AS VARCHAR)), 1, 10)
+                   AS nm,
+                 CAST({_ER_POS} AS INT) AS p
+          FROM customer WHERE c_custkey % 13 = 0)
+"""
+
+_ER_DEL_KEYS = (
+    "list_concat([name], "
+    "list_transform(range(1, length(name) + 1), "
+    "i -> substr(name, 1, i - 1) || substr(name, i + 1, length(name))))"
+)
+
+
+@register(
+    "er_golden_record",
+    f"""
+    WITH RECURSIVE m AS MATERIALIZED ({_ER_MENTIONS}),
+    mk AS (SELECT mid, name, unnest({_ER_DEL_KEYS}) AS k FROM m),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT a.mid AS ma, b.mid AS mb
+        FROM mk a JOIN mk b ON a.k = b.k AND a.mid < b.mid
+        WHERE levenshtein(a.name, b.name) <= 1),
+    sym AS (SELECT ma AS a, mb AS b FROM pairs
+            UNION SELECT mb, ma FROM pairs),
+    reach(id, r) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b),
+    lab AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    allm AS (SELECT m.mid, m.name, coalesce(l.comp, m.mid) AS comp
+             FROM m LEFT JOIN lab l ON m.mid = l.id),
+    g AS (SELECT comp, MIN(mid) AS entity_id,
+                 COUNT(*) AS n_mentions,
+                 MAX(length(name)) AS mxl
+          FROM allm GROUP BY comp)
+    SELECT g.entity_id,
+           CAST(g.n_mentions AS BIGINT) AS n_mentions,
+           MIN(f.name) AS canonical_name
+    FROM g JOIN allm f ON f.comp = g.comp AND length(f.name) = g.mxl
+    GROUP BY g.entity_id, g.n_mentions
+    """,
+    doc="End-to-end entity resolution: mentions -> symmetric-delete "
+        "blocking (identity + 1-deletion keys, guaranteed recall at edit "
+        "distance 1) -> exact levenshtein verify -> connected components "
+        "(substituted and deleted mentions of one entity meet only "
+        "TRANSITIVELY through the clean mention — pair lists alone are "
+        "not entities) -> survivorship golden record per component "
+        "(canonical name = longest, ties broken lexicographically; "
+        "entity_id = min mention id; singleton mentions are their own "
+        "entity via the left join, not dropped). This is the full "
+        "master-data-management pipeline assembled from the engine's "
+        "linkage + graph primitives. Shape: candidates only ever come "
+        "from the deletion-key equi-join (never all-pairs), components "
+        "from the bounded dataflow loop, survivorship from two keyed "
+        "aggs; every stage hash-partitions on mention/component id.",
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.graph import connected_components
+    from postgresql_cdc_spark.operators.text import h60
+    from postgresql_cdc_spark.plans.extensions6 import sym_del_keys
+
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    nm = F.concat(
+        F.lit("E"),
+        F.expr("substr(md5(concat('er:', CAST(c_custkey AS STRING))), 1, 10)"),
+    )
+    p = (
+        (h60(F.concat(F.lit("erp:"), F.col("c_custkey").cast("string"))) % 10)
+        + 2
+    ).cast("int")
+    base = c.select(F.col("c_custkey"), nm.alias("nm"), p.alias("p"))
+    clean = base.select(
+        F.col("c_custkey").alias("mid"), F.col("nm").alias("name")
+    )
+    sub = base.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 200000).alias("mid"),
+        F.expr(
+            "concat(substr(nm, 1, p - 1), 'q', "
+            "substr(nm, p + 1, length(nm)))"
+        ).alias("name"),
+    )
+    dele = base.where(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 400000).alias("mid"),
+        F.expr(
+            "concat(substr(nm, 1, p - 1), substr(nm, p + 1, length(nm)))"
+        ).alias("name"),
+    )
+    m = clean.unionByName(sub).unionByName(dele).persist()
+
+    mk = m.select("mid", "name", F.explode(sym_del_keys("name")).alias("k"))
+    a, b = mk.alias("a"), mk.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.k") == F.col("b.k"))
+               & (F.col("a.mid") < F.col("b.mid")))
+        .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+        .select(F.col("a.mid").alias("ma"), F.col("b.mid").alias("mb"))
+        .distinct()
+    )
+    lab = connected_components(pairs, src="ma", dst="mb")
+    allm = (
+        m.join(lab, m.mid == lab.id, "left")
+        .select(
+            "mid", "name",
+            F.coalesce(F.col("component"), F.col("mid")).alias("comp"),
+        )
+        .persist()
+    )
+    g = allm.groupBy("comp").agg(
+        F.min("mid").alias("entity_id"),
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.max(F.length("name")).alias("mxl"),
+    )
+    return (
+        g.join(
+            allm,
+            (g.comp == allm.comp) & (F.length(allm.name) == g.mxl),
+        )
+        .groupBy("entity_id", "n_mentions")
+        .agg(F.min("name").alias("canonical_name"))
+        .select(
+            "entity_id",
+            F.col("n_mentions").cast("bigint").alias("n_mentions"),
+            "canonical_name",
+        )
+    )
+
+
+# --- cohort LTV curves -------------------------------------------------------
+
+@register(
+    "events_cohort_ltv",
+    """
+    WITH d AS (SELECT user_id, event_type,
+                      epoch_ms(ts) // 86400000 AS day_num,
+                      CAST(floor(value * 1000000) AS BIGINT) AS vmic
+               FROM events),
+    first_day AS (SELECT user_id, MIN(day_num) AS cohort_day
+                  FROM d GROUP BY user_id),
+    purch AS (SELECT f.cohort_day,
+                     (d.day_num - f.cohort_day) // 7 AS week_offset,
+                     d.user_id, d.vmic
+              FROM d JOIN first_day f ON d.user_id = f.user_id
+              WHERE d.event_type = 'purchase'),
+    wk AS (SELECT cohort_day, week_offset,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+                  CAST(SUM(vmic) AS BIGINT) AS rev_micros
+           FROM purch GROUP BY cohort_day, week_offset)
+    SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           n_buyers, rev_micros,
+           CAST(SUM(rev_micros) OVER (PARTITION BY cohort_day
+                ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum_rev_micros
+    FROM wk
+    """,
+    doc="Cohort LTV curves: users cohorted by first-seen day, purchase "
+        "revenue rolled up per (cohort, weeks-since-first-seen) with a "
+        "running cumulative — the lifetime-value complement of "
+        "events_retention_cohorts (which counts presence, not value). "
+        "Day/week indices come from pure epoch integer arithmetic and "
+        "revenue is floor-quantized micros, so both engines agree "
+        "bit-for-bit. Shape: one user-keyed agg for cohort assignment, "
+        "one user-keyed join (co-partitioned with it under AQE), one "
+        "(cohort, week) hash agg — map-side combinable — and a window "
+        "over the tiny rollup, partitioned by cohort (never over raw "
+        "events).",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV(spark, sf_dir)
+    d = ev.select(
+        "user_id", "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("day_num"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("vmic"),
+    )
+    first_day = d.groupBy("user_id").agg(
+        F.min("day_num").alias("cohort_day")
+    )
+    purch = (
+        d.where(F.col("event_type") == "purchase")
+        .join(first_day, "user_id")
+        .select(
+            "cohort_day",
+            F.expr("(day_num - cohort_day) div 7").alias("week_offset"),
+            "user_id", "vmic",
+        )
+    )
+    wk = purch.groupBy("cohort_day", "week_offset").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_buyers"),
+        F.sum("vmic").cast("bigint").alias("rev_micros"),
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return wk.select(
+        F.col("cohort_day").cast("bigint").alias("cohort_day"),
+        F.col("week_offset").cast("bigint").alias("week_offset"),
+        "n_buyers", "rev_micros",
+        F.sum("rev_micros").over(w).cast("bigint").alias("cum_rev_micros"),
+    )
