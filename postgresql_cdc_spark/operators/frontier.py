@@ -1,0 +1,61 @@
+"""2-D Pareto frontier (skyline) selection — Borzsonyi et al., ICDE 2001.
+
+Dominance for (minimize ``cost``, maximize ``gain``): row q dominates row p
+iff (q.cost <  p.cost and q.gain >= p.gain) or
+    (q.cost <= p.cost and q.gain >  p.gain).
+Rows with identical (cost, gain) never dominate each other — all survive.
+
+2-D skyline needs no pair join: sorted by cost, a row is dominated iff a
+strictly-cheaper row has >= gain (running max over the open range frame) or
+a <=-cost row has strictly greater gain (closed frame). The distributed
+shape is TWO-PHASE: phase 1 applies that filter PARTITIONED BY a cost band
+(sound: every dominator has <= cost, so a within-band dominator proves
+global dominance; removing dominated rows never changes the frontier),
+phase 2 applies the exact global filter to the survivors only — bounded by
+bands x distinct gain values, so the single-partition global sort that
+makes naive windowed skylines a scale-killer touches a vanishing set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _skyline_filter(df: DataFrame, cost: str, gain: str,
+                    part_cols: list) -> DataFrame:
+    base = (
+        Window.partitionBy(*part_cols) if part_cols else Window
+    ).orderBy(cost)
+    m_lt = F.max(gain).over(
+        base.rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m_le = F.max(gain).over(
+        base.rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__m_lt", m_lt)
+        .withColumn("__m_le", m_le)
+        .where(
+            (F.col("__m_lt").isNull() | (F.col("__m_lt") < F.col(gain)))
+            & (F.col("__m_le") <= F.col(gain))
+        )
+        .drop("__m_lt", "__m_le")
+    )
+
+
+def pareto_skyline_2d(
+    df: DataFrame,
+    cost: str,
+    gain: str,
+    band_width: int = 10000,
+) -> DataFrame:
+    """Rows of ``df`` on the (minimize cost, maximize gain) Pareto frontier.
+
+    ``cost`` must be integer-valued (the range frames use integer offsets);
+    ``band_width`` sizes the phase-1 cost bands — any positive value is
+    correct, it only tunes parallelism vs survivor count.
+    """
+    banded = df.withColumn("__band", F.expr(f"{cost} div {band_width}"))
+    survivors = _skyline_filter(banded, cost, gain, ["__band"]).drop("__band")
+    return _skyline_filter(survivors, cost, gain, [])

@@ -100,3 +100,51 @@ def gapfill_locf(
         F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
         F.col("v").isNull().alias("is_filled"),
     )
+
+
+def interval_union_coverage(
+    intervals: DataFrame,
+    key: str = "user_id",
+    t0: str = "t0",
+    t1: str = "t1",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per ``key``: merge overlapping/adjacent [t0, t1) intervals and report
+    (key, n_intervals, covered) where covered = total merged length.
+
+    Gaps-and-islands in one key-partitioned window pass: running max of t1
+    over the open ROWS frame marks island starts (a row whose start is
+    covered by ANY earlier interval can never open an island — the running
+    max is order-insensitive within start-time ties, so the optional
+    ``order_tiebreak`` column only pins frame order for determinism, not
+    the result), a running sum numbers islands, two hash aggs fold islands
+    to per-key totals. ONE shuffle on the key; both aggs map-side combine.
+    """
+    order_cols = [t0] + ([order_tiebreak] if order_tiebreak else [t1])
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = intervals.select(
+        key, t0, t1,
+        F.when(F.max(t1).over(w_prev) >= F.col(t0), 0)
+        .otherwise(1)
+        .alias("__new_island"),
+    )
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(t0, t1)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        key, t0, t1,
+        F.sum("__new_island").over(w_run).cast("bigint").alias("__island"),
+    )
+    merged = islands.groupBy(key, "__island").agg(
+        F.min(t0).alias("__s"), F.max(t1).alias("__e")
+    )
+    return merged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("__e") - F.col("__s")).cast("bigint").alias("covered"),
+    )

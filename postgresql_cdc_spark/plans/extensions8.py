@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from postgresql_cdc_spark.plans.common import DEC, EV, T
+from postgresql_cdc_spark.plans.common import (
+    DEC,
+    EV,
+    SESSIONIZED_EVENTS_CTE,
+    T,
+)
 from postgresql_cdc_spark.plans.registry import register
 
 
@@ -158,36 +163,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "both engines agree bit-for-bit.",
 )
 def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.frontier import pareto_skyline_2d
+
     p = T(spark, sf_dir, "part").select(
         "p_partkey",
         (DEC("p_retailprice", 12, 2) * 100).cast("bigint").alias("price_c"),
         F.col("p_size").cast("bigint").alias("p_size"),
     )
-
-    def skyline_filter(df: DataFrame, part_cols: list) -> DataFrame:
-        base = (
-            Window.partitionBy(*part_cols) if part_cols else Window
-        ).orderBy("price_c")
-        m_lt = F.max("p_size").over(
-            base.rangeBetween(Window.unboundedPreceding, -1)
-        )
-        m_le = F.max("p_size").over(
-            base.rangeBetween(Window.unboundedPreceding, 0)
-        )
-        return (
-            df.withColumn("__m_lt", m_lt)
-            .withColumn("__m_le", m_le)
-            .where(
-                (F.col("__m_lt").isNull()
-                 | (F.col("__m_lt") < F.col("p_size")))
-                & (F.col("__m_le") <= F.col("p_size"))
-            )
-            .drop("__m_lt", "__m_le")
-        )
-
-    banded = p.withColumn("__band", F.expr("price_c div 10000"))
-    survivors = skyline_filter(banded, ["__band"]).drop("__band")
-    return skyline_filter(survivors, [])
+    return pareto_skyline_2d(p, cost="price_c", gain="p_size")
 
 
 # --- interval-union coverage (gaps-and-islands) ------------------------------
@@ -238,6 +221,10 @@ _COVER_MS = 300000  # each event opens a 5-minute presence interval
         "bit-identical across engines.",
 )
 def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.timeseries import (
+        interval_union_coverage,
+    )
+
     ev = EV(spark, sf_dir)
     iv = ev.select(
         "user_id",
@@ -245,32 +232,11 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_millis(ts)").alias("t0"),
         (F.expr("unix_millis(ts)") + _COVER_MS).alias("t1"),
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("t0", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    out = interval_union_coverage(
+        iv, key="user_id", t0="t0", t1="t1", order_tiebreak="event_id"
     )
-    flagged = iv.select(
-        "user_id", "t0", "t1",
-        F.when(F.max("t1").over(w_prev) >= F.col("t0"), 0)
-        .otherwise(1)
-        .alias("new_island"),
-    )
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("t0", "t1")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = flagged.select(
-        "user_id", "t0", "t1",
-        F.sum("new_island").over(w_run).cast("bigint").alias("island"),
-    )
-    merged = islands.groupBy("user_id", "island").agg(
-        F.min("t0").alias("s"), F.max("t1").alias("e")
-    )
-    return merged.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_intervals"),
-        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("covered_ms"),
+    return out.select(
+        "user_id", "n_intervals", F.col("covered").alias("covered_ms")
     )
 
 
@@ -661,4 +627,423 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("week_offset").cast("bigint").alias("week_offset"),
         "n_buyers", "rev_micros",
         F.sum("rev_micros").over(w).cast("bigint").alias("cum_rev_micros"),
+    )
+
+
+# --- two-stage ANN: PQ ADC scan -> exact re-rank -----------------------------
+
+_PQ_SUB8 = 8   # subspaces (matches emb_pq_codes)
+_PQ_DIM8 = 8   # dims per subspace
+_PQ_K16 = 16   # codewords per subspace
+_RERANK_R = 50  # candidates kept from the approximate stage
+
+
+def _l2q_sql(a: str, b: str, s: str, dim: int) -> str:
+    """Integer squared L2 between 1-indexed slices of two quantized lists."""
+    return (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"j -> ({a}[{s} * {dim} + j] - {b}[{s} * {dim} + j])"
+        f" * ({a}[{s} * {dim} + j] - {b}[{s} * {dim} + j])))"
+    )
+
+
+@register(
+    "sim_topk_pq_rerank",
+    f"""
+    WITH q0 AS (SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                     AS BIGINT)) AS qv
+                FROM embeddings),
+    cb AS (SELECT vec_id AS c, qv AS cv FROM q0
+           ORDER BY vec_id LIMIT {_PQ_K16}),
+    sub AS (SELECT vec_id, qv, unnest(range(0, {_PQ_SUB8})) AS s FROM q0),
+    dists AS (SELECT sub.vec_id, sub.s, cb.c,
+                     {_l2q_sql('qv', 'cv', 's', _PQ_DIM8)} AS d
+              FROM sub CROSS JOIN cb),
+    w AS (SELECT vec_id, s, c, d,
+                 MIN(d) OVER (PARTITION BY vec_id, s) AS dmin
+          FROM dists),
+    codes AS (SELECT vec_id, s, MIN(c) AS code
+              FROM w WHERE d = dmin GROUP BY vec_id, s),
+    qry AS (SELECT vec_id AS query_id, qv AS qqv FROM q0
+            WHERE vec_id % 100 = 0),
+    qsub AS (SELECT query_id, qqv, unnest(range(0, {_PQ_SUB8})) AS s
+             FROM qry),
+    lut AS (SELECT query_id, s, c,
+                   {_l2q_sql('qqv', 'cv', 's', _PQ_DIM8)} AS qd
+            FROM qsub CROSS JOIN cb),
+    approx AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+                      CAST(SUM(l.qd) AS BIGINT) AS approx_l2q
+               FROM codes cd
+               JOIN lut l ON l.s = cd.s AND l.c = cd.code
+               WHERE cd.vec_id <> l.query_id
+               GROUP BY l.query_id, cd.vec_id),
+    cand AS (SELECT query_id, neighbor_id, approx_l2q,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY approx_l2q, neighbor_id) AS arank
+             FROM approx),
+    rr AS (SELECT c.query_id, c.neighbor_id, c.approx_l2q,
+                  CAST(list_sum(list_transform(
+                      range(1, {_PQ_SUB8 * _PQ_DIM8} + 1),
+                      j -> (a.qqv[j] - b.qv[j]) * (a.qqv[j] - b.qv[j])))
+                    AS BIGINT) AS exact_l2q
+           FROM cand c
+           JOIN qry a ON a.query_id = c.query_id
+           JOIN q0 b ON b.vec_id = c.neighbor_id
+           WHERE c.arank <= {_RERANK_R})
+    SELECT query_id, neighbor_id, approx_l2q, exact_l2q,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY exact_l2q, neighbor_id) AS rank
+          FROM rr)
+    WHERE rank <= 5
+    """,
+    doc="Two-stage ANN serving (the production IVF-PQ pattern, Jegou et "
+        "al. TPAMI'11): stage 1 scans 8-byte PQ codes with an "
+        "asymmetric-distance LUT — per query, 16 codeword distances per "
+        "subspace are precomputed against the EXACT query subvectors "
+        "(queries x 8 x 16 rows, broadcast) so scoring a corpus vector "
+        "is 8 table lookups + adds instead of 64 multiplies on raw "
+        "floats (the memory-bandwidth win PQ exists for); stage 2 "
+        "re-ranks only the top-50 approximate candidates per query with "
+        "exact integer squared-L2 and emits the top-5. All arithmetic is "
+        "integer-quantized with (distance, id) tie-breaks at BOTH stage "
+        "boundaries, so candidate sets and final ranks are bit-identical "
+        "across engines. Shape: the ADC scan is a skinny equi-join "
+        "(codes x broadcast LUT) + one map-side-combinable agg; the "
+        "re-rank joins a bounded candidate list (queries x 50) back to "
+        "full vectors by key — raw embeddings are never scored "
+        "corpus-wide.",
+)
+def sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = T(spark, sf_dir, "embeddings")
+    quant = e.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(floor(x * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    cb = (
+        quant.orderBy("vec_id")
+        .limit(_PQ_K16)
+        .select(F.col("vec_id").alias("c"), F.col("qv").alias("cv"))
+    )
+    sub_d = F.expr(
+        f"aggregate(zip_with(slice(qv, s * {_PQ_DIM8} + 1, {_PQ_DIM8}), "
+        f"slice(cv, s * {_PQ_DIM8} + 1, {_PQ_DIM8}), "
+        "(x, y) -> (x - y) * (x - y)), 0L, (a, z) -> a + z)"
+    )
+    sub = quant.select(
+        "vec_id", "qv",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUB8 - 1))).alias("s"),
+    )
+    dists = sub.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "s", "c", sub_d.alias("d")
+    )
+    codes = (
+        dists.withColumn(
+            "dmin", F.min("d").over(W.partitionBy("vec_id", "s"))
+        )
+        .where(F.col("d") == F.col("dmin"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("c").alias("code"))
+    )
+    qry = quant.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    lut_d = F.expr(
+        f"aggregate(zip_with(slice(qqv, s * {_PQ_DIM8} + 1, {_PQ_DIM8}), "
+        f"slice(cv, s * {_PQ_DIM8} + 1, {_PQ_DIM8}), "
+        "(x, y) -> (x - y) * (x - y)), 0L, (a, z) -> a + z)"
+    )
+    qsub = qry.select(
+        "query_id", "qqv",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUB8 - 1))).alias("s"),
+    )
+    lut = qsub.crossJoin(F.broadcast(cb)).select(
+        "query_id", "s", "c", lut_d.alias("qd")
+    )
+    approx = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.s == lut.s) & (codes.code == lut.c),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").cast("bigint").alias("approx_l2q"))
+    )
+    cand = (
+        approx.withColumn(
+            "arank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("approx_l2q", "vec_id")
+            ),
+        )
+        .where(F.col("arank") <= _RERANK_R)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "approx_l2q")
+    )
+    exact_d = F.expr(
+        "aggregate(zip_with(qqv, qv, (x, y) -> (x - y) * (x - y)), "
+        "0L, (a, z) -> a + z)"
+    )
+    rr = (
+        cand.join(qry, "query_id")
+        .join(quant, cand.neighbor_id == quant.vec_id)
+        .select(
+            "query_id", "neighbor_id", "approx_l2q",
+            exact_d.cast("bigint").alias("exact_l2q"),
+        )
+    )
+    return (
+        rr.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("exact_l2q", "neighbor_id")
+            ),
+        )
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "approx_l2q", "exact_l2q",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# --- ABC (Pareto 80/15/5) revenue classification -----------------------------
+
+@register(
+    "orders_abc_classification",
+    """
+    WITH pr AS (SELECT l_partkey,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                     * 100 AS BIGINT)) AS BIGINT) AS rev_c
+                FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS t FROM pr),
+    cum AS (SELECT l_partkey, rev_c,
+                   CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_c
+            FROM pr)
+    SELECT CASE WHEN cum_c * 100 <= t * 80 THEN 'A'
+                WHEN cum_c * 100 <= t * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS class_rev_cents
+    FROM cum CROSS JOIN tot
+    GROUP BY 1
+    """,
+    doc="ABC (Pareto 80/15/5) inventory classification: parts ranked by "
+        "revenue, class A = parts whose inclusive cumulative revenue "
+        "share stays within 80%, B to 95%, C the tail — the classic "
+        "inventory-control rollup. The cumulative is a GLOBAL prefix sum "
+        "over the ranked part rollup, which a naive window funnels "
+        "through one partition; the Spark side runs the TWO-PHASE "
+        "distributed scan (same structure as events_lateness_profile's "
+        "prefix-max): per-revenue-band totals (tiny) -> exclusive "
+        "cumulative across bands -> broadcast carry-in + in-band "
+        "inclusive running sum, all heavy stages partitioned by band — "
+        "bands are descending-revenue ranges so band order IS rank "
+        "order. Thresholds compare cum*100 <= total*k in integer cents "
+        "(no division, no floats). The oracle states the naive single "
+        "window.",
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = T(spark, sf_dir, "lineitem")
+    pr = (
+        li.select(
+            "l_partkey",
+            (DEC("l_extendedprice", 12, 2) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").cast("bigint").alias("rev_c"))
+        # band = descending-revenue range, so ascending band order is
+        # exactly descending revenue order; in-band ties fall to l_partkey
+        .withColumn("band", -F.expr("rev_c div 1000000"))
+        .persist()
+    )
+    tot = pr.agg(F.sum("rev_c").cast("bigint").alias("t"))
+    # phase 1: per-band totals (|bands| rows), exclusive running sum
+    bsum = pr.groupBy("band").agg(F.sum("rev_c").alias("bsum"))
+    w_excl = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    carry = bsum.select(
+        "band",
+        F.coalesce(F.sum("bsum").over(w_excl), F.lit(0)).alias("carry_in"),
+    )
+    # phase 2: in-band inclusive running sum + carry-in
+    w_band = (
+        W.partitionBy("band")
+        .orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (
+        pr.join(F.broadcast(carry), "band")
+        .select(
+            "l_partkey", "rev_c",
+            (F.col("carry_in") + F.sum("rev_c").over(w_band))
+            .cast("bigint")
+            .alias("cum_c"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("cum_c") * 100 <= F.col("t") * 80, "A")
+            .when(F.col("cum_c") * 100 <= F.col("t") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "rev_c",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_c").cast("bigint").alias("class_rev_cents"),
+        )
+    )
+
+
+# --- cross-document boilerplate removal (C4-style) ---------------------------
+
+_SEG_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@register(
+    "corpus_boilerplate_removal",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' the ') AS arr
+               FROM documents),
+    seg0 AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(arr) + 1),
+                           i -> trim(arr[i]))) AS s
+             FROM t),
+    seg AS (SELECT doc_id, {_SEG_H60.format(x='s')} AS sh,
+                   length(s) AS n_chars
+            FROM seg0 WHERE s <> ''),
+    df AS (SELECT sh, COUNT(DISTINCT doc_id) AS n_docs
+           FROM seg GROUP BY sh),
+    f AS (SELECT seg.doc_id, seg.n_chars, df.n_docs >= 4 AS is_boiler
+          FROM seg JOIN df USING (sh))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_segs,
+           CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE n_chars END) AS BIGINT)
+             AS kept_chars
+    FROM f GROUP BY doc_id
+    """,
+    doc="Cross-document boilerplate removal (the C4/CCNet cleaning step): "
+        "segment every document at sentence boundaries (the corpus "
+        "convention from udtf_sentence_segments: split on literal ' the "
+        "'), hash each segment, and mark segments whose hash appears in "
+        ">= 4 DISTINCT documents as boilerplate — navigation chrome, "
+        "cookie banners, licence footers — then report per-document "
+        "segment/boilerplate counts and surviving character mass. This "
+        "is corpus-global dedup at SEGMENT granularity, which doc-level "
+        "dedup (minhash etc.) cannot see. Shape: one explode scan, one "
+        "hash-agg on segment hash (map-side combinable distinct), one "
+        "co-partitioned join back on the same key (exchange reused under "
+        "AQE), one doc-keyed agg. No pair joins anywhere — boilerplate "
+        "detection is df-counting, not similarity.",
+)
+def corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import h60
+
+    d = T(spark, sf_dir, "documents")
+    seg = (
+        d.select(
+            "doc_id",
+            F.explode(F.split("text", " the ")).alias("s0"),
+        )
+        .select("doc_id", F.trim(F.col("s0")).alias("s"))
+        .where(F.col("s") != "")
+        .select(
+            "doc_id", h60(F.col("s")).alias("sh"),
+            F.length("s").alias("n_chars"),
+        )
+    )
+    df_counts = seg.groupBy("sh").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    f = seg.join(df_counts, "sh").select(
+        "doc_id", "n_chars", (F.col("n_docs") >= 4).alias("is_boiler")
+    )
+    return f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler_segs"),
+        F.sum(F.when(F.col("is_boiler"), 0).otherwise(F.col("n_chars")))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+# --- session Markov transition matrix ----------------------------------------
+
+@register(
+    "events_markov_transitions",
+    f"""
+    WITH {SESSIONIZED_EVENTS_CTE},
+    typed AS (SELECT s.user_id, s.session_id, s.ts_ms, s.event_id,
+                     e.event_type
+              FROM sessions s JOIN events e ON s.event_id = e.event_id),
+    nxt AS (SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id, session_id
+                        ORDER BY ts_ms, event_id) AS to_type
+            FROM typed),
+    cnt AS (SELECT from_type, to_type, COUNT(*) AS n_trans
+            FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS ft
+            FROM cnt GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n_trans AS BIGINT) AS n_trans,
+           CAST((c.n_trans * 1000000) // t.ft AS BIGINT) AS p_ppm
+    FROM cnt c JOIN tot t ON c.from_type = t.from_type
+    """,
+    doc="Session Markov transition matrix: within each canonical 30-min "
+        "session (the shared sessionizer every session query builds on), "
+        "count consecutive event-type transitions and report integer-ppm "
+        "conditional probabilities — the behavioral model behind "
+        "next-action prediction and anomalous-flow detection, and the "
+        "aggregate twin of events_user_journeys (which keeps paths; this "
+        "keeps the first-order chain). Shape: the sessionizer's "
+        "user-keyed window, one lead() over the same partitioning (no "
+        "second shuffle), then two tiny hash-aggs on the |types|^2 "
+        "grid; the per-from totals join is broadcast-size. Probabilities "
+        "are floor-ppm integers: bit-identical cross-engine, no float "
+        "division.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.plans.common import sessionized_events
+    from pyspark.sql.window import Window as W
+
+    s = sessionized_events(spark, sf_dir)
+    e = EV(spark, sf_dir).select("event_id", "event_type")
+    typed = s.join(e, "event_id")
+    w = W.partitionBy("user_id", "session_id").orderBy("ts_ms", "event_id")
+    nxt = typed.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    cnt = (
+        nxt.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n_trans").cast("bigint").alias("ft")
+    )
+    return (
+        cnt.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type",
+            F.col("n_trans").cast("bigint").alias("n_trans"),
+            F.expr("(n_trans * 1000000) div ft").cast("bigint")
+            .alias("p_ppm"),
+        )
     )

@@ -1,0 +1,106 @@
+"""Pareto skyline and interval-union coverage: operator contracts pinned
+against brute-force Python references on randomized frames (the
+oracle-paired queries pin values against DuckDB at sf0.01; these pin the
+operator semantics — dominance with ties, band-boundary soundness, island
+merging with duplicates and containment — on adversarial small inputs)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from postgresql_cdc_spark.operators.frontier import pareto_skyline_2d
+from postgresql_cdc_spark.operators.timeseries import interval_union_coverage
+
+
+def _brute_skyline(rows):
+    out = []
+    for i, (pid, c, g) in enumerate(rows):
+        dominated = any(
+            (qc < c and qg >= g) or (qc <= c and qg > g)
+            for j, (qid, qc, qg) in enumerate(rows)
+            if j != i
+        )
+        if not dominated:
+            out.append((pid, c, g))
+    return sorted(out)
+
+
+class TestParetoSkyline:
+    def _run(self, spark, rows, band_width):
+        df = spark.createDataFrame(rows, "id long, cost long, gain long")
+        got = pareto_skyline_2d(df, "cost", "gain", band_width=band_width)
+        return sorted((r.id, r.cost, r.gain) for r in got.collect())
+
+    def test_ties_survive_together(self, spark):
+        # identical (cost, gain) pairs never dominate each other
+        rows = [(1, 10, 5), (2, 10, 5), (3, 20, 4)]
+        assert self._run(spark, rows, 100) == [(1, 10, 5), (2, 10, 5)]
+
+    def test_equal_cost_higher_gain_dominates(self, spark):
+        rows = [(1, 10, 5), (2, 10, 7)]
+        assert self._run(spark, rows, 100) == [(2, 10, 7)]
+
+    def test_equal_gain_lower_cost_dominates(self, spark):
+        rows = [(1, 10, 5), (2, 12, 5)]
+        assert self._run(spark, rows, 100) == [(1, 10, 5)]
+
+    def test_randomized_vs_brute_force_across_band_widths(self, spark):
+        # band boundaries must never change the frontier (phase 1 is only
+        # a sound prune); exercise widths that split, straddle, and
+        # degenerate to one-row-per-band
+        rng = random.Random(8)
+        rows = [
+            (i, rng.randrange(0, 40), rng.randrange(0, 15))
+            for i in range(120)
+        ]
+        want = _brute_skyline(rows)
+        for bw in (1, 7, 10, 1000):
+            assert self._run(spark, rows, bw) == want, f"band_width={bw}"
+
+
+def _brute_coverage(rows):
+    by_key = {}
+    for k, t0, t1 in rows:
+        by_key.setdefault(k, []).append((t0, t1))
+    out = {}
+    for k, ivs in by_key.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        out[k] = (len(merged), sum(e - s for s, e in merged))
+    return out
+
+
+class TestIntervalUnionCoverage:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "k long, t0 long, t1 long")
+        got = interval_union_coverage(df, key="k", t0="t0", t1="t1")
+        return {r.k: (r.n_intervals, r.covered) for r in got.collect()}
+
+    def test_adjacent_intervals_merge(self, spark):
+        # [0,10) and [10,20) touch: the >= start rule merges them
+        assert self._run(spark, [(1, 0, 10), (1, 10, 20)]) == {1: (1, 20)}
+
+    def test_contained_interval_extends_nothing(self, spark):
+        assert self._run(spark, [(1, 0, 100), (1, 10, 20)]) == {1: (1, 100)}
+
+    def test_gap_splits_islands(self, spark):
+        assert self._run(spark, [(1, 0, 10), (1, 11, 20)]) == {1: (2, 19)}
+
+    def test_duplicate_intervals(self, spark):
+        assert self._run(spark, [(1, 5, 9), (1, 5, 9)]) == {1: (1, 4)}
+
+    def test_randomized_vs_brute_force(self, spark):
+        rng = random.Random(88)
+        rows = []
+        for k in range(4):
+            for _ in range(60):
+                s = rng.randrange(0, 500)
+                rows.append((k, s, s + rng.randrange(1, 40)))
+        assert self._run(spark, rows) == _brute_coverage(rows)

@@ -44,6 +44,8 @@ NESTED_LOOP_OK = {
     "text_tfidf_topterms",  # one-row corpus-size scalar broadcast
     "corpus_scaling_ladder",  # 6-rung literal ladder broadcast cross
     "feat_quantile_binning",  # one-row decile-bounds scalar broadcast
+    "sim_topk_pq_rerank",    # corpus x 16-codeword broadcast codebook (PQ)
+    "orders_abc_classification",  # one-row revenue-total scalar broadcast
 }
 
 
