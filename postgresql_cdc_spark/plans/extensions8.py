@@ -1,6 +1,10 @@
 """Extension-operator query surface, part 8: BFS hop distance on the trade
-graph, Pareto-frontier (skyline) selection, interval-union coverage, and
-equal-frequency quantile binning.
+graph, Pareto-frontier (skyline) selection, interval-union coverage,
+equal-frequency quantile binning, seasonal-baseline anomaly detection,
+entity-resolution golden records, cohort LTV curves, two-stage PQ-rerank
+ANN, ABC revenue classification, C4-style boilerplate removal, session
+Markov transitions, Kneser-Ney bigram counts, GDPR erasure-cascade audit,
+and seasonal-naive forecast backtesting.
 
 Design rules follow plans/extensions.py: integer/string/decimal-exact
 outputs only, so the DuckDB oracle hash-matches exactly; blocked equi-joins,
@@ -1046,4 +1050,222 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_trans * 1000000) div ft").cast("bigint")
             .alias("p_ppm"),
         )
+    )
+
+
+# --- Kneser-Ney bigram count tables ------------------------------------------
+
+_TOKS8 = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "t -> t <> '')"
+)
+
+
+@register(
+    "text_ngram_lm_counts",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS8} AS toks FROM documents),
+    bg AS (SELECT unnest(list_transform(range(2, len(toks) + 1),
+                         i -> struct_pack(w1 := toks[i - 1], w2 := toks[i])))
+                  AS b
+           FROM t WHERE len(toks) >= 2),
+    c AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_left_types
+             FROM c GROUP BY w2),
+    fan AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_right_types
+            FROM c GROUP BY w1),
+    ranked AS (SELECT c.w1, c.w2, CAST(c.n AS BIGINT) AS n_bigram,
+                      f.n_right_types, ct.n_left_types,
+                      ROW_NUMBER() OVER (ORDER BY c.n DESC, c.w1, c.w2)
+                        AS rnk
+               FROM c JOIN fan f ON c.w1 = f.w1
+                      JOIN cont ct ON c.w2 = ct.w2)
+    SELECT w1, w2, n_bigram, n_right_types, n_left_types,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 50
+    """,
+    doc="Kneser-Ney bigram count tables (the KenLM/SRILM data layer): raw "
+        "bigram counts c(w1,w2) plus the two continuation-type counts the "
+        "KN discount needs — N1+(w1,*) distinct right continuations and "
+        "N1+(*,w2) distinct left contexts (the quantity that makes KN "
+        "beat plain MLE: 'francisco' is frequent but only ever follows "
+        "'san'). The perplexity-filter infrastructure for training-data "
+        "quality scoring. Bigrams come from an in-row array transform "
+        "(zero shuffle until the count agg); both type counts are aggs "
+        "OVER the already-reduced bigram table, not the corpus; top-50 "
+        "by (count, bigram) is the deterministic report cut. At 100 TB: "
+        "one map-side-combinable shuffle on bigram, two on its "
+        "|vocab|-bounded margins.",
+)
+def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from postgresql_cdc_spark.operators.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    t = d.select(tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks)), "
+                "i -> struct(toks[i - 2] AS w1, toks[i - 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).persist()
+    cont = c.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left_types")
+    )
+    fan = c.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right_types")
+    )
+    ranked = (
+        c.join(fan, "w1")
+        .join(cont, "w2")
+        .withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.desc("n"), "w1", "w2")),
+        )
+        .where(F.col("rnk") <= 50)
+    )
+    return ranked.select(
+        "w1", "w2", F.col("n").cast("bigint").alias("n_bigram"),
+        "n_right_types", "n_left_types", F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+# --- GDPR erasure cascade audit ----------------------------------------------
+
+@register(
+    "privacy_erasure_cascade",
+    """
+    WITH del_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    del_o AS (SELECT o_orderkey FROM orders
+              SEMI JOIN del_c ON o_custkey = c_custkey),
+    cnt_c AS (SELECT COUNT(*) AS n FROM del_c),
+    tot_c AS (SELECT COUNT(*) AS n FROM customer),
+    cnt_o AS (SELECT COUNT(*) AS n FROM del_o),
+    tot_o AS (SELECT COUNT(*) AS n FROM orders),
+    cnt_l AS (SELECT COUNT(*) AS n FROM lineitem
+              SEMI JOIN del_o ON l_orderkey = o_orderkey),
+    tot_l AS (SELECT COUNT(*) AS n FROM lineitem)
+    SELECT 'customer' AS table_name,
+           CAST((SELECT n FROM cnt_c) AS BIGINT) AS n_purged,
+           CAST((SELECT n FROM tot_c) - (SELECT n FROM cnt_c) AS BIGINT)
+             AS n_retained
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT n FROM cnt_o) AS BIGINT),
+           CAST((SELECT n FROM tot_o) - (SELECT n FROM cnt_o) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT n FROM cnt_l) AS BIGINT),
+           CAST((SELECT n FROM tot_l) - (SELECT n FROM cnt_l) AS BIGINT)
+    """,
+    doc="GDPR/CCPA erasure-cascade audit: given a deletion list (every "
+        "97th customer stands in for the erasure-request queue), follow "
+        "the foreign-key cascade customer -> orders -> lineitem and "
+        "report purged vs retained row counts per table — the compliance "
+        "report every right-to-be-forgotten pipeline must produce before "
+        "and after the actual delete, and the natural consumer-side twin "
+        "of the reference's DELETE decode path (PgWalMessageDecoder "
+        "delete messages carry only the key tuple; this is what a "
+        "downstream does with those keys at warehouse scale). Shape: the "
+        "deletion list broadcasts (requests are always tiny vs facts); "
+        "each cascade level is a broadcast LEFT SEMI join counted with a "
+        "map-side-combinable agg — the fact tables are scanned once "
+        "each, never shuffled.",
+)
+def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    del_c = c.where(F.col("c_custkey") % 97 == 0)
+    del_o = o.join(
+        F.broadcast(del_c), o.o_custkey == del_c.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    purged_l = li.join(
+        F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey, "left_semi"
+    )
+
+    def row(name, purged_df, total_df):
+        p = purged_df.agg(F.count(F.lit(1)).alias("n_purged"))
+        t = total_df.agg(F.count(F.lit(1)).alias("n_total"))
+        return p.crossJoin(F.broadcast(t)).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_purged").cast("bigint").alias("n_purged"),
+            (F.col("n_total") - F.col("n_purged"))
+            .cast("bigint")
+            .alias("n_retained"),
+        )
+
+    return (
+        row("customer", del_c, c)
+        .unionByName(row("orders", del_o, o))
+        .unionByName(row("lineitem", purged_l, li))
+    )
+
+
+# --- seasonal forecast backtest ----------------------------------------------
+
+@register(
+    "events_forecast_backtest",
+    """
+    WITH s AS (SELECT event_type,
+                      epoch_ms(ts) // 3600000 AS hour_num,
+                      CAST(floor(value * 1000000) AS BIGINT) AS vmic
+               FROM events),
+    hourly AS (SELECT event_type, hour_num,
+                      CAST(SUM(vmic) AS BIGINT) AS actual
+               FROM s GROUP BY event_type, hour_num),
+    j AS (SELECT a.event_type,
+                 abs(a.actual - f.actual) AS abs_err
+          FROM hourly a
+          JOIN hourly f ON a.event_type = f.event_type
+                       AND f.hour_num = a.hour_num - 168)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+           CAST(SUM(abs_err) // COUNT(*) AS BIGINT) AS mae_micros
+    FROM j GROUP BY event_type
+    """,
+    doc="Seasonal-naive forecast backtest: predict each hour's total as "
+        "the same hour LAST WEEK and score MAE per event type — the "
+        "baseline every forecasting deployment must beat, and the "
+        "backtest harness pattern (join actuals to lagged actuals, "
+        "score, aggregate) that applies unchanged to real models. The "
+        "hour-168 join is a self-equi-join on the ALREADY-REDUCED "
+        "(type, hour) rollup — |types| x |hours| rows, not raw events — "
+        "co-partitioned on event_type. Integer micros throughout; MAE "
+        "reported as floor division (exact cross-engine).",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV(spark, sf_dir)
+    s = ev.select(
+        "event_type",
+        F.expr("unix_millis(ts) div 3600000").alias("hour_num"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("vmic"),
+    )
+    hourly = (
+        s.groupBy("event_type", "hour_num")
+        .agg(F.sum("vmic").cast("bigint").alias("actual"))
+        .persist()
+    )
+    a, f_ = hourly.alias("a"), hourly.alias("f")
+    j = a.join(
+        f_,
+        (F.col("a.event_type") == F.col("f.event_type"))
+        & (F.col("f.hour_num") == F.col("a.hour_num") - 168),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.abs(F.col("a.actual") - F.col("f.actual")).alias("abs_err"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("abs_err").cast("bigint").alias("sum_abs_err"),
+        F.expr("sum(abs_err) div count(*)").cast("bigint")
+        .alias("mae_micros"),
     )

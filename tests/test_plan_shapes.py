@@ -46,6 +46,7 @@ NESTED_LOOP_OK = {
     "feat_quantile_binning",  # one-row decile-bounds scalar broadcast
     "sim_topk_pq_rerank",    # corpus x 16-codeword broadcast codebook (PQ)
     "orders_abc_classification",  # one-row revenue-total scalar broadcast
+    "privacy_erasure_cascade",  # one-row purged/total-count scalar broadcasts
 }
 
 
