@@ -388,3 +388,65 @@ def content_defined_chunks(
             )
 
     return df.mapInPandas(kernel, CDC_CHUNK_SCHEMA)
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_full_frames", LongType()),
+        StructField("n_cuts", LongType()),
+        StructField("cut_frames", StringType()),
+    ]
+)
+
+
+def scene_cut_detect(
+    df: DataFrame, frame_bytes: int = 64, threshold: int = 1600
+) -> DataFrame:
+    """'Video' scene-cut detection over an opaque byte stream: treat the
+    payload as fixed-size frames, score each full frame by its byte sum
+    (the same energy proxy as ``audio_window_energy``), and mark frame i
+    as a cut when ``|sum_i - sum_{i-1}| > threshold`` — the
+    adjacent-frame-difference detector every shot-segmentation pipeline
+    starts from (a real system swaps histogram/SSIM distance into this
+    same kernel; the trailing partial frame is excluded so every score
+    compares equal-sized frames).
+
+    Emits one row per document: full-frame count, cut count, and the cut
+    frame indices as a comma-joined string (deterministic, ascending).
+    numpy-vectorized mapInPandas over the Arrow batch — a reshape and one
+    diff per payload; bytes never shuffle, only the per-doc summary rows.
+    """
+    import numpy as np
+
+    FB, T = frame_bytes, threshold
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, ncut, cuts = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                k = len(raw) // FB
+                ids.append(doc_id)
+                nfr.append(k)
+                if k < 2:
+                    ncut.append(0)
+                    cuts.append("")
+                    continue
+                frames = np.frombuffer(raw[: k * FB], np.uint8).reshape(
+                    k, FB
+                )
+                sums = frames.sum(axis=1, dtype=np.int64)
+                hit = np.flatnonzero(np.abs(np.diff(sums)) > T) + 1
+                ncut.append(int(hit.size))
+                cuts.append(",".join(str(int(i)) for i in hit))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_full_frames": pd.Series(nfr, dtype="int64"),
+                    "n_cuts": pd.Series(ncut, dtype="int64"),
+                    "cut_frames": pd.Series(cuts, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(kernel, SCENE_SCHEMA)

@@ -1269,3 +1269,115 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(abs_err) div count(*)").cast("bigint")
         .alias("mae_micros"),
     )
+
+
+# --- video scene-cut detection -----------------------------------------------
+
+_FRAME_SUM = (
+    "list_sum(list_transform(range(w * 64, w * 64 + 64), "
+    "i -> CAST('0x' || substr(hex(bl), i * 2 + 1, 2) AS BIGINT)))"
+)
+
+
+@register(
+    "mm_video_scene_cuts",
+    f"""
+    WITH b AS (SELECT doc_id, encode(text) AS bl,
+                      octet_length(encode(text)) // 64 AS k
+               FROM documents),
+    fr AS (SELECT doc_id, k, unnest(range(0, k)) AS w, bl
+           FROM b WHERE k >= 1),
+    s AS (SELECT doc_id, w, {_FRAME_SUM} AS fsum FROM fr),
+    d AS (SELECT doc_id, w,
+                 abs(fsum - lag(fsum) OVER (PARTITION BY doc_id
+                                            ORDER BY w)) AS dv
+          FROM s),
+    cuts AS (SELECT doc_id, w FROM d WHERE dv > 1600),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cuts,
+                   string_agg(CAST(w AS VARCHAR), ',' ORDER BY w)
+                     AS cut_frames
+            FROM cuts GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.k AS BIGINT) AS n_full_frames,
+           coalesce(a.n_cuts, 0) AS n_cuts,
+           coalesce(a.cut_frames, '') AS cut_frames
+    FROM b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    """,
+    doc="Video scene-cut detection over the binary column: payload as "
+        "64-byte frames, each full frame scored by its byte sum, a cut "
+        "wherever the adjacent-frame difference exceeds the threshold — "
+        "the shot-segmentation baseline every video pipeline starts from "
+        "(histogram/SSIM distance swaps into the same kernel), extending "
+        "the multimodal family past sampling (mm_frame_sample) into "
+        "content analysis. numpy reshape + one diff per payload inside "
+        "Arrow-batched mapInPandas (operators/multimodal.scene_cut_"
+        "detect); bytes never shuffle — only per-doc summaries leave the "
+        "scan stage, so at 100 TB this runs at decode bandwidth with "
+        "zero exchange. Byte-level oracle replays the identical frame "
+        "sums from hex pairs.",
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    return mm.scene_cut_detect(mm.attach_binary(d))
+
+
+# --- near-dup cluster size histogram -----------------------------------------
+
+from postgresql_cdc_spark.plans.extensions import (  # noqa: E402
+    _CORPUS,
+    _NGRAM_ORACLE,
+)
+
+_CLUSTER_SIZE_HIST_ORACLE = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_ORACLE}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b),
+    lab AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    c AS ({_CORPUS}),
+    allc AS (SELECT c.doc_id, coalesce(l.comp, c.doc_id) AS comp
+             FROM c LEFT JOIN lab l ON c.doc_id = l.id),
+    sizes AS (SELECT comp, COUNT(*) AS csize FROM allc GROUP BY comp)
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(csize * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY csize
+    """
+
+
+@register(
+    "dedup_cluster_size_hist",
+    _CLUSTER_SIZE_HIST_ORACLE,
+    doc="Near-dup cluster-size histogram: how many clusters of each size "
+        "the exact-Jaccard pair graph produces (singletons included via "
+        "the corpus left join — a doc in no pair is its own cluster). "
+        "THE summary a dedup rollout decision reads first: n_docs per "
+        "size row shows exactly how much mass each cluster size removes "
+        "(keep-one-per-cluster drops n_docs - n_clusters rows). Built "
+        "on the same connected-components labels dedup_cluster_labels "
+        "gates; the histogram is two tiny hash aggs over the label "
+        "table.",
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.dedup import ngram_jaccard_pairs
+    from postgresql_cdc_spark.operators.graph import connected_components
+    from postgresql_cdc_spark.plans.extensions import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.5)
+    lab = connected_components(pairs, src="id_a", dst="id_b")
+    allc = corpus.join(lab, corpus.doc_id == lab.id, "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("comp")
+    )
+    sizes = allc.groupBy("comp").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy("csize").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("csize") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    ).select(
+        F.col("csize").cast("bigint").alias("cluster_size"),
+        "n_clusters", "n_docs",
+    )
