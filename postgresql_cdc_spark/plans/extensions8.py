@@ -1381,3 +1381,47 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("csize").cast("bigint").alias("cluster_size"),
         "n_clusters", "n_docs",
     )
+
+
+# --- fixed-k per-stratum reservoir sample ------------------------------------
+
+@register(
+    "sample_reservoir_per_group",
+    f"""
+    WITH r AS (SELECT doc_id, lang, source,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY {_SEG_H60.format(
+                              x="'rsv:' || CAST(doc_id AS VARCHAR)")},
+                              doc_id) AS rn
+               FROM documents)
+    SELECT lang, doc_id, source, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 20
+    """,
+    doc="Fixed-size per-stratum sample (the distributed, deterministic "
+        "stand-in for reservoir sampling): EXACTLY min(k, |stratum|) docs "
+        "per language, chosen by ranking on a salted content hash — "
+        "uniform over the stratum, reproducible across runs/engines with "
+        "no sampling state, and stable under corpus growth in "
+        "distribution (each doc keeps its own rank key). Complements "
+        "sample_stratified (Bernoulli fraction: size varies, this "
+        "guarantees the quota). Shape: one hash shuffle on the stratum "
+        "key + per-stratum top-k; at 100 TB the top-k pushes into "
+        "per-partition heaps before the exchange (rank <= k prunes "
+        "map-side under TakeOrdered-style evaluation), so the shuffle "
+        "carries candidates, not the corpus.",
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from postgresql_cdc_spark.operators.text import h60
+
+    d = T(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        h60(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id", "source", F.col("rn").cast("int"))
+    )
