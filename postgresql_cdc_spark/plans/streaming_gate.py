@@ -1466,3 +1466,105 @@ def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("grp int, dn long, dq long").parquet(sums_dirs[-1])
         .select("grp", F.col("dn").alias("n_rows"), F.col("dq").alias("total"))
     )
+
+
+# --- streaming session windows -----------------------------------------------
+
+_SESSION_WIN_ORACLE = f"""
+    WITH t AS (SELECT i % 4 AS u,
+                      CASE WHEN i >= 60 THEN 1 ELSE 0 END AS sid,
+                      {_T0_MS} + i * 60000
+                        + CASE WHEN i >= 60 THEN 3600000 ELSE 0 END AS ts_ms
+               FROM range({N}) r(i))
+    SELECT CAST(u AS BIGINT) AS user_id,
+           CAST(MIN(ts_ms) AS BIGINT) AS session_start_ms,
+           CAST(MAX(ts_ms) + 300000 AS BIGINT) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM t GROUP BY u, sid
+"""
+
+
+@register(
+    "cdc_stream_session_windows",
+    _SESSION_WIN_ORACLE,
+    doc="Streaming SESSION-window aggregation (F.session_window, the "
+        "dynamic-gap window the tumbling/sliding gates don't cover): per "
+        "user (id % 4), events arrive every 4 minutes — inside the "
+        "5-minute gap, so each user accretes ONE growing session across "
+        "micro-batches (maxRecordsPerBatch=25 forces real cross-batch "
+        "session-state merges) — until a planted 1-hour jump at id 60 "
+        "exceeds the gap and opens a second session per user. Append "
+        "mode emits only sessions the watermark has CLOSED, so a flush "
+        "event far in the future rides the stream tail to advance the "
+        "watermark past every real session; it is filtered out AFTER the "
+        "watermark node (the standard flush pattern: it moves event-time "
+        "forward without entering the aggregation). The memory-sink "
+        "table must equal the closed-form two-sessions-per-user oracle — "
+        "start, end (last event + gap), event count — which fails if "
+        "session merge, watermark close, or cross-batch state carry "
+        "misbehaves.",
+)
+def cdc_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    _register_source(spark)
+    base = tempfile.mkdtemp(prefix=f"pgcdc_sess_{uuid.uuid4().hex[:12]}_")
+    arch = os.path.join(base, "wal")
+
+    frames = [(1, encode_relation(_REL))]
+    lsn = 10
+    # Flush tail: 50 far-future events spanning >= 2 micro-batches at
+    # maxRecordsPerBatch=25 — the first flush batch advances the watermark
+    # past every real session END, and the batch after it is the one where
+    # append mode actually emits the closed sessions (watermark updates
+    # between batches; a tail that fits in ONE final batch would advance
+    # the watermark with no later batch left to emit in, and
+    # processAllAvailable does not wait for no-data batches).
+    for i in list(range(N)) + [1_000_000 + j for j in range(50)]:
+        frames.append((lsn, encode_begin(lsn + 2, 0, 7000 + i)))
+        frames.append((lsn + 1, encode_insert(
+            _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
+        )))
+        frames.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        lsn += 3
+    write_wal_archive(arch, frames)
+
+    rid = F.element_at("columns", "id").cast("long")
+    agg = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+        .where(F.col("op") == "I")
+        .select(
+            rid.alias("rid"),
+            (rid % 4).alias("user_id"),
+            F.timestamp_millis(
+                F.lit(_T0_MS) + rid * 60_000
+                + F.when(rid >= 60, 3_600_000).otherwise(0)
+            ).alias("ts"),
+        )
+        .withWatermark("ts", "10 minutes")
+        # The flush rows must be dropped AFTER the watermark node — but a
+        # deterministic predicate on rid alone gets pushed below
+        # EventTimeWatermark by Catalyst (straight to the source), and the
+        # flush rows would then never advance the watermark. Referencing
+        # the event-time column pins the filter above the watermark node
+        # (Spark never pushes predicates that mention the watermark
+        # attribute through it); ts is never null, so the semantics are
+        # exactly rid < N.
+        .where((F.col("rid") < N) | F.col("ts").isNull())
+        .groupBy(
+            F.session_window("ts", "5 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("win.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("win.end")).alias("session_end_ms"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    return _sink_to_memory(spark, agg, base, available_now=False)
