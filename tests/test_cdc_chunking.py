@@ -68,3 +68,48 @@ def test_short_and_empty_payloads(spark):
     # shorter than the window: one whole-payload chunk; empty: no rows
     assert [n for _, n in got[1]] == [3]
     assert 2 not in got
+
+
+class TestSceneCutDetect:
+    def _run(self, spark, payloads):
+        import pandas as pd
+
+        from postgresql_cdc_spark.operators.multimodal import scene_cut_detect
+
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, payload binary",
+        )
+        out = scene_cut_detect(df).collect()
+        return {
+            r.doc_id: (r.n_full_frames, r.n_cuts, r.cut_frames) for r in out
+        }
+
+    def test_flat_frames_no_cuts(self, spark):
+        # three identical frames: zero adjacent difference
+        got = self._run(spark, [bytes([7]) * 192])
+        assert got == {0: (3, 0, "")}
+
+    def test_hard_cut_detected_at_frame_boundary(self, spark):
+        # frame sums 0, 0, 64*255: one cut at frame index 2
+        p = bytes(64) + bytes(64) + bytes([255]) * 64
+        got = self._run(spark, [p])
+        assert got == {0: (3, 1, "2")}
+
+    def test_threshold_is_strict(self, spark):
+        # adjacent sums differ by exactly 1600 (25 * 64): NOT a cut;
+        # 1601 is
+        just_under = bytes([0]) * 64 + bytes([25]) * 64
+        over = bytes([0]) * 64 + bytes([25]) * 63 + bytes([26])
+        got = self._run(spark, [just_under, over])
+        assert got[0] == (2, 0, "")
+        assert got[1] == (2, 1, "1")
+
+    def test_trailing_partial_frame_excluded(self, spark):
+        # 64 + 10 bytes: one full frame, partial tail never scored
+        got = self._run(spark, [bytes([9]) * 74])
+        assert got == {0: (1, 0, "")}
+
+    def test_short_payload_zero_frames(self, spark):
+        got = self._run(spark, [bytes([1]) * 10, b""])
+        assert got == {0: (0, 0, ""), 1: (0, 0, "")}
