@@ -210,7 +210,8 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trained_topk(e, cents)
 
 
-def _trained_topk(e: DataFrame, cents: list[list[int]], k: int = 5) -> DataFrame:
+def _trained_topk(e: DataFrame, cents: list[list[int]], k: int = 5,
+                  n_probe: int = _N_PROBE) -> DataFrame:
     """Top-k over the trained IVF index for the standard query set
     (vec_id % 100 == 0): literal-centroid assignment + probe, cosine
     re-rank."""
@@ -224,7 +225,7 @@ def _trained_topk(e: DataFrame, cents: list[list[int]], k: int = 5) -> DataFrame
     probes = q.select(
         "query_id", "__qvec",
         F.explode(
-            F.expr(sim.topn_cells_sql(sim.quantize_sql("__qvec"), cents, _N_PROBE))
+            F.expr(sim.topn_cells_sql(sim.quantize_sql("__qvec"), cents, n_probe))
         ).alias("cell"),
     )
 
@@ -368,4 +369,117 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return q.select("query_id").join(ov, "query_id", "left").select(
         "query_id", F.coalesce(F.col("__n"), F.lit(0)).alias("n_overlap")
+    )
+
+
+# --- ANN tuning: recall@5 vs nprobe sweep ------------------------------------
+
+_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def _nprobe_sweep_oracle() -> str:
+    """One CTE chain per swept nprobe (same trained index, same query set,
+    same brute truth) unioned into a 4-row recall curve."""
+    per_np = []
+    rows = []
+    for np_ in _SWEEP_PROBES:
+        per_np.append(f"""
+probes{np_} AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT qr.query_id, qr.qe, c.cell,
+           row_number() OVER (PARTITION BY qr.query_id
+                              ORDER BY {_IDIST.format(v="qr.qqv", c="c.cv")}
+                                       ASC, c.cell ASC) AS rn
+    FROM qr CROSS JOIN {_CFINAL} c
+  ) WHERE rn <= {np_}
+),
+ivf{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, ne.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+               ORDER BY {_cos_sql('ne.nv', 'p.qe')} DESC,
+                        ne.neighbor_id ASC) AS rank
+    FROM ne JOIN probes{np_} p USING (cell)
+    WHERE ne.neighbor_id <> p.query_id
+  ) WHERE rank <= 5
+),
+ov{np_} AS (SELECT CAST(COUNT(*) AS BIGINT) AS h
+            FROM ivf{np_} JOIN brute USING (query_id, neighbor_id))""")
+        rows.append(
+            f"SELECT CAST({np_} AS INT) AS nprobe, h AS n_hits, n AS n_queries,"
+            f" CAST((1000 * h) // (5 * n) AS BIGINT) AS recall_milli"
+            f" FROM ov{np_} CROSS JOIN nq"
+        )
+    return f"""
+WITH {_CTES},
+qr AS (SELECT vec_id AS query_id, embedding AS qe,
+              list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE}.0)
+                       AS BIGINT)) AS qqv
+       FROM embeddings WHERE vec_id % 100 = 0 AND len(embedding) > 0),
+ne AS (SELECT a.vec_id AS neighbor_id, e.embedding AS nv, a.cell
+       FROM a{_AFINAL} a JOIN embeddings e ON a.vec_id = e.vec_id),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY {_cos_sql('e.embedding', 'q.qe')} DESC,
+                        e.vec_id ASC) AS rank
+    FROM embeddings e JOIN qr q ON e.vec_id <> q.query_id
+  ) WHERE rank <= 5
+),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qr),
+{','.join(per_np)}
+{' UNION ALL '.join(rows)}
+"""
+
+
+@register(
+    "ivf_nprobe_sweep",
+    _nprobe_sweep_oracle(),
+    doc="ANN tuning curve: recall@5 of the trained IVF index at nprobe in "
+        "{1, 2, 4, 8} against the exact brute-force truth — the "
+        "recall-vs-cost sweep every vector-search deployment runs to pick "
+        "its operating point (nprobe/16 of the corpus scanned per query "
+        "vs fraction of true neighbors found), extending ivf_recall_eval "
+        "(one fixed config, per-query) to the full tuning report "
+        "(aggregate, per config). One trained index, one brute truth, "
+        "four probe depths; the only per-config cost is re-ranking the "
+        "probed cells — the index and truth are computed once and "
+        "reused, so the sweep is 4x the probe stage, not 4x the "
+        "pipeline. Integer per-mille recall; each summary is a "
+        "one-row scalar broadcast.",
+)
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    cents = sim.train_centroids_kmeans(e, n_centroids=_K, iters=_ITERS)
+
+    q = e.where(
+        (F.col("vec_id") % 100 == 0) & (F.size("embedding") > 0)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = (
+        sim.topk_brute(e, q, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    out = None
+    for np_ in _SWEEP_PROBES:
+        ivf = _trained_topk(e, cents, n_probe=np_).select(
+            "query_id", "neighbor_id"
+        )
+        row = (
+            ivf.join(brute, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            .select(F.lit(np_).cast("int").alias("nprobe"), "n_hits")
+        )
+        out = row if out is None else out.unionByName(row)
+    return (
+        out.crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe", "n_hits", F.col("n").alias("n_queries"),
+            F.expr("(1000 * n_hits) div (5 * n)").cast("bigint")
+            .alias("recall_milli"),
+        )
     )

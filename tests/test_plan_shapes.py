@@ -47,6 +47,7 @@ NESTED_LOOP_OK = {
     "sim_topk_pq_rerank",    # corpus x 16-codeword broadcast codebook (PQ)
     "orders_abc_classification",  # one-row revenue-total scalar broadcast
     "privacy_erasure_cascade",  # one-row purged/total-count scalar broadcasts
+    "ivf_nprobe_sweep",  # brute-truth baseline + one-row n_queries broadcast
 }
 
 
