@@ -483,3 +483,67 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_milli"),
         )
     )
+
+
+# --- embedding outliers: distance-to-assigned-centroid ------------------------
+
+_OUTLIER_ORACLE = f"""
+WITH {_CTES},
+d AS (
+  SELECT vec_id, cell, dmin FROM (
+    SELECT q.vec_id, c.cell,
+           {_IDIST.format(v="q.qv", c="c.cv")} AS dmin,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_IDIST.format(v="q.qv", c="c.cv")}
+                                       ASC, c.cell ASC) AS rn
+    FROM q CROSS JOIN {_CFINAL} c
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       CAST(dmin AS BIGINT) AS dist_q,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY dmin DESC, vec_id ASC) AS rnk
+      FROM d)
+WHERE rnk <= 20
+"""
+
+
+@register(
+    "emb_centroid_outliers",
+    _OUTLIER_ORACLE,
+    doc="Embedding outlier detection: the 20 vectors farthest from their "
+        "assigned (trained) centroid by integer-quantized squared L2 — "
+        "the data-quality screen that surfaces mislabeled, corrupted, or "
+        "out-of-distribution embeddings before they poison retrieval or "
+        "training (SemDeDup's complement: near-dups are too close, these "
+        "are too far from everything). Assignment AND distance come from "
+        "the same literal-centroid array_min projection (zero shuffle, "
+        "no centroid join); the global top-20 is a TakeOrdered over "
+        "per-partition heaps, never a full sort. Deterministic "
+        "(distance, id) tie-break; bit-identical to the oracle's "
+        "unrolled k-means chain.",
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    cents = sim.train_centroids_kmeans(e, n_centroids=_K, iters=_ITERS)
+    structs = ", ".join(
+        f"struct({sim._qdist_sql(sim.quantize_sql('embedding'), c)} AS d, "
+        f"{j}L AS cell)"
+        for j, c in enumerate(cents)
+    )
+    best = F.expr(f"array_min(array({structs}))")
+    d = e.where(F.size("embedding") > 0).select(
+        "vec_id",
+        best.getField("cell").alias("cell"),
+        best.getField("d").alias("dist_q"),
+    )
+    w = Window.orderBy(F.desc("dist_q"), F.asc("vec_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select(
+            "vec_id", F.col("cell").cast("bigint").alias("cell"),
+            F.col("dist_q").cast("bigint").alias("dist_q"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

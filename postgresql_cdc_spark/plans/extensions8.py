@@ -1425,3 +1425,72 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("lang", "doc_id", "source", F.col("rn").cast("int"))
     )
+
+
+# --- reorder survival life table ---------------------------------------------
+
+@register(
+    "orders_reorder_survival_table",
+    """
+    WITH g AS (SELECT o_custkey,
+                      epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000
+                        AS day_num
+               FROM orders),
+    gaps AS (SELECT day_num - lag(day_num) OVER (PARTITION BY o_custkey
+                        ORDER BY day_num) AS gap_days
+             FROM g),
+    ev AS (SELECT (gap_days // 30) * 30 AS bucket_start_days,
+                  COUNT(*) AS n_events
+           FROM gaps WHERE gap_days IS NOT NULL
+           GROUP BY 1),
+    risk AS (SELECT bucket_start_days, n_events,
+                    CAST(SUM(n_events) OVER (ORDER BY bucket_start_days DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS n_at_risk
+             FROM ev)
+    SELECT CAST(bucket_start_days AS BIGINT) AS bucket_start_days,
+           CAST(n_events AS BIGINT) AS n_events, n_at_risk,
+           CAST((1000000 * n_events) // n_at_risk AS BIGINT) AS hazard_ppm
+    FROM risk
+    """,
+    doc="Reorder survival life table (the Kaplan-Meier data layer for "
+        "churn analysis): inter-order gaps per customer, bucketed into "
+        "30-day intervals, with the at-risk count (gaps surviving to the "
+        "bucket, a reverse-cumulative sum over the bucket rollup) and "
+        "the integer-ppm discrete hazard n_events / n_at_risk — the "
+        "exact integers a KM curve multiplies, emitted as the table "
+        "instead of the float product so both engines agree bit-for-bit "
+        "(the uncensored life table: every observed gap is an event). "
+        "Shape: one customer-keyed window for gaps (dates never leave "
+        "their partition), one hash agg to the <=|max gap / 30| bucket "
+        "rollup, one window over that tiny rollup. At 100 TB the only "
+        "full-data pass is the lag window on the orders table's natural "
+        "key.",
+)
+def orders_reorder_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000"
+        ).alias("day_num"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_num")
+    gaps = o.select(
+        (F.col("day_num") - F.lag("day_num").over(w)).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    ev = gaps.groupBy(
+        F.expr("(gap_days div 30) * 30").alias("bucket_start_days")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_risk = Window.orderBy(F.desc("bucket_start_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = ev.withColumn(
+        "n_at_risk", F.sum("n_events").over(w_risk).cast("bigint")
+    )
+    return risk.select(
+        F.col("bucket_start_days").cast("bigint").alias("bucket_start_days"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "n_at_risk",
+        F.expr("(1000000 * n_events) div n_at_risk").cast("bigint")
+        .alias("hazard_ppm"),
+    )
