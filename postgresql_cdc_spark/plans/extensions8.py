@@ -1494,3 +1494,59 @@ def orders_reorder_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("(1000000 * n_events) div n_at_risk").cast("bigint")
         .alias("hazard_ppm"),
     )
+
+
+# --- referential-integrity orphan audit --------------------------------------
+
+@register(
+    "dq_referential_orphans",
+    """
+    WITH live_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 113 <> 0),
+    live_o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 211 <> 0),
+    o_orphans AS (SELECT COUNT(*) AS n FROM orders
+                  ANTI JOIN live_c ON o_custkey = c_custkey),
+    o_total AS (SELECT COUNT(*) AS n FROM orders),
+    l_orphans AS (SELECT COUNT(*) AS n FROM lineitem
+                  ANTI JOIN live_o ON l_orderkey = o_orderkey),
+    l_total AS (SELECT COUNT(*) AS n FROM lineitem)
+    SELECT 'orders->customer' AS fk_relation,
+           CAST((SELECT n FROM o_orphans) AS BIGINT) AS n_orphans,
+           CAST((SELECT n FROM o_total) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT n FROM l_orphans) AS BIGINT),
+           CAST((SELECT n FROM l_total) AS BIGINT)
+    """,
+    doc="Referential-integrity orphan audit: count child rows whose "
+        "foreign key has no live parent — THE invariant a CDC replica "
+        "must re-verify after every backfill, schema migration, or "
+        "out-of-order apply (deletes arriving before their children's "
+        "updates leave exactly these orphans). Parents are planted as "
+        "'hard-deleted' (every 113th customer, every 211th order) so the "
+        "gate has known true orphan counts on both engines. Shape: two "
+        "LEFT ANTI joins, each co-partitioned on the FK — the same "
+        "shuffle the downstream join workload already pays — reduced "
+        "map-side to per-table counts; nothing wide survives the scan.",
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    live_c = c.where(F.col("c_custkey") % 113 != 0)
+    live_o = o.where(F.col("o_orderkey") % 211 != 0).select("o_orderkey")
+
+    def row(name, orphans_df, total_df):
+        p = orphans_df.agg(F.count(F.lit(1)).alias("n_orphans"))
+        t = total_df.agg(F.count(F.lit(1)).alias("n_checked"))
+        return p.crossJoin(F.broadcast(t)).select(
+            F.lit(name).alias("fk_relation"),
+            F.col("n_orphans").cast("bigint").alias("n_orphans"),
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+        )
+
+    o_orph = o.join(live_c, o.o_custkey == live_c.c_custkey, "left_anti")
+    l_orph = li.join(live_o, li.l_orderkey == live_o.o_orderkey, "left_anti")
+    return row("orders->customer", o_orph, o).unionByName(
+        row("lineitem->orders", l_orph, li)
+    )

@@ -1568,3 +1568,60 @@ def cdc_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _sink_to_memory(spark, agg, base, available_now=False)
+
+
+# --- streaming sliding windows -----------------------------------------------
+
+_SLIDING_COUNTS_ORACLE = f"""
+    WITH e AS (SELECT {_T0_MS} + i * 60000 AS t FROM range({N}) r(i)),
+    w AS (SELECT (t // 300000) * 300000 AS s FROM e
+          UNION ALL
+          SELECT (t // 300000) * 300000 - 300000 FROM e)
+    SELECT CAST(s AS BIGINT) AS win_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_inserts
+    FROM w GROUP BY s
+"""
+
+
+@register(
+    "cdc_stream_sliding_counts",
+    _SLIDING_COUNTS_ORACLE,
+    doc="Streaming SLIDING-window aggregation (10-minute windows every 5 "
+        "minutes — the overlap case the tumbling gates don't cover: every "
+        "event lands in exactly TWO windows, so state holds two live "
+        "windows per slide and the sink must show both counted). Complete "
+        "output mode under real micro-batches (maxRecordsPerBatch=25), "
+        "aggregation state carried across batches. The oracle derives "
+        "each event's two epoch-aligned window starts arithmetically — "
+        "integer division, no window function — so a drift in Spark's "
+        "window alignment or an event dropped from its second window "
+        "fails the hash.",
+)
+def cdc_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    base = tempfile.mkdtemp(prefix=f"pgcdc_slid_{uuid.uuid4().hex[:12]}_")
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+
+    rid = F.element_at("columns", "id").cast("long")
+    agg = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+        .where(F.col("op") == "I")
+        .select(
+            F.timestamp_millis(F.lit(_T0_MS) + rid * 60_000).alias("ts")
+        )
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_inserts"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+            F.col("n_inserts").cast("bigint").alias("n_inserts"),
+        )
+    )
+    return _sink_to_memory(
+        spark, agg, base, available_now=False, output_mode="complete"
+    )

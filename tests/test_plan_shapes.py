@@ -48,6 +48,7 @@ NESTED_LOOP_OK = {
     "orders_abc_classification",  # one-row revenue-total scalar broadcast
     "privacy_erasure_cascade",  # one-row purged/total-count scalar broadcasts
     "ivf_nprobe_sweep",  # brute-truth baseline + one-row n_queries broadcast
+    "dq_referential_orphans",  # one-row orphan/total-count scalar broadcasts
 }
 
 
