@@ -461,3 +461,68 @@ def cdc_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h.is_current").alias("is_current"),
         )
     )
+
+
+# --- active-active conflict detection ----------------------------------------
+
+@register(
+    "cdc_conflict_detection",
+    f"""
+    WITH log AS ({_CHANGELOG_ORACLE}),
+    w AS (SELECT lsn // 1024 AS knum, lsn, lsn % 2 AS site
+          FROM log WHERE op <> 'I'),
+    g AS (SELECT knum,
+                 CAST(SUM(CASE WHEN site = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_site0,
+                 CAST(SUM(CASE WHEN site = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_site1,
+                 MAX(lsn) AS winner_lsn
+          FROM w GROUP BY knum)
+    SELECT CAST(knum // 16 AS BIGINT) AS l_orderkey,
+           CAST(knum % 16 AS BIGINT) AS l_linenumber,
+           n_site0, n_site1,
+           CAST(winner_lsn % 2 AS BIGINT) AS winner_site,
+           CAST(winner_lsn AS BIGINT) AS winner_lsn
+    FROM g WHERE n_site0 > 0 AND n_site1 > 0
+    """,
+    doc="Active-active replication conflict detection: given the merged "
+        "changelog of two writer sites (site = a deterministic function "
+        "of the event, here lsn parity — in production, the origin field "
+        "pgoutput's message carries), find every key BOTH sites wrote "
+        "after the initial image, report per-site write counts and the "
+        "last-writer-wins outcome (winner = site of the max LSN — "
+        "deterministic because LSNs are the total order the reference "
+        "acks by, CdcEngine.java:132-137). This is the audit a "
+        "multi-master deployment runs continuously: LWW silently "
+        "discards the losing site's writes, and this query is the list "
+        "of exactly what was discarded. Shape: one filter + one hash agg "
+        "on the key — conflict detection costs one pass over the "
+        "changelog, no joins at all (the key is arithmetically decodable "
+        "from the LSN on both engines).",
+)
+def cdc_conflict_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _changelog(spark, sf_dir)
+    w = log.where(F.col("op") != "I").select(
+        F.expr("lsn div 1024").alias("knum"),
+        "lsn",
+        (F.col("lsn") % 2).alias("site"),
+    )
+    g = w.groupBy("knum").agg(
+        F.sum(F.when(F.col("site") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_site0"),
+        F.sum(F.when(F.col("site") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_site1"),
+        F.max("lsn").alias("winner_lsn"),
+    )
+    return (
+        g.where((F.col("n_site0") > 0) & (F.col("n_site1") > 0))
+        .select(
+            F.expr("knum div 16").cast("bigint").alias("l_orderkey"),
+            (F.col("knum") % 16).cast("bigint").alias("l_linenumber"),
+            "n_site0", "n_site1",
+            (F.col("winner_lsn") % 2).cast("bigint").alias("winner_site"),
+            F.col("winner_lsn").cast("bigint").alias("winner_lsn"),
+        )
+    )
