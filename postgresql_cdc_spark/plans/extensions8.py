@@ -1550,3 +1550,80 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("orders->customer", o_orph, o).unionByName(
         row("lineitem->orders", l_orph, li)
     )
+
+
+# --- bot / automation detection ----------------------------------------------
+
+@register(
+    "events_bot_detection",
+    """
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+               FROM events),
+    g AS (SELECT user_id,
+                 (ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                      ORDER BY ts_ms, event_id)) // 1000 AS gap_s
+          FROM e),
+    s AS (SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(gap_s) AS BIGINT) AS sum_g,
+                 CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_g2
+          FROM g WHERE gap_s IS NOT NULL
+          GROUP BY user_id),
+    f AS (SELECT user_id, n_gaps,
+                 n_gaps * sum_g2 = sum_g * sum_g AS is_metronomic,
+                 CASE WHEN sum_g > 0
+                      THEN (n_gaps * 3600 * 1000) // sum_g
+                      ELSE 1000000000 END AS rate_milli_per_hour
+          FROM s WHERE n_gaps >= 5)
+    SELECT user_id, n_gaps, is_metronomic, rate_milli_per_hour,
+           is_metronomic OR rate_milli_per_hour > 3600000 AS is_flagged
+    FROM f
+    """,
+    doc="Bot/automation detection — the crawl-hygiene screen a "
+        "training-data pipeline runs before user-generated content is "
+        "trusted: per user with >= 5 inter-event gaps, (a) METRONOMIC "
+        "regularity — zero variance of second-quantized gaps, tested as "
+        "the EXACT integer identity n*sum(g^2) == (sum g)^2 (no float "
+        "variance, no epsilon; humans never fire on a perfect clock), "
+        "and (b) super-human sustained rate (> 1000 events/hour in "
+        "milli-events-per-hour integers). Gaps quantize to seconds "
+        "before squaring so sum_g2 stays far inside int64 at any "
+        "realistic activity span. Shape: one user-keyed window for gaps "
+        "+ one user-keyed hash agg — the same single shuffle every "
+        "per-user profile query pays; both flags are projections over "
+        "the aggregate.",
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV(spark, sf_dir)
+    e = ev.select(
+        "user_id", F.expr("unix_millis(ts)").alias("ts_ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    g = (
+        e.select(
+            "user_id",
+            (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap_ms"),
+        )
+        .select("user_id", F.expr("gap_ms div 1000").alias("gap_s"))
+        .where(F.col("gap_s").isNotNull())
+    )
+    s = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_s").cast("bigint").alias("sum_g"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sum_g2"),
+    )
+    f = s.where(F.col("n_gaps") >= 5).select(
+        "user_id", "n_gaps",
+        (F.col("n_gaps") * F.col("sum_g2")
+         == F.col("sum_g") * F.col("sum_g")).alias("is_metronomic"),
+        F.when(
+            F.col("sum_g") > 0,
+            F.expr("(n_gaps * 3600 * 1000) div sum_g"),
+        ).otherwise(F.lit(1000000000)).cast("bigint")
+        .alias("rate_milli_per_hour"),
+    )
+    return f.select(
+        "user_id", "n_gaps", "is_metronomic", "rate_milli_per_hour",
+        (F.col("is_metronomic") | (F.col("rate_milli_per_hour") > 3600000))
+        .alias("is_flagged"),
+    )
