@@ -1627,3 +1627,99 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("is_metronomic") | (F.col("rate_milli_per_hour") > 3600000))
         .alias("is_flagged"),
     )
+
+
+# --- quality-filter funnel report --------------------------------------------
+
+_QF_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "t -> t <> '')"
+)
+
+
+@register(
+    "corpus_quality_funnel",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n_chars,
+                      {_QF_TOKS} AS toks
+               FROM documents),
+    f AS (SELECT doc_id,
+                 n_chars < 200 AS r_too_short,
+                 n_chars > 20000 AS r_too_long,
+                 10 * length(regexp_replace(text, '[^a-z ]', '', 'g'))
+                   < 7 * n_chars AS r_low_alpha,
+                 5 * list_max(list_transform(list_distinct(toks),
+                       t -> len(list_filter(toks, x -> x = t))))
+                   > len(toks) AS r_repetitive
+          FROM d WHERE len(toks) > 0),
+    agg AS (SELECT
+        CAST(SUM(CASE WHEN r_too_short THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN r_too_long THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN r_low_alpha THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN r_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        CAST(SUM(CASE WHEN NOT (r_too_short OR r_too_long OR r_low_alpha
+                                OR r_repetitive) THEN 1 ELSE 0 END)
+             AS BIGINT) AS s,
+        CAST(COUNT(*) AS BIGINT) AS t
+        FROM f)
+    SELECT 'too_short' AS stage, a AS n_docs, t AS n_total FROM agg
+    UNION ALL SELECT 'too_long', b, t FROM agg
+    UNION ALL SELECT 'low_alpha', c, t FROM agg
+    UNION ALL SELECT 'repetitive', r, t FROM agg
+    UNION ALL SELECT 'survivors', s, t FROM agg
+    """,
+    doc="Quality-filter funnel report (the Gopher/C4 rule battery as an "
+        "attribution table): per heuristic rule — too short, too long, "
+        "low alphabetic ratio (10*alpha < 7*chars, integer cross-"
+        "multiplication instead of a float ratio), repetitive (most "
+        "frequent token > 20% of tokens, an in-row array computation "
+        "with NO shuffle since documents are bounded) — the count of "
+        "documents it would reject, plus the survivor count. This "
+        "per-rule attribution is what a pipeline owner tunes thresholds "
+        "against; a single pass, one hash agg to one row, stacked to "
+        "the report shape. Rules are evaluated independently (a doc "
+        "can fail several), survivors fail none.",
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import tokens
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.length("text").alias("n_chars"),
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") > 0)
+    f = d.select(
+        (F.col("n_chars") < 200).alias("r_too_short"),
+        (F.col("n_chars") > 20000).alias("r_too_long"),
+        (
+            10 * F.length(F.regexp_replace("text", "[^a-z ]", ""))
+            < 7 * F.col("n_chars")
+        ).alias("r_low_alpha"),
+        F.expr(
+            "5 * array_max(transform(array_distinct(toks), "
+            "t -> size(filter(toks, x -> x = t)))) > size(toks)"
+        ).alias("r_repetitive"),
+    )
+    agg = f.agg(
+        F.sum(F.when(F.col("r_too_short"), 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("r_too_long"), 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when(F.col("r_low_alpha"), 1).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(
+            F.when(
+                ~(F.col("r_too_short") | F.col("r_too_long")
+                  | F.col("r_low_alpha") | F.col("r_repetitive")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("s"),
+        F.sum(F.when(F.col("r_repetitive"), 1).otherwise(0))
+        .cast("bigint").alias("r"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    return agg.selectExpr(
+        "stack(5, 'too_short', a, 'too_long', b, 'low_alpha', c, "
+        "'repetitive', r, 'survivors', s) AS (stage, n_docs)",
+        "t AS n_total",
+    )
