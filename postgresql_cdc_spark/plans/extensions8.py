@@ -1723,3 +1723,62 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'repetitive', r, 'survivors', s) AS (stage, n_docs)",
         "t AS n_total",
     )
+
+
+# --- rolling window median ---------------------------------------------------
+
+@register(
+    "orders_rolling_median_revenue",
+    """
+    WITH d AS (SELECT o_orderpriority,
+                      epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000
+                        AS day_num,
+                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                    AS BIGINT)) AS BIGINT) AS rev_c
+               FROM orders GROUP BY o_orderpriority, day_num)
+    SELECT o_orderpriority, CAST(day_num AS BIGINT) AS day_num, rev_c,
+           CAST(quantile_disc(rev_c, 0.5) OVER (PARTITION BY o_orderpriority
+                ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rolling_med_7d
+    FROM d
+    """,
+    doc="Rolling windowed median: per order priority, the discrete median "
+        "of daily revenue over the trailing 7 observed days — the robust "
+        "moving-baseline every monitoring dashboard wants where a moving "
+        "AVERAGE is wrecked by one spike day. Spark has no percentile "
+        "window aggregate, so the engine composes it: collect_list over "
+        "the bounded ROWS frame, array_sort, pick element (n+1) div 2 — "
+        "exactly DuckDB's quantile_disc(0.5) discrete-lower-median "
+        "semantics, integer cents end to end. The frame is 7 rows, so "
+        "the in-row sort is O(7 log 7) per output row and the only "
+        "shuffle is the (priority, day) rollup; the window never sees "
+        "raw orders.",
+)
+def orders_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000"
+        ).alias("day_num"),
+        (DEC("o_totalprice", 14, 2) * 100).cast("bigint").alias("cents"),
+    )
+    d = o.groupBy("o_orderpriority", "day_num").agg(
+        F.sum("cents").cast("bigint").alias("rev_c")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_num")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        d.withColumn("__lst", F.collect_list("rev_c").over(w))
+        .select(
+            "o_orderpriority",
+            F.col("day_num").cast("bigint").alias("day_num"),
+            "rev_c",
+            F.expr(
+                "CAST(element_at(array_sort(__lst), "
+                "CAST((size(__lst) + 1) div 2 AS INT)) AS BIGINT)"
+            ).alias("rolling_med_7d"),
+        )
+    )
