@@ -1782,3 +1782,57 @@ def orders_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("rolling_med_7d"),
         )
     )
+
+
+# --- DAU/MAU stickiness ------------------------------------------------------
+
+@register(
+    "events_dau_mau_stickiness",
+    """
+    WITH d AS (SELECT user_id,
+                      epoch_ms(ts) // 86400000 AS day_num,
+                      epoch_ms(ts) // 86400000 // 30 AS month_num
+               FROM events),
+    dau AS (SELECT day_num, month_num,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+            FROM d GROUP BY day_num, month_num),
+    mau AS (SELECT month_num,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+            FROM d GROUP BY month_num)
+    SELECT CAST(dau.day_num AS BIGINT) AS day_num, dau.dau, mau.mau,
+           CAST((1000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_milli
+    FROM dau JOIN mau ON dau.month_num = mau.month_num
+    """,
+    doc="DAU/MAU stickiness: daily active users over the active-user "
+        "count of the surrounding 30-epoch-day period, in integer "
+        "per-mille — the engagement-health ratio product dashboards "
+        "track (a day where most of the period's users show up reads "
+        "near 1000). Periods are epoch-arithmetic 30-day blocks, not "
+        "calendar months, so both engines bucket identically with zero "
+        "calendar/timezone surface. Shape: two count-distinct hash aggs "
+        "on (day, period) and (period) — the second's input is the "
+        "already-deduplicated first in spirit, both map-side partial — "
+        "and a broadcast-size join on the period key.",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV(spark, sf_dir)
+    d = ev.select(
+        "user_id",
+        F.expr("unix_millis(ts) div 86400000").alias("day_num"),
+        F.expr("unix_millis(ts) div 86400000 div 30").alias("month_num"),
+    )
+    dau = d.groupBy("day_num", "month_num").agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    mau = d.groupBy("month_num").agg(
+        F.count_distinct("user_id").cast("bigint").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "month_num")
+        .select(
+            F.col("day_num").cast("bigint").alias("day_num"),
+            "dau", "mau",
+            F.expr("(1000 * dau) div mau").cast("bigint")
+            .alias("stickiness_milli"),
+        )
+    )
