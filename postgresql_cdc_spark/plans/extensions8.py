@@ -1836,3 +1836,143 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stickiness_milli"),
         )
     )
+
+
+# --- inverted index build ----------------------------------------------------
+
+@register(
+    "text_inverted_index",
+    f"""
+    WITH t AS (SELECT doc_id, {_QF_TOKS} AS toks FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS f
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+           GROUP BY doc_id, tok),
+    post AS (SELECT tok,
+                    CAST(COUNT(*) AS BIGINT) AS df,
+                    CAST(SUM(f) AS BIGINT) AS total_tf
+             FROM tf GROUP BY tok),
+    top3 AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ','
+                        ORDER BY rnk) AS top_docs
+             FROM (SELECT tok, doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY tok
+                              ORDER BY f DESC, doc_id ASC) AS rnk
+                   FROM tf) WHERE rnk <= 3
+             GROUP BY tok)
+    SELECT post.tok AS term, post.df, post.total_tf, top3.top_docs
+    FROM post JOIN top3 ON post.tok = top3.tok
+    """,
+    doc="Inverted-index build: per term, document frequency, total term "
+        "frequency, and the top-3 posting heads (highest in-doc "
+        "frequency, id tie-break, comma-joined) — the materialization "
+        "job behind every search/BM25/contamination-lookup system, "
+        "distinct from the ranking queries (tfidf_topterms) in that it "
+        "EMITS the index rows themselves. Shape: explode once, one "
+        "(doc, term) hash agg, then a term-keyed agg and a term-keyed "
+        "window over the already-reduced tf table — posting heads cost "
+        "a bounded top-k per term, never a global sort. At 100 TB this "
+        "is the standard build: everything partitions by term after one "
+        "map-side-combinable reduction.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from postgresql_cdc_spark.operators.text import tokens
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .persist()
+    )
+    post = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("f").cast("bigint").alias("total_tf"),
+    )
+    w = W.partitionBy("tok").orderBy(F.desc("f"), F.asc("doc_id"))
+    top3 = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .groupBy("tok")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", "doc_id"))
+                    ),
+                    lambda s: s.doc_id.cast("string"),
+                ),
+            ).alias("top_docs")
+        )
+    )
+    return post.join(top3, "tok").select(
+        F.col("tok").alias("term"), "df", "total_tf", "top_docs"
+    )
+
+
+# --- distribution shift between sources (exact total variation) --------------
+
+@register(
+    "text_source_divergence",
+    f"""
+    WITH t AS (SELECT source, unnest({_QF_TOKS}) AS tok FROM documents
+               WHERE source IN ('src0', 'src1')),
+    c AS (SELECT source, tok, COUNT(*) AS n FROM t GROUP BY source, tok),
+    w AS (SELECT tok,
+                 CAST(SUM(CASE WHEN source = 'src0' THEN n ELSE 0 END)
+                      AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN source = 'src1' THEN n ELSE 0 END)
+                      AS BIGINT) AS c1
+          FROM c GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS t0,
+                   CAST(SUM(c1) AS BIGINT) AS t1 FROM w)
+    SELECT CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_terms,
+           t0 AS tokens_src0, t1 AS tokens_src1,
+           CAST((1000000 * (SELECT SUM(abs(c0 * t1 - c1 * t0)) FROM w))
+                // (2 * t0 * t1) AS BIGINT) AS tv_distance_ppm
+    FROM tot
+    """,
+    doc="Distribution shift between corpus sources: EXACT total-variation "
+        "distance between src0's and src1's unigram distributions, in "
+        "integer ppm — the drift metric a corpus-mix owner tracks when a "
+        "source's crawl changes character (the integer-exact stand-in "
+        "for KL/JS divergence, whose logs are engine-float-dependent). "
+        "Cross-multiplied form: TV = sum |c0*T1 - c1*T0| / (2*T0*T1) — "
+        "no per-term division, one exact integer sum (bounded ~1e16 at "
+        "any realistic corpus: count x total fits int64 with 1e2 "
+        "headroom). Shape: one token explode, one term hash agg pivoted "
+        "by source, one scalar rollup.",
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import tokens
+
+    d = T(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    ).select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    c = d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = c.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("n")).otherwise(0))
+        .cast("bigint").alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", F.col("n")).otherwise(0))
+        .cast("bigint").alias("c1"),
+    )
+    tot = w.agg(
+        F.sum("c0").cast("bigint").alias("t0"),
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    joined = w.crossJoin(F.broadcast(tot))
+    return (
+        joined.agg(
+            F.first("n_terms").alias("n_terms"),
+            F.first("t0").alias("tokens_src0"),
+            F.first("t1").alias("tokens_src1"),
+            F.expr(
+                "CAST((1000000 * SUM(abs(c0 * t1 - c1 * t0))) "
+                "div (2 * first(t0) * first(t1)) AS BIGINT)"
+            ).alias("tv_distance_ppm"),
+        )
+    )

@@ -49,6 +49,7 @@ NESTED_LOOP_OK = {
     "privacy_erasure_cascade",  # one-row purged/total-count scalar broadcasts
     "ivf_nprobe_sweep",  # brute-truth baseline + one-row n_queries broadcast
     "dq_referential_orphans",  # one-row orphan/total-count scalar broadcasts
+    "text_source_divergence",  # one-row token-totals scalar broadcast
 }
 
 
