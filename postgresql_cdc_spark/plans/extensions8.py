@@ -1029,15 +1029,26 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sessionized_events(spark, sf_dir)
     e = EV(spark, sf_dir).select("event_id", "event_type")
     typed = s.join(e, "event_id")
-    w = W.partitionBy("user_id", "session_id").orderBy("ts_ms", "event_id")
+    # Partition the lead() by user_id ONLY — session_id is a function of
+    # position within the user, so user-level partitioning is sufficient
+    # and lets this window REUSE the sessionizer's (user_id) exchange
+    # instead of re-shuffling on (user_id, session_id); the cross-session
+    # boundary is enforced by comparing the led session_id instead.
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
     nxt = typed.select(
+        F.col("session_id"),
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
+        F.lead("session_id").over(w).alias("__to_sid"),
     )
     cnt = (
-        nxt.where(F.col("to_type").isNotNull())
+        nxt.where(
+            F.col("to_type").isNotNull()
+            & (F.col("__to_sid") == F.col("session_id"))
+        )
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_trans"))
+        .persist()
     )
     tot = cnt.groupBy("from_type").agg(
         F.sum("n_trans").cast("bigint").alias("ft")
