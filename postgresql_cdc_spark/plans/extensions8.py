@@ -1987,3 +1987,34 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_distance_ppm"),
         )
     )
+
+
+# --- supplier diversity / single-source risk ---------------------------------
+
+@register(
+    "part_supplier_diversity",
+    """
+    WITH s AS (SELECT l_partkey,
+                      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+               FROM lineitem GROUP BY l_partkey)
+    SELECT n_supp AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM s GROUP BY n_supp
+    """,
+    doc="Supplier-diversity histogram (single-source risk): per part, the "
+        "distinct suppliers observed shipping it, as a full histogram — "
+        "the low end is the supply-chain fragility list every resilience "
+        "review starts from, the shape of the rest is the redundancy "
+        "profile. Shape: one count-distinct hash agg on the part key "
+        "(map-side partial dedup of (part, supplier) pairs first), then "
+        "a histogram over the bounded distinct-count domain — the fact "
+        "table shuffles its two key columns once, nothing else.",
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    s = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").cast("bigint").alias("n_suppliers")
+    )
+    return s.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
