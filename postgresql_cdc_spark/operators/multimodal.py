@@ -450,3 +450,58 @@ def scene_cut_detect(
             )
 
     return df.mapInPandas(kernel, SCENE_SCHEMA)
+
+
+BYTE_DIVERSITY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_distinct_bytes", LongType()),
+        StructField("top_byte_permille", LongType()),
+        StructField("diversity_class", StringType()),
+    ]
+)
+
+
+def byte_diversity_profile(df: DataFrame) -> DataFrame:
+    """Byte-diversity profile of each binary payload: distinct byte count,
+    the most frequent byte's per-mille share, and a diversity class
+    (low <= 16 distinct, mid <= 64, high above) — the integer-exact stand-in
+    for byte entropy that storage pipelines use to route payloads
+    (low-diversity -> compress hard; high-diversity -> likely already
+    compressed/encrypted, store as-is). One np.bincount per payload inside
+    Arrow-batched mapInPandas; empty payloads report zeros and class 'low'.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, nd, tp, cls = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(payload), np.uint8)
+                ids.append(doc_id)
+                nb.append(len(raw))
+                if len(raw) == 0:
+                    nd.append(0)
+                    tp.append(0)
+                    cls.append("low")
+                    continue
+                counts = np.bincount(raw, minlength=256)
+                distinct = int((counts > 0).sum())
+                nd.append(distinct)
+                tp.append(int(1000 * counts.max()) // len(raw))
+                cls.append(
+                    "low" if distinct <= 16
+                    else "mid" if distinct <= 64 else "high"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "n_distinct_bytes": pd.Series(nd, dtype="int64"),
+                    "top_byte_permille": pd.Series(tp, dtype="int64"),
+                    "diversity_class": pd.Series(cls, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(kernel, BYTE_DIVERSITY_SCHEMA)

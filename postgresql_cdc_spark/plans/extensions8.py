@@ -2018,3 +2018,50 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("n_suppliers").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts")
     )
+
+
+# --- payload byte-diversity profile ------------------------------------------
+
+@register(
+    "mm_byte_diversity",
+    """
+    WITH b AS (SELECT doc_id, encode(text) AS bl,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    e AS (SELECT doc_id, n,
+                 CAST('0x' || substr(hex(bl), i * 2 + 1, 2) AS INT) AS byt
+          FROM b, LATERAL (SELECT unnest(range(0, n)) AS i) r
+          WHERE n > 0),
+    c AS (SELECT doc_id, n, byt, COUNT(*) AS f
+          FROM e GROUP BY doc_id, n, byt),
+    p AS (SELECT doc_id,
+                 CAST(MAX(n) AS BIGINT) AS n_bytes,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+                 CAST((1000 * MAX(f)) // MAX(n) AS BIGINT)
+                   AS top_byte_permille
+          FROM c GROUP BY doc_id)
+    SELECT b.doc_id,
+           coalesce(p.n_bytes, 0) AS n_bytes,
+           coalesce(p.n_distinct_bytes, 0) AS n_distinct_bytes,
+           coalesce(p.top_byte_permille, 0) AS top_byte_permille,
+           CASE WHEN coalesce(p.n_distinct_bytes, 0) <= 16 THEN 'low'
+                WHEN p.n_distinct_bytes <= 64 THEN 'mid'
+                ELSE 'high' END AS diversity_class
+    FROM b LEFT JOIN p ON b.doc_id = p.doc_id
+    """,
+    doc="Payload byte-diversity profile: distinct-byte count and top-byte "
+        "per-mille share per binary payload, classed low/mid/high — the "
+        "integer-exact entropy stand-in storage pipelines use to route "
+        "payloads (low diversity -> compress hard; high -> already "
+        "compressed/encrypted, store raw), completing the multimodal "
+        "family's storage-side toolkit next to content-defined chunking. "
+        "One np.bincount per payload in Arrow-batched mapInPandas "
+        "(operators/multimodal.byte_diversity_profile); bytes never "
+        "shuffle, one skinny summary row per doc leaves the scan. "
+        "Byte-level oracle replays the counts from hex pairs.",
+)
+def mm_byte_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    return mm.byte_diversity_profile(mm.attach_binary(d))
