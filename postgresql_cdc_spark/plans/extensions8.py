@@ -2065,3 +2065,64 @@ def mm_byte_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     return mm.byte_diversity_profile(mm.attach_binary(d))
+
+
+# --- embedding pairwise-distance histogram (collapse diagnostic) -------------
+
+_EPH_H60 = "CAST('0x' || substr(md5('eph:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@register(
+    "emb_pairwise_distance_hist",
+    f"""
+    WITH s AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                    AS BIGINT)) AS qv
+               FROM embeddings
+               WHERE {_EPH_H60} % 10 = 0 AND len(embedding) > 0),
+    p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 list_sum(list_transform(range(1, 65),
+                     j -> (a.qv[j] - b.qv[j]) * (a.qv[j] - b.qv[j]))) AS d
+          FROM s a JOIN s b ON a.vec_id < b.vec_id)
+    SELECT CAST(d // 1000000 AS BIGINT) AS dist_bucket_m,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1
+    """,
+    doc="Embedding-geometry health check: histogram of pairwise quantized "
+        "squared-L2 distances over a deterministic ~10% hash sample — "
+        "the collapse/anisotropy diagnostic (a healthy embedding space "
+        "shows a broad unimodal spread; representation collapse shows "
+        "mass piling near zero) run before trusting embeddings for "
+        "dedup or retrieval. The all-pairs join is BOUNDED BY "
+        "CONSTRUCTION to the hash sample (~(N/10)^2 / 2 pairs, the "
+        "documented estimation trade: the histogram is a statistic, not "
+        "a per-vector result, so sampling is the correct scale answer — "
+        "the same pattern as the brute recall baselines); distances are "
+        "integer-exact, buckets are millions-wide integer divisions.",
+)
+def emb_pairwise_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import h60
+
+    e = T(spark, sf_dir, "embeddings")
+    s = e.where(
+        (h60(F.concat(F.lit("eph:"), F.col("vec_id").cast("string"))) % 10
+         == 0)
+        & (F.size("embedding") > 0)
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(floor(x * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    a = s.select(F.col("vec_id").alias("ia"), F.col("qv").alias("qa"))
+    b = s.select(F.col("vec_id").alias("ib"), F.col("qv").alias("qb"))
+    d = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, z) -> acc + z)"
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(d.alias("d"))
+    return pairs.groupBy(
+        F.expr("d div 1000000").cast("bigint").alias("dist_bucket_m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

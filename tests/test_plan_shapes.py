@@ -50,6 +50,7 @@ NESTED_LOOP_OK = {
     "ivf_nprobe_sweep",  # brute-truth baseline + one-row n_queries broadcast
     "dq_referential_orphans",  # one-row orphan/total-count scalar broadcasts
     "text_source_divergence",  # one-row token-totals scalar broadcast
+    "emb_pairwise_distance_hist",  # bounded ~10%-sample all-pairs (documented)
 }
 
 
