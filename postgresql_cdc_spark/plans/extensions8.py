@@ -2126,3 +2126,47 @@ def emb_pairwise_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.expr("d div 1000000").cast("bigint").alias("dist_bucket_m")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+# --- multiset set operations (ALL variants) ----------------------------------
+
+@register(
+    "setop_except_all",
+    """
+    SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="EXCEPT ALL — multiset difference: each quantity row of the "
+        "'A'-flag lineitems survives as many times as its multiplicity "
+        "exceeds the 'R'-flag multiplicity (the bag semantics SQL's "
+        "plain EXCEPT discards; reconciliation and inventory-delta "
+        "workloads need the multiplicities). Spark plans exceptAll as a "
+        "sum-of-signed-counts aggregate + generate — one shuffle on the "
+        "row value, map-side combinable, never a join.",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_quantity").cast("bigint").alias("qty"))
+    b = li.where(F.col("l_returnflag") == "R").select(F.col("l_quantity").cast("bigint").alias("qty"))
+    return a.exceptAll(b)
+
+
+@register(
+    "setop_intersect_all",
+    """
+    SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="INTERSECT ALL — multiset intersection: each quantity appears "
+        "min(multiplicity in 'A', multiplicity in 'R') times, completing "
+        "the set-operation matrix's bag column next to setop_except_all. "
+        "Same aggregate-of-counts plan shape: one value-keyed shuffle, "
+        "no join.",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_quantity").cast("bigint").alias("qty"))
+    b = li.where(F.col("l_returnflag") == "R").select(F.col("l_quantity").cast("bigint").alias("qty"))
+    return a.intersectAll(b)
