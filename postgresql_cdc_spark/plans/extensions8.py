@@ -2170,3 +2170,48 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.col("l_returnflag") == "A").select(F.col("l_quantity").cast("bigint").alias("qty"))
     b = li.where(F.col("l_returnflag") == "R").select(F.col("l_quantity").cast("bigint").alias("qty"))
     return a.intersectAll(b)
+
+
+# --- grouping_id in rollups --------------------------------------------------
+
+@register(
+    "agg_rollup_grouping_id",
+    """
+    SELECT coalesce(r_name, '(all)') AS region,
+           coalesce(n_name, '(all)') AS nation,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP with the explicit GROUPING bit vector: gid disambiguates "
+        "a real NULL group key from a rollup subtotal row — the thing "
+        "coalesce-based rollup reports silently get wrong when the data "
+        "itself contains the sentinel. Spark's grouping_id() and "
+        "PostgreSQL/DuckDB's GROUPING(a, b) emit the identical bit "
+        "encoding (left argument = high bit), pinned here cross-engine. "
+        "One expand + hash agg, map-side combinable like any rollup.",
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = T(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+            "gid", "n_customers",
+        )
+    )
