@@ -2215,3 +2215,42 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid", "n_customers",
         )
     )
+
+
+# --- bitwise aggregates ------------------------------------------------------
+
+@register(
+    "agg_bitwise_flags",
+    """
+    SELECT l_returnflag,
+           CAST(bit_or(1 << (l_linenumber % 16)) AS BIGINT)
+             AS linenumber_mask,
+           CAST(bit_and(CAST(l_quantity AS BIGINT) | 4096 | 8192) AS BIGINT)
+             AS qty_and,
+           CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bitwise aggregates (bit_or / bit_and / bit_xor): the compact "
+        "flag-set rollup — linenumber_mask is a 16-bit presence bitmap "
+        "per return flag (the set-of-small-ints encoding bitmap indexes "
+        "and permission systems use), bit_and over OR-seeded values "
+        "verifies common-bits extraction, bit_xor is the order-"
+        "independent parity fingerprint (a cheap commutative checksum "
+        "for replica comparison). All three are commutative-associative "
+        "single-pass aggregates: map-side combinable, one shuffle of "
+        "|flags| x 3 longs.",
+)
+def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("shiftleft(1, l_linenumber % 16)").alias("lmask"),
+        F.expr(
+            "CAST(l_quantity AS BIGINT) | 4096 | 8192"
+        ).alias("qseed"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_or(lmask)").cast("bigint").alias("linenumber_mask"),
+        F.expr("bit_and(qseed)").cast("bigint").alias("qty_and"),
+        F.expr("bit_xor(q)").cast("bigint").alias("qty_xor"),
+    )
