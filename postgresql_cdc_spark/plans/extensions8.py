@@ -2254,3 +2254,39 @@ def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_and(qseed)").cast("bigint").alias("qty_and"),
         F.expr("bit_xor(q)").cast("bigint").alias("qty_xor"),
     )
+
+
+# --- outer lateral explode ---------------------------------------------------
+
+@register(
+    "lateral_explode_outer",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter({_QF_TOKS}, x -> length(x) >= 8) AS lt
+               FROM documents),
+    e AS (SELECT doc_id, unnest(lt) AS long_tok FROM t WHERE len(lt) > 0)
+    SELECT t.doc_id, e.long_tok
+    FROM t LEFT JOIN e ON t.doc_id = e.doc_id
+    """,
+    doc="OUTER lateral explode: every document fans out to one row per "
+        "long token (length >= 8), and a document with NO long tokens "
+        "keeps exactly one row with a NULL — the left-join-preserving "
+        "explode semantics (explode_outer) that plain explode silently "
+        "violates by dropping the parent row, which corrupts any "
+        "downstream per-document aggregate that assumes full coverage. "
+        "The oracle states the equivalent left join against the "
+        "non-empty fan-out. Pure scan-side projection + generate; no "
+        "shuffle at all.",
+)
+def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import tokens
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            tokens(F.col("text")), lambda x: F.length(x) >= 8
+        ).alias("lt"),
+    )
+    return d.select(
+        "doc_id", F.explode_outer("lt").alias("long_tok")
+    )
