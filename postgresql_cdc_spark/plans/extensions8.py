@@ -2290,3 +2290,91 @@ def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer("lt").alias("long_tok")
     )
+
+
+# --- regexp scalar functions -------------------------------------------------
+
+@register(
+    "scalar_regexp_funcs",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g'))
+                AS BIGINT) AS n_after_vowel_strip,
+           CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT)
+             AS n_long_words,
+           coalesce(regexp_extract(text, '(qu[a-z]+)', 1), '')
+             AS first_qu_word,
+           CAST(regexp_matches(text, 'window') AS BOOLEAN) AS has_window
+    FROM documents
+    """,
+    doc="Regexp scalar surface: global replace (Spark replaces all by "
+        "default, DuckDB needs the 'g' flag — the cross-engine trap this "
+        "query pins), extract-all count, group extraction with a NULL-"
+        "vs-empty-string coalesce (Spark returns '' on no match, DuckDB "
+        "NULL — normalized explicitly), and boolean containment. All "
+        "scan-side projections on a shared POSIX-safe pattern subset; "
+        "no shuffle.",
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", "[aeiou]", ""))
+        .cast("bigint")
+        .alias("n_after_vowel_strip"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]{6,}', 0)"))
+        .cast("bigint")
+        .alias("n_long_words"),
+        F.regexp_extract("text", "(qu[a-z]+)", 1).alias("first_qu_word"),
+        F.col("text").rlike("window").alias("has_window"),
+    )
+
+
+# --- explicit NULL-ordering pin ----------------------------------------------
+
+@register(
+    "sort_null_ordering",
+    """
+    WITH o AS (SELECT o_orderkey,
+                      nullif(o_orderpriority, '3-MEDIUM') AS pri
+               FROM orders),
+    r AS (SELECT o_orderkey, coalesce(pri, '(null)') AS pri,
+                 ROW_NUMBER() OVER (ORDER BY pri ASC NULLS FIRST,
+                                    o_orderkey ASC) AS rn_nf,
+                 ROW_NUMBER() OVER (ORDER BY pri ASC NULLS LAST,
+                                    o_orderkey ASC) AS rn_nl
+          FROM o)
+    SELECT o_orderkey, pri, CAST(rn_nf AS BIGINT) AS rn_nf,
+           CAST(rn_nl AS BIGINT) AS rn_nl
+    FROM r WHERE rn_nf <= 25 OR rn_nl <= 25
+    """,
+    doc="Explicit NULL-ordering pin: the same ranking computed under "
+        "NULLS FIRST and NULLS LAST over a planted-NULL priority column "
+        "— load-bearing because the ENGINE DEFAULTS DIVERGE (Spark "
+        "ascending sorts default nulls first, PostgreSQL/DuckDB default "
+        "NULLS LAST), so any query that omits the modifier silently "
+        "reorders when ported; this query forces both spellings and the "
+        "gate proves they agree bit-for-bit. Two windows sharing one "
+        "sort order family over a skinny projection.",
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("nullif(o_orderpriority, '3-MEDIUM')").alias("pri"),
+    )
+    w_nf = W.orderBy(F.col("pri").asc_nulls_first(), F.col("o_orderkey"))
+    w_nl = W.orderBy(F.col("pri").asc_nulls_last(), F.col("o_orderkey"))
+    r = o.select(
+        "o_orderkey",
+        F.coalesce(F.col("pri"), F.lit("(null)")).alias("prio"),
+        F.row_number().over(w_nf).cast("bigint").alias("rn_nf"),
+        F.row_number().over(w_nl).cast("bigint").alias("rn_nl"),
+    )
+    return (
+        r.where((F.col("rn_nf") <= 25) | (F.col("rn_nl") <= 25))
+        .select(
+            "o_orderkey", F.col("prio").alias("pri"), "rn_nf", "rn_nl"
+        )
+    )
