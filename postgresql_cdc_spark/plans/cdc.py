@@ -526,3 +526,53 @@ def cdc_conflict_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("winner_lsn").cast("bigint").alias("winner_lsn"),
         )
     )
+
+
+# --- log compaction stats ----------------------------------------------------
+
+@register(
+    "cdc_log_compaction_stats",
+    f"""
+    WITH log AS ({_CHANGELOG_ORACLE}),
+    k AS (SELECT lsn // 1024 AS knum, MAX(lsn) AS last_lsn,
+                 COUNT(*) AS n_events
+          FROM log GROUP BY knum),
+    last AS (SELECT k.knum, k.n_events, l.op AS last_op
+             FROM k JOIN log l ON l.lsn = k.last_lsn)
+    SELECT CAST(SUM(n_events) AS BIGINT) AS n_events_before,
+           CAST(COUNT(*) AS BIGINT) AS n_events_after,
+           CAST(SUM(CASE WHEN last_op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tombstones,
+           CAST((1000000 * COUNT(*)) // SUM(n_events) AS BIGINT)
+             AS retained_ppm
+    FROM last
+    """,
+    doc="Log-compaction statistics (the Kafka compacted-topic model "
+        "applied to the WAL changelog): per key only the LAST event "
+        "survives compaction — a terminal DELETE stays as a tombstone — "
+        "and this query reports before/after event counts, tombstone "
+        "count, and the integer-ppm retention ratio: the numbers that "
+        "size a compacted replica topic and decide tombstone-retention "
+        "policy. Shape: one key hash agg + one self-equi-join on the "
+        "max-LSN row (LSNs are unique, so the join is 1:1) + a scalar "
+        "rollup; the key decodes arithmetically from the LSN, so no "
+        "payload ever shuffles.",
+)
+def cdc_log_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _changelog(spark, sf_dir).select("op", "lsn")
+    k = log.groupBy(F.expr("lsn div 1024").alias("knum")).agg(
+        F.max("lsn").alias("last_lsn"), F.count(F.lit(1)).alias("n_events")
+    )
+    last = k.join(log, k.last_lsn == log.lsn).select(
+        "n_events", F.col("op").alias("last_op")
+    )
+    return last.agg(
+        F.sum("n_events").cast("bigint").alias("n_events_before"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events_after"),
+        F.sum(F.when(F.col("last_op") == "D", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tombstones"),
+        F.expr("(1000000 * count(*)) div sum(n_events)")
+        .cast("bigint")
+        .alias("retained_ppm"),
+    )
