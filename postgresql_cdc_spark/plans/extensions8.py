@@ -2378,3 +2378,60 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.col("prio").alias("pri"), "rn_nf", "rn_nl"
         )
     )
+
+
+# --- array set operations ----------------------------------------------------
+
+@register(
+    "scalar_array_setops",
+    f"""
+    WITH t AS (SELECT doc_id, {_QF_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id,
+                 list_distinct(toks[1 : len(toks) // 2]) AS a,
+                 list_distinct(toks[len(toks) // 2 + 1 : len(toks)]) AS b
+          FROM t WHERE len(toks) >= 2)
+    SELECT doc_id,
+           CAST(len(a) AS BIGINT) AS n_a,
+           CAST(len(b) AS BIGINT) AS n_b,
+           CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
+           CAST(len(list_filter(a, x -> list_contains(b, x))) AS BIGINT)
+             AS n_intersect,
+           CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS BIGINT)
+             AS n_except
+    FROM h
+    """,
+    doc="Array set operations as in-row computations: each document's "
+        "token stream splits into halves; union/intersect/except "
+        "cardinalities of the two distinct-token sets measure "
+        "within-document vocabulary drift (a self-repetition signal "
+        "complementary to text_repetition's shingle view). Spark's "
+        "array_union/array_intersect/array_except deduplicate by "
+        "definition; the oracle states the same set semantics via "
+        "list_distinct/list_filter. Entirely scan-side array kernels — "
+        "zero shuffle, the plan is one projection.",
+)
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.text import tokens
+
+    t = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 2)
+    h = t.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(slice(toks, 1, size(toks) div 2))"
+        ).alias("a"),
+        F.expr(
+            "array_distinct(slice(toks, size(toks) div 2 + 1, "
+            "size(toks) - size(toks) div 2))"
+        ).alias("b"),
+    )
+    return h.select(
+        "doc_id",
+        F.size("a").cast("bigint").alias("n_a"),
+        F.size("b").cast("bigint").alias("n_b"),
+        F.size(F.array_union("a", "b")).cast("bigint").alias("n_union"),
+        F.size(F.array_intersect("a", "b")).cast("bigint")
+        .alias("n_intersect"),
+        F.size(F.array_except("a", "b")).cast("bigint").alias("n_except"),
+    )
