@@ -576,3 +576,46 @@ def cdc_log_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("retained_ppm"),
     )
+
+
+# --- image sparsity report ---------------------------------------------------
+
+@register(
+    "cdc_image_sparsity_report",
+    f"""
+    WITH log AS ({_CHANGELOG_ORACLE}),
+    m AS (SELECT op,
+                 CASE WHEN op = 'D' THEN 2
+                      WHEN op = 'U' AND lsn % 1024 = 512 THEN 9
+                      ELSE 10 END AS n_cols
+          FROM log)
+    SELECT op,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(n_cols) AS BIGINT) AS total_map_entries,
+           CAST((1000 * SUM(n_cols)) // (10 * COUNT(*)) AS BIGINT)
+             AS fill_permille
+    FROM m GROUP BY op
+    """,
+    doc="Change-image sparsity report: per op kind, event count, total "
+        "shipped map entries, and the per-mille fill ratio against the "
+        "10-column full image — the wire-efficiency observability for "
+        "TOAST-sparse UPDATEs (absent-not-null, "
+        "PgWalMessageDecoder.java:206-207) and key-only DELETEs "
+        "(:123-145). The Spark side measures the ACTUAL map cardinality "
+        "of every synthesized envelope row while the oracle derives the "
+        "expected size arithmetically from the synthesis rules (full "
+        "image 10, sparse update 9, delete key 2) — equality proves the "
+        "envelope builder ships exactly the declared sparsity, no "
+        "accidental nulls-instead-of-absent. One scan-side size() "
+        "projection + a 3-row hash agg.",
+)
+def cdc_image_sparsity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _changelog(spark, sf_dir)
+    m = log.select("op", F.size("columns").alias("n_cols"))
+    return m.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("n_cols").cast("bigint").alias("total_map_entries"),
+        F.expr("(1000 * sum(n_cols)) div (10 * count(*))")
+        .cast("bigint")
+        .alias("fill_permille"),
+    )
