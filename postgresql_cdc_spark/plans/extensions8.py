@@ -2435,3 +2435,55 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_intersect"),
         F.size(F.array_except("a", "b")).cast("bigint").alias("n_except"),
     )
+
+
+# --- first/last_value frame pin ----------------------------------------------
+
+@register(
+    "window_first_last_frame_pin",
+    """
+    WITH r AS (SELECT o_custkey, o_orderkey,
+                      first_value(o_orderpriority) OVER w AS first_pri,
+                      last_value(o_orderpriority) OVER
+                          (PARTITION BY o_custkey
+                           ORDER BY epoch_ms(CAST(o_orderdate AS TIMESTAMP)),
+                                    o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS last_pri,
+                      ROW_NUMBER() OVER w AS rn
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey
+                            ORDER BY epoch_ms(CAST(o_orderdate AS TIMESTAMP)),
+                                     o_orderkey))
+    SELECT o_custkey, first_pri, last_pri
+    FROM r WHERE rn = 1
+    """,
+    doc="FIRST_VALUE / LAST_VALUE with the frame trap pinned: under the "
+        "SQL-default frame (UNBOUNDED PRECEDING..CURRENT ROW) "
+        "last_value() returns the CURRENT row — the classic silent wrong "
+        "answer — so the query states the full-partition frame "
+        "explicitly and the gate proves first/last order priorities per "
+        "customer agree bit-for-bit across engines (deterministic "
+        "(date, key) ordering; date compared through epoch millis to "
+        "stay calendar-free). One customer-keyed window pass shared by "
+        "all three window functions.",
+)
+def window_first_last_frame_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority",
+        F.expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").alias("dms"),
+    )
+    base = W.partitionBy("o_custkey").orderBy("dms", "o_orderkey")
+    w_cur = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_full = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = o.select(
+        "o_custkey",
+        F.first("o_orderpriority").over(w_cur).alias("first_pri"),
+        F.last("o_orderpriority").over(w_full).alias("last_pri"),
+        F.row_number().over(base).alias("rn"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "o_custkey", "first_pri", "last_pri"
+    )
