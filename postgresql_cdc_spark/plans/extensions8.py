@@ -2487,3 +2487,44 @@ def window_first_last_frame_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.where(F.col("rn") == 1).select(
         "o_custkey", "first_pri", "last_pri"
     )
+
+
+# --- FILTER'd aggregates -----------------------------------------------------
+
+@register(
+    "agg_filter_clause",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT)
+             AS n_finished,
+           CAST(SUM(CAST(l_quantity AS BIGINT))
+                FILTER (WHERE l_quantity >= 25) AS BIGINT) AS qty_heavy,
+           CAST(COUNT(DISTINCT l_suppkey)
+                FILTER (WHERE l_discount = 0) AS BIGINT)
+             AS n_supp_undiscounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="FILTER (WHERE ...) aggregate modifier: per-aggregate predicates "
+        "in ONE pass over the fact table — the standard-SQL form of "
+        "conditional aggregation (count/sum/count-distinct each with "
+        "their own filter), which otherwise multiplies into CASE "
+        "expressions or separate scans. Both engines support the clause "
+        "natively; one hash agg, map-side combinable except the "
+        "filtered distinct (which expands to its own keyed dedup, the "
+        "same cost a standalone distinct would pay).",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.expr("COUNT(*) FILTER (WHERE l_linestatus = 'F')")
+        .cast("bigint")
+        .alias("n_finished"),
+        F.expr(
+            "SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity >= 25)"
+        ).cast("bigint").alias("qty_heavy"),
+        F.expr(
+            "COUNT(DISTINCT l_suppkey) FILTER (WHERE l_discount = 0)"
+        ).cast("bigint").alias("n_supp_undiscounted"),
+    )
