@@ -2528,3 +2528,93 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COUNT(DISTINCT l_suppkey) FILTER (WHERE l_discount = 0)"
         ).cast("bigint").alias("n_supp_undiscounted"),
     )
+
+
+# --- TRY_CAST error-safe casting ---------------------------------------------
+
+@register(
+    "scalar_try_cast",
+    """
+    WITH t AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 3 = 0
+                           THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                           ELSE CAST(o_orderkey AS VARCHAR) END AS raw
+               FROM orders),
+    c AS (SELECT o_orderkey, raw, TRY_CAST(raw AS BIGINT) AS parsed
+          FROM t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(parsed) AS BIGINT) AS n_parsed,
+           CAST(COUNT(*) - COUNT(parsed) AS BIGINT) AS n_failed,
+           CAST(SUM(parsed) AS BIGINT) AS sum_parsed
+    FROM c
+    """,
+    doc="TRY_CAST error-safe ingestion: a planted dirty column (every "
+        "third key prefixed with a letter) parses with NULL-on-failure "
+        "semantics instead of the ANSI runtime error — the standard "
+        "quarantine-counting pattern for semi-trusted feeds (n_failed "
+        "IS the dead-letter count; a CAST would kill the job on row "
+        "one under ANSI mode). Both engines' TRY_CAST agree exactly; "
+        "one projection + one scalar agg.",
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_orderkey")
+    t = o.select(
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit("x"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("raw")
+    )
+    c = t.select(F.expr("TRY_CAST(raw AS BIGINT)").alias("parsed"))
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("parsed").cast("bigint").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("parsed"))
+        .cast("bigint")
+        .alias("n_failed"),
+        F.sum("parsed").cast("bigint").alias("sum_parsed"),
+    )
+
+
+# --- LATERAL correlated top-n join -------------------------------------------
+
+_LATERAL_TOPN_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.cents
+    FROM customer c,
+    LATERAL (SELECT o_orderkey,
+                    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT) AS cents
+             FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT) DESC, o_orderkey
+             LIMIT 2) o
+"""
+
+
+@register(
+    "join_lateral_topn",
+    _LATERAL_TOPN_SQL,
+    doc="LATERAL correlated top-n join: each customer's two most "
+        "expensive orders via a correlated ORDER BY ... LIMIT subquery — "
+        "the SQL-standard spelling of per-group top-k that both engines "
+        "accept verbatim (the same Spark SQL text IS the oracle text). "
+        "Catalyst DECORRELATES the lateral limit into a window/rank over "
+        "a single equi-join on the correlation key rather than executing "
+        "the subquery per outer row — gating that the rewrite preserves "
+        "tie semantics ((cents, key) deterministic ordering). Customers "
+        "with no orders drop (inner lateral), matching the oracle.",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    run = abs(hash(("lat", spark.sparkContext.applicationId))) % 10**8
+    cv, ov = f"pgcdc_lat_c_{run}", f"pgcdc_lat_o_{run}"
+    c.createOrReplaceTempView(cv)
+    o.createOrReplaceTempView(ov)
+    return spark.sql(
+        _LATERAL_TOPN_SQL.replace("FROM customer", f"FROM {cv}")
+        .replace("FROM orders", f"FROM {ov}")
+        .replace(" customer c", f" {cv} c")
+    )
