@@ -2618,3 +2618,44 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("FROM orders", f"FROM {ov}")
         .replace(" customer c", f" {cv} c")
     )
+
+
+# --- correlated EXISTS / NOT EXISTS ------------------------------------------
+
+_CORR_EXISTS_SQL = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND CAST(o.o_totalprice AS DECIMAL(14,2)) > 150000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+"""
+
+
+@register(
+    "join_correlated_exists",
+    _CORR_EXISTS_SQL,
+    doc="Correlated EXISTS + NOT EXISTS in one predicate: customers with "
+        "at least one high-value order and no pending order — the "
+        "SQL-standard spelling whose DECORRELATION both engines must "
+        "agree on (Catalyst rewrites EXISTS to a left-semi and NOT "
+        "EXISTS to a left-anti join on the correlation key; the same "
+        "SQL text IS the oracle). Complements the DataFrame-API "
+        "semi/anti queries by gating the SQL front door: a decorrelation "
+        "bug that duplicated or dropped rows under the conjunction of "
+        "both quantifiers would hash-mismatch here. Two co-partitioned "
+        "hash joins on the customer key.",
+)
+def join_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    run = abs(hash(("cex", spark.sparkContext.applicationId))) % 10**8
+    cv, ov = f"pgcdc_cex_c_{run}", f"pgcdc_cex_o_{run}"
+    c.createOrReplaceTempView(cv)
+    o.createOrReplaceTempView(ov)
+    return spark.sql(
+        _CORR_EXISTS_SQL.replace("FROM customer c", f"FROM {cv} c")
+        .replace("FROM orders o", f"FROM {ov} o")
+    )
