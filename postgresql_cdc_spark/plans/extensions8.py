@@ -2659,3 +2659,46 @@ def join_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CORR_EXISTS_SQL.replace("FROM customer c", f"FROM {cv} c")
         .replace("FROM orders o", f"FROM {ov} o")
     )
+
+
+# --- correlated scalar subquery ----------------------------------------------
+
+_CORR_SCALAR_SQL = """
+    SELECT c_custkey,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+           CAST(coalesce((SELECT SUM(CAST(CAST(o.o_totalprice
+                              AS DECIMAL(14,2)) * 100 AS BIGINT))
+                          FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'), 0) AS BIGINT)
+             AS finished_cents
+    FROM customer c
+"""
+
+
+@register(
+    "join_correlated_scalar_subq",
+    _CORR_SCALAR_SQL,
+    doc="Correlated SCALAR subqueries in the projection: per customer, a "
+        "correlated COUNT (must yield 0, not NULL, for order-less "
+        "customers — the count-bug corner every decorrelation rewrite "
+        "must get right) and a correlated filtered SUM coalesced to "
+        "zero. Catalyst rewrites each into a left outer join against a "
+        "pre-aggregated subquery keyed on the correlation column; the "
+        "identical SQL text runs as the oracle, so a count-bug "
+        "regression (NULL instead of 0 rows) or a duplicate-row rewrite "
+        "hash-mismatches immediately. Two co-partitioned aggregate "
+        "joins; every customer row survives exactly once.",
+)
+def join_correlated_scalar_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    run = abs(hash(("csq", spark.sparkContext.applicationId))) % 10**8
+    cv, ov = f"pgcdc_csq_c_{run}", f"pgcdc_csq_o_{run}"
+    c.createOrReplaceTempView(cv)
+    o.createOrReplaceTempView(ov)
+    return spark.sql(
+        _CORR_SCALAR_SQL.replace("FROM customer c", f"FROM {cv} c")
+        .replace("FROM orders o", f"FROM {ov} o")
+    )
