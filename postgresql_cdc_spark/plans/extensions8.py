@@ -2702,3 +2702,45 @@ def join_correlated_scalar_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CORR_SCALAR_SQL.replace("FROM customer c", f"FROM {cv} c")
         .replace("FROM orders o", f"FROM {ov} o")
     )
+
+
+# --- IN / NOT IN null semantics ----------------------------------------------
+
+_NOT_IN_SQL = """
+    WITH sub AS (SELECT nullif(o_custkey, 1) AS k FROM orders),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_in FROM customer
+          WHERE c_custkey IN (SELECT k FROM sub)),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_not_in_with_null
+          FROM customer WHERE c_custkey NOT IN (SELECT k FROM sub)),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_not_in_null_stripped
+          FROM customer
+          WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+    SELECT a.n_in, b.n_not_in_with_null, c.n_not_in_null_stripped
+    FROM a CROSS JOIN b CROSS JOIN c
+"""
+
+
+@register(
+    "join_not_in_null_semantics",
+    _NOT_IN_SQL,
+    doc="NOT IN three-valued-logic pin — the most-ported-wrong predicate "
+        "in SQL: the subquery plants one NULL (nullif on a real key), so "
+        "NOT IN must return ZERO rows (x <> NULL is unknown for every "
+        "x), while the NULL-stripped variant returns the real "
+        "complement and IN is unaffected. Both engines must agree on "
+        "all three counts; an engine or rewrite that treats NOT IN as "
+        "a plain anti join without the null guard (Catalyst plans it "
+        "as null-aware anti join) inflates the middle count and fails "
+        "the hash. Three aggregate scalars crossed into one row.",
+)
+def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    run = abs(hash(("nin", spark.sparkContext.applicationId))) % 10**8
+    cv, ov = f"pgcdc_nin_c_{run}", f"pgcdc_nin_o_{run}"
+    c.createOrReplaceTempView(cv)
+    o.createOrReplaceTempView(ov)
+    return spark.sql(
+        _NOT_IN_SQL.replace("FROM orders", f"FROM {ov}")
+        .replace("FROM customer", f"FROM {cv}")
+    )

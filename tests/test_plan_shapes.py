@@ -51,6 +51,7 @@ NESTED_LOOP_OK = {
     "dq_referential_orphans",  # one-row orphan/total-count scalar broadcasts
     "text_source_divergence",  # one-row token-totals scalar broadcast
     "emb_pairwise_distance_hist",  # bounded ~10%-sample all-pairs (documented)
+    "join_not_in_null_semantics",  # three one-row count scalars crossed
 }
 
 
