@@ -2744,3 +2744,53 @@ def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NOT_IN_SQL.replace("FROM orders", f"FROM {ov}")
         .replace("FROM customer", f"FROM {cv}")
     )
+
+
+# --- date/interval arithmetic ------------------------------------------------
+
+@register(
+    "scalar_date_arithmetic",
+    """
+    WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders WHERE o_orderkey % 37 = 0)
+    SELECT o_orderkey,
+           CAST(epoch_ms(CAST(d AS TIMESTAMP)) // 86400000 AS BIGINT)
+             AS order_day_num,
+           CAST(epoch_ms(CAST(d + INTERVAL 90 DAY AS TIMESTAMP)) // 86400000
+                AS BIGINT) AS due_day_num,
+           CAST(epoch_ms(CAST(date_trunc('month', d) AS TIMESTAMP))
+                // 86400000 AS BIGINT) AS month_start_day_num,
+           CAST(epoch_ms(CAST(last_day(d) AS TIMESTAMP)) // 86400000
+                AS BIGINT) AS month_end_day_num,
+           CAST(EXTRACT(day FROM d) AS INT) AS dom
+    FROM o
+    """,
+    doc="Date/interval arithmetic surface: +INTERVAL addition, "
+        "date_trunc-to-month, last_day, and day-of-month — the calendar "
+        "operations SLA-due-date and month-boundary logic depend on, "
+        "pinned where the calendars genuinely agree (month boundaries "
+        "are convention-free, unlike week starts and day-of-week "
+        "numbering, which stay off this surface deliberately — the "
+        "engine's other temporal queries use pure epoch arithmetic for "
+        "exactly that reason). Everything lands as an epoch day number, "
+        "so the comparison is integer-exact. Scan-side projection on a "
+        "key-sampled subset; no shuffle.",
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 37 == 0
+    ).select("o_orderkey", F.col("o_orderdate").cast("date").alias("d"))
+
+    def day_num(col):
+        return F.expr(
+            f"unix_millis(CAST({col} AS TIMESTAMP)) div 86400000"
+        ).cast("bigint")
+
+    return o.select(
+        "o_orderkey",
+        day_num("d").alias("order_day_num"),
+        day_num("d + INTERVAL 90 DAY").alias("due_day_num"),
+        day_num("date_trunc('month', d)").alias("month_start_day_num"),
+        day_num("last_day(d)").alias("month_end_day_num"),
+        F.dayofmonth("d").cast("int").alias("dom"),
+    )
