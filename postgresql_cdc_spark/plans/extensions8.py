@@ -2794,3 +2794,50 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_num("last_day(d)").alias("month_end_day_num"),
         F.dayofmonth("d").cast("int").alias("dom"),
     )
+
+
+# --- ordered string aggregation ----------------------------------------------
+
+@register(
+    "agg_listagg_ordered",
+    """
+    WITH r AS (SELECT c_mktsegment, c_name,
+                      CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        AS bal_c,
+                      ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                          ORDER BY CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                                        AS BIGINT) DESC, c_name) AS rn
+               FROM customer)
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY bal_c DESC, c_name) AS top_names,
+           CAST(SUM(bal_c) AS BIGINT) AS top_bal_cents
+    FROM r WHERE rn <= 3
+    GROUP BY c_mktsegment
+    """,
+    doc="Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP, "
+        "new in Spark 4): the 3 highest-balance customer names per "
+        "market segment concatenated in explicit (balance DESC, name) "
+        "order — string aggregation is only deterministic WITH the "
+        "order clause, which is precisely what this pins cross-engine "
+        "(DuckDB's string_agg ORDER BY states the same contract). Top-3 "
+        "pre-cut by a window over decimal cents so the aggregate's "
+        "input set is identical on both sides; one segment-keyed "
+        "window + one hash agg.",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    c = T(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_name",
+        (DEC("c_acctbal", 12, 2) * 100).cast("bigint").alias("bal_c"),
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("bal_c"), F.asc("c_name")
+    )
+    r = c.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    return r.groupBy("c_mktsegment").agg(
+        F.expr(
+            "listagg(c_name, ',') WITHIN GROUP (ORDER BY bal_c DESC, c_name)"
+        ).alias("top_names"),
+        F.sum("bal_c").cast("bigint").alias("top_bal_cents"),
+    )
