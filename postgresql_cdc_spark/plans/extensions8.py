@@ -2841,3 +2841,45 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_names"),
         F.sum("bal_c").cast("bigint").alias("top_bal_cents"),
     )
+
+
+# --- interpolated percentiles ------------------------------------------------
+
+@register(
+    "agg_percentile_cont",
+    """
+    WITH c AS (SELECT c_mktsegment,
+                      CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        AS bal_c
+               FROM customer)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(quantile_cont(bal_c, 0.25) AS DOUBLE) AS p25_cents,
+           CAST(quantile_cont(bal_c, 0.5) AS DOUBLE) AS p50_cents,
+           CAST(quantile_cont(bal_c, 0.75) AS DOUBLE) AS p75_cents
+    FROM c GROUP BY c_mktsegment
+    """,
+    doc="Interpolated percentiles (PERCENTILE_CONT semantics, the "
+        "continuous twin of the gated percentile_disc family): quartiles "
+        "of integer account-balance cents per segment. Linear "
+        "interpolation between two int64 cents yields either a whole or "
+        "a .5 value — both exactly representable in a double — so the "
+        "cross-engine comparison stays bit-exact WITHOUT the usual "
+        "float-aggregation hazard (the doc for why: interpolation at "
+        "quartile ranks is (a+b)/2 or a pure element pick, never an "
+        "accumulated sum). One segment-keyed sorted agg.",
+)
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (DEC("c_acctbal", 12, 2) * 100).cast("bigint").alias("bal_c"),
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY bal_c)")
+        .cast("double").alias("p25_cents"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY bal_c)")
+        .cast("double").alias("p50_cents"),
+        F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY bal_c)")
+        .cast("double").alias("p75_cents"),
+    )
