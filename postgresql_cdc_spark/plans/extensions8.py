@@ -2883,3 +2883,55 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY bal_c)")
         .cast("double").alias("p75_cents"),
     )
+
+
+# --- inline VALUES dimension join --------------------------------------------
+
+_PRIORITY_DIM = (
+    "(VALUES ('1-URGENT', 1, 4), ('2-HIGH', 2, 24), ('3-MEDIUM', 3, 72), "
+    "('4-NOT SPECIFIED', 4, 168), ('5-LOW', 5, 336)) "
+    "AS dim(pri, sev, sla_hours)"
+)
+
+
+@register(
+    "join_inline_values_dim",
+    f"""
+    SELECT dim.sev, dim.sla_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders JOIN {_PRIORITY_DIM} ON o_orderpriority = dim.pri
+    GROUP BY dim.sev, dim.sla_hours
+    """,
+    doc="Inline VALUES dimension join: a literal five-row lookup table "
+        "(priority -> severity rank + SLA hours) joined to the fact "
+        "table — the recode-without-a-table pattern that replaces CASE "
+        "ladders with a joinable, reusable dimension, and the smallest "
+        "possible demonstration of the broadcast-dim star shape (the "
+        "literal relation broadcasts by construction; the fact table "
+        "never shuffles before the map-side-combinable rollup). "
+        "Identical VALUES syntax on both engines.",
+)
+def join_inline_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", 1, 4),
+            ("2-HIGH", 2, 24),
+            ("3-MEDIUM", 3, 72),
+            ("4-NOT SPECIFIED", 4, 168),
+            ("5-LOW", 5, 336),
+        ],
+        "pri string, sev int, sla_hours int",
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_orderpriority == dim.pri)
+        .groupBy("sev", "sla_hours")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum((DEC("o_totalprice", 14, 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
