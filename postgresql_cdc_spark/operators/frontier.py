@@ -59,3 +59,71 @@ def pareto_skyline_2d(
     banded = df.withColumn("__band", F.expr(f"{cost} div {band_width}"))
     survivors = _skyline_filter(banded, cost, gain, ["__band"]).drop("__band")
     return _skyline_filter(survivors, cost, gain, [])
+
+
+def pareto_skyline_nd(
+    df: DataFrame,
+    cost: str,
+    gains: "list[str]",
+) -> DataFrame:
+    """N-dimensional Pareto frontier (minimize ``cost``, maximize every
+    column in ``gains``): q dominates p iff q.cost <= p.cost, every
+    q.gain >= p.gain, and at least one comparison is strict; identical
+    points all survive.
+
+    Beyond 2-D the staircase/window trick no longer applies (the
+    dominance region is a product of halfspaces over several gain
+    columns), so this composes the standard two-phase distributed
+    skyline from Arrow-batched numpy kernels instead:
+
+    - phase 1 (mapInPandas): each partition drops its LOCALLY dominated
+      rows — sound for ANY partitioning because a dominator observed
+      locally is also a global dominator, so pruning can never remove a
+      frontier point; the vectorized O(n^2) check runs on
+      partition-sized chunks;
+    - phase 2: survivors (empirically a vanishing fraction — bounded by
+      the product of distinct gain values) gather into ONE group via
+      applyInPandas for the exact global pass with the same kernel.
+
+    The two-phase structure is exactly operators/frontier.pareto_skyline_2d
+    generalized; only the per-chunk kernel changes from a running max to a
+    numpy dominance matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1:
+            return pdf
+        c = pdf[cost].to_numpy()
+        gs = [pdf[g].to_numpy() for g in gains]
+        n = len(pdf)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            ge = c <= c[i]
+            strict = c < c[i]
+            for g in gs:
+                ge &= g >= g[i]
+                strict |= g > g[i]
+            if bool((ge & strict).any()):
+                keep[i] = False
+        return pdf[keep]
+
+    def _map_prune(batches):
+        for pdf in batches:
+            yield _prune(pdf)
+
+    schema = df.select(*df.columns).schema
+    local = df.mapInPandas(_map_prune, schema)
+
+    def _global(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _prune(pdf)
+
+    return (
+        local.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda key, pdf: _global(key, pdf.drop(columns="__g")),
+            schema,
+        )
+    )

@@ -2935,3 +2935,63 @@ def join_inline_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+# --- 3-D Pareto skyline ------------------------------------------------------
+
+@register(
+    "skyline_pareto_3d",
+    """
+    WITH shipped AS (SELECT l_partkey,
+                            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                              AS shipped_qty
+                     FROM lineitem GROUP BY l_partkey),
+    base AS (SELECT p.p_partkey,
+                    CAST(CAST(p.p_retailprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT) AS price_c,
+                    CAST(p.p_size AS BIGINT) AS p_size,
+                    s.shipped_qty
+             FROM part p JOIN shipped s ON p.p_partkey = s.l_partkey)
+    SELECT a.p_partkey, a.price_c, a.p_size, a.shipped_qty
+    FROM base a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM base b
+        WHERE b.price_c <= a.price_c
+          AND b.p_size >= a.p_size
+          AND b.shipped_qty >= a.shipped_qty
+          AND (b.price_c < a.price_c OR b.p_size > a.p_size
+               OR b.shipped_qty > a.shipped_qty))
+    """,
+    doc="3-D Pareto skyline: parts minimizing price while maximizing BOTH "
+        "size and historical shipped volume — beyond 2-D the windowed "
+        "staircase no longer exists (dominance is a product of "
+        "halfspaces), so this runs operators/frontier.pareto_skyline_nd: "
+        "a numpy dominance kernel as a per-partition mapInPandas LOCAL "
+        "prune (sound under any partitioning: a local dominator is a "
+        "global one) followed by the exact global pass over the "
+        "vanishing survivor set in one applyInPandas group — the "
+        "canonical shape for operators whose per-element test needs the "
+        "whole candidate set. The oracle states dominance directly as "
+        "NOT EXISTS. Restricted to shipped parts (the volume axis must "
+        "exist); identical triples all survive.",
+)
+def skyline_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators.frontier import pareto_skyline_nd
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    shipped = li.groupBy("l_partkey").agg(
+        F.sum("q").cast("bigint").alias("shipped_qty")
+    )
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        (DEC("p_retailprice", 12, 2) * 100).cast("bigint").alias("price_c"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    base = p.join(shipped, p.p_partkey == shipped.l_partkey).select(
+        "p_partkey", "price_c", "p_size", "shipped_qty"
+    )
+    return pareto_skyline_nd(
+        base, cost="price_c", gains=["p_size", "shipped_qty"]
+    )

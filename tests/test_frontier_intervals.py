@@ -104,3 +104,49 @@ class TestIntervalUnionCoverage:
                 s = rng.randrange(0, 500)
                 rows.append((k, s, s + rng.randrange(1, 40)))
         assert self._run(spark, rows) == _brute_coverage(rows)
+
+
+def _brute_skyline_nd(rows):
+    out = []
+    for i, r in enumerate(rows):
+        pid, c, g1, g2 = r
+        dominated = any(
+            (qc <= c and qg1 >= g1 and qg2 >= g2)
+            and (qc < c or qg1 > g1 or qg2 > g2)
+            for j, (qid, qc, qg1, qg2) in enumerate(rows)
+            if j != i
+        )
+        if not dominated:
+            out.append(r)
+    return sorted(out)
+
+
+class TestParetoSkylineNd:
+    def _run(self, spark, rows, partitions):
+        from postgresql_cdc_spark.operators.frontier import pareto_skyline_nd
+
+        df = spark.createDataFrame(
+            rows, "id long, cost long, g1 long, g2 long"
+        ).repartition(partitions)
+        got = pareto_skyline_nd(df, "cost", ["g1", "g2"])
+        return sorted((r.id, r.cost, r.g1, r.g2) for r in got.collect())
+
+    def test_identical_points_survive_together(self, spark):
+        rows = [(1, 5, 5, 5), (2, 5, 5, 5), (3, 6, 5, 5)]
+        assert self._run(spark, rows, 2) == [(1, 5, 5, 5), (2, 5, 5, 5)]
+
+    def test_third_dimension_rescues_2d_dominated(self, spark):
+        # point 2 loses on (cost, g1) but wins on g2 -> both survive
+        rows = [(1, 1, 9, 1), (2, 2, 1, 9)]
+        assert self._run(spark, rows, 2) == sorted(rows)
+
+    def test_randomized_vs_brute_force_across_partitionings(self, spark):
+        rng = random.Random(38)
+        rows = [
+            (i, rng.randrange(0, 20), rng.randrange(0, 8),
+             rng.randrange(0, 8))
+            for i in range(150)
+        ]
+        want = _brute_skyline_nd(rows)
+        for parts in (1, 3, 16):
+            assert self._run(spark, rows, parts) == want, f"parts={parts}"
