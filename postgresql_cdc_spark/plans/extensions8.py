@@ -2995,3 +2995,60 @@ def skyline_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_skyline_nd(
         base, cost="price_c", gains=["p_size", "shipped_qty"]
     )
+
+
+# --- heavy-hitter concentration curve ----------------------------------------
+
+@register(
+    "events_heavy_hitters",
+    """
+    WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+    r AS (SELECT user_id, n_events,
+                 ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rnk,
+                 CAST(SUM(n_events) OVER (ORDER BY n_events DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_events
+          FROM u)
+    SELECT CAST(r.rnk AS BIGINT) AS rnk, r.user_id, r.n_events,
+           r.cum_events,
+           CAST((1000000 * r.cum_events) // tot.t AS BIGINT)
+             AS cum_share_ppm
+    FROM r CROSS JOIN tot
+    WHERE r.rnk <= 20
+    """,
+    doc="Heavy-hitter concentration curve: the top-20 users by event "
+        "count with running cumulative coverage in integer ppm — answers "
+        "'what fraction of traffic do the K loudest sources produce', "
+        "the skew-awareness report that sizes per-key salting, rate "
+        "limits, and abuse review queues (reading the curve at K IS the "
+        "salting decision the engine's salted-agg queries then apply). "
+        "Shape: one user hash agg, then ranking windows over the "
+        "ALREADY-REDUCED |users| rollup — at 100 TB the window input is "
+        "users, not events, and top-20 prunes via per-partition heaps; "
+        "the totals frame is a one-row broadcast.",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = EV(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    tot = u.agg(F.sum("n_events").cast("bigint").alias("t"))
+    base = W.orderBy(F.desc("n_events"), F.asc("user_id"))
+    r = u.select(
+        "user_id", "n_events",
+        F.row_number().over(base).cast("bigint").alias("rnk"),
+        F.sum("n_events")
+        .over(base.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_events"),
+    ).where(F.col("rnk") <= 20)
+    return r.crossJoin(F.broadcast(tot)).select(
+        "rnk", "user_id", "n_events", "cum_events",
+        F.expr("(1000000 * cum_events) div t").cast("bigint")
+        .alias("cum_share_ppm"),
+    )

@@ -52,6 +52,7 @@ NESTED_LOOP_OK = {
     "text_source_divergence",  # one-row token-totals scalar broadcast
     "emb_pairwise_distance_hist",  # bounded ~10%-sample all-pairs (documented)
     "join_not_in_null_semantics",  # three one-row count scalars crossed
+    "events_heavy_hitters",  # one-row event-total scalar broadcast
 }
 
 
