@@ -3052,3 +3052,55 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * cum_events) div t").cast("bigint")
         .alias("cum_share_ppm"),
     )
+
+
+# --- cumulative distinct via first-seen rewrite ------------------------------
+
+@register(
+    "orders_cumulative_customers",
+    """
+    WITH first_seen AS (
+        SELECT o_custkey,
+               MIN(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000)
+                 AS first_day
+        FROM orders GROUP BY o_custkey),
+    daily AS (SELECT first_day AS day_num,
+                     CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM first_seen GROUP BY first_day)
+    SELECT CAST(day_num AS BIGINT) AS day_num, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day_num ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_customers
+    FROM daily
+    """,
+    doc="Cumulative distinct customers by day — growth accounting. A "
+        "running COUNT(DISTINCT) is not expressible as a window "
+        "aggregate on either engine; the standard rewrite is: each "
+        "customer contributes exactly once at their FIRST-SEEN day, so "
+        "cumulative-distinct = running sum of per-day first-appearance "
+        "counts. Two hash aggs (customer-keyed min, then day rollup) "
+        "and a window over the tiny |days| frame — at 100 TB the only "
+        "full-data pass is the first agg, which is the natural "
+        "per-customer reduction any customer-360 job already runs.",
+)
+def orders_cumulative_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000"
+        ).alias("day_num"),
+    )
+    first_seen = o.groupBy("o_custkey").agg(
+        F.min("day_num").alias("first_day")
+    )
+    daily = first_seen.groupBy(
+        F.col("first_day").alias("day_num")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    w = W.orderBy("day_num").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day_num").cast("bigint").alias("day_num"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_customers"),
+    )
