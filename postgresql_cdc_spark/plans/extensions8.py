@@ -3104,3 +3104,40 @@ def orders_cumulative_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).cast("bigint").alias("cum_customers"),
     )
+
+
+# --- schema-drift-tolerant union ---------------------------------------------
+
+@register(
+    "union_schema_drift",
+    """
+    SELECT c_custkey, c_name, NULL AS bal_cents, 'v1' AS src
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS bal_cents,
+           'v2' AS src
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    doc="Schema-drift-tolerant union: two feed versions of the same "
+        "entity — v1 ships names, v2 ships balances — unioned BY NAME "
+        "with absent columns null-padded (Spark: "
+        "unionByName(allowMissingColumns=True); DuckDB: UNION ALL BY "
+        "NAME) — the batch twin of the engine's mid-stream RELATION "
+        "schema evolution: a consumer reading a table across a column "
+        "add/drop must align by NAME, never by position (positional "
+        "UNION silently scrambles columns on drift). Pure scan-side "
+        "concatenation; no shuffle.",
+)
+def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    v1 = c.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", F.lit("v1").alias("src")
+    )
+    v2 = c.where(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        (DEC("c_acctbal", 12, 2) * 100).cast("bigint").alias("bal_cents"),
+        F.lit("v2").alias("src"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
