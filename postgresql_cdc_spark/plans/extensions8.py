@@ -3141,3 +3141,50 @@ def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("v2").alias("src"),
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+# --- nested array-of-structs round-trip --------------------------------------
+
+@register(
+    "nested_struct_roundtrip",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT) AS cents
+               FROM orders)
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM o GROUP BY o_custkey
+    """,
+    doc="Nested array-of-structs round-trip: per customer, orders COLLECT "
+        "into a sorted array of (cents, key) structs, and the aggregates "
+        "are then computed THROUGH the nested value — count via size(), "
+        "min via element [0] of the struct-ordered sort, total via an "
+        "aggregate() fold over the struct field — while the oracle "
+        "computes them directly from the rows. Equality proves the "
+        "nested path (collect_list -> struct-lexicographic sort_array -> "
+        "field access/HOF fold) is a faithful multiset round-trip — the "
+        "invariant every nest/unnest ETL silently depends on. One "
+        "customer-keyed agg; the array lives only inside the row.",
+)
+def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (DEC("o_totalprice", 14, 2) * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    g = o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("cents", "o_orderkey"))
+        ).alias("arr")
+    )
+    return g.select(
+        "o_custkey",
+        F.size("arr").cast("bigint").alias("n_orders"),
+        F.expr("arr[0].cents").cast("bigint").alias("min_cents"),
+        F.expr("aggregate(arr, 0L, (a, x) -> a + x.cents)")
+        .cast("bigint")
+        .alias("total_cents"),
+    )
