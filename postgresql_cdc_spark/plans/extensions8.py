@@ -3188,3 +3188,57 @@ def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+# --- funnel time-to-convert distribution -------------------------------------
+
+@register(
+    "events_funnel_time_to_convert",
+    """
+    WITH s1 AS (SELECT user_id, MIN(epoch_ms(ts)) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s3 AS (SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t3
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s1.t1
+           GROUP BY e.user_id),
+    d AS (SELECT (s3.t3 - s1.t1) // 60000 // 30 * 30 AS bucket_minutes
+          FROM s1 JOIN s3 ON s1.user_id = s3.user_id)
+    SELECT CAST(bucket_minutes AS BIGINT) AS bucket_minutes,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY bucket_minutes
+    """,
+    doc="Funnel latency distribution: time from first view to first "
+        "subsequent purchase per converting user, as a 30-minute-bucket "
+        "histogram — the latency complement of events_funnel_steps "
+        "(which reports WHO converts; this reports HOW LONG conversion "
+        "takes, the number a checkout-flow owner actually tunes "
+        "against). Same chained filtered-min shape as the funnel "
+        "(stage-2 scans only users who reached stage 1), then a "
+        "map-side-combinable histogram over the bounded bucket domain; "
+        "integer epoch-ms throughout.",
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = EV(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t1"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where(F.col("ms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t3"))
+    )
+    d = s1.join(s3, "user_id").select(
+        F.expr("(t3 - t1) div 60000 div 30 * 30").alias("bucket_minutes")
+    )
+    return d.groupBy("bucket_minutes").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(
+        F.col("bucket_minutes").cast("bigint").alias("bucket_minutes"),
+        "n_users",
+    )
