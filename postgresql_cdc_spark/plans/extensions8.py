@@ -3242,3 +3242,54 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("bucket_minutes").cast("bigint").alias("bucket_minutes"),
         "n_users",
     )
+
+
+# --- session bounce rate -----------------------------------------------------
+
+@register(
+    "events_bounce_rate",
+    f"""
+    WITH {SESSIONIZED_EVENTS_CTE},
+    per_sess AS (SELECT user_id, session_id,
+                        MIN(ts_ms) AS start_ms,
+                        COUNT(*) AS n_events
+                 FROM sessions GROUP BY user_id, session_id)
+    SELECT CAST(start_ms // 86400000 AS BIGINT) AS day_num,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST((1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM per_sess GROUP BY day_num
+    """,
+    doc="Daily bounce rate: share of single-event sessions per "
+        "session-start day, in integer ppm — the engagement-quality "
+        "staple, built on THE canonical 30-minute sessionizer every "
+        "session query shares (a boundary-rule change propagates here "
+        "by construction). Shape: the sessionizer's one user-keyed "
+        "window, a (user, session) rollup that stays in the same "
+        "partitioning, then a |days|-sized histogram agg — nothing "
+        "beyond the shuffle sessionization already pays.",
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.plans.common import sessionized_events
+
+    s = sessionized_events(spark, sf_dir)
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.min("ts_ms").alias("start_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = per_sess.groupBy(
+        F.expr("start_ms div 86400000").alias("day_num")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+    )
+    return g.select(
+        F.col("day_num").cast("bigint").alias("day_num"),
+        "n_sessions", "n_bounces",
+        F.expr("(1000000 * n_bounces) div n_sessions").cast("bigint")
+        .alias("bounce_ppm"),
+    )
