@@ -144,3 +144,39 @@ class TestBfsHops:
             self._bfs(
                 spark, [(i, i + 1) for i in range(1, 6)], [1], max_iter=2
             )
+
+
+class TestBfsHopsRandomized:
+    def test_random_digraphs_vs_python_bfs(self, spark):
+        import collections
+        import random
+
+        from postgresql_cdc_spark.operators.graph import bfs_hops
+
+        rng = random.Random(8)
+        for trial in range(3):
+            n = 40
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+            ]
+            seeds = sorted(rng.sample(range(n), 3))
+
+            adj = collections.defaultdict(list)
+            for s, t in edges:
+                adj[s].append(t)
+            want = {s: 0 for s in seeds}
+            q = collections.deque(seeds)
+            while q:
+                u = q.popleft()
+                for v in adj[u]:
+                    if v not in want:
+                        want[v] = want[u] + 1
+                        q.append(v)
+
+            e = spark.createDataFrame(edges, "src long, dst long")
+            sd = spark.createDataFrame([(x,) for x in seeds], "id long")
+            got = {
+                r.id: r.hops
+                for r in bfs_hops(e, sd, max_iter=50).collect()
+            }
+            assert got == want, f"trial={trial}"
