@@ -113,12 +113,16 @@ def interval_union_coverage(
     (key, n_intervals, covered) where covered = total merged length.
 
     Gaps-and-islands in one key-partitioned window pass: running max of t1
-    over the open ROWS frame marks island starts (a row whose start is
-    covered by ANY earlier interval can never open an island — the running
-    max is order-insensitive within start-time ties, so the optional
-    ``order_tiebreak`` column only pins frame order for determinism, not
-    the result), a running sum numbers islands, two hash aggs fold islands
-    to per-key totals. ONE shuffle on the key; both aggs map-side combine.
+    over the open ROWS frame marks island starts, a running sum numbers
+    islands, two hash aggs fold islands to per-key totals. ONE shuffle on
+    the key; both aggs map-side combine.
+
+    BOTH windows (the island-start flag and the island-numbering running
+    sum) MUST order by the same total order: with start-time ties, a
+    differently-ordered running sum could place a new-island row after its
+    tie peers, absorbing them into the previous island and inflating
+    ``covered`` nondeterministically. ``order_tiebreak`` (or t1 when
+    absent) makes that order total, and both windows share it.
     """
     order_cols = [t0] + ([order_tiebreak] if order_tiebreak else [t1])
     w_prev = (
@@ -127,14 +131,14 @@ def interval_union_coverage(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = intervals.select(
-        key, t0, t1,
+        key, t0, t1, *([order_tiebreak] if order_tiebreak else []),
         F.when(F.max(t1).over(w_prev) >= F.col(t0), 0)
         .otherwise(1)
         .alias("__new_island"),
     )
     w_run = (
         Window.partitionBy(key)
-        .orderBy(t0, t1)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.select(

@@ -190,7 +190,7 @@ _COVER_MS = 300000  # each event opens a 5-minute presence interval
                        epoch_ms(ts) + {_COVER_MS} AS t1
                 FROM events),
     flagged AS (
-        SELECT user_id, t0, t1,
+        SELECT user_id, event_id, t0, t1,
                CASE WHEN max(t1) OVER (PARTITION BY user_id
                         ORDER BY t0, event_id ROWS BETWEEN
                         UNBOUNDED PRECEDING AND 1 PRECEDING) >= t0
@@ -199,7 +199,7 @@ _COVER_MS = 300000  # each event opens a 5-minute presence interval
     islands AS (
         SELECT user_id, t0, t1,
                CAST(SUM(new_island) OVER (PARTITION BY user_id
-                    ORDER BY t0, t1 ROWS BETWEEN UNBOUNDED PRECEDING
+                    ORDER BY t0, event_id ROWS BETWEEN UNBOUNDED PRECEDING
                     AND CURRENT ROW) AS BIGINT) AS island
         FROM flagged),
     merged AS (
@@ -216,10 +216,10 @@ _COVER_MS = 300000  # each event opens a 5-minute presence interval
         "the billing/SLA/uptime primitive (distinct from sessionization: "
         "union length, not gap-bounded grouping). Gaps-and-islands in one "
         "user-keyed window pass: running max of interval end over the "
-        "open ROWS frame marks island starts (a tie-sharing event can "
-        "never open an island: the peer's end strictly exceeds its own "
-        "start), a running sum numbers islands, two hash aggs fold "
-        "islands to per-user totals. Shape: ONE shuffle on user_id; "
+        "open ROWS frame marks island starts, a running sum numbers "
+        "islands over the SAME (t0, event_id) total order — both windows "
+        "must share one total order or tie rows can be absorbed into the "
+        "wrong island — and two hash aggs fold islands to per-user totals. Shape: ONE shuffle on user_id; "
         "everything after is partition-local — the island window, both "
         "aggs (map-side combinable). All-integer milliseconds, "
         "bit-identical across engines.",

@@ -105,6 +105,27 @@ class TestIntervalUnionCoverage:
                 rows.append((k, s, s + rng.randrange(1, 40)))
         assert self._run(spark, rows) == _brute_coverage(rows)
 
+    def test_exact_tie_rows_with_tiebreak_column(self, spark):
+        # Regression: the island-start flag window and the island-numbering
+        # running sum must share ONE total order. Fixed-length intervals
+        # tie exactly on (t0, t1); with a tiebreak column the running sum
+        # used to order differently, so a new-island row could sort after
+        # its tie peers and absorb them into the previous island. Many
+        # exact duplicates + a gap exercises both island boundaries.
+        rows = [
+            (1, eid, 100, 110) for eid in range(30)
+        ] + [
+            (1, eid, 200, 210) for eid in range(30, 60)
+        ]
+        df = spark.createDataFrame(rows, "k long, eid long, t0 long, t1 long")
+        df = df.repartition(8)
+        got = interval_union_coverage(
+            df, key="k", t0="t0", t1="t1", order_tiebreak="eid"
+        )
+        assert {r.k: (r.n_intervals, r.covered) for r in got.collect()} == {
+            1: (2, 20)
+        }
+
 
 def _brute_skyline_nd(rows):
     out = []
