@@ -103,18 +103,31 @@ def _package_deps(modname: str, seen: set[str],
         mod = _resolve_module(modname)
         if mod is None:
             return
+    try:
+        src = inspect.getsource(mod)
+    except (OSError, TypeError):
+        src = ""
     deps: set[str] = set()
-    for v in vars(mod).values():
+    for k, v in vars(mod).items():
         try:
             dep = v.__name__ if inspect.ismodule(v) else getattr(v, "__module__", None)
         except Exception:  # noqa: BLE001 — exotic descriptors
             dep = None
         if isinstance(dep, str) and dep.startswith("postgresql_cdc_spark."):
+            # Importing pkg.sub sets ``sub`` as an attribute on ``pkg``, so a
+            # PACKAGE namespace accretes whichever submodules happen to be
+            # loaded — process state, not a dependency edge. Counting those
+            # made source_hash depend on import order (gen_inventory recorded
+            # hashes no live process reproduced). A submodule attribute only
+            # counts when the package's own source names it; real deps still
+            # enter via the importer's namespace and the source scans below.
+            if (
+                inspect.ismodule(v)
+                and dep == f"{modname}.{k}"
+                and not re.search(rf"\b{re.escape(k)}\b", src)
+            ):
+                continue
             deps.add(dep)
-    try:
-        src = inspect.getsource(mod)
-    except (OSError, TypeError):
-        src = ""
     for dotted in re.findall(
         r"postgresql_cdc_spark(?:\.[A-Za-z_][A-Za-z0-9_]*)+", src
     ):
@@ -377,6 +390,9 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # r7: operators/dedup.py changed in the same module (ngram path only, but
     # a module edit warrants one conservative re-stamp of its other consumer).
     "dedup_minhash_lsh": 6,
+    # r9: island-numbering window order fix in operators/timeseries.py with
+    # the oracle's islands CTE changed in lockstep — r8 stamp predates both.
+    "events_interval_coverage": 8,
 }
 
 
@@ -453,10 +469,16 @@ def _staleness_order() -> None:
         until = _PIN_UNTIL_STAMPED_AFTER.get(n)
         return until is not None and last_stamp.get(n, -1) <= until
 
+    # Pins share the front bucket with never-stamped/red/changed queries
+    # rather than owning a bucket above them: within the bucket, stalest
+    # stamp first means never-stamped (-1) queries can't be crowded out of
+    # a budget-capped prefix by a pin that already carries a recent green
+    # stamp — the pin still re-verifies, one round later at worst.
     names.sort(
         key=lambda n: (
-            0 if pin_active(n) else 1,
-            0 if (not last_green.get(n, False) or changed(n)) else 1,
+            0
+            if (pin_active(n) or not last_green.get(n, False) or changed(n))
+            else 1,
             last_stamp.get(n, -1),  # then stalest stamp
             order[n],
         )

@@ -75,6 +75,40 @@ class TestHelperFingerprints:
                 QUERIES[name]
             ), f"{name}: edit to {mod} did not flip source_hash"
 
+    def test_closure_immune_to_package_load_state(self):
+        # Regression (r9): importing pkg.sub sets ``sub`` as an attribute on
+        # ``pkg``, so a package namespace accretes loaded submodules. The
+        # closure walk must not count those load-state attributes as dep
+        # edges — it made source_hash depend on which submodules earlier
+        # closure computations happened to import, so gen_inventory recorded
+        # hashes that no fresh process reproduced (116 phantom "changed"
+        # queries, hijacking the driver's 50-query verification budget).
+        import importlib
+
+        name = "part_supplier_diversity"
+        q = QUERIES[name]
+        before_mods = plans.helper_modules(q)
+        before_hash = source_hash(q)
+        # load every operators submodule, then recompute from cold caches
+        import pkgutil
+
+        import postgresql_cdc_spark.operators as ops
+
+        for info in pkgutil.iter_modules(ops.__path__):
+            importlib.import_module(f"{ops.__name__}.{info.name}")
+        saved_closure = dict(plans._CLOSURE_CACHE)
+        saved_mod = dict(plans._MOD_HASH_CACHE)
+        try:
+            plans._CLOSURE_CACHE.clear()
+            plans._MOD_HASH_CACHE.clear()
+            assert plans.helper_modules(q) == before_mods
+            assert source_hash(q) == before_hash
+        finally:
+            plans._CLOSURE_CACHE.clear()
+            plans._CLOSURE_CACHE.update(saved_closure)
+            plans._MOD_HASH_CACHE.clear()
+            plans._MOD_HASH_CACHE.update(saved_mod)
+
 
 class TestFixtureDrift:
     def test_unreadable_fixture_counts_as_drift(self, tmp_path):
