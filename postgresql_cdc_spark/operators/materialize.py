@@ -23,7 +23,7 @@ collect_list+HOF-fold (~38s warm), explode + per-column string-encoded max
   column registry, SURVEY.md §1.3) — **window-fill merge**: per key, events
   sort once by LSN; a running sum of INSERTs numbers row *generations*
   (re-INSERT after DELETE starts a new one); every column gap-fills with
-  ``last(<gen, null-tag, value>, ignoreNulls)``; the final event row per key
+  ``last(struct(gen, value), ignoreNulls)``; the final event row per key
   holds the whole image, with stale-generation fills discarded by their
   generation prefix. ONE exchange + ONE sort over skinny scalar columns; the
   map column never crosses a shuffle; zero aggregate buffers.
@@ -195,75 +195,84 @@ def _materialize_window_fill(
 ) -> DataFrame:
     """Window-fill merge: ONE shuffle + ONE sort, no aggregate buffers.
 
-    Per key, events sort by LSN; a running sum of INSERTs numbers the
-    *generations* (re-INSERT after DELETE starts a new one). Each column is
-    gap-filled with ``last(tagged_value, ignoreNulls)`` where the tag encodes
-    (generation, present-but-NULL vs value) — so at the final event row the
-    fill holds each column's latest entry, and a stale-generation fill (from
-    before the last re-INSERT) is discarded by its generation prefix. The
-    final row per key is ``lsn == max(lsn) over key``; DELETE-terminal keys
-    drop on its op.
+    Per key, events sort by LSN. Each column is gap-filled with
+    ``last(struct(lsn, value), ignoreNulls)`` — a present-but-NULL column
+    fills a struct whose ``v`` field is NULL (distinct from NO struct =
+    column absent) — so at the final event row the fill holds each column's
+    latest entry; a stale fill from before the last re-INSERT (re-INSERT
+    after DELETE starts a fresh image) is discarded by comparing its ``l``
+    field against the running last-INSERT-LSN marker. The final row per key
+    is the one with no successor LSN; DELETE-terminal keys drop on its op.
 
     Everything is a projection except one Exchange + Sort over skinny scalar
     columns — the map never crosses a shuffle, and no SortAggregate /
     ObjectHashAggregate appears (string-buffer aggregates fall off the
     HashAggregate fast path; measured 20-40µs/row vs this plan's scan-speed
     projections at sf0.1).
+
+    The per-column expressions are emitted as generated SQL and parsed
+    JVM-side in THREE ``selectExpr`` calls (the ``dedup._minhash_exprs``
+    kernel trick): building the same trees Column-by-Column costs ~500 py4j
+    round-trips ≈ 0.6 s of driver time per plan construction — measured at
+    sf0.1, that was a third of the whole warm end-to-end run. Struct fills
+    (not string-packed ``gen||tag||value``) keep the projection free of
+    per-row string allocation and substring decode.
     """
-    m = F.col(map_col)
-    tagged = [
-        F.when(
-            F.map_contains_key(m, c),
-            F.when(F.element_at(m, c).isNull(), F.lit("n"))
-            .otherwise(F.concat(F.lit("v"), F.element_at(m, c))),
-        ).alias(f"__t_{c}")
-        for c in columns
-    ]
     carry = [f for f in ("txn_id", "relation_id", "schema") if f in changelog.columns]
-    pre = changelog.select(
-        *part_cols, *key_cols, F.col(lsn_col), F.col(op_col),
-        *[F.col(c) for c in carry], *tagged,
-    )
-
-    w_ord = (
-        Window.partitionBy(*part_cols, *knames)
-        .orderBy(lsn_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # lead() shares w_ord's partitioning AND ordering, so the final-row
-    # marker evaluates in the SAME WindowExec node as the fills — an
-    # unordered max-over-full-frame window would add a second pass over
-    # every sorted partition just to find the last row.
-    w_lead = Window.partitionBy(*part_cols, *knames).orderBy(lsn_col)
-    gen = F.sum((F.col(op_col) == "I").cast("int")).over(w_ord)
-    df1 = pre.withColumn("__gen", gen)
-
-    genp = F.lpad(F.col("__gen").cast("string"), 6, "0")
-    fills = [
-        F.last(
-            F.when(F.col(f"__t_{c}").isNotNull(),
-                   F.concat(genp, F.col(f"__t_{c}"))),
-            ignorenulls=True,
-        ).over(w_ord).alias(f"__f_{c}")
+    part_quoted = [f"`{p}`" for p in part_cols]
+    key_exprs = [
+        f"element_at(`{map_col}`, '{k}') AS `__k_{k}`" for k in keys
+    ]
+    kquoted = [f"`{n}`" for n in knames]
+    tagged = [
+        f"CASE WHEN map_contains_key(`{map_col}`, '{c}') THEN "
+        f"named_struct('v', element_at(`{map_col}`, '{c}')) END AS `__t_{c}`"
         for c in columns
     ]
-    df2 = df1.select(
-        *part_cols, *knames, lsn_col, op_col, "__gen",
-        *[F.col(c) for c in carry], *fills,
-        F.lead(lsn_col).over(w_lead).isNull().alias("__is_last"),
+    pre = changelog.selectExpr(
+        *part_quoted, *key_exprs, f"`{lsn_col}`", f"`{op_col}`",
+        *[f"`{c}`" for c in carry], *tagged,
+    )
+
+    by_key = ", ".join([*part_quoted, *kquoted])
+    over_ord = (
+        f"PARTITION BY {by_key} ORDER BY `{lsn_col}` "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    # Generation tracking WITHOUT a nested window: a fill taken at LSN x is
+    # stale at the final row iff a re-INSERT happened after x, i.e.
+    # x < max(INSERT lsn so far) — so the running last-INSERT marker replaces
+    # the running INSERT-count generation number and, unlike it, doesn't
+    # feed the fills (no window-in-window), letting EVERY window expression
+    # here — fills, marker, and the lead()-based final-row flag — evaluate
+    # in ONE WindowExec over one sorted pass.
+    fills = [
+        f"last(CASE WHEN `__t_{c}` IS NOT NULL THEN "
+        f"named_struct('l', `{lsn_col}`, 'v', `__t_{c}`.v) END, true) "
+        f"OVER ({over_ord}) AS `__f_{c}`"
+        for c in columns
+    ]
+    df2 = pre.selectExpr(
+        *part_quoted, *kquoted, f"`{lsn_col}`", f"`{op_col}`",
+        *[f"`{c}`" for c in carry], *fills,
+        f"max(CASE WHEN `{op_col}` = 'I' THEN `{lsn_col}` END) "
+        f"OVER ({over_ord}) AS __li",
+        f"lead(`{lsn_col}`) OVER (PARTITION BY {by_key} "
+        f"ORDER BY `{lsn_col}`) IS NULL AS __is_last",
     )
     final = df2.where(F.col("__is_last") & (F.col(op_col) != "D"))
 
-    def entry(c: str):
-        f = F.col(f"__f_{c}")
-        fresh = f.isNotNull() & (F.substring(f, 1, 6) == genp)
-        tag = F.substring(f, 7, 1)
-        val = F.when(tag == "v", F.expr(f"substring(__f_{c}, 8)"))  # 'n'→NULL
-        return F.when(fresh, F.struct(F.lit(c).alias("key"), val.alias("value")))
-
-    image = F.map_from_entries(
-        F.array_compact(F.array(*[entry(c) for c in columns]))
+    # A key with no INSERT at all (capture started mid-stream: UPDATEs only)
+    # has NULL __li — every fill is fresh, matching the implicit
+    # insert-at-lsn-0 the generic fallback applies.
+    entries = ", ".join(
+        f"CASE WHEN `__f_{c}` IS NOT NULL AND `__f_{c}`.l >= "
+        f"coalesce(__li, CAST(0 AS BIGINT)) THEN "
+        f"named_struct('key', '{c}', 'value', `__f_{c}`.v) END"
+        for c in columns
     )
-    return final.select(
-        *part_cols, op_col, lsn_col, *carry, image.alias(map_col)
+    return final.selectExpr(
+        *part_quoted, f"`{op_col}`", f"`{lsn_col}`",
+        *[f"`{c}`" for c in carry],
+        f"map_from_entries(array_compact(array({entries}))) AS `{map_col}`",
     )

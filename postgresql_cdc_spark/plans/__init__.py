@@ -393,6 +393,13 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # r9: island-numbering window order fix in operators/timeseries.py with
     # the oracle's islands CTE changed in lockstep — r8 stamp predates both.
     "events_interval_coverage": 8,
+    # r9: window-fill merge rewritten (generated-SQL kernel, struct fills,
+    # last-INSERT-LSN freshness instead of generation numbering) — every
+    # consumer of the merge_sparse=True+columns path re-verifies; the
+    # latest-image query shares the module and re-stamps conservatively.
+    "cdc_materialize_state": 8,
+    "cdc_pricing_after_replay": 8,
+    "cdc_materialize_latest_image": 8,
 }
 
 
