@@ -54,32 +54,35 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Convergence from monotonicity, same trick as ``bfs_hops``: the node
+    # set is fixed and labels only ever decrease, so sum(label) is invariant
+    # exactly at the fixpoint — one tiny scalar agg per round over the
+    # just-materialized checkpoint blocks, no changed-flag column and no
+    # second scan. DECIMAL(38,0) keeps the sum exact (node ids can be
+    # near-2^63 hashes; a wrapped BIGINT sum could in principle collide
+    # across rounds).
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev = labels.agg(label_sum).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.id == F.col("a"), "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
-                # label shrank this round iff a neighbor offered a smaller one
-                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label"))
-                .alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        # The convergence probe reads the flag off the just-materialized
-        # checkpoint blocks (limit-1 early exit) — no join back to the old
-        # label table, so the only shuffle per round is the propagation agg.
-        changed = new_labels.where(F.col("__chg")).limit(1).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
+        cur = labels.agg(label_sum).first()[0]
+        if cur == prev:
             break
+        prev = cur
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
