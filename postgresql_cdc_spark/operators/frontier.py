@@ -61,10 +61,37 @@ def pareto_skyline_2d(
     return _skyline_filter(survivors, cost, gain, [])
 
 
+def _nd_prune_arrays(c, gs, block: int = 256):
+    """Boolean keep-mask for the N-D dominance filter, fully vectorized:
+    rows are compared against ALL rows in (block x n) numpy broadsides, so
+    the Python interpreter executes O(n / block) steps instead of O(n) —
+    every comparison stays a C-speed matrix op. Memory per step is
+    block x n booleans (x2 masks), bounded by the block size.
+
+    ``c`` minimized, every array in ``gs`` maximized; identical points
+    survive (no row strictly exceeds them anywhere, so ``strict`` is
+    False between ties).
+    """
+    import numpy as np
+
+    n = len(c)
+    keep = np.ones(n, dtype=bool)
+    for start in range(0, n, block):
+        blk = slice(start, min(start + block, n))
+        ge = c[None, :] <= c[blk, None]
+        strict = c[None, :] < c[blk, None]
+        for g in gs:
+            ge &= g[None, :] >= g[blk, None]
+            strict |= g[None, :] > g[blk, None]
+        keep[blk] = ~(ge & strict).any(axis=1)
+    return keep
+
+
 def pareto_skyline_nd(
     df: DataFrame,
     cost: str,
     gains: "list[str]",
+    max_global_rows: int = 1_000_000,
 ) -> DataFrame:
     """N-dimensional Pareto frontier (minimize ``cost``, maximize every
     column in ``gains``): q dominates p iff q.cost <= p.cost, every
@@ -81,15 +108,19 @@ def pareto_skyline_nd(
       locally is also a global dominator, so pruning can never remove a
       frontier point; the vectorized O(n^2) check runs on
       partition-sized chunks;
-    - phase 2: survivors (empirically a vanishing fraction — bounded by
-      the product of distinct gain values) gather into ONE group via
-      applyInPandas for the exact global pass with the same kernel.
+    - phase 2: survivors (bounded by the product of distinct gain values)
+      gather into ONE group via applyInPandas for the exact global pass
+      with the same kernel. That single group is the designed scale limit,
+      so it is GUARDED, not silent: survivors persist, a count runs before
+      the global pass, and a count above ``max_global_rows`` raises (a
+      frontier-dense input would otherwise stall one task quadratically);
+      above a tenth of the bound it warns. The caller owns cache cleanup
+      after materializing (same contract as operators/dedup).
 
     The two-phase structure is exactly operators/frontier.pareto_skyline_2d
-    generalized; only the per-chunk kernel changes from a running max to a
-    numpy dominance matrix.
+    generalized; only the per-chunk kernel changes from a running max to
+    the blocked numpy dominance matrix of ``_nd_prune_arrays``.
     """
-    import numpy as np
     import pandas as pd
 
     def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -97,24 +128,32 @@ def pareto_skyline_nd(
             return pdf
         c = pdf[cost].to_numpy()
         gs = [pdf[g].to_numpy() for g in gains]
-        n = len(pdf)
-        keep = np.ones(n, dtype=bool)
-        for i in range(n):
-            ge = c <= c[i]
-            strict = c < c[i]
-            for g in gs:
-                ge &= g >= g[i]
-                strict |= g > g[i]
-            if bool((ge & strict).any()):
-                keep[i] = False
-        return pdf[keep]
+        return pdf[_nd_prune_arrays(c, gs)]
 
     def _map_prune(batches):
         for pdf in batches:
             yield _prune(pdf)
 
     schema = df.select(*df.columns).schema
-    local = df.mapInPandas(_map_prune, schema)
+    local = df.mapInPandas(_map_prune, schema).persist()
+    n_surv = local.count()
+    if n_surv > max_global_rows:
+        raise RuntimeError(
+            f"pareto_skyline_nd: {n_surv} phase-1 survivors exceed "
+            f"max_global_rows={max_global_rows}; the input is frontier-dense "
+            "and the single-group global pass would run quadratically on one "
+            "task. Reduce gain cardinality (bucket the gain columns) or "
+            "raise max_global_rows deliberately."
+        )
+    if n_surv > max_global_rows // 10:
+        import warnings
+
+        warnings.warn(
+            f"pareto_skyline_nd: {n_surv} phase-1 survivors headed into the "
+            "single-group global pass (> max_global_rows/10) — expect a "
+            "slow final task",
+            stacklevel=2,
+        )
 
     def _global(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return _prune(pdf)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from postgresql_cdc_spark.operators.frontier import pareto_skyline_2d
@@ -171,3 +172,79 @@ class TestParetoSkylineNd:
         want = _brute_skyline_nd(rows)
         for parts in (1, 3, 16):
             assert self._run(spark, rows, parts) == want, f"parts={parts}"
+
+    def test_frontier_dense_input_raises_before_global_pass(self, spark):
+        from postgresql_cdc_spark.operators.frontier import pareto_skyline_nd
+
+        # an antichain: paying more cost always buys more g1, so no point
+        # dominates any other and every row survives phase 1
+        rows = [(i, i, i, 0) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, cost long, g1 long, g2 long")
+        try:
+            with pytest.raises(RuntimeError, match="frontier-dense"):
+                pareto_skyline_nd(df, "cost", ["g1", "g2"],
+                                  max_global_rows=100)
+        finally:
+            spark.catalog.clearCache()
+
+
+class TestNdPruneKernel:
+    """The blocked numpy dominance kernel, pinned against a per-row
+    reference and micro-benched (VERDICT r8 #4: phase 1 must stay C-speed
+    on large partitions)."""
+
+    @staticmethod
+    def _per_row_reference(c, gs):
+        import numpy as np
+
+        n = len(c)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            ge = c <= c[i]
+            strict = c < c[i]
+            for g in gs:
+                ge &= g >= g[i]
+                strict |= g > g[i]
+            if bool((ge & strict).any()):
+                keep[i] = False
+        return keep
+
+    def _random_arrays(self, n, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        c = rng.integers(0, n // 4 + 2, n)
+        gs = [rng.integers(0, 50, n) for _ in range(3)]
+        return c, gs
+
+    def test_blocked_kernel_matches_per_row_reference(self):
+        import numpy as np
+
+        from postgresql_cdc_spark.operators.frontier import _nd_prune_arrays
+
+        for seed in (1, 2, 3):
+            c, gs = self._random_arrays(2000, seed)
+            for block in (1, 7, 256, 10_000):
+                got = _nd_prune_arrays(c, gs, block=block)
+                assert np.array_equal(
+                    got, self._per_row_reference(c, gs)
+                ), f"seed={seed} block={block}"
+
+    def test_blocked_kernel_5x_faster_on_50k_partition(self):
+        import time
+
+        from postgresql_cdc_spark.operators.frontier import _nd_prune_arrays
+
+        c, gs = self._random_arrays(50_000, 9)
+        t0 = time.perf_counter()
+        _nd_prune_arrays(c, gs)
+        blocked = time.perf_counter() - t0
+        # time the per-row loop on a 1/10 slice and scale: both are O(n^2)
+        # in comparisons, so the slice costs 1/100 of the full run
+        sl = slice(0, 5_000)
+        t0 = time.perf_counter()
+        self._per_row_reference(c[sl], [g[sl] for g in gs])
+        per_row = (time.perf_counter() - t0) * 100
+        assert per_row / blocked >= 5, (
+            f"blocked={blocked:.3f}s vs per-row(extrapolated)={per_row:.3f}s"
+        )
