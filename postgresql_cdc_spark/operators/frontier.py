@@ -61,29 +61,76 @@ def pareto_skyline_2d(
     return _skyline_filter(survivors, cost, gain, [])
 
 
-def _nd_prune_arrays(c, gs, block: int = 256):
-    """Boolean keep-mask for the N-D dominance filter, fully vectorized:
-    rows are compared against ALL rows in (block x n) numpy broadsides, so
-    the Python interpreter executes O(n / block) steps instead of O(n) —
-    every comparison stays a C-speed matrix op. Memory per step is
-    block x n booleans (x2 masks), bounded by the block size.
+def _nd_prune_arrays(c, gs, block: int = 512):
+    """Boolean keep-mask (original row order) for the N-D dominance filter.
+
+    Sorted-survivor skyline, fully vectorized: sorting by (cost asc, gains
+    desc lexicographically) guarantees every dominator of a row appears
+    STRICTLY BEFORE it — a dominator has <= cost, and on a cost tie its
+    gain vector is component-wise >= with one strict, i.e. lexicographically
+    greater. Rows then stream through in (block x survivors) numpy
+    broadsides against the ACCUMULATED FRONTIER only (sufficient by
+    transitivity: every dominated point is dominated by some frontier
+    point), plus one (block x block) self-broadside for within-block
+    dominators. Comparisons cost O(n x frontier / block) Python steps of
+    C-speed matrix ops — near-linear when the frontier is small, degrading
+    to the all-pairs bound only on frontier-dense inputs (the case
+    ``pareto_skyline_nd`` guards with ``max_global_rows``).
 
     ``c`` minimized, every array in ``gs`` maximized; identical points
-    survive (no row strictly exceeds them anywhere, so ``strict`` is
-    False between ties).
+    survive (``strict`` is False between ties, and a later duplicate is
+    compared against the kept earlier copy without being dominated by it).
     """
     import numpy as np
 
     n = len(c)
-    keep = np.ones(n, dtype=bool)
+    # np.lexsort: LAST key is primary. Negation flips the gain sort to
+    # descending; cast to int64/float beforehand so negation cannot wrap.
+    keys = tuple(-np.asarray(g) for g in reversed(gs)) + (np.asarray(c),)
+    order = np.lexsort(keys)
+    cs = np.asarray(c)[order]
+    gss = [np.asarray(g)[order] for g in gs]
+
+    surv_c = []  # kept blocks, concatenated lazily
+    surv_g = [[] for _ in gs]
+    kept_pos = []
+    fc = np.empty(0, dtype=cs.dtype)
+    fg = [np.empty(0, dtype=g.dtype) for g in gss]
     for start in range(0, n, block):
         blk = slice(start, min(start + block, n))
-        ge = c[None, :] <= c[blk, None]
-        strict = c[None, :] < c[blk, None]
-        for g in gs:
-            ge &= g[None, :] >= g[blk, None]
-            strict |= g[None, :] > g[blk, None]
-        keep[blk] = ~(ge & strict).any(axis=1)
+        bc = cs[blk]
+        bg = [g[blk] for g in gss]
+        # vs accumulated frontier (all strictly earlier in sort order)
+        if len(fc):
+            ge = fc[None, :] <= bc[:, None]
+            strict = fc[None, :] < bc[:, None]
+            for f, b in zip(fg, bg):
+                ge &= f[None, :] >= b[:, None]
+                strict |= f[None, :] > b[:, None]
+            keep_b = ~(ge & strict).any(axis=1)
+        else:
+            keep_b = np.ones(len(bc), dtype=bool)
+        # within-block: comparing against ALL block rows (even dominated
+        # ones) is sound — dominance is transitive, so being dominated by a
+        # dominated row still implies a frontier dominator, and frontier
+        # rows are dominated by nobody.
+        ge = bc[None, :] <= bc[:, None]
+        strict = bc[None, :] < bc[:, None]
+        for b in bg:
+            ge &= b[None, :] >= b[:, None]
+            strict |= b[None, :] > b[:, None]
+        keep_b &= ~(ge & strict).any(axis=1)
+        if keep_b.any():
+            surv_c.append(bc[keep_b])
+            for lst, b in zip(surv_g, bg):
+                lst.append(b[keep_b])
+            kept_pos.append(np.nonzero(keep_b)[0] + start)
+            fc = np.concatenate(surv_c)
+            fg = [np.concatenate(lst) for lst in surv_g]
+
+    keep = np.zeros(n, dtype=bool)
+    if kept_pos:
+        keep[order[np.concatenate(kept_pos)]] = True
     return keep
 
 

@@ -400,6 +400,10 @@ _PIN_UNTIL_STAMPED_AFTER = {
     "cdc_materialize_state": 8,
     "cdc_pricing_after_replay": 8,
     "cdc_materialize_latest_image": 8,
+    # r9: N-D skyline phase-1 kernel rewritten (sorted-survivor blocked
+    # dominance) — the stamped consumer re-verifies. (skyline_pareto_3d is
+    # never-stamped and already front-of-window.)
+    "skyline_pareto_parts": 8,
 }
 
 
