@@ -74,6 +74,96 @@ def table_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[str, list[str
     return h, lines
 
 
+def canon_spark_type(dt) -> str:
+    """Spark DataType -> the common type vocabulary shared with
+    ``canon_arrow_type``: width-insensitive FAMILIES (all ints are "int"),
+    because the driver's pandas-level hash compare is width-blind too —
+    int32 vs int64 hashes identically, while int vs float vs decimal vs
+    str is exactly the dtype-drift class the r7 HUGEINT episode showed
+    slips past a name-only schema check."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.StringType, T.CharType, T.VarcharType)):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.NullType):
+        return "null"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{canon_spark_type(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return (
+            f"map<{canon_spark_type(dt.keyType)},"
+            f"{canon_spark_type(dt.valueType)}>"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{canon_spark_type(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return dt.simpleString()
+
+
+def canon_arrow_type(t) -> str:
+    """Arrow type -> the same vocabulary as ``canon_spark_type``."""
+    import pyarrow.types as pat
+
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "str"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_timestamp(t):
+        return "timestamp"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return "binary"
+    if pat.is_null(t):
+        return "null"
+    if pat.is_list(t) or pat.is_large_list(t) or pat.is_fixed_size_list(t):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    if pat.is_map(t):
+        return (
+            f"map<{canon_arrow_type(t.key_type)},"
+            f"{canon_arrow_type(t.item_type)}>"
+        )
+    if pat.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_arrow_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def dtype_mismatches(sdf, otypes) -> list[str]:
+    """Per-column canonical dtype compare (by column name). A "null"-typed
+    side (an all-NULL literal column) matches anything."""
+    sp = {f.name: canon_spark_type(f.dataType) for f in sdf.schema.fields}
+    oc = {f.name: canon_arrow_type(f.type) for f in otypes}
+    out = []
+    for name in sorted(set(sp) & set(oc)):
+        a, b = sp[name], oc[name]
+        if a != b and "null" not in (a, b):
+            out.append(f"{name}: spark={a} oracle={b}")
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -84,6 +174,14 @@ def main() -> int:
         action="store_true",
         help="use a vanilla SparkSession (no repo confs), mimicking the "
         "driver's harness — queries must self-provision any conf they need",
+    )
+    ap.add_argument(
+        "--changed",
+        action="store_true",
+        help="gate only the current diff: queries whose live source_hash "
+        "differs from the committed QUERIES.md inventory, queries absent "
+        "from the inventory (brand new), and active re-verification pins — "
+        "seconds instead of the ~25 min full-registry pass",
     )
     args = ap.parse_args()
 
@@ -113,6 +211,21 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    if args.changed:
+        import postgresql_cdc_spark.plans as plans
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        recorded = plans._recorded_hashes(root)
+        sel = {
+            n
+            for n, q in plans.QUERIES.items()
+            if recorded.get(n) is None  # new since last inventory
+            or recorded[n] != plans.source_hash(q)  # edited since
+        }
+        sel |= set(plans._PIN_UNTIL_STAMPED_AFTER)  # conservative: incl. inert
+        print(f"--changed: {len(sel)} of {len(queries)} queries selected: "
+              f"{', '.join(sorted(sel)) or '(none)'}")
+        only = sel if only is None else (only & sel)
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in queries.items():
@@ -166,6 +279,10 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            dt_bad = dtype_mismatches(sdf, otypes)
+            if dt_bad:
+                problems.append("dtype drift: " + "; ".join(dt_bad))
         if not problems:
             sh, sl = table_fingerprint(scols, srows)
             oh, ol = table_fingerprint(ocols, orows)
