@@ -53,6 +53,7 @@ NESTED_LOOP_OK = {
     "emb_pairwise_distance_hist",  # bounded ~10%-sample all-pairs (documented)
     "join_not_in_null_semantics",  # three one-row count scalars crossed
     "events_heavy_hitters",  # one-row event-total scalar broadcast
+    "feat_target_encoding",  # one-row global-mean scalar broadcast
 }
 
 
