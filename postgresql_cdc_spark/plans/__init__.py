@@ -257,6 +257,47 @@ def _recorded_hashes(root: str) -> dict[str, str]:
     return out
 
 
+def _recorded_since(root: str) -> dict[str, int]:
+    """name -> first-seen round parsed from QUERIES.md's ``since`` column.
+
+    ``gen_inventory`` preserves the value across regenerations, so it records
+    the round a query first entered the committed inventory. Older inventories
+    without the column simply parse to an empty dict (every query then shares
+    the new-query default and the order degrades to source order — exactly the
+    pre-``since`` behavior)."""
+    import re
+
+    path = __import__("os").path.join(root, "QUERIES.md")
+    out: dict[str, int] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                m = re.match(
+                    r"\|\s*\d+\s*\|\s*`([^`]+)`\s*\|\s*\S+\s*\|\s*"
+                    r"[0-9a-f]{10}\s*\|\s*r(\d+)\s*\|",
+                    line,
+                )
+                if m:
+                    out[m.group(1)] = int(m.group(2))
+    except OSError:
+        pass
+    return out
+
+
+def latest_stamp_round(root: str) -> int:
+    """Highest round number among recorded CORRECTNESS_r*.json stamps (0 if
+    none readable) — ``gen_inventory`` dates new queries as round+1."""
+    import glob
+    import re
+
+    rounds = [0]
+    for path in glob.glob(__import__("os").path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds)
+
+
 FIXTURE_TABLES = (
     "region nation customer supplier part orders lineitem events documents "
     "embeddings"
@@ -421,7 +462,11 @@ def _staleness_order() -> None:
        next round),
     2. then everything else least-recently-stamped first (no query goes
        rounds without a fresh stamp while its family mates re-verify),
-    3. ties keep source registration order (stable sort).
+    3. ties break on the inventory's ``since`` round (FIFO: a query that has
+       waited since an earlier round outranks one added this round — without
+       this, a batch of new registrations imported mid-package would displace
+       the older never-stamped backlog from a budget-capped prefix),
+    4. final ties keep source registration order (stable sort).
 
     Missing/unreadable stamp files degrade gracefully to source order.
     """
@@ -476,6 +521,8 @@ def _staleness_order() -> None:
 
     names = list(QUERIES)
     order = {n: i for i, n in enumerate(names)}
+    since = _recorded_since(root)
+    new_since = latest_stamp_round(root) + 1  # queries not yet in the inventory
 
     def pin_active(n: str) -> bool:
         until = _PIN_UNTIL_STAMPED_AFTER.get(n)
@@ -492,6 +539,7 @@ def _staleness_order() -> None:
             if (pin_active(n) or not last_green.get(n, False) or changed(n))
             else 1,
             last_stamp.get(n, -1),  # then stalest stamp
+            since.get(n, new_since),  # FIFO among equally-stale queries
             order[n],
         )
     )

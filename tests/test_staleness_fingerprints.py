@@ -110,6 +110,37 @@ class TestHelperFingerprints:
             plans._MOD_HASH_CACHE.update(saved_mod)
 
 
+class TestSinceColumn:
+    def test_recorded_since_parses_inventory(self, tmp_path):
+        (tmp_path / "QUERIES.md").write_text(
+            "| # | query | module | src | since | what it verifies |\n"
+            "|---|---|---|---|---|---|\n"
+            "| 1 | `q_old` | extensions | 0123456789 | r4 | stuff |\n"
+            "| 2 | `q_new` | extensions9 | abcdef0123 | r9 | stuff |\n"
+        )
+        assert plans._recorded_since(str(tmp_path)) == {"q_old": 4, "q_new": 9}
+
+    def test_pre_since_inventory_parses_empty(self, tmp_path):
+        # older inventories without the column degrade to source order
+        (tmp_path / "QUERIES.md").write_text(
+            "| # | query | module | src | what it verifies |\n"
+            "|---|---|---|---|---|\n"
+            "| 1 | `q_old` | extensions | 0123456789 | stuff |\n"
+        )
+        assert plans._recorded_since(str(tmp_path)) == {}
+
+    def test_live_inventory_covers_registry(self):
+        # every registered query carries a since round in the committed
+        # inventory, and regeneration preserves it (FIFO input for the
+        # staleness rotation's never-stamped bucket)
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        since = plans._recorded_since(root)
+        missing = set(QUERIES) - set(since)
+        assert not missing, f"queries without a since round: {missing}"
+
+
 class TestFixtureDrift:
     def test_unreadable_fixture_counts_as_drift(self, tmp_path):
         # present-but-corrupt parquet must fingerprint (as 'unreadable'),

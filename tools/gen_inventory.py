@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from postgresql_cdc_spark.plans import (  # noqa: E402
     QUERIES,
+    _recorded_since,
     fixture_schema_fingerprints,
+    latest_stamp_round,
     source_hash,
 )
 
@@ -42,11 +44,22 @@ def main() -> int:
           "Every entry pairs a Spark DataFrame builder with an ANSI-SQL "
           "DuckDB twin; the gate hash-compares values.")
     print()
-    print("| # | query | module | src | what it verifies |")
-    print("|---|---|---|---|---|")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    since = _recorded_since(root)
+    new_since = latest_stamp_round(root) + 1
+    print("| # | query | module | src | since | what it verifies |")
+    print("|---|---|---|---|---|---|")
     for i, (name, q) in enumerate(QUERIES.items(), 1):
         doc = " ".join((q.doc or "").split())
-        print(f"| {i} | `{name}` | {module_of(q)} | {source_hash(q)} | {doc} |")
+        # `since` = the round the query first entered the committed inventory;
+        # preserved across regenerations (parsed back from the current file),
+        # new queries dated one past the latest driver stamp. The staleness
+        # rotation uses it to keep the never-stamped backlog FIFO.
+        s = since.get(name, new_since)
+        print(
+            f"| {i} | `{name}` | {module_of(q)} | {source_hash(q)} "
+            f"| r{s} | {doc} |"
+        )
     print()
     print("## Fixture schemas")
     print()
