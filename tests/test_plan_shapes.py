@@ -54,6 +54,9 @@ NESTED_LOOP_OK = {
     "join_not_in_null_semantics",  # three one-row count scalars crossed
     "events_heavy_hitters",  # one-row event-total scalar broadcast
     "feat_target_encoding",  # one-row global-mean scalar broadcast
+    "feat_purged_time_folds",  # 1-row minmax + 5-row fold-span broadcasts
+    "feat_negative_sampling",  # one-row part-count scalar broadcast
+    "text_heaps_law",  # 8-row ladder broadcast over tiny aggregates
 }
 
 
