@@ -57,6 +57,7 @@ NESTED_LOOP_OK = {
     "feat_purged_time_folds",  # 1-row minmax + 5-row fold-span broadcasts
     "feat_negative_sampling",  # one-row part-count scalar broadcast
     "text_heaps_law",  # 8-row ladder broadcast over tiny aggregates
+    "dq_benford_first_digit",  # one-row digit-total scalar broadcast
 }
 
 
