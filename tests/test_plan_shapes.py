@@ -58,6 +58,9 @@ NESTED_LOOP_OK = {
     "feat_negative_sampling",  # one-row part-count scalar broadcast
     "text_heaps_law",  # 8-row ladder broadcast over tiny aggregates
     "dq_benford_first_digit",  # one-row digit-total scalar broadcast
+    "stats_ks_two_sample",  # 1-row totals/max scalar broadcasts
+    "stats_chi2_independence",  # one-row grand-total scalar broadcast
+    "stats_bootstrap_ci",  # percentile join keyed only by tiny type dim
 }
 
 
