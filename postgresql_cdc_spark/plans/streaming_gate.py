@@ -1625,3 +1625,121 @@ def cdc_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sink_to_memory(
         spark, agg, base, available_now=False, output_mode="complete"
     )
+
+
+# --- streaming LEFT OUTER stream-stream join ----------------------------------
+
+def _build_outer_join_archives(arch_a: str, arch_b: str) -> None:
+    """The cdc_stream_stream_join archives plus a 50-event far-future flush
+    tail on EACH stream: outer-row emission needs BOTH watermarks (the join
+    uses their minimum) to advance past every real change's join window, and
+    the tail must span >= 2 micro-batches at maxRecordsPerBatch=25 because
+    the watermark computed from one batch only takes effect in the next."""
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    flush = [1_000_000 + j for j in range(50)]
+
+    frames_a = [(1, encode_relation(_REL))]
+    lsn = 10
+    for i in list(range(N)) + flush:
+        frames_a.append((lsn, encode_begin(lsn + 2, 0, 3000 + i)))
+        frames_a.append((lsn + 1, encode_insert(
+            _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
+        )))
+        frames_a.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        lsn += 3
+    write_wal_archive(arch_a, frames_a)
+
+    frames_b = [(1, encode_relation(_AUDIT_REL))]
+    lsn = 10
+    for i in list(range(0, N, 3)) + flush:
+        frames_b.append((lsn, encode_begin(lsn + 2, 0, 4000 + i)))
+        frames_b.append((lsn + 1, encode_insert(
+            _AUDIT_REL.relation_id, [str(i), f"aud-{i % 7}"]
+        )))
+        frames_b.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        lsn += 3
+    write_wal_archive(arch_b, frames_b)
+
+
+@register(
+    "cdc_stream_outer_join",
+    f"""
+    SELECT i AS id,
+           CAST((i * 7) % 13 AS INT) AS v_int,
+           CASE WHEN i % 3 = 0
+                THEN 'aud-' || CAST(i % 7 AS VARCHAR) END AS auditor,
+           CASE WHEN i % 3 = 0 THEN CAST(30000 AS BIGINT) END AS lag_ms
+    FROM range({N}) t(i)
+    """,
+    doc="Watermarked stream-stream LEFT OUTER join — the semantics "
+        "cdc_stream_stream_join's inner variant cannot show: every change "
+        "row must come out exactly once, matched changes (id % 3 = 0) "
+        "carrying their audit, the other two thirds emitted as NULL-padded "
+        "outer rows ONLY after the joint watermark proves no audit can "
+        "still arrive inside the 1-minute join window. That deferred "
+        "emission is the hard part: outer results materialize on state "
+        "EVICTION, which takes the minimum of the two stream watermarks, "
+        "so each archive carries its own >= 2-micro-batch far-future "
+        "flush tail (watermarks take effect one batch late), and the "
+        "flush rows are dropped by a filter that references the event-"
+        "time column so Catalyst keeps it ABOVE the watermark node "
+        "(cdc_stream_session_windows' pin, applied per join input). "
+        "Closed-form oracle: all {N} changes, audit fields NULL unless "
+        "id % 3 = 0, lag fixed at 30s.",
+)
+def cdc_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    base = tempfile.mkdtemp(prefix=f"pgcdc_soj_{uuid.uuid4().hex[:12]}_")
+    arch_a = os.path.join(base, "wal_a")
+    arch_b = os.path.join(base, "wal_b")
+    _build_outer_join_archives(arch_a, arch_b)
+
+    def read(arch):
+        return (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("maxRecordsPerBatch", "25")
+            .load()
+        )
+
+    ch_id = F.element_at("columns", "id").cast("long")
+    changes = (
+        read(arch_a)
+        .select(
+            ch_id.alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+            F.timestamp_millis(F.lit(_T0_MS) + ch_id * 60_000).alias("ch_ts"),
+        )
+        .withWatermark("ch_ts", "2 minutes")
+        # flush rows advance the watermark, then leave; the ts reference
+        # pins the filter above EventTimeWatermark (ch_ts is never null).
+        .where((F.col("id") < N) | F.col("ch_ts").isNull())
+    )
+    au_id = F.element_at("columns", "id").cast("long")
+    audits = (
+        read(arch_b)
+        .select(
+            au_id.alias("a_id"),
+            F.element_at("columns", "auditor").alias("auditor"),
+            F.timestamp_millis(
+                F.lit(_T0_MS) + au_id * 60_000 + 30_000
+            ).alias("au_ts"),
+        )
+        .withWatermark("au_ts", "2 minutes")
+        .where((F.col("a_id") < N) | F.col("au_ts").isNull())
+    )
+    joined = changes.join(
+        audits,
+        (F.col("id") == F.col("a_id"))
+        & (F.col("au_ts") >= F.col("ch_ts"))
+        & (F.col("au_ts") <= F.col("ch_ts") + F.expr("INTERVAL 1 MINUTE")),
+        "left_outer",
+    ).select(
+        "id", "v_int", "auditor",
+        (F.unix_millis("au_ts") - F.unix_millis("ch_ts")).alias("lag_ms"),
+    )
+
+    return _sink_to_memory(spark, joined, base, available_now=False)
