@@ -110,11 +110,17 @@ def events_ab_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # distinct-value rollup: (cents, per-arm counts); ranks follow from
     # counts of strictly-smaller values, never a per-row global window.
-    vals = outcomes.groupBy("cents").agg(
-        F.count(F.when(F.col("arm") == "A", 1)).alias("ca"),
-        F.count(F.lit(1)).alias("c"),
+    # Skinny and read twice (bucket counts, ranked join): persist so the
+    # per-user groupBy upstream never recomputes (dedup.py contract).
+    vals = (
+        outcomes.groupBy("cents")
+        .agg(
+            F.count(F.when(F.col("arm") == "A", 1)).alias("ca"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .withColumn("bkt", F.expr("cents div 10000"))
+        .persist()
     )
-    vals = vals.withColumn("bkt", F.expr("cents div 10000"))
     bcounts = vals.groupBy("bkt").agg(F.sum("c").alias("bn"))
     w_carry = Window.orderBy("bkt").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -194,9 +200,12 @@ def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (DEC("value", 12, 2) * 100).cast("bigint").alias("cents"),
     )
     e = e.withColumn("bkt", F.expr("cents div 1000"))
+    # skinny per-(type, $10-bucket) counts, read twice (totals + carry);
+    # the fact table itself is deliberately NOT persisted — the second
+    # fact scan (agg-then-join-back, as TPC-H q15) is the scale answer.
     bcounts = e.groupBy("event_type", "bkt").agg(
         F.count(F.lit(1)).alias("bn")
-    )
+    ).persist()
     w_carry = (
         Window.partitionBy("event_type")
         .orderBy("bkt")

@@ -112,11 +112,18 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
-    vals = outcomes.groupBy("cents").agg(
-        F.count(F.when(F.col("arm") == "A", 1)).cast("bigint").alias("ca"),
-        F.count(F.when(F.col("arm") == "B", 1)).cast("bigint").alias("cb"),
+    # skinny (one row per distinct cents value) and read three times below
+    # (bucket counts, cumulative join, totals): persist per the dedup.py
+    # caching contract so the per-user groupBy never recomputes.
+    vals = (
+        outcomes.groupBy("cents")
+        .agg(
+            F.count(F.when(F.col("arm") == "A", 1)).cast("bigint").alias("ca"),
+            F.count(F.when(F.col("arm") == "B", 1)).cast("bigint").alias("cb"),
+        )
+        .withColumn("bkt", F.expr("cents div 10000"))
+        .persist()
     )
-    vals = vals.withColumn("bkt", F.expr("cents div 10000"))
     bcounts = vals.groupBy("bkt").agg(
         F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
     )
@@ -146,11 +153,12 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("bigint").alias("na"),
         F.sum("cb").cast("bigint").alias("nb"),
     )
+    # read twice (max, then argmin-at-max): persist the skinny gap table
     diffs = cum.crossJoin(F.broadcast(tot)).select(
         "cents",
         F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
         .alias("dnum"),
-    )
+    ).persist()
     mx = diffs.agg(F.max("dnum").cast("bigint").alias("d_num"))
     at = (
         diffs.join(F.broadcast(mx), diffs["dnum"] == mx["d_num"])
