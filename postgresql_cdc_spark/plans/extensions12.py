@@ -350,7 +350,8 @@ _BOOT_MEAN = "CAST(s AS DOUBLE) / CAST(c AS DOUBLE)"
     "stats_bootstrap_ci",
     f"""
     WITH e AS (
-        SELECT event_type, event_id,
+        SELECT event_type,
+               ({_H60.format(x="'bs:' || CAST(event_id AS VARCHAR)")}) AS h,
                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
         FROM events),
     reps AS (
@@ -358,9 +359,7 @@ _BOOT_MEAN = "CAST(s AS DOUBLE) / CAST(c AS DOUBLE)"
                CAST(SUM(e.cents) AS BIGINT) AS s,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM e CROSS JOIN range(32) r(b)
-        WHERE ({_H60.format(
-            x="'bs:' || CAST(r.b AS VARCHAR) || ':' "
-              "|| CAST(e.event_id AS VARCHAR)")}) % 2 = 0
+        WHERE (e.h >> r.b) % 2 = 0
         GROUP BY 1, 2),
     means AS (SELECT event_type, {_BOOT_MEAN} AS m FROM reps),
     full_ AS (
@@ -376,40 +375,37 @@ _BOOT_MEAN = "CAST(s AS DOUBLE) / CAST(c AS DOUBLE)"
     GROUP BY f.event_type, f.n, f.s
     """,
     doc="Deterministic half-sample bootstrap CI for the mean event value "
-        "per type: 32 replicates, replicate b keeping a row iff "
-        "h60('bs:'||b||':'||event_id) is even — the same salted-hash "
-        "determinism as the A/B assignments, so both engines draw "
-        "IDENTICAL resamples with no RNG to disagree on. Each replicate "
-        "mean is one IEEE division of exact BIGINT sum/count; the CI "
-        "bounds are PERCENTILE_DISC order statistics over the 32 means "
-        "(selected elements, not interpolations, hence engine-exact). "
-        "Scale shape: the 32x fan-out is a flatMap before the hash "
-        "aggregate — map-side combine absorbs it, state is 32 rows per "
-        "(type, replicate), and no window or sort touches row-scale "
-        "data. The textbook with-replacement bootstrap needs Poisson "
+        "per type: 32 replicates, replicate b keeping a row iff BIT b of "
+        "the row's single salted hash h60('bs:'||event_id) is zero — the "
+        "same salted-hash determinism as the A/B assignments, so both "
+        "engines draw IDENTICAL resamples with no RNG to disagree on, "
+        "and ONE md5 per event serves all 32 replicates (an md5 per "
+        "(event, replicate) would be 32x the hashing, the dominant cost "
+        "at warehouse scale; bits of one 60-bit hash are independent "
+        "fair coins for this purpose). Each replicate mean is one IEEE "
+        "division of exact BIGINT sum/count; the CI bounds are "
+        "PERCENTILE_DISC order statistics over the 32 means (selected "
+        "elements, not interpolations, hence engine-exact). Scale shape: "
+        "the 32x fan-out is a flatMap before the hash aggregate — "
+        "map-side combine absorbs it, state is 32 rows per (type, "
+        "replicate), and no window or sort touches row-scale data. The "
+        "textbook with-replacement bootstrap needs Poisson "
         "multiplicities; half-sampling (Kleiner et al.'s b-of-n idea) "
-        "keeps membership a pure hash predicate.",
+        "keeps membership a pure hash predicate. Bit test spelled "
+        "(h >> b) % 2 / shiftright(h, b) % 2 — integer-exact in both "
+        "engines, no shared-IEEE concern.",
 )
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = EV(spark, sf_dir).select(
         "event_type",
-        "event_id",
+        tx.h60(
+            F.concat(F.lit("bs:"), F.col("event_id").cast("string"))
+        ).alias("h"),
         (DEC("value", 12, 2) * 100).cast("bigint").alias("cents"),
     )
     reps = (
         e.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
-        .where(
-            tx.h60(
-                F.concat(
-                    F.lit("bs:"),
-                    F.col("b").cast("string"),
-                    F.lit(":"),
-                    F.col("event_id").cast("string"),
-                )
-            )
-            % 2
-            == 0
-        )
+        .where(F.expr("shiftright(h, b) % 2") == 0)
         .groupBy("event_type", "b")
         .agg(
             F.sum("cents").cast("bigint").alias("s"),
