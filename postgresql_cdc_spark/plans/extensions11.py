@@ -393,14 +393,19 @@ _COS = (
         "top-k window — never a global sort.",
 )
 def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the deduped basket table feeds THREE consumers (degrees + both sides
+    # of the self-join): persist it (dedup.py's posting-list precedent) or
+    # the distinct's full shuffle re-runs per consumer; deg is skinny but
+    # referenced twice in the same plan, so it gets the same treatment.
     b = (
         T(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     deg = b.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
-    )
+    ).persist()
     a = b.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
     )
