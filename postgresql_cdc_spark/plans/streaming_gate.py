@@ -1743,3 +1743,83 @@ def cdc_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _sink_to_memory(spark, joined, base, available_now=False)
+
+
+# --- streaming late-data drop ---------------------------------------------------
+
+@register(
+    "cdc_stream_late_data_drop",
+    f"""
+    SELECT CAST((({_T0_MS} + i * 60000) // 600000) * 600000 AS BIGINT)
+               AS win_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_inserts
+    FROM range({N}) t(i) GROUP BY 1
+    """,
+    doc="Watermark LATE-DATA DROP, proven end-to-end: {N} on-time inserts "
+        "(event-time = minute id) flow through 10-minute tumbling counts "
+        "in append mode; then a planted straggler arrives WHOSE EVENT "
+        "TIME (minute 2) is ~90 minutes behind the watermark by the "
+        "micro-batch that carries it (maxRecordsPerBatch=25 guarantees "
+        "it rides a later batch than the rows that advanced the "
+        "watermark). Its [0,10) window was already finalized and "
+        "emitted, so Structured Streaming must DISCARD the row — the "
+        "oracle replays the epoch-aligned tumbling floor Spark uses "
+        "(window starts are multiples of the duration since the epoch, "
+        "NOT of the data's t0) and pins every window's exact count; a "
+        "+1 in the straggler's window means late data leaked into "
+        "closed state, a missing row means on-time data was "
+        "over-dropped. The straggler "
+        "passes the flush filter deliberately (only far-future flush "
+        "rows are filtered): the WATERMARK, not a predicate, must do "
+        "the dropping. Flush tail per the session-windows pattern.",
+)
+def cdc_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    _register_source(spark)
+    base = tempfile.mkdtemp(prefix=f"pgcdc_late_{uuid.uuid4().hex[:12]}_")
+    arch = os.path.join(base, "wal")
+
+    # ids: 0..N-1 on time, 500 = the straggler (event-time minute 2,
+    # appended AFTER id N-1 so it arrives with the watermark already at
+    # ~minute {N}-10), then the >= 2-batch far-future flush tail.
+    frames = [(1, encode_relation(_REL))]
+    lsn = 10
+    for i in list(range(N)) + [500] + [1_000_000 + j for j in range(50)]:
+        frames.append((lsn, encode_begin(lsn + 2, 0, 9000 + i)))
+        frames.append((lsn + 1, encode_insert(
+            _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
+        )))
+        frames.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        lsn += 3
+    write_wal_archive(arch, frames)
+
+    rid = F.element_at("columns", "id").cast("long")
+    ts_minute = (
+        F.when(rid < N, rid).when(rid < 1000, F.lit(2)).otherwise(rid)
+    )
+    agg = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+        .where(F.col("op") == "I")
+        .select(
+            rid.alias("rid"),
+            F.timestamp_millis(F.lit(_T0_MS) + ts_minute * 60_000).alias("ts"),
+        )
+        .withWatermark("ts", "10 minutes")
+        # drop ONLY the flush rows (ts reference pins the filter above the
+        # watermark node); the straggler (rid=500) must reach the
+        # aggregation so the watermark itself is what rejects it.
+        .where((F.col("rid") < 1000) | F.col("ts").isNull())
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_inserts"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+            F.col("n_inserts").cast("bigint").alias("n_inserts"),
+        )
+    )
+    return _sink_to_memory(spark, agg, base, available_now=False)
