@@ -158,3 +158,99 @@ def test_rank_sum_u_statistic_invariant(values):
     assert u2a + u2b == 2 * na * nb
     # and each doubled U stays in its exact bounds
     assert 0 <= u2a <= 2 * na * nb and 0 <= u2b <= 2 * na * nb
+
+
+# --- 3. crossing-bucket weighted median ------------------------------------------
+
+def _brute_weighted_median(pairs):
+    """Smallest v with 2 * cumweight(v) >= totalweight, by definition."""
+    tw = sum(w for _, w in pairs)
+    cum = 0
+    for v, w in sorted(
+        (v, sum(w2 for v2, w2 in pairs if v2 == v))
+        for v in {v for v, _ in pairs}
+    ):
+        cum += w
+        if 2 * cum >= tw:
+            return v
+    raise AssertionError("unreachable for non-empty input")
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # value
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    bucket_width=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=300, deadline=None)
+def test_crossing_bucket_weighted_median(pairs, bucket_width):
+    # the stats_weighted_median decomposition: per-distinct-value weights,
+    # bucket rollup, carry-in cumulation, select the ONE crossing bucket,
+    # open only it. Any non-decreasing bucketing must select the same
+    # bucket and the same median as the brute definition.
+    from collections import defaultdict
+
+    wsum = defaultdict(int)
+    for v, w in pairs:
+        wsum[v] += w
+    tw = sum(wsum.values())
+
+    buckets = defaultdict(list)
+    for v, w in wsum.items():
+        buckets[v // bucket_width].append((v, w))
+    bw = {b: sum(w for _, w in rows) for b, rows in buckets.items()}
+
+    carry, crossing = 0, None
+    for b in sorted(buckets):
+        if 2 * carry < tw <= 2 * (carry + bw[b]):
+            crossing = (b, carry)
+        carry += bw[b]
+    assert crossing is not None, "exactly one bucket must cross the half"
+
+    b, carry_in = crossing
+    cum = carry_in
+    median = None
+    for v, w in sorted(buckets[b]):
+        cum += w
+        if 2 * cum >= tw:
+            median = v
+            break
+    assert median == _brute_weighted_median(pairs)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    bucket_width=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=200, deadline=None)
+def test_crossing_bucket_is_unique(pairs, bucket_width):
+    # the Spark plan relies on the crossing predicate selecting EXACTLY
+    # one bucket per key (its join would duplicate rows otherwise)
+    from collections import defaultdict
+
+    wsum = defaultdict(int)
+    for v, w in pairs:
+        wsum[v] += w
+    tw = sum(wsum.values())
+    buckets = defaultdict(int)
+    for v, w in wsum.items():
+        buckets[v // bucket_width] += w
+
+    carry, n_crossing = 0, 0
+    for b in sorted(buckets):
+        if 2 * carry < tw <= 2 * (carry + buckets[b]):
+            n_crossing += 1
+        carry += buckets[b]
+    assert n_crossing == 1
