@@ -1,7 +1,13 @@
 """Generate QUERIES.md — the registry inventory (one row per oracle-paired
 query) so SURVEY §2 coverage can be checked line by line. Run:
 
-    python tools/gen_inventory.py > QUERIES.md
+    python tools/gen_inventory.py        # writes QUERIES.md in place
+
+(It writes the file itself — do NOT shell-redirect stdout onto QUERIES.md:
+the shell truncates the file before the tool can read back the ``since``
+column it must preserve, silently resetting the FIFO that orders the
+never-stamped verification backlog. If the on-disk inventory is missing or
+truncated anyway, the tool falls back to the git-committed copy.)
 
 The ``src`` column is a short hash of the builder's source + oracle SQL.
 ``plans._staleness_order`` compares it against the live registry: a mismatch
@@ -34,7 +40,52 @@ def module_of(q) -> str:
     return mod.rsplit(".", 1)[-1]
 
 
+def _since_with_git_fallback(root: str) -> dict[str, int]:
+    """``_recorded_since`` from the on-disk inventory, falling back to the
+    git-committed copy when the working file is empty/truncated (the shell
+    has already truncated it if someone ran ``gen_inventory > QUERIES.md``)."""
+    since = _recorded_since(root)
+    if since:
+        return since
+    import subprocess
+
+    try:
+        blob = subprocess.run(
+            ["git", "show", "HEAD:QUERIES.md"],
+            capture_output=True, text=True, cwd=root, timeout=30,
+        ).stdout
+    except (OSError, subprocess.TimeoutExpired):
+        return since
+    import re as _re
+
+    out: dict[str, int] = {}
+    for line in blob.splitlines():
+        m = _re.match(
+            r"\|\s*\d+\s*\|\s*`([^`]+)`\s*\|\s*\S+\s*\|\s*"
+            r"[0-9a-f]{10}\s*\|\s*r(\d+)\s*\|",
+            line,
+        )
+        if m:
+            out[m.group(1)] = int(m.group(2))
+    return out
+
+
 def main() -> int:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _emit()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "QUERIES.md")
+    with open(path, "w") as f:
+        f.write(buf.getvalue())
+    sys.stderr.write(f"wrote {path}\n")
+    return 0
+
+
+def _emit() -> None:
     print("# Query inventory")
     print()
     print(f"{len(QUERIES)} oracle-paired queries, in registration order (the "
@@ -45,7 +96,7 @@ def main() -> int:
           "DuckDB twin; the gate hash-compares values.")
     print()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    since = _recorded_since(root)
+    since = _since_with_git_fallback(root)
     new_since = latest_stamp_round(root) + 1
     print("| # | query | module | src | since | what it verifies |")
     print("|---|---|---|---|---|---|")
@@ -71,7 +122,6 @@ def main() -> int:
     print()
     for t, h in fixture_schema_fingerprints().items():
         print(f"- fixture `{t}`: `{h}`")
-    return 0
 
 
 if __name__ == "__main__":
