@@ -254,3 +254,47 @@ def test_crossing_bucket_is_unique(pairs, bucket_width):
             n_crossing += 1
         carry += buckets[b]
     assert n_crossing == 1
+
+
+# --- 4. bucket-seam sequence-gap decomposition ------------------------------------
+
+def _brute_gaps(keys):
+    s = sorted(set(keys))
+    return [
+        (a + 1, b - 1)
+        for a, b in zip(s, s[1:])
+        if b - a > 1
+    ]
+
+
+@given(
+    keys=st.sets(
+        st.integers(min_value=0, max_value=400), min_size=1, max_size=120
+    ),
+    bucket_width=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=300, deadline=None)
+def test_bucket_seam_gap_decomposition(keys, bucket_width):
+    # dq_sequence_gaps' decomposition: within-bucket LEAD gaps plus
+    # seam gaps from the per-bucket (min, max) summary must equal the
+    # global consecutive-difference scan, for ANY bucket width —
+    # including widths of 1 (every gap is a seam) and widths larger
+    # than the key range (every gap is in-bucket).
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for k in keys:
+        buckets[k // bucket_width].append(k)
+
+    gaps = []
+    for b, ks in buckets.items():
+        ks = sorted(ks)
+        for a, nxt in zip(ks, ks[1:]):
+            if nxt - a > 1:
+                gaps.append((a + 1, nxt - 1))
+    summ = sorted((b, min(ks), max(ks)) for b, ks in buckets.items())
+    for (_, _, bmax), (_, nmin, _) in zip(summ, summ[1:]):
+        if nmin - bmax > 1:
+            gaps.append((bmax + 1, nmin - 1))
+
+    assert sorted(gaps) == _brute_gaps(keys)
