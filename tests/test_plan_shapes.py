@@ -61,6 +61,7 @@ NESTED_LOOP_OK = {
     "stats_ks_two_sample",  # 1-row totals/max scalar broadcasts
     "stats_chi2_independence",  # one-row grand-total scalar broadcast
     "stats_bootstrap_ci",  # percentile join keyed only by tiny type dim
+    "events_cusum_user_drift",  # one-row global-median scalar broadcast
 }
 
 
