@@ -122,16 +122,16 @@ def events_cusum_user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort_case_sensitivity_pin",
     """
     WITH m AS (
-        SELECT s_suppkey,
+        SELECT s_suppkey, s_nationkey,
                CASE WHEN s_suppkey % 3 = 0 THEN upper(s_name)
                     WHEN s_suppkey % 3 = 1 THEN lower(s_name)
                     ELSE s_name END AS mixed
         FROM supplier)
     SELECT s_suppkey, mixed,
-           CAST(ROW_NUMBER() OVER (ORDER BY mixed, s_suppkey) AS BIGINT)
-               AS binary_rank,
-           CAST(ROW_NUMBER() OVER (ORDER BY lower(mixed), s_suppkey)
-                AS BIGINT) AS folded_rank
+           CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                ORDER BY mixed, s_suppkey) AS BIGINT) AS binary_rank,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                ORDER BY lower(mixed), s_suppkey) AS BIGINT) AS folded_rank
     FROM m
     """,
     doc="Case-collation sort pin: the same planted mixed-case name column "
@@ -143,19 +143,24 @@ def events_cusum_user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "here default to binary UTF-8 comparison and the gate proves the "
         "two rankings agree bit-for-bit, with the key tiebreak making "
         "every rank total-order deterministic. Companion of "
-        "sort_null_ordering on the collation axis. Two windows over one "
-        "skinny projection.",
+        "sort_null_ordering on the collation axis. Ranks are per-nation "
+        "so the windows stay key-partitioned — an unpartitioned rank "
+        "over a dimension that is SF-proportional in TPC-H would funnel "
+        "it through one task at scale.",
 )
 def sort_case_sensitivity_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = T(spark, sf_dir, "supplier").select(
         "s_suppkey",
+        "s_nationkey",
         F.when(F.col("s_suppkey") % 3 == 0, F.upper("s_name"))
         .when(F.col("s_suppkey") % 3 == 1, F.lower("s_name"))
         .otherwise(F.col("s_name"))
         .alias("mixed"),
     )
-    w_bin = Window.orderBy("mixed", "s_suppkey")
-    w_fold = Window.orderBy(F.lower("mixed"), "s_suppkey")
+    w_bin = Window.partitionBy("s_nationkey").orderBy("mixed", "s_suppkey")
+    w_fold = Window.partitionBy("s_nationkey").orderBy(
+        F.lower("mixed"), "s_suppkey"
+    )
     return m.select(
         "s_suppkey",
         "mixed",
