@@ -62,6 +62,8 @@ NESTED_LOOP_OK = {
     "stats_chi2_independence",  # one-row grand-total scalar broadcast
     "stats_bootstrap_ci",  # percentile join keyed only by tiny type dim
     "events_cusum_user_drift",  # one-row global-median scalar broadcast
+    "join_null_safe_equality",  # four 1-row count scalars assembled
+    "orders_seasonality_index",  # one-row annual-total scalar broadcast
 }
 
 
