@@ -84,9 +84,18 @@ def _nd_prune_arrays(c, gs, block: int = 512):
     import numpy as np
 
     n = len(c)
-    # np.lexsort: LAST key is primary. Negation flips the gain sort to
-    # descending; cast to int64/float beforehand so negation cannot wrap.
-    keys = tuple(-np.asarray(g) for g in reversed(gs)) + (np.asarray(c),)
+
+    def _desc_key(g):
+        # np.lexsort only sorts ascending, so a descending key must be
+        # negated — but negating the VALUES wraps at the dtype minimum
+        # (int64 min) and raises outright on bool. Dense ascending ranks
+        # via np.unique are order-equivalent, non-negative intp, and
+        # therefore always safe to negate, for every input dtype.
+        _, inv = np.unique(np.asarray(g), return_inverse=True)
+        return -inv
+
+    # np.lexsort: LAST key is primary.
+    keys = tuple(_desc_key(g) for g in reversed(gs)) + (np.asarray(c),)
     order = np.lexsort(keys)
     cs = np.asarray(c)[order]
     gss = [np.asarray(g)[order] for g in gs]

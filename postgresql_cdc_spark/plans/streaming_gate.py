@@ -1672,7 +1672,7 @@ def _build_outer_join_archives(arch_a: str, arch_b: str) -> None:
            CASE WHEN i % 3 = 0 THEN CAST(30000 AS BIGINT) END AS lag_ms
     FROM range({N}) t(i)
     """,
-    doc="Watermarked stream-stream LEFT OUTER join — the semantics "
+    doc=f"Watermarked stream-stream LEFT OUTER join — the semantics "
         "cdc_stream_stream_join's inner variant cannot show: every change "
         "row must come out exactly once, matched changes (id % 3 = 0) "
         "carrying their audit, the other two thirds emitted as NULL-padded "
@@ -1685,7 +1685,7 @@ def _build_outer_join_archives(arch_a: str, arch_b: str) -> None:
         "flush rows are dropped by a filter that references the event-"
         "time column so Catalyst keeps it ABOVE the watermark node "
         "(cdc_stream_session_windows' pin, applied per join input). "
-        "Closed-form oracle: all {N} changes, audit fields NULL unless "
+        f"Closed-form oracle: all {N} changes, audit fields NULL unless "
         "id % 3 = 0, lag fixed at 30s.",
 )
 def cdc_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1755,7 +1755,7 @@ def cdc_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_inserts
     FROM range({N}) t(i) GROUP BY 1
     """,
-    doc="Watermark LATE-DATA DROP, proven end-to-end: {N} on-time inserts "
+    doc=f"Watermark LATE-DATA DROP, proven end-to-end: {N} on-time inserts "
         "(event-time = minute id) flow through 10-minute tumbling counts "
         "in append mode; then a planted straggler arrives WHOSE EVENT "
         "TIME (minute 2) is ~90 minutes behind the watermark by the "

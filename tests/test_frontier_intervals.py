@@ -230,6 +230,28 @@ class TestNdPruneKernel:
                     got, self._per_row_reference(c, gs)
                 ), f"seed={seed} block={block}"
 
+    def test_extreme_dtypes_do_not_wrap_sort_keys(self):
+        """Gain columns that value-negation cannot handle: bool (numpy's
+        unary ``-`` raises) and int64 containing the dtype minimum (negation
+        wraps, corrupting the dominator-appears-first sort invariant). The
+        rank-based descending key must still produce the exact skyline."""
+        import numpy as np
+
+        from postgresql_cdc_spark.operators.frontier import _nd_prune_arrays
+
+        # bool gain: (cost, flag) — flag=True dominates flag=False at = cost
+        c = np.array([1, 1, 2, 2, 3], dtype=np.int64)
+        flag = np.array([True, False, True, False, True])
+        got = _nd_prune_arrays(c, [flag], block=2)
+        assert np.array_equal(got, self._per_row_reference(c, [flag]))
+
+        lo = np.iinfo(np.int64).min
+        hi = np.iinfo(np.int64).max
+        c2 = np.array([5, 5, 5, 1, 9], dtype=np.int64)
+        g2 = np.array([lo, hi, 0, lo, hi], dtype=np.int64)
+        got2 = _nd_prune_arrays(c2, [g2], block=2)
+        assert np.array_equal(got2, self._per_row_reference(c2, [g2]))
+
     def test_blocked_kernel_5x_faster_on_50k_partition(self):
         import time
 
