@@ -122,14 +122,17 @@ def events_ab_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     bcounts = vals.groupBy("bkt").agg(F.sum("c").alias("bn"))
-    w_carry = Window.orderBy("bkt").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # exclusive prefix over the $100-bucket table, stitched TWO-LEVEL
+    # (operators/seams.py): the residual unpartitioned window sees only the
+    # super-bucket rollup — value-range/8192^2 rows at any range, so no
+    # single task holds a table that scales with the data.
+    from postgresql_cdc_spark.operators.seams import (
+        two_level_exclusive_prefix,
     )
-    # the one unpartitioned window: over the $100-bucket table, bounded by
-    # the value range (tiny), not the row count.
-    carry = bcounts.select(
-        "bkt", (F.sum("bn").over(w_carry) - F.col("bn")).alias("carry")
-    )
+
+    carry = two_level_exclusive_prefix(
+        bcounts, "bkt", {"bn": "carry"}
+    ).select("bkt", "carry")
     w_in = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

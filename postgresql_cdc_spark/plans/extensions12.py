@@ -127,16 +127,16 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcounts = vals.groupBy("bkt").agg(
         F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
     )
-    w_carry = Window.orderBy("bkt").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # exclusive prefixes over the $100-bucket table, stitched TWO-LEVEL
+    # (operators/seams.py): the residual unpartitioned window sees only the
+    # super-bucket rollup — value-range/8192^2 rows at any range.
+    from postgresql_cdc_spark.operators.seams import (
+        two_level_exclusive_prefix,
     )
-    # the one unpartitioned window runs over the $100-bucket table, whose
-    # size is bounded by the value range, not the row count.
-    carry = bcounts.select(
-        "bkt",
-        (F.sum("ba").over(w_carry) - F.col("ba")).alias("carrya"),
-        (F.sum("bb").over(w_carry) - F.col("bb")).alias("carryb"),
-    )
+
+    carry = two_level_exclusive_prefix(
+        bcounts, "bkt", {"ba": "carrya", "bb": "carryb"}
+    ).select("bkt", "carrya", "carryb")
     w_in = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

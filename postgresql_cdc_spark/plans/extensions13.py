@@ -83,17 +83,17 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     bw = vals.groupBy("l_returnflag", "bkt").agg(
         F.sum("w").cast("bigint").alias("bw")
     )
-    w_carry = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # exclusive prefix per flag, stitched TWO-LEVEL (operators/seams.py):
+    # l_returnflag has only 3 values, so the per-flag bucket window would
+    # still funnel value-range/1000 rows through 3 tasks; the stitch caps
+    # every window task at max(8192, range/1000/8192) rows per flag.
+    from postgresql_cdc_spark.operators.seams import (
+        two_level_exclusive_prefix,
     )
-    carry = bw.select(
-        "l_returnflag",
-        "bkt",
-        (F.sum("bw").over(w_carry) - F.col("bw")).alias("carry"),
-        "bw",
-    )
+
+    carry = two_level_exclusive_prefix(
+        bw, "bkt", {"bw": "carry"}, part=("l_returnflag",)
+    ).select("l_returnflag", "bkt", "carry", "bw")
     tot = vals.groupBy("l_returnflag").agg(
         F.sum("w").cast("bigint").alias("tw")
     )

@@ -46,7 +46,10 @@ from postgresql_cdc_spark.plans.registry import register
         "holding every key), so it decomposes: keys bucket by div 8192, "
         "LEAD runs WITHIN each bucket, and the per-bucket (min, max) "
         "summary — thousands of times smaller — closes the seams with "
-        "one more LEAD over buckets, emitting a boundary gap when the "
+        "a TWO-LEVEL stitched LEAD (operators/seams.py: partitioned "
+        "in-super-bucket LEAD + a rollup seam pass, so no task holds "
+        "more than range/8192^2 rows at any key range), emitting a "
+        "boundary gap when the "
         "next bucket's min does not continue the previous bucket's max. "
         "In-bucket and boundary gaps union to exactly the global answer "
         "(a maximal gap never spans a SEAM unseen: bucket ids derive "
@@ -72,14 +75,18 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nxt") - 1).cast("bigint").alias("gap_end"),
         )
     )
-    # bucket summary: tiny (|keys| / 8192 rows); the one unpartitioned
-    # window runs here, bounded by the key RANGE, not the key count.
+    # bucket summary: tiny (|keys| / 8192 rows). Seams stitch TWO-LEVEL
+    # (operators/seams.py): the in-super-bucket LEAD runs partitioned, and
+    # the only unpartitioned window left is over the super-bucket rollup —
+    # at most range / 8192^2 rows at ANY key range, so no single task ever
+    # holds a table that scales with the data.
     summ = k.groupBy("bkt").agg(
         F.min("key").alias("bmin"), F.max("key").alias("bmax")
     )
-    w_b = Window.orderBy("bkt")
+    from postgresql_cdc_spark.operators.seams import two_level_next
+
     seams = (
-        summ.withColumn("nmin", F.lead("bmin").over(w_b))
+        two_level_next(summ, "bkt", {"bmin": "nmin"})
         .where(F.col("nmin") - F.col("bmax") > 1)
         .select(
             (F.col("bmax") + 1).cast("bigint").alias("gap_start"),

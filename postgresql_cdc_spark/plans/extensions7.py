@@ -1119,11 +1119,14 @@ def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "average ranks carried doubled (2*min_rank + tie_count - 1) so "
         "every intermediate stays integer and the final AUC lands as "
         "exact parts-per-million — the classifier-eval primitive, "
-        "computed at corpus scale without sampling. Ranking is a global "
-        "sort (AUC is inherently a global order statistic — same cost "
-        "class as any ranking job; at extreme scale swap in a "
-        "score-histogram formulation, which this integer scoring makes "
-        "exact too). One scan, one sort, one one-row aggregate.",
+        "computed at corpus scale without sampling. The oracle states "
+        "the textbook per-row global RANK; the Spark plan deliberately "
+        "does not run one: ranks collapse onto the DISTINCT-SCORE "
+        "histogram (every row of score v shares doubled midrank "
+        "2*(smaller+1) + ties - 1), and the strictly-smaller counts come "
+        "from the two-level stitched exclusive prefix "
+        "(operators/seams.py), so no window task holds more than "
+        "max(8192, score-range/1000/8192) rows at any corpus size.",
 )
 def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings").where(F.size("embedding") > 0)
@@ -1135,17 +1138,44 @@ def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "0L, (a, b) -> a + b)"
         ).alias("score"),
     )
-    w_rank = Window.orderBy(F.asc("score"))
-    w_tie = Window.partitionBy("score")
-    r = s.select(
-        "pos",
-        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
-        .cast("long").alias("avg_rank_x2"),
+    # distinct-score rollup: scores can be negative, so the bucket id uses
+    # floor division (div truncates toward zero and would fold -1/+1
+    # buckets together around zero).
+    vals = (
+        s.groupBy("score")
+        .agg(
+            F.sum("pos").cast("bigint").alias("cp"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        .withColumn(
+            "bkt", F.floor(F.col("score") / F.lit(1000)).cast("bigint")
+        )
+        .persist()
     )
-    agg = r.agg(
-        F.sum(F.when(F.col("pos") == 1, F.col("avg_rank_x2"))).alias("s2"),
-        F.sum("pos").cast("bigint").alias("npos"),
-        F.sum(1 - F.col("pos")).cast("bigint").alias("nneg"),
+    bcounts = vals.groupBy("bkt").agg(F.sum("c").alias("bn"))
+    from postgresql_cdc_spark.operators.seams import (
+        two_level_exclusive_prefix,
+    )
+
+    carry = two_level_exclusive_prefix(
+        bcounts, "bkt", {"bn": "carry"}
+    ).select("bkt", "carry")
+    w_in = Window.partitionBy("bkt").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vals.join(F.broadcast(carry), "bkt").withColumn(
+        "smaller", F.col("carry") + F.sum("c").over(w_in) - F.col("c")
+    )
+    # all cp positives at score v share doubled midrank
+    # 2*(smaller+1) + c - 1 (= 2*RANK + tie_count - 1 of the oracle)
+    agg = ranked.agg(
+        F.sum(
+            F.col("cp") * (2 * (F.col("smaller") + 1) + F.col("c") - 1)
+        )
+        .cast("bigint")
+        .alias("s2"),
+        F.sum("cp").cast("bigint").alias("npos"),
+        (F.sum("c") - F.sum("cp")).cast("bigint").alias("nneg"),
     )
     return agg.select(
         "npos", "nneg",

@@ -298,3 +298,56 @@ def test_bucket_seam_gap_decomposition(keys, bucket_width):
             gaps.append((bmax + 1, nmin - 1))
 
     assert sorted(gaps) == _brute_gaps(keys)
+
+
+@given(
+    keys=st.sets(
+        st.integers(min_value=0, max_value=400), min_size=1, max_size=120
+    ),
+    bucket_width=st.integers(min_value=1, max_value=64),
+    fanout=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=300, deadline=None)
+def test_two_level_seam_gap_decomposition(keys, bucket_width, fanout):
+    # dq_sequence_gaps' TWO-LEVEL form (operators/seams.py two_level_next):
+    # the seam LEAD over the bucket summary itself runs partitioned by
+    # super-bucket (bkt // fanout), and the last summary row of each
+    # super-bucket takes its "next bmin" from a LEAD over the per-super-
+    # bucket first-bmin rollup. For ANY (bucket_width, fanout) — including
+    # fanout 1 (every seam crosses a super-bucket) — in-bucket gaps plus
+    # the stitched seam gaps must equal the global scan.
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for k in keys:
+        buckets[k // bucket_width].append(k)
+
+    gaps = []
+    for b, ks in buckets.items():
+        ks = sorted(ks)
+        for a, nxt in zip(ks, ks[1:]):
+            if nxt - a > 1:
+                gaps.append((a + 1, nxt - 1))
+
+    summ = sorted((b, min(ks), max(ks)) for b, ks in buckets.items())
+    # level-1: LEAD(bmin) within each super-bucket
+    nmin = {}
+    for (b, bmin, bmax), (b2, nmin2, _) in zip(summ, summ[1:]):
+        if b // fanout == b2 // fanout:
+            nmin[b] = nmin2
+    # level-2: per-super-bucket first bmin, LEAD over the rollup fills the
+    # last summary row of each super-bucket
+    firsts = {}
+    for b, bmin, _ in summ:
+        firsts.setdefault(b // fanout, bmin)
+    sbs = sorted(firsts)
+    next_first = {a: firsts[b] for a, b in zip(sbs, sbs[1:])}
+    for b, _, _ in summ:
+        if b not in nmin and b // fanout in next_first:
+            nmin[b] = next_first[b // fanout]
+
+    for b, _, bmax in summ:
+        if b in nmin and nmin[b] - bmax > 1:
+            gaps.append((bmax + 1, nmin[b] - 1))
+
+    assert sorted(gaps) == _brute_gaps(keys)

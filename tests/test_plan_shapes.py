@@ -67,13 +67,31 @@ NESTED_LOOP_OK = {
 }
 
 
+# name -> built DataFrame, shared across sweeps: builders are the expensive
+# part (a few collect bounded driver-side state, e.g. k-means centroids), so
+# each query builds once per session no matter how many shape tests sweep it.
+_DF_CACHE: dict = {}
+
+
+def _df(spark, name: str):
+    if name not in _DF_CACHE:
+        _DF_CACHE[name] = QUERIES[name].spark(spark, SF)
+    return _DF_CACHE[name]
+
+
 def _plan(spark, name: str) -> str:
-    df = QUERIES[name].spark(spark, SF)
-    return df._jdf.queryExecution().explainString(
+    return _df(spark, name)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
     )
+
+
+def _is_streaming_gate(q) -> bool:
+    fn = q.spark
+    while hasattr(fn, "__wrapped__"):
+        fn = fn.__wrapped__
+    return (getattr(fn, "__module__", "") or "").endswith("streaming_gate")
 
 
 class TestNoAccidentalCrossJoins:
@@ -88,10 +106,7 @@ class TestNoAccidentalCrossJoins:
         tests already exercise."""
         offenders = {}
         for name, q in QUERIES.items():
-            fn = q.spark
-            while hasattr(fn, "__wrapped__"):
-                fn = fn.__wrapped__
-            if (getattr(fn, "__module__", "") or "").endswith("streaming_gate"):
+            if _is_streaming_gate(q):
                 continue
             plan = _plan(spark, name)
             for shape in ("CartesianProduct", "BroadcastNestedLoopJoin"):
@@ -107,6 +122,123 @@ class TestNoAccidentalCrossJoins:
                     offenders[name] = f"{shape}: {joins[:4]}"
                     break
         assert not offenders, f"undeclared cross-join shapes: {offenders}"
+
+
+# Queries whose plan contains an unpartitioned Window ON PURPOSE. The oracle
+# SQLs in this registry routinely state a naive per-row global window — the
+# Spark builders must NOT mirror that plan, because an unpartitioned window
+# moves its entire input through ONE task. Every entry here documents why the
+# window's INPUT is bounded by something other than the data size (a value /
+# time / key RANGE divided by a bucket width, a pushed-down top-k limit, or a
+# structural cap), so the single task never holds a table that scales with
+# rows. A query NOT in this list that plans a global window is a scale bug.
+UNPARTITIONED_WINDOW_OK = {
+    # -- two-level seam stitches (operators/seams.py): the residual global
+    #    window runs over the SUPER-bucket rollup, <= range / fanout^2 rows
+    "events_ab_rank_sum":  "cents rollup: range/$100/8192 rows",
+    "stats_ks_two_sample": "cents rollup: range/$100/8192 rows",
+    "stats_weighted_median": "per-flag cents rollup: range/$10/8192 rows",
+    "dq_sequence_gaps":    "key rollup: range/8192^2 rows",
+    "eval_auc_exact":      "score rollup: range/1000/8192 rows",
+    # -- calendar / bucket rollups: input rows = time or value range divided
+    #    by the bucket width, independent of fact-table size
+    "events_peak_concurrency": "per-hour net-concurrency rollup",
+    "orders_cumulative_customers": "per-day first-order rollup",
+    "orders_mom_revenue_trend": "per-month revenue rollup",
+    "orders_backlog_timeseries": "per-day ordered/shipped rollup",
+    "orders_reorder_survival_table": "per-30-day gap-bucket rollup",
+    "orders_abc_classification": "per-revenue-band rollup",
+    "events_lateness_profile": "<=1024 chunks (60-bit hash div 2^50)",
+    "corpus_mix_report": "per-source rollup (|sources| rows)",
+    # -- rank() <= k: LimitPushDownThroughWindow plans
+    #    TakeOrderedAndProject(limit=k) BELOW the window, so the global
+    #    window's input is exactly k rows (asserted by
+    #    test_rank_limit_pushes_below_global_window)
+    "events_heavy_hitters": "top-20 users",
+    "emb_centroid_outliers": "top-20 outliers",
+    "stats_key_skew_profile": "top-10 keys",
+    "text_bpe_merge_candidates": "top-20 pairs",
+    "text_ngram_lm_counts": "top-50 bigrams",
+    # -- structural caps
+    "skyline_pareto_parts": "global pass input = per-band frontiers only "
+                            "(operators/frontier.py banded prefilter)",
+    "sort_null_ordering": "NULL-ordering semantics pin over a 2-column "
+                          "projection; deliberately states both global "
+                          "orderings (doc'd as a pin, not a pattern)",
+}
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count Window/WindowExec nodes with an EMPTY partition spec anywhere in
+    the optimized plan — descending into cached subplans (persist() swaps
+    matching subtrees for InMemoryRelation, whose physical cachedPlan is
+    where the window then hides) and AQE wrappers."""
+    found = 0
+
+    def walk(node):
+        nonlocal found
+        nm = node.getClass().getSimpleName()
+        if nm in ("Window", "WindowExec") and node.partitionSpec().isEmpty():
+            found += 1
+        if nm == "InMemoryRelation":
+            walk(node.cachedPlan())
+        if nm == "InMemoryTableScanExec":
+            walk(node.relation().cachedPlan())
+        if nm == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+        try:
+            subs = node.subqueries()
+            for i in range(subs.size()):
+                walk(subs.apply(i))
+        except Exception:  # noqa: BLE001 — not every node exposes subqueries
+            pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return found
+
+
+class TestBoundedGlobalWindows:
+    def test_registry_sweep(self, spark):
+        """No query outside the documented allowlist may plan an
+        unpartitioned Window. The oracle SQLs literally model the wrong
+        (per-row global window) plan, so before this guard only code review
+        kept a builder from shipping one (round-9 verdict #3)."""
+        offenders = {}
+        for name, q in QUERIES.items():
+            if _is_streaming_gate(q) or name in UNPARTITIONED_WINDOW_OK:
+                continue
+            n = _unpartitioned_windows(_df(spark, name))
+            if n:
+                offenders[name] = n
+        assert not offenders, (
+            f"undeclared unpartitioned windows (single-task scans): "
+            f"{offenders} — either repartition the window or bound its "
+            f"input and document it in UNPARTITIONED_WINDOW_OK"
+        )
+
+    @pytest.mark.parametrize(
+        "name,k",
+        [
+            ("events_heavy_hitters", 20),
+            ("emb_centroid_outliers", 20),
+            ("stats_key_skew_profile", 10),
+            ("text_bpe_merge_candidates", 20),
+            ("text_ngram_lm_counts", 50),
+        ],
+    )
+    def test_rank_limit_pushes_below_global_window(self, spark, name, k):
+        """The rank<=k allowlist entries are only safe because Catalyst
+        plans the limit BELOW the global window (the window then sees k
+        rows, not the table). Pin that: the physical plan must carry a
+        TakeOrderedAndProject/GlobalLimit with the exact k."""
+        plan = _df(spark, name)._jdf.queryExecution().executedPlan().toString()
+        assert (
+            f"TakeOrderedAndProject(limit={k}" in plan
+            or f"GlobalLimit {k}" in plan
+        ), plan[:1500]
 
 
 class TestPushdownAndPruning:

@@ -1,0 +1,115 @@
+"""The two-level seam-stitch helpers (operators/seams.py) pinned against
+the single-task reference windows they replace.
+
+The helpers exist so no window task ever holds a table that scales with
+the key range (round-9 verdict #2); these tests prove the two-level form
+is VALUE-equivalent to the plain unpartitioned window for every bucket
+layout a fuzz can produce — sparse buckets, negative buckets, fanout
+smaller than / equal to / larger than the bucket range — so the rewired
+registry queries (dq_sequence_gaps, events_ab_rank_sum,
+stats_ks_two_sample, stats_weighted_median) inherit correctness from
+their unchanged DuckDB oracles plus this equivalence.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from postgresql_cdc_spark.operators.seams import (
+    two_level_exclusive_prefix,
+    two_level_next,
+)
+
+
+def _random_summary(spark, seed, parts=False):
+    rng = random.Random(seed)
+    n = rng.randint(1, 60)
+    # sparse, possibly-negative bucket ids: the floor-division super-bucket
+    # must keep ordering-grouping consistent across zero
+    bkts = rng.sample(range(-300, 300), n)
+    rows = []
+    for b in bkts:
+        for p in (["x", "y"] if parts else [""]):
+            if parts and rng.random() < 0.3:
+                continue  # ragged: not every (part, bkt) present
+            rows.append((p, b, rng.randint(0, 50), rng.randint(-9, 9)))
+    if not rows:
+        rows = [("x", 0, 1, 1)]
+    return spark.createDataFrame(rows, "p string, bkt long, a long, b long")
+
+
+class TestTwoLevelExclusivePrefix:
+    def test_matches_unpartitioned_window(self, spark):
+        for seed in (1, 2, 3):
+            df = _random_summary(spark, seed).cache()
+            w = (
+                Window.orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            want = df.select(
+                "bkt",
+                (F.sum("a").over(w) - F.col("a")).alias("ca"),
+                (F.sum("b").over(w) - F.col("b")).alias("cb"),
+            )
+            for fanout in (1, 3, 8, 10_000):
+                got = two_level_exclusive_prefix(
+                    df, "bkt", {"a": "ca", "b": "cb"}, fanout=fanout
+                ).select("bkt", "ca", "cb")
+                assert sorted(got.collect()) == sorted(want.collect()), (
+                    seed,
+                    fanout,
+                )
+
+    def test_matches_partitioned_window(self, spark):
+        for seed in (4, 5):
+            df = _random_summary(spark, seed, parts=True).cache()
+            w = (
+                Window.partitionBy("p")
+                .orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            want = df.select(
+                "p", "bkt", (F.sum("a").over(w) - F.col("a")).alias("ca")
+            )
+            got = two_level_exclusive_prefix(
+                df, "bkt", {"a": "ca"}, part=("p",), fanout=4
+            ).select("p", "bkt", "ca")
+            assert sorted(got.collect()) == sorted(want.collect()), seed
+
+
+class TestTwoLevelNext:
+    def test_matches_unpartitioned_lead(self, spark):
+        for seed in (6, 7, 8):
+            df = _random_summary(spark, seed).cache()
+            w = Window.orderBy("bkt")
+            want = df.select(
+                "bkt", F.lead("a").over(w).alias("na")
+            )
+            for fanout in (1, 3, 8, 10_000):
+                got = two_level_next(
+                    df, "bkt", {"a": "na"}, fanout=fanout
+                ).select("bkt", "na")
+                key = lambda r: (r[0], r[1] if r[1] is not None else -(10**9))
+                assert sorted(got.collect(), key=key) == sorted(
+                    want.collect(), key=key
+                ), (seed, fanout)
+
+    def test_matches_partitioned_lead(self, spark):
+        for seed in (9, 10):
+            df = _random_summary(spark, seed, parts=True).cache()
+            w = Window.partitionBy("p").orderBy("bkt")
+            want = df.select("p", "bkt", F.lead("a").over(w).alias("na"))
+            got = two_level_next(
+                df, "bkt", {"a": "na"}, part=("p",), fanout=4
+            ).select("p", "bkt", "na")
+            key = lambda r: (
+                r[0],
+                r[1],
+                r[2] if r[2] is not None else -(10**9),
+            )
+            assert sorted(got.collect(), key=key) == sorted(
+                want.collect(), key=key
+            ), seed
