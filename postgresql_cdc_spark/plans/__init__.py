@@ -457,6 +457,11 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # dominance) — the stamped consumer re-verifies. (skyline_pareto_3d is
     # never-stamped and already front-of-window.)
     "skyline_pareto_parts": 8,
+    # r10: per-row global RANK replaced by the distinct-score histogram +
+    # two-level stitched prefix (operators/seams.py) — the r8 stamp predates
+    # the rewrite; QUERIES.md regeneration erased the changed flag, so the
+    # pin forces the driver re-stamp.
+    "eval_auc_exact": 9,
 }
 
 

@@ -32,6 +32,7 @@ from postgresql_cdc_spark.sources.pgoutput import (
     encode_delete,
     encode_insert,
     encode_relation,
+    encode_truncate,
     encode_update,
 )
 
@@ -1743,6 +1744,195 @@ def cdc_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _sink_to_memory(spark, joined, base, available_now=False)
+
+
+# --- streaming FULL OUTER stream-stream join -----------------------------------
+
+def _build_full_outer_join_archives(arch_a: str, arch_b: str) -> None:
+    """Asymmetric gaps on BOTH streams so full-outer eviction emits
+    NULL-padded rows from each side: changes skip id % 5 == 4 (audits for
+    those become right-only), audits exist only for id % 3 == 0 (the other
+    changes become left-only). Flush tails per the left-outer gate."""
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    flush = [1_000_000 + j for j in range(50)]
+
+    frames_a = [(1, encode_relation(_REL))]
+    lsn = 10
+    for i in [x for x in range(N) if x % 5 != 4] + flush:
+        frames_a.append((lsn, encode_begin(lsn + 2, 0, 3000 + i)))
+        frames_a.append((lsn + 1, encode_insert(
+            _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
+        )))
+        frames_a.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        lsn += 3
+    write_wal_archive(arch_a, frames_a)
+
+    frames_b = [(1, encode_relation(_AUDIT_REL))]
+    lsn = 10
+    for i in list(range(0, N, 3)) + flush:
+        frames_b.append((lsn, encode_begin(lsn + 2, 0, 4000 + i)))
+        frames_b.append((lsn + 1, encode_insert(
+            _AUDIT_REL.relation_id, [str(i), f"aud-{i % 7}"]
+        )))
+        frames_b.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        lsn += 3
+    write_wal_archive(arch_b, frames_b)
+
+
+@register(
+    "cdc_stream_full_outer_join",
+    f"""
+    SELECT i AS id,
+           CAST((i * 7) % 13 AS INT) AS v_int,
+           CASE WHEN i % 3 = 0
+                THEN 'aud-' || CAST(i % 7 AS VARCHAR) END AS auditor,
+           CASE WHEN i % 3 = 0 THEN CAST(30000 AS BIGINT) END AS lag_ms
+    FROM range({N}) t(i) WHERE i % 5 <> 4
+    UNION ALL
+    SELECT i, CAST(NULL AS INT),
+           'aud-' || CAST(i % 7 AS VARCHAR), CAST(NULL AS BIGINT)
+    FROM range({N}) t(i) WHERE i % 3 = 0 AND i % 5 = 4
+    """,
+    doc=f"Watermarked stream-stream FULL OUTER join — the last untested "
+        "corner of the state machine after the inner (r7) and left-outer "
+        "(r9) gates: EVICTION MUST EMIT FROM BOTH SIDES AT ONCE. Changes "
+        "skip id % 5 = 4 while audits cover id % 3 = 0, so the join must "
+        "produce matched rows (id % 3 = 0, % 5 != 4), left-only rows "
+        "with NULL audit fields, AND right-only rows with NULL change "
+        "fields — each unmatched row held in state until the MINIMUM of "
+        "the two watermarks proves its 1-minute join window can no "
+        "longer be matched, then released NULL-padded exactly once. The "
+        "at-least-once replay source makes this the interesting corner: "
+        "both sides replay, so double-emission of an evicted row would "
+        "surface as a duplicate here. Flush tails and the above-watermark "
+        "filter pin follow the left-outer gate; the output id coalesces "
+        f"the two key columns. Closed-form oracle: {N} ids minus the "
+        "changes gap, plus the right-only audits (id % 15 = 9).",
+)
+def cdc_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    base = tempfile.mkdtemp(prefix=f"pgcdc_foj_{uuid.uuid4().hex[:12]}_")
+    arch_a = os.path.join(base, "wal_a")
+    arch_b = os.path.join(base, "wal_b")
+    _build_full_outer_join_archives(arch_a, arch_b)
+
+    def read(arch):
+        return (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("maxRecordsPerBatch", "25")
+            .load()
+        )
+
+    ch_id = F.element_at("columns", "id").cast("long")
+    changes = (
+        read(arch_a)
+        .select(
+            ch_id.alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+            F.timestamp_millis(F.lit(_T0_MS) + ch_id * 60_000).alias("ch_ts"),
+        )
+        .withWatermark("ch_ts", "2 minutes")
+        .where((F.col("id") < N) | F.col("ch_ts").isNull())
+    )
+    au_id = F.element_at("columns", "id").cast("long")
+    audits = (
+        read(arch_b)
+        .select(
+            au_id.alias("a_id"),
+            F.element_at("columns", "auditor").alias("auditor"),
+            F.timestamp_millis(
+                F.lit(_T0_MS) + au_id * 60_000 + 30_000
+            ).alias("au_ts"),
+        )
+        .withWatermark("au_ts", "2 minutes")
+        .where((F.col("a_id") < N) | F.col("au_ts").isNull())
+    )
+    joined = changes.join(
+        audits,
+        (F.col("id") == F.col("a_id"))
+        & (F.col("au_ts") >= F.col("ch_ts"))
+        & (F.col("au_ts") <= F.col("ch_ts") + F.expr("INTERVAL 1 MINUTE")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("id"), F.col("a_id")).alias("id"),
+        "v_int",
+        "auditor",
+        (F.unix_millis("au_ts") - F.unix_millis("ch_ts")).alias("lag_ms"),
+    )
+
+    return _sink_to_memory(spark, joined, base, available_now=False)
+
+
+# --- TRUNCATE recognized-and-dropped, offsets intact ---------------------------
+
+def _build_truncate_archive(arch: str) -> None:
+    """N insert txns with TRUNCATE-only txns woven through at the nasty
+    spots: before the first insert, after every 10th txn (so several land
+    exactly on maxRecordsPerBatch=25 chunk boundaries), and as the FINAL
+    txn of the archive (the batch cursor must advance past a tail txn that
+    emits no rows, or the stream never reaches a committable offset)."""
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    def trunc_txn(frames, lsn, xid):
+        frames.append((lsn, encode_begin(lsn + 2, 0, xid)))
+        frames.append((lsn + 1, encode_truncate([_REL.relation_id],
+                                                restart_identity=True)))
+        frames.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        return lsn + 3
+
+    frames = [(1, encode_relation(_REL))]
+    lsn = 10
+    lsn = trunc_txn(frames, lsn, 9000)
+    for i in range(N):
+        frames.append((lsn, encode_begin(lsn + 2, 0, 3000 + i)))
+        frames.append((lsn + 1, encode_insert(
+            _REL.relation_id, [str(i), str((i * 7) % 13), f"acct-{i}"]
+        )))
+        frames.append((lsn + 2, encode_commit(lsn + 2, lsn + 3, 0)))
+        lsn += 3
+        if i % 10 == 9:
+            lsn = trunc_txn(frames, lsn, 9100 + i)
+    lsn = trunc_txn(frames, lsn, 9999)
+    write_wal_archive(arch, frames)
+
+
+@register(
+    "cdc_stream_truncate_drop",
+    f"""
+    SELECT i AS id, CAST((i * 7) % 13 AS INT) AS v_int
+    FROM range({N}) t(i)
+    """,
+    doc=f"TRUNCATE messages recognized-and-DROPPED without losing the "
+        "stream's place — the reference decodes the T tag and discards it "
+        "(MessageType.java:17-28); the failure mode worth gating is not "
+        "the discard but the BOOKKEEPING: TRUNCATE-only transactions "
+        "consume LSNs while contributing zero rows, so a chunker that "
+        "equates 'no rows' with 'no progress' stalls or re-reads. The "
+        "archive plants truncate txns before the first insert, across "
+        "several maxRecordsPerBatch=25 chunk boundaries, and as the FINAL "
+        f"txn. Closed-form oracle: all {N} inserts exactly once, "
+        "truncates invisible.",
+)
+def cdc_stream_truncate_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix=f"pgcdc_trnc_{uuid.uuid4().hex[:12]}_")
+    arch = os.path.join(base, "wal")
+    _build_truncate_archive(arch)
+
+    def transform(stream):
+        return stream.where(F.col("op") == "I").select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+        )
+
+    return _run_stream_to_memory(
+        spark, arch, base, transform=transform, max_records=25
+    )
 
 
 # --- streaming late-data drop ---------------------------------------------------

@@ -301,3 +301,17 @@ def encode_update(relation_id: int, new_values: List[Optional[str]],
 
 def encode_delete(relation_id: int, key_values: List[Optional[str]]) -> bytes:
     return b"D" + struct.pack(">i", relation_id) + b"K" + encode_tuple(key_values)
+
+
+def encode_truncate(relation_ids: List[int], cascade: bool = False,
+                    restart_identity: bool = False) -> bytes:
+    """Real pgoutput TRUNCATE wire format (int32 nrelations, int8 option
+    bits 1=CASCADE 2=RESTART IDENTITY, then the relation OIDs) — the decoder
+    recognizes-and-drops the whole message (reference MessageType.java:17-28
+    behavior), but gates that prove the drop keeps offsets intact should
+    replay honest bytes, not an empty tag."""
+    out = b"T" + struct.pack(">i", len(relation_ids))
+    out += struct.pack(">b", (1 if cascade else 0) | (2 if restart_identity else 0))
+    for rid in relation_ids:
+        out += struct.pack(">i", rid)
+    return out

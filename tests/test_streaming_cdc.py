@@ -27,6 +27,7 @@ from postgresql_cdc_spark.sources.pgoutput import (
     encode_delete,
     encode_insert,
     encode_relation,
+    encode_truncate,
     encode_update,
 )
 
@@ -170,6 +171,37 @@ class TestWalArchiveReader:
         assert [(row[0], row[4], row[5]) for row in rows2] == [
             ("I", 70, -1), ("I", 81, 103),
         ]
+
+    def test_trailing_truncate_txn_still_acks_tail(self, tmp_path):
+        """A TRUNCATE-only transaction at the END of the archive contributes
+        zero rows but consumes LSNs; the batch cursor must still advance to
+        its commit and ack it (a chunker equating 'no rows' with 'no
+        progress' would strand the flush LSN before the tail forever)."""
+        from postgresql_cdc_spark.streaming.source import (
+            WalArchiveStreamReader,
+            write_wal_archive,
+        )
+
+        arch = str(tmp_path / "wal_trunc")
+        frames = [
+            (1, encode_relation(REL)),
+            (10, encode_begin(12, 1000, 101)),
+            (11, encode_insert(16384, ["1", "a", "10", "{1}"])),
+            (12, encode_commit(12, 13, 1000)),
+            (20, encode_begin(22, 2000, 102)),
+            (21, encode_truncate([16384], restart_identity=True)),
+            (22, encode_commit(22, 23, 2000)),
+        ]
+        write_wal_archive(arch, frames)
+        r = WalArchiveStreamReader({"path": arch, "maxrecordsperbatch": "10"})
+        start = r.initialOffset()
+        end = r.latestOffset()
+        assert end == {"lsn": 22, "txn_open": False}
+        rows = list(r.read(r.partitions(start, end)[0]))
+        assert [(row[0], row[4]) for row in rows] == [("I", 11)]
+        r.commit(end)
+        ack = json.load(open(os.path.join(arch, "_flushed_lsn")))
+        assert ack["flushed_lsn"] == 22
 
     def test_no_ack_while_txn_open(self, tmp_path):
         from postgresql_cdc_spark.streaming.source import (
