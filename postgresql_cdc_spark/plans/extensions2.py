@@ -1026,3 +1026,148 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
     )
     return dd.minhash_lsh_incremental(batch, d, "text", "doc_id", threshold=0.5)
+
+
+# --- STREAMING ingest-time near-dup dedup (foreachBatch index append) ---------
+
+_STREAM_INCR_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id AS id, text, doc_id % 3 AS wave FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS id, text || ' qq zz' AS text, 3 AS wave
+        FROM documents WHERE doc_id % 5 = 0),
+    t AS (SELECT id, wave, {_TOKS} AS toks FROM docs),
+    sh AS (SELECT id, wave, {_SHINGLES3} AS sh FROM t),
+    bb AS (SELECT id, wave, list_transform(sh, s -> {_H60.format(x='s')}) AS shh
+           FROM sh WHERE len(sh) > 0),
+    sig AS (SELECT id, {", ".join(_mh_sql(i) for i in range(12))} FROM bb),
+    bands AS ({" UNION ALL ".join(_band_from_sql("sig", b) for b in range(4))}),
+    wv AS (SELECT id, wave FROM bb),
+    cand0 AS (SELECT DISTINCT p.id AS batch_id, q.id AS corpus_id
+              FROM bands p
+              JOIN bands q ON p.band = q.band AND p.bucket = q.bucket
+              JOIN wv wp ON wp.id = p.id
+              JOIN wv wq ON wq.id = q.id
+              WHERE wp.wave > wq.wave),
+    sz AS (SELECT id, len(shh) AS n_sh FROM bb),
+    cand AS (SELECT cd.batch_id, cd.corpus_id, sa.n_sh AS na, sb2.n_sh AS nb
+             FROM cand0 cd
+             JOIN sz sa ON sa.id = cd.batch_id
+             JOIN sz sb2 ON sb2.id = cd.corpus_id
+             WHERE least(sa.n_sh, sb2.n_sh)
+                   >= (0.5 - 1e-6) * greatest(sa.n_sh, sb2.n_sh)),
+    post AS (SELECT id, unnest(shh) AS sh_hash FROM bb),
+    common AS (SELECT cd.batch_id, cd.corpus_id, cd.na, cd.nb,
+                      COUNT(*) AS n_common
+               FROM cand cd
+               JOIN post pa ON pa.id = cd.batch_id
+               JOIN post pb ON pb.id = cd.corpus_id
+                            AND pb.sh_hash = pa.sh_hash
+               GROUP BY 1, 2, 3, 4)
+    SELECT batch_id, corpus_id,
+           round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard
+    FROM common
+    WHERE round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) >= 0.5
+"""
+
+
+@register(
+    "cdc_stream_incremental_dedup",
+    _STREAM_INCR_ORACLE,
+    doc="STREAMING ingest-time near-dup dedup — the production shape "
+        "dedup_incremental_batch models, now actually run as a "
+        "StreamingQuery: the corpus arrives in 4 ordered ingest waves "
+        "(one parquet file per micro-batch, maxFilesPerTrigger=1 under "
+        "Trigger.AvailableNow), and each foreachBatch FIRST probes the "
+        "batch against the LSH index tables the PREVIOUS batches "
+        "persisted (buckets/sizes/postings parquet — the LshIndex "
+        "admission-time layout), THEN appends the batch's own index rows. "
+        "Every emitted pair therefore crosses ingest order: "
+        "wave(batch_id) > wave(corpus_id); in-wave twins are invisible by "
+        "design (an admission pipeline checks arrivals against the "
+        "admitted corpus, not against each other). Waves 0-2 split the "
+        "originals by doc_id % 3; wave 3 is the perturbed twins, "
+        "guaranteeing matches. The hot-bucket cap is disabled (the cap "
+        "depends on index state at each wave, which no closed-form oracle "
+        "can restate) so the DuckDB twin models the full iterated ingest "
+        "exactly: band collision across waves, size-ratio prune, exact "
+        "shingle-Jaccard >= 0.5. Corpus never self-joins; per-wave cost "
+        "is O(|wave| x collision rate) however large the accumulated "
+        "index grows.",
+)
+def cdc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from postgresql_cdc_spark.operators import dedup as dd
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    waves = [d.where(F.col("doc_id") % 3 == k) for k in range(3)]
+    waves.append(
+        d.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        )
+    )
+
+    base = tempfile.mkdtemp(prefix=f"pgcdc_sincr_{uuid.uuid4().hex[:12]}_")
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    # one file per wave, mtimes strictly increasing: FileStreamSource takes
+    # oldest-first, so wave order == ingest order deterministically
+    t0 = 1_600_000_000
+    for k, w in enumerate(waves):
+        tmp = os.path.join(base, f"w{k}")
+        w.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(indir, f"wave{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * k, t0 + 60 * k))
+
+    idx = {
+        p: os.path.join(base, "index", p)
+        for p in ("buckets", "sizes", "postings")
+    }
+    matches_dir = os.path.join(base, "matches")
+
+    def ingest(batch: DataFrame, _epoch: int) -> None:
+        sp = batch.sparkSession
+        batch = batch.persist()  # probed and indexed: two consumers
+        if os.path.isdir(idx["buckets"]):
+            ci = dd.LshIndex(
+                sp.read.parquet(idx["buckets"]),
+                sp.read.parquet(idx["sizes"]),
+                sp.read.parquet(idx["postings"]),
+            )
+            dd.minhash_lsh_incremental(
+                batch, None, "text", "doc_id", threshold=0.5,
+                corpus_index=ci, max_bucket=10**9,
+            ).write.mode("append").parquet(matches_dir)
+        bi = dd.build_lsh_index(batch, "text", "doc_id")
+        bi.buckets.write.mode("append").parquet(idx["buckets"])
+        bi.sizes.write.mode("append").parquet(idx["sizes"])
+        bi.postings.write.mode("append").parquet(idx["postings"])
+        sp.catalog.clearCache()  # per the dedup.py persist contract
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("incremental-dedup ingest did not finish")
+    finally:
+        q.stop()
+    if not os.path.isdir(matches_dir):
+        return spark.createDataFrame(
+            [], "batch_id long, corpus_id long, jaccard double"
+        )
+    return spark.read.parquet(matches_dir)

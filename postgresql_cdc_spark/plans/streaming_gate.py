@@ -1334,6 +1334,118 @@ def cdc_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_stream_asof_dimension",
+    f"""
+    WITH base AS (SELECT i,
+                         11 + 12 * (i // 10) + (i % 10) AS ins_lsn,
+                         131 + i // 5 AS upd_lsn,
+                         153 + i // 7 AS del_lsn,
+                         (i * 7) % 13 AS v0
+                  FROM range({N}) t(i))
+    SELECT i AS id, CAST(ins_lsn AS BIGINT) AS t_lsn,
+           CAST(v0 AS INT) AS v_int
+    FROM base
+    UNION ALL
+    SELECT i, CAST(152 AS BIGINT),
+           CAST(CASE WHEN i % 5 = 0 THEN v0 + 100 ELSE v0 END AS INT)
+    FROM base
+    UNION ALL
+    SELECT i, CAST(400 AS BIGINT),
+           CAST(CASE WHEN i % 7 = 0 THEN NULL
+                     WHEN i % 5 = 0 THEN v0 + 100
+                     ELSE v0 END AS INT)
+    FROM base
+    """,
+    doc="AS-OF join against the STREAM-MATERIALIZED SCD2 dimension — the "
+        "two operators composed the way a warehouse actually uses them: "
+        "the pgcdc stream lands txn-aligned micro-batches via foreachBatch, "
+        "validity intervals derive with one per-key LEAD window "
+        "(cdc_stream_scd2_history's pipeline), and then fact probes pick "
+        "the version valid AT their timestamp via the backward as-of "
+        "join (operators/asof.py, one shared sort — no per-probe scans) "
+        "with the SCD2 validity check layered on top: a backward match "
+        "whose valid_to has passed means the entity was DELETED at probe "
+        "time and must surface as NULL, not as the stale last version. "
+        "Probes hit the nasty spots: exactly AT the insert LSN (validity "
+        "is from-inclusive), after all updates (updated ids show v0+100), "
+        "and after all deletes (i % 7 = 0 ids must be NULL). Closed-form "
+        "oracle from the archive's LSN schedule.",
+)
+def cdc_stream_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.operators.asof import asof_join
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_asofd_{run}_")
+    arch = os.path.join(base, "wal")
+    log_dir = os.path.join(base, "changelog")
+    _build_archive(arch)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+            "op", "lsn",
+        ).write.mode("append").parquet(log_dir)
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+
+    log = spark.read.schema("id long, v_int int, op string, lsn long").parquet(
+        log_dir
+    )
+    w = Window.partitionBy("id").orderBy("lsn")
+    hist = (
+        log.withColumn("valid_to_lsn", F.lead("lsn").over(w))
+        .where(F.col("op") != "D")
+        .select(
+            "id",
+            F.col("lsn").alias("valid_from_lsn"),
+            "valid_to_lsn",
+            "v_int",
+        )
+    )
+    ids = spark.range(N).select(F.col("id"))
+    probes = ids.select(
+        "id",
+        F.explode(
+            F.array(
+                (11 + 12 * F.expr("id div 10") + F.col("id") % 10)
+                .cast("long"),
+                F.lit(152).cast("long"),
+                F.lit(400).cast("long"),
+            )
+        ).alias("t_lsn"),
+    )
+    j = asof_join(
+        probes, hist, on="id", left_time="t_lsn",
+        right_time="valid_from_lsn", how="left", direction="backward",
+    )
+    return j.select(
+        "id",
+        "t_lsn",
+        F.when(
+            F.col("valid_to_lsn").isNull()
+            | (F.col("t_lsn") < F.col("valid_to_lsn")),
+            F.col("v_int"),
+        ).alias("v_int"),
+    )
+
+
+@register(
     "cdc_stream_ivm_group_sums",
     f"""
     WITH state AS (
