@@ -1,0 +1,196 @@
+"""sf1 scale soak: a MEASURED 10x curve for the bench's five most expensive
+rows (round-9 verdict #4) — evidence the sf0.1 bench cannot give that the
+partition/prune strategies actually hold when the data grows.
+
+Builds a deterministic sf1 fixture set (10x sf0.1) under .bench_cache/sf1/:
+
+- ``documents``: replica 0 is sf0.1 verbatim; replicas 1-9 shift doc_id by
+  k*1,000,000 and salt every third token with a replica tag, so EVERY
+  trigram shingle of a replica contains its salt — cross-replica Jaccard is
+  exactly 0 and the near-dup pair count stays ~linear in corpus size (naive
+  10x copies would grow pairs quadratically and measure the wrong thing).
+  Token count grows 1.33x per salted replica; noted with the results.
+- ``embeddings``: replicas shift vec_id by k*1,000,000 (divisible by 100, so
+  the vec_id %% 100 query subset scales 10x with the corpus) and add
+  deterministic hash-derived noise of +-0.1 per component (distinct vectors,
+  same distribution shape).
+- ``lineitem``: replicas shift l_orderkey by k*10,000,000; the synthesized
+  changelog then versions 10x the keys.
+
+Each query runs once untimed (JIT warm-up) then twice timed per scale; the
+table reports both timed passes, the per-input-row cost at each scale, and
+the sf1/sf0.1 time ratio (linear scaling => ~10x on 10x data; LSH rows may
+run slightly superlinear from candidate collisions — the thing this soak
+exists to catch if caps are mistuned).
+
+Usage: python tools/scale_soak.py   (writes JSON to stdout; paste the table
+into BASELINE.md's "sf1 scale soak" section)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = os.environ.get("SOAK_SRC_SF_DIR", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(REPO, ".bench_cache", "sf1")
+REPLICAS = 10
+
+SOAK_QUERIES = [
+    "cdc_materialize_state",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_lsh",
+]
+ROWS_TABLE = {
+    "cdc_materialize_state": "lineitem",
+    "dedup_minhash_lsh": "documents",
+    "dedup_ngram_jaccard": "documents",
+    "dedup_simhash": "documents",
+    "sim_topk_lsh": "embeddings",
+}
+
+
+def _build_sf1(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    reps = [docs]
+    for k in range(1, REPLICAS):
+        salted = (
+            "array_join(flatten(transform(split(text, ' '), "
+            f"(t, i) -> IF(i % 3 = 0, array('rk{k}x', t), array(t)))), ' ')"
+        )
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + k * 1_000_000).alias("doc_id"),
+                F.expr(salted).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    reps = [emb]
+    for k in range(1, REPLICAS):
+        noisy = (
+            "transform(embedding, (x, i) -> x + "
+            f"CAST(pmod(hash(vec_id, i, {k}), 1000) - 500 AS FLOAT) / 5000.0)"
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + k * 1_000_000).alias("vec_id"),
+                F.expr(noisy).alias("embedding"),
+                "label",
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(os.path.join(DST, "embeddings.parquet"))
+
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    reps = [li]
+    for k in range(1, REPLICAS):
+        reps.append(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + k * 10_000_000
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
+
+
+def main() -> int:
+    from postgresql_cdc_spark.plans import QUERIES
+    from postgresql_cdc_spark.session import get_spark
+
+    spark = get_spark("scale-soak")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    if not all(
+        os.path.isdir(os.path.join(DST, f"{t}.parquet"))
+        for t in ("documents", "embeddings", "lineitem")
+    ):
+        print("building sf1 fixtures ...", file=sys.stderr, flush=True)
+        _build_sf1(spark)
+
+    # cdc_materialize_state: time the merge operator only (bench.py's r8
+    # methodology) — changelog synthesis is untimed input prep per scale.
+    import bench as bench_mod
+
+    overrides: dict = {}
+    from postgresql_cdc_spark.sources.changelog import (
+        synthesize_changelog_lineitem,
+    )
+
+    clogs = {}
+    for tag, d in (("sf0.1", SRC), ("sf1", DST)):
+        clog = os.path.join(REPO, ".bench_cache", f"soak_clog_{tag}.parquet")
+        if not os.path.isdir(clog):
+            print(f"synthesizing changelog for {tag} ...", file=sys.stderr,
+                  flush=True)
+            synthesize_changelog_lineitem(spark, d).write.mode(
+                "overwrite"
+            ).parquet(clog)
+        clogs[d] = clog
+
+    rows = {}
+    for t in ("documents", "embeddings", "lineitem"):
+        rows[("sf0.1", t)] = spark.read.parquet(
+            os.path.join(SRC, f"{t}.parquet")).count()
+        rows[("sf1", t)] = spark.read.parquet(
+            os.path.join(DST, f"{t}.parquet")).count()
+
+    results: dict = {}
+    for name in SOAK_QUERIES:
+        results[name] = {}
+        for tag, d in (("sf0.1", SRC), ("sf1", DST)):
+            if name == "cdc_materialize_state":
+                fn = bench_mod._materialize_from_parquet(clogs[d])
+            else:
+                fn = QUERIES[name].spark
+            times = []
+            for p in range(3):  # pass 0 = untimed JIT warm-up
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 2)
+                spark.catalog.clearCache()
+                if p > 0:
+                    times.append(dt)
+                print(f"  {name} @ {tag}: {dt}s"
+                      f"{' (warm-up, untimed)' if p == 0 else ''}",
+                      file=sys.stderr, flush=True)
+            n = rows[(tag, ROWS_TABLE[name])]
+            best = min(times)
+            results[name][tag] = {
+                "runs_s": times,
+                "best_s": best,
+                "input_rows": n,
+                "us_per_row": round(1e6 * best / n, 3),
+            }
+        r01, r1 = results[name]["sf0.1"], results[name]["sf1"]
+        results[name]["time_ratio_10x_data"] = round(
+            r1["best_s"] / r01["best_s"], 2
+        )
+    print(json.dumps({"soak": results}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
