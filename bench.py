@@ -186,22 +186,32 @@ def main() -> int:
     # steady state; the cold time is reported alongside (never hidden) in
     # notes.jit_warmup_cold_s so both numbers stay visible.
     JIT_WARMUP = ("cdc_materialize_state",)
-    warmup_cold: dict[str, float] = {}
+    warmup_cold: dict[str, list[float]] = {}
     for name in JIT_WARMUP:
         fn = overrides.get(name) or (
             QUERIES[name].spark if name in QUERIES else None
         )
         if fn is None:
             continue
-        elapsed, err = _run_capped(spark, name, fn, sf_dir, PER_QUERY_CAP_S)
-        try:
-            spark.catalog.clearCache()
-        except Exception:  # noqa: BLE001
-            pass
-        if err is None:
-            warmup_cold[name] = round(elapsed, 3)
+        # C2 tiered compilation needs several executions, not one: warm
+        # until a run stops improving by >25% over its predecessor (max 4),
+        # so the timed passes measure the operator, not the JIT curve.
+        prev = None
+        for _ in range(4):
+            elapsed, err = _run_capped(spark, name, fn, sf_dir,
+                                       PER_QUERY_CAP_S)
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001
+                pass
+            if err is not None:
+                break
+            warmup_cold.setdefault(name, []).append(round(elapsed, 3))
             print(f"  [warmup] {name}: {round(elapsed, 3)}s (untimed)",
                   file=sys.stderr, flush=True)
+            if prev is not None and elapsed > prev * 0.75:
+                break
+            prev = elapsed
 
     deadline = time.monotonic() + GLOBAL_BUDGET_S
     plan = [("__calibration__", _calibration)] + [

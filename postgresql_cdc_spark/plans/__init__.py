@@ -462,6 +462,10 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # the rewrite; QUERIES.md regeneration erased the changed flag, so the
     # pin forces the driver re-stamp.
     "eval_auc_exact": 9,
+    # r10: the two global ROW_NUMBER windows replaced by distributed
+    # top-25s + a broadcast count-strictly-smaller rank pass — the r9
+    # stamp predates the rewrite.
+    "sort_null_ordering": 9,
 }
 
 

@@ -2354,26 +2354,65 @@ def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ascending sorts default nulls first, PostgreSQL/DuckDB default "
         "NULLS LAST), so any query that omits the modifier silently "
         "reorders when ported; this query forces both spellings and the "
-        "gate proves they agree bit-for-bit. Two windows sharing one "
-        "sort order family over a skinny projection.",
+        "gate proves they agree bit-for-bit. The oracle states the two "
+        "global ROW_NUMBER windows; the Spark plan deliberately runs "
+        "neither: each top-25 is a distributed TakeOrderedAndProject "
+        "over a lexicographic struct key that encodes the NULL rule as "
+        "a leading boolean (struct comparison is total once NULLs are "
+        "flagged out), and the candidates' EXACT global ranks come from "
+        "one broadcast count-strictly-smaller pass (<=50 candidates "
+        "crossed against one scan — rank = smaller-count + 1, exact "
+        "because o_orderkey makes the order total). No task ever holds "
+        "more than the top-k.",
 )
 def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr("nullif(o_orderpriority, '3-MEDIUM')").alias("pri"),
     )
-    w_nf = W.orderBy(F.col("pri").asc_nulls_first(), F.col("o_orderkey"))
-    w_nl = W.orderBy(F.col("pri").asc_nulls_last(), F.col("o_orderkey"))
-    r = o.select(
-        "o_orderkey",
-        F.coalesce(F.col("pri"), F.lit("(null)")).alias("prio"),
-        F.row_number().over(w_nf).cast("bigint").alias("rn_nf"),
-        F.row_number().over(w_nl).cast("bigint").alias("rn_nl"),
+    k_nf = F.struct(
+        F.col("pri").isNotNull().alias("f"),  # false sorts first => nulls
+        F.coalesce("pri", F.lit("")).alias("p"),
+        F.col("o_orderkey").alias("k"),
+    )
+    k_nl = F.struct(
+        F.col("pri").isNull().alias("f"),  # true sorts last => nulls
+        F.coalesce("pri", F.lit("")).alias("p"),
+        F.col("o_orderkey").alias("k"),
+    )
+    keyed = o.select(
+        "o_orderkey", "pri", k_nf.alias("k_nf"), k_nl.alias("k_nl")
+    )
+    top_nf = keyed.orderBy("k_nf").limit(25)
+    top_nl = keyed.orderBy("k_nl").limit(25)
+    cand = top_nf.unionByName(top_nl).dropDuplicates(["o_orderkey"])
+    counts = (
+        keyed.crossJoin(
+            F.broadcast(
+                cand.select(
+                    F.col("o_orderkey").alias("c_key"),
+                    F.col("k_nf").alias("c_nf"),
+                    F.col("k_nl").alias("c_nl"),
+                )
+            )
+        )
+        .groupBy("c_key")
+        .agg(
+            (F.sum((F.col("k_nf") < F.col("c_nf")).cast("long")) + 1)
+            .cast("bigint")
+            .alias("rn_nf"),
+            (F.sum((F.col("k_nl") < F.col("c_nl")).cast("long")) + 1)
+            .cast("bigint")
+            .alias("rn_nl"),
+        )
     )
     return (
-        r.where((F.col("rn_nf") <= 25) | (F.col("rn_nl") <= 25))
+        cand.select(
+            "o_orderkey",
+            F.coalesce(F.col("pri"), F.lit("(null)")).alias("prio"),
+        )
+        .join(counts, F.col("o_orderkey") == F.col("c_key"))
+        .where((F.col("rn_nf") <= 25) | (F.col("rn_nl") <= 25))
         .select(
             "o_orderkey", F.col("prio").alias("pri"), "rn_nf", "rn_nl"
         )

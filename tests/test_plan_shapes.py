@@ -64,6 +64,7 @@ NESTED_LOOP_OK = {
     "events_cusum_user_drift",  # one-row global-median scalar broadcast
     "join_null_safe_equality",  # four 1-row count scalars assembled
     "orders_seasonality_index",  # one-row annual-total scalar broadcast
+    "sort_null_ordering",  # <=50-candidate broadcast count-smaller pass
 }
 
 
@@ -162,9 +163,6 @@ UNPARTITIONED_WINDOW_OK = {
     # -- structural caps
     "skyline_pareto_parts": "global pass input = per-band frontiers only "
                             "(operators/frontier.py banded prefilter)",
-    "sort_null_ordering": "NULL-ordering semantics pin over a 2-column "
-                          "projection; deliberately states both global "
-                          "orderings (doc'd as a pin, not a pattern)",
 }
 
 
