@@ -400,17 +400,18 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = net.withColumn("hr", F.expr("ms div 3600000"))
 
     # Distributed prefix sum: (1) per-hour partial running sums stay inside
-    # hour-keyed partitions; (2) the carry-in comes from cumulating per-hour
-    # nets over a table bounded by the span's hour count (~720/month) —
-    # the only unpartitioned window, on a provably tiny input.
+    # hour-keyed partitions; (2) the carry-in cumulates per-hour nets with
+    # the TWO-LEVEL seam stitch (operators/seams.py) — the residual
+    # unpartitioned window sees only the per-8192-hour rollup, so no task
+    # scales with the span even over a century of hours.
     hour_net = net.groupBy("hr").agg(F.sum("net_d").alias("h_net"))
-    w_hours = (
-        Window.orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from postgresql_cdc_spark.operators.seams import (
+        two_level_exclusive_prefix,
     )
-    carry = hour_net.select(
-        "hr", (F.sum("h_net").over(w_hours) - F.col("h_net")).alias("carry")
-    )
+
+    carry = two_level_exclusive_prefix(
+        hour_net, "hr", {"h_net": "carry"}
+    ).select("hr", "carry")
     w_in_hr = (
         Window.partitionBy("hr")
         .orderBy("ms")

@@ -143,7 +143,7 @@ UNPARTITIONED_WINDOW_OK = {
     "eval_auc_exact":      "score rollup: range/1000/8192 rows",
     # -- calendar / bucket rollups: input rows = time or value range divided
     #    by the bucket width, independent of fact-table size
-    "events_peak_concurrency": "per-hour net-concurrency rollup",
+    "events_peak_concurrency": "per-8192-hour seam rollup (two-level)",
     "orders_cumulative_customers": "per-day first-order rollup",
     "orders_mom_revenue_trend": "per-month revenue rollup",
     "orders_backlog_timeseries": "per-day ordered/shipped rollup",
