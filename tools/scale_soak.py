@@ -49,6 +49,10 @@ SOAK_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_topk_lsh",
+    # the round-10 two-level seam-stitch rewrites: the soak is the direct
+    # evidence that no window task scales with the key/score range
+    "dq_sequence_gaps",
+    "eval_auc_exact",
 ]
 ROWS_TABLE = {
     "cdc_materialize_state": "lineitem",
@@ -56,6 +60,8 @@ ROWS_TABLE = {
     "dedup_ngram_jaccard": "documents",
     "dedup_simhash": "documents",
     "sim_topk_lsh": "embeddings",
+    "dq_sequence_gaps": "orders",
+    "eval_auc_exact": "embeddings",
 }
 
 
@@ -115,6 +121,19 @@ def _build_sf1(spark) -> None:
         out = out.unionByName(r)
     out.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
 
+    od = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    reps = [od]
+    for k in range(1, REPLICAS):
+        reps.append(
+            od.withColumn(
+                "o_orderkey", F.col("o_orderkey") + k * 10_000_000
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(os.path.join(DST, "orders.parquet"))
+
 
 def main() -> int:
     from postgresql_cdc_spark.plans import QUERIES
@@ -125,7 +144,7 @@ def main() -> int:
 
     if not all(
         os.path.isdir(os.path.join(DST, f"{t}.parquet"))
-        for t in ("documents", "embeddings", "lineitem")
+        for t in ("documents", "embeddings", "lineitem", "orders")
     ):
         print("building sf1 fixtures ...", file=sys.stderr, flush=True)
         _build_sf1(spark)
@@ -151,7 +170,7 @@ def main() -> int:
         clogs[d] = clog
 
     rows = {}
-    for t in ("documents", "embeddings", "lineitem"):
+    for t in ("documents", "embeddings", "lineitem", "orders"):
         rows[("sf0.1", t)] = spark.read.parquet(
             os.path.join(SRC, f"{t}.parquet")).count()
         rows[("sf1", t)] = spark.read.parquet(
