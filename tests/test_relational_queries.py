@@ -114,3 +114,52 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_null_flag_struct_key_matches_null_order_modifiers(spark):
+    """sort_null_ordering's rewrite rests on one encoding claim: ordering by
+    struct(pri IS NOT NULL, coalesce(pri,''), key) equals ORDER BY pri ASC
+    NULLS FIRST, key — and the IS NULL variant equals NULLS LAST. Pin it on
+    randomized data (struct comparison is lexicographic and total once the
+    NULL is flagged out; '' never collides because flagged-null rows tie on
+    '' and break on key, exactly like the window ordering)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice([None, "", "A", "B", "zz", "1-URGENT"]))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, pri string").cache()
+
+    want_nf = [
+        r.k for r in df.orderBy(
+            F.col("pri").asc_nulls_first(), F.col("k")).collect()
+    ]
+    got_nf = [
+        r.k for r in df.orderBy(
+            F.struct(
+                F.col("pri").isNotNull(),
+                F.coalesce("pri", F.lit("")),
+                F.col("k"),
+            )
+        ).collect()
+    ]
+    assert got_nf == want_nf
+
+    want_nl = [
+        r.k for r in df.orderBy(
+            F.col("pri").asc_nulls_last(), F.col("k")).collect()
+    ]
+    got_nl = [
+        r.k for r in df.orderBy(
+            F.struct(
+                F.col("pri").isNull(),
+                F.coalesce("pri", F.lit("")),
+                F.col("k"),
+            )
+        ).collect()
+    ]
+    assert got_nl == want_nl
