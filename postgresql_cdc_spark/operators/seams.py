@@ -20,17 +20,39 @@ fanout^3 (~5.5e11) buckets, and the transform composes if it ever is.
 
 Both helpers require the stitched columns to be non-null (bucket
 summaries are MIN/MAX/SUM aggregates, which never produce NULL over
-non-empty groups).
+non-empty groups). Group keys (``part`` columns, ``bkt``) MAY be NULL:
+a window treats NULL as an ordinary partition/first-in-ascending-order
+value, so the internal rollup joins are null-SAFE — a plain equi-join
+would silently drop NULL-keyed rows instead of stitching them.
 """
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 _SB = "__seam_sb"
+
+
+def _null_safe_broadcast_join(
+    out: DataFrame, lvl2: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Join ``out`` to broadcast ``lvl2`` on ``keys`` with null-safe
+    equality (``<=>``) — still planned as a broadcast HASH join (Catalyst
+    treats EqualNullSafe as an equi-join key), never a nested loop."""
+    ren = {k: f"__seam_key_{k}" for k in keys}
+    rhs = lvl2.select(
+        *[F.col(k).alias(ren[k]) for k in keys],
+        *[c for c in lvl2.columns if c not in keys],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [out[k].eqNullSafe(rhs[ren[k]]) for k in keys],
+    )
+    return out.join(F.broadcast(rhs), cond).drop(*ren.values())
 
 
 def _with_super_bucket(summ: DataFrame, bkt: str, fanout: int) -> DataFrame:
@@ -92,7 +114,7 @@ def two_level_exclusive_prefix(
             for alias in sums.values()
         ],
     )
-    out = out.join(F.broadcast(lvl2), [*parts, _SB])
+    out = _null_safe_broadcast_join(out, lvl2, [*parts, _SB])
     for alias in sums.values():
         out = out.withColumn(
             alias, F.col(tmp_carry[alias]) + F.col(tmp_in[alias])
@@ -141,7 +163,7 @@ def two_level_next(
             for alias in nexts.values()
         ],
     )
-    out = out.join(F.broadcast(lvl2), [*parts, _SB])
+    out = _null_safe_broadcast_join(out, lvl2, [*parts, _SB])
     for alias in nexts.values():
         out = out.withColumn(
             alias, F.coalesce(F.col(alias), F.col(tmp_next[alias]))

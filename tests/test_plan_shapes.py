@@ -89,6 +89,13 @@ def _plan(spark, name: str) -> str:
 
 
 def _is_streaming_gate(q) -> bool:
+    # Module match catches plans/streaming_gate.py; the name prefix catches
+    # streaming gates defined elsewhere (cdc_stream_incremental_dedup lives
+    # in extensions2 next to its batch sibling). Building ANY of them runs a
+    # real StreamingQuery — minutes of wall per sweep — and the returned
+    # batch DataFrame is just a sink read, so its "plan" is vacuous here.
+    if q.name.startswith("cdc_stream_"):
+        return True
     fn = q.spark
     while hasattr(fn, "__wrapped__"):
         fn = fn.__wrapped__

@@ -32,14 +32,25 @@ def _random_summary(spark, seed, parts=False):
     bkts = rng.sample(range(-300, 300), n)
     rows = []
     for b in bkts:
-        for p in (["x", "y"] if parts else [""]):
+        for p in (["x", "y", None] if parts else [""]):
             if parts and rng.random() < 0.3:
                 continue  # ragged: not every (part, bkt) present
             rows.append((p, b, rng.randint(0, 50), rng.randint(-9, 9)))
     if not rows:
         rows = [("x", 0, 1, 1)]
+    # a NULL bucket id is a legitimate window group (sorts first in
+    # ascending order); the helpers' internal joins must be null-safe or
+    # these rows silently vanish
+    if rng.random() < 0.7:
+        for p in (["x", None] if parts else [""]):
+            rows.append((p, None, rng.randint(0, 50), rng.randint(-9, 9)))
     return spark.createDataFrame(rows, "p string, bkt long, a long, b long")
 
+
+
+def _key(r):
+    # None-robust row sort key (None < everything, stable across columns)
+    return tuple((v is None, 0 if v is None else v) for v in r)
 
 class TestTwoLevelExclusivePrefix:
     def test_matches_unpartitioned_window(self, spark):
@@ -58,10 +69,9 @@ class TestTwoLevelExclusivePrefix:
                 got = two_level_exclusive_prefix(
                     df, "bkt", {"a": "ca", "b": "cb"}, fanout=fanout
                 ).select("bkt", "ca", "cb")
-                assert sorted(got.collect()) == sorted(want.collect()), (
-                    seed,
-                    fanout,
-                )
+                assert sorted(got.collect(), key=_key) == sorted(
+                    want.collect(), key=_key
+                ), (seed, fanout)
 
     def test_matches_partitioned_window(self, spark):
         for seed in (4, 5):
@@ -77,7 +87,9 @@ class TestTwoLevelExclusivePrefix:
             got = two_level_exclusive_prefix(
                 df, "bkt", {"a": "ca"}, part=("p",), fanout=4
             ).select("p", "bkt", "ca")
-            assert sorted(got.collect()) == sorted(want.collect()), seed
+            assert sorted(got.collect(), key=_key) == sorted(
+                want.collect(), key=_key
+            ), seed
 
 
 class TestTwoLevelNext:
@@ -92,9 +104,8 @@ class TestTwoLevelNext:
                 got = two_level_next(
                     df, "bkt", {"a": "na"}, fanout=fanout
                 ).select("bkt", "na")
-                key = lambda r: (r[0], r[1] if r[1] is not None else -(10**9))
-                assert sorted(got.collect(), key=key) == sorted(
-                    want.collect(), key=key
+                assert sorted(got.collect(), key=_key) == sorted(
+                    want.collect(), key=_key
                 ), (seed, fanout)
 
     def test_matches_partitioned_lead(self, spark):
@@ -105,11 +116,6 @@ class TestTwoLevelNext:
             got = two_level_next(
                 df, "bkt", {"a": "na"}, part=("p",), fanout=4
             ).select("p", "bkt", "na")
-            key = lambda r: (
-                r[0],
-                r[1],
-                r[2] if r[2] is not None else -(10**9),
-            )
-            assert sorted(got.collect(), key=key) == sorted(
-                want.collect(), key=key
+            assert sorted(got.collect(), key=_key) == sorted(
+                want.collect(), key=_key
             ), seed

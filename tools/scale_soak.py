@@ -5,11 +5,14 @@ partition/prune strategies actually hold when the data grows.
 Builds a deterministic sf1 fixture set (10x sf0.1) under .bench_cache/sf1/:
 
 - ``documents``: replica 0 is sf0.1 verbatim; replicas 1-9 shift doc_id by
-  k*1,000,000 and salt every third token with a replica tag, so EVERY
-  trigram shingle of a replica contains its salt — cross-replica Jaccard is
-  exactly 0 and the near-dup pair count stays ~linear in corpus size (naive
-  10x copies would grow pairs quadratically and measure the wrong thing).
-  Token count grows 1.33x per salted replica; noted with the results.
+  k*1,000,000 and salt every SECOND token with a replica tag — the longest
+  run of unsalted tokens is then 2, so EVERY trigram shingle of a replica
+  contains its salt and cross-replica Jaccard is exactly 0, keeping the
+  near-dup pair count ~linear in corpus size (naive 10x copies would grow
+  pairs quadratically and measure the wrong thing; salting every THIRD
+  token — the first version of this file — left whole trigrams intact
+  between salts, ~0.15 residual cross-replica Jaccard). Token count grows
+  1.5x per salted replica; noted with the results.
 - ``embeddings``: replicas shift vec_id by k*1,000,000 (divisible by 100, so
   the vec_id %% 100 query subset scales 10x with the corpus) and add
   deterministic hash-derived noise of +-0.1 per component (distinct vectors,
@@ -73,7 +76,7 @@ def _build_sf1(spark) -> None:
     for k in range(1, REPLICAS):
         salted = (
             "array_join(flatten(transform(split(text, ' '), "
-            f"(t, i) -> IF(i % 3 = 0, array('rk{k}x', t), array(t)))), ' ')"
+            f"(t, i) -> IF(i % 2 = 0, array('rk{k}x', t), array(t)))), ' ')"
         )
         reps.append(
             docs.select(
