@@ -145,12 +145,26 @@ def main() -> int:
     spark = get_spark("scale-soak")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    if not all(
+    # recipe-versioned cache: a stale fixture built by an OLDER _build_sf1
+    # would silently measure the wrong data (the salt-period fix was exactly
+    # that hazard), so rebuild whenever the builder source changes
+    import hashlib
+    import inspect
+
+    recipe = hashlib.md5(inspect.getsource(_build_sf1).encode()).hexdigest()
+    stamp = os.path.join(DST, "_recipe_md5")
+    have = (
+        open(stamp).read().strip() if os.path.isfile(stamp) else ""
+    )
+    if have != recipe or not all(
         os.path.isdir(os.path.join(DST, f"{t}.parquet"))
         for t in ("documents", "embeddings", "lineitem", "orders")
     ):
         print("building sf1 fixtures ...", file=sys.stderr, flush=True)
         _build_sf1(spark)
+        os.makedirs(DST, exist_ok=True)
+        with open(stamp, "w") as f:
+            f.write(recipe)
 
     # cdc_materialize_state: time the merge operator only (bench.py's r8
     # methodology) — changelog synthesis is untimed input prep per scale.
