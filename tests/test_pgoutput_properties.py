@@ -163,3 +163,38 @@ class TestMalformedInput:
         msg = encode_insert(rel.relation_id, ["hello", "world"])
         with pytest.raises(ProtocolError):
             dec.decode(msg[:-3])
+
+
+class TestTruncateInvariance:
+    @settings(max_examples=200, deadline=None)
+    @given(
+        relation_and_rows(),
+        st.lists(st.integers(min_value=1, max_value=2**31 - 1),
+                 min_size=0, max_size=5),
+        st.booleans(),
+        st.booleans(),
+    )
+    def test_truncate_is_pure_noise_for_the_decoder(
+        self, rv, rel_ids, cascade, restart
+    ):
+        """For ANY relation list and option bits, a TRUNCATE message decodes
+        to None (recognized-and-dropped, the reference's
+        MessageType.java:17-28 behavior) and leaves the decoder's relation
+        registry fully intact — an INSERT decoded after the TRUNCATE sees
+        exactly the record it would have seen without it."""
+        from postgresql_cdc_spark.sources.pgoutput import encode_truncate
+
+        rel, values, toast = rv
+        d_plain = PgOutputDecoder()
+        d_plain.decode(encode_relation(rel))
+        want = d_plain.decode(encode_insert(rel.relation_id, values))
+
+        d_trunc = PgOutputDecoder()
+        d_trunc.decode(encode_relation(rel))
+        assert d_trunc.decode(
+            encode_truncate(rel_ids, cascade=cascade, restart_identity=restart)
+        ) is None
+        got = d_trunc.decode(encode_insert(rel.relation_id, values))
+        assert isinstance(got, ChangeRecord) and isinstance(want, ChangeRecord)
+        assert got.columns == want.columns
+        assert got.op == want.op == "I"
