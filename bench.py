@@ -280,11 +280,12 @@ def main() -> int:
         "notes": {
             "cdc_materialize_state": "timed work = merge operator only "
             "(changelog pre-synthesized, untimed) since r8; baseline row "
-            "included ~6.7s synthesis. Since r10 one untimed JIT warm-up "
-            "execution precedes the timed passes (r8 root-caused the "
+            "included ~6.7s synthesis. Since r10 UP TO FOUR untimed JIT "
+            "warm-up executions precede the timed passes, stopping once "
+            "a run improves <25% on its predecessor (r8 root-caused the "
             "8.5/3.1/1.3s pass profile to C2 compilation of the wide "
             "merge codegen), so the median reports the operator's steady "
-            "state; the cold first run stays visible below.",
+            "state; every cold run stays visible below.",
             "jit_warmup_cold_s": warmup_cold,
         },
     }

@@ -136,7 +136,7 @@ def events_ab_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_in = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = vals.join(F.broadcast(carry), "bkt").withColumn(
+    ranked = vals.join(carry, "bkt").withColumn(
         "before", F.col("carry") + F.sum("c").over(w_in) - F.col("c")
     )
     # all `ca` ties of value v share doubled midrank 2*(before+1) + c - 1
@@ -226,7 +226,7 @@ def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents", "event_id"
     )
     ranked = (
-        e.join(F.broadcast(carry), ["event_type", "bkt"])
+        e.join(carry, ["event_type", "bkt"])
         .join(F.broadcast(totals), "event_type")
         .withColumn(
             "rk",

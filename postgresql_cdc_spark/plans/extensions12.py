@@ -140,7 +140,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_in = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = vals.join(F.broadcast(carry), "bkt").select(
+    cum = vals.join(carry, "bkt").select(
         "cents",
         (F.col("carrya") + F.sum("ca").over(w_in)).cast("bigint").alias(
             "cuma"

@@ -1163,7 +1163,7 @@ def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_in = Window.partitionBy("bkt").orderBy("score").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = vals.join(F.broadcast(carry), "bkt").withColumn(
+    ranked = vals.join(carry, "bkt").withColumn(
         "smaller", F.col("carry") + F.sum("c").over(w_in) - F.col("c")
     )
     # all cp positives at score v share doubled midrank

@@ -380,12 +380,14 @@ def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "intra-timestamp ordering ambiguity, then prefix-summed. The "
         "Spark plan decomposes the global prefix sum the distributed "
         "way (the classic scan decomposition): per-hour running totals "
-        "within hour-keyed partitions plus an hour-level carry-in "
-        "cumulated over the TINY per-hour net table (bounded by hours "
-        "in the data span — the one single-partition window, and it is "
-        "bounded); the DuckDB oracle states the same semantics as one "
-        "global cumulative sum. Change points are 2x sessions, orders "
-        "of magnitude smaller than events, and every wide op is keyed.",
+        "within hour-keyed partitions plus an hour-level carry-in from "
+        "the TWO-LEVEL seam stitch (operators/seams.py) over the per-"
+        "hour net table, so the only residual unpartitioned window sees "
+        "the per-8192-hour rollup — no task scales with the span even "
+        "over a century of hours; the DuckDB oracle states the same "
+        "semantics as one global cumulative sum. Change points are 2x "
+        "sessions, orders of magnitude smaller than events, and every "
+        "wide op is keyed.",
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     se = sessionized_events(spark, sf_dir)
@@ -417,7 +419,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ms")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = net.join(F.broadcast(carry), "hr").select(
+    run = net.join(carry, "hr").select(
         "hr",
         "ms",
         (F.col("carry") + F.sum("net_d").over(w_in_hr)).alias("conc"),

@@ -1286,12 +1286,30 @@ def cdc_snapshot_handover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "derivation breaks the hash.",
 )
 def cdc_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    hist = _scd2_hist_from_stream(spark, "scd2")
+    return hist.select(
+        "id",
+        "valid_from_lsn",
+        "valid_to_lsn",
+        F.col("valid_to_lsn").isNull().alias("is_current"),
+        "v_int",
+    )
+
+
+def _scd2_hist_from_stream(spark: SparkSession, tag: str) -> DataFrame:
+    """The shared CDC->SCD2 pipeline of the scd2-history and asof-dimension
+    gates: build the standard archive, land each txn-aligned micro-batch in
+    an append-only changelog via foreachBatch, then derive validity
+    intervals with ONE per-key LEAD window (DELETEs close the open version
+    and emit no row). Returns (id, valid_from_lsn, valid_to_lsn, v_int)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     _register_source(spark)
     run = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix=f"pgcdc_scd2_{run}_")
+    base = tempfile.mkdtemp(prefix=f"pgcdc_{tag}_{run}_")
     arch = os.path.join(base, "wal")
     log_dir = os.path.join(base, "changelog")
     _build_archive(arch)
@@ -1327,7 +1345,6 @@ def cdc_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id",
             F.col("lsn").alias("valid_from_lsn"),
             "valid_to_lsn",
-            F.col("valid_to_lsn").isNull().alias("is_current"),
             "v_int",
         )
     )
@@ -1372,52 +1389,11 @@ def cdc_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle from the archive's LSN schedule.",
 )
 def cdc_stream_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from postgresql_cdc_spark.operators.asof import asof_join
 
-    _register_source(spark)
-    run = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix=f"pgcdc_asofd_{run}_")
-    arch = os.path.join(base, "wal")
-    log_dir = os.path.join(base, "changelog")
-    _build_archive(arch)
-
-    def land(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.select(
-            F.element_at("columns", "id").cast("long").alias("id"),
-            F.element_at("columns", "v_int").cast("int").alias("v_int"),
-            "op", "lsn",
-        ).write.mode("append").parquet(log_dir)
-
-    stream = (
-        spark.readStream.format("pgcdc")
-        .option("path", arch)
-        .option("maxRecordsPerBatch", "25")
-        .load()
-    )
-    q = (
-        stream.writeStream.foreachBatch(land)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .start()
-    )
-    _drain_bounded(q)
-
-    log = spark.read.schema("id long, v_int int, op string, lsn long").parquet(
-        log_dir
-    )
-    w = Window.partitionBy("id").orderBy("lsn")
-    hist = (
-        log.withColumn("valid_to_lsn", F.lead("lsn").over(w))
-        .where(F.col("op") != "D")
-        .select(
-            "id",
-            F.col("lsn").alias("valid_from_lsn"),
-            "valid_to_lsn",
-            "v_int",
-        )
-    )
+    hist = _scd2_hist_from_stream(spark, "asofd")
     ids = spark.range(N).select(F.col("id"))
     probes = ids.select(
         "id",

@@ -151,7 +151,9 @@ def main() -> int:
     import hashlib
     import inspect
 
-    recipe = hashlib.md5(inspect.getsource(_build_sf1).encode()).hexdigest()
+    recipe = hashlib.md5(
+        (inspect.getsource(_build_sf1) + f"|{REPLICAS}|{SRC}").encode()
+    ).hexdigest()
     stamp = os.path.join(DST, "_recipe_md5")
     have = (
         open(stamp).read().strip() if os.path.isfile(stamp) else ""
@@ -162,6 +164,16 @@ def main() -> int:
     ):
         print("building sf1 fixtures ...", file=sys.stderr, flush=True)
         _build_sf1(spark)
+        # the synthesized sf1 changelog derives from the sf1 lineitem
+        # fixture — a recipe change must invalidate it too or the
+        # materialize row measures old data
+        import shutil
+
+        stale_clog = os.path.join(
+            REPO, ".bench_cache", "soak_clog_sf1.parquet"
+        )
+        if os.path.isdir(stale_clog):
+            shutil.rmtree(stale_clog)
         os.makedirs(DST, exist_ok=True)
         with open(stamp, "w") as f:
             f.write(recipe)
