@@ -1093,7 +1093,11 @@ _STREAM_INCR_ORACLE = f"""
         "exactly: band collision across waves, size-ratio prune, exact "
         "shingle-Jaccard >= 0.5. Corpus never self-joins; per-wave cost "
         "is O(|wave| x collision rate) however large the accumulated "
-        "index grows.",
+        "index grows. Delivery note (same caveat as "
+        "cdc_stream_scd2_history): the parquet appends are at-least-once "
+        "under replay — a restartable deployment would key the match and "
+        "index writes by batch_id and overwrite; this one-shot gate run "
+        "(fresh checkpoint, AvailableNow) cannot replay.",
 )
 def cdc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
