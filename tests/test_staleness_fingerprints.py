@@ -165,3 +165,56 @@ class TestFixtureDrift:
         # per-dir keys: removing one sf dir must not disturb other dirs'
         # fingerprints (the layout-churn-is-not-drift property)
         assert all("@" in k for k in fp)
+
+
+class TestStampWindowBudget:
+    def test_never_stamped_and_pins_fit_the_driver_prefix(self):
+        """The driver stamps ~50 queries per round in registration order, so
+        the staleness reorder IS the verification-budget policy. This guard
+        fails the moment registrations outgrow it: every never-driver-stamped
+        query and every ACTIVE re-verification pin must sit inside the first
+        50 — if this trips, either cut new registrations or consciously
+        rebalance (a query pushed past the prefix silently waits a round)."""
+        import glob
+        import json
+        import os
+
+        from postgresql_cdc_spark import plans
+        from postgresql_cdc_spark.plans import (
+            _PIN_UNTIL_STAMPED_AFTER,
+            QUERIES,
+        )
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(plans.__file__)))
+        root = os.path.dirname(root)  # repo root
+        last_stamp: dict[str, int] = {}
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            try:
+                with open(path) as f:
+                    stamps = json.load(f)
+            except (OSError, ValueError):
+                continue
+            import re
+
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            rnd = int(m.group(1)) if m else 0
+            for name in stamps:
+                last_stamp[name] = max(last_stamp.get(name, -1), rnd)
+
+        names = list(QUERIES)
+        prefix = set(names[:50])
+        never = [n for n in names if n not in last_stamp]
+        missing_never = [n for n in never if n not in prefix]
+        assert not missing_never, (
+            f"{len(never)} never-stamped queries but these fell outside the "
+            f"driver's 50-stamp prefix: {missing_never}"
+        )
+        active_pins = [
+            n for n, until in _PIN_UNTIL_STAMPED_AFTER.items()
+            if n in QUERIES and last_stamp.get(n, -1) <= until
+        ]
+        missing_pins = [n for n in active_pins if n not in prefix]
+        assert not missing_pins, (
+            f"active re-verification pins outside the 50-stamp prefix: "
+            f"{missing_pins}"
+        )
