@@ -452,14 +452,18 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, list_sort(list(qty)) AS arr
         FROM q GROUP BY 1)
     SELECT l_orderkey,
-           arr,
-           list_transform(arr, x -> x * 2 + 1) AS doubled,
-           list_filter(arr, x -> x > 25) AS big,
+           array_to_string(arr, ',') AS arr_csv,
+           CAST(len(arr) AS INTEGER) AS arr_n,
+           array_to_string(list_transform(arr, x -> x * 2 + 1), ',')
+               AS doubled_csv,
+           COALESCE(array_to_string(list_filter(arr, x -> x > 25), ','), '')
+               AS big_csv,
+           CAST(len(list_filter(arr, x -> x > 25)) AS INTEGER) AS big_n,
            CAST(list_sum(arr) AS BIGINT) AS total,
            len(list_filter(arr, x -> x > 45)) > 0 AS anybig,
            len(list_filter(arr, x -> x <= 0)) = 0 AS allpos,
-           list_transform(range(1, len(arr) + 1),
-                          i -> arr[i] + arr[len(arr) + 1 - i]) AS zsum
+           array_to_string(list_transform(range(1, len(arr) + 1),
+                          i -> arr[i] + arr[len(arr) + 1 - i]), ',') AS zsum_csv
     FROM arrs
     """,
     doc="Higher-order array-function parity sweep — the lambda surface "
@@ -469,6 +473,15 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Arrays are sort_array(collect_list(...)) so the nondeterministic "
         "collect order never reaches the output; quantities pass through "
         "exact decimal to BIGINT so every lambda is integer arithmetic. "
+        "Output scalarization (r11): every array result is emitted as a "
+        "canonical array_join CSV plus a size column — the driver's pandas "
+        "canonicalizer sorts values and cannot hash raw lists, so raw "
+        "array/map output columns are banned repo-wide "
+        "(tests/test_plan_shapes.py output-schema sweep); the lambda "
+        "surface under test is unchanged, only the final projection "
+        "scalarizes. DuckDB's array_to_string returns NULL on an empty "
+        "list where Spark's array_join returns '' — the oracle COALESCEs "
+        "the one filter output that can be empty. "
         "Engine mapping notes: Spark exists/forall become length-of-"
         "filter predicates in DuckDB, zip_with(arr, reverse(arr), +) "
         "becomes an index-lambda over range(1, n+1) against DuckDB's "
@@ -485,15 +498,22 @@ def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = q.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("qty")).alias("arr")
     )
+    big = F.filter("arr", lambda x: x > 25)
     return arrs.select(
         "l_orderkey",
-        "arr",
-        F.transform("arr", lambda x: x * 2 + 1).alias("doubled"),
-        F.filter("arr", lambda x: x > 25).alias("big"),
+        F.array_join("arr", ",").alias("arr_csv"),
+        F.size("arr").alias("arr_n"),
+        F.array_join(
+            F.transform("arr", lambda x: x * 2 + 1), ","
+        ).alias("doubled_csv"),
+        F.array_join(big, ",").alias("big_csv"),
+        F.size(big).alias("big_n"),
         F.aggregate(
             "arr", F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("total"),
         F.exists("arr", lambda x: x > 45).alias("anybig"),
         F.forall("arr", lambda x: x > 0).alias("allpos"),
-        F.expr("zip_with(arr, reverse(arr), (a, b) -> a + b)").alias("zsum"),
+        F.array_join(
+            F.expr("zip_with(arr, reverse(arr), (a, b) -> a + b)"), ","
+        ).alias("zsum_csv"),
     )

@@ -246,6 +246,37 @@ class TestBoundedGlobalWindows:
         ), plan[:1500]
 
 
+class TestDriverSortableOutputSchemas:
+    def test_no_array_or_map_output_columns(self, spark):
+        """The driver's correctness gate canonicalizes results in pandas by
+        sorting every column's values; a top-level ArrayType/MapType column
+        crashes its sort_values with ``unhashable type: 'list'`` before any
+        comparison runs (round-10 red on scalar_higher_order_funcs). Encode
+        that contract the hard way: no registered query may emit an array or
+        map column — scalarize via array_join + size (the pg_string_arrays
+        pattern). Schema-only: ``df.schema`` resolves the analyzed plan
+        without executing it. Streaming gates are skipped because BUILDING
+        them runs a real StreamingQuery, but they return scalar-only sink
+        reads already."""
+        from pyspark.sql.types import ArrayType, MapType
+
+        offenders = {}
+        for name, q in QUERIES.items():
+            if _is_streaming_gate(q):
+                continue
+            bad = [
+                f.name
+                for f in _df(spark, name).schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType))
+            ]
+            if bad:
+                offenders[name] = bad
+        assert not offenders, (
+            f"array/map output columns break the driver's pandas "
+            f"canonicalizer — scalarize them (array_join + size): {offenders}"
+        )
+
+
 class TestPushdownAndPruning:
     def test_q6_filters_reach_scan(self, spark):
         plan = _plan(spark, "q6_forecast_revenue")
