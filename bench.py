@@ -185,6 +185,14 @@ def main() -> int:
     # state is ~1.3 s. One untimed execution moves the timed passes onto the
     # steady state; the cold time is reported alongside (never hidden) in
     # notes.jit_warmup_cold_s so both numbers stay visible.
+    # The global budget clock starts BEFORE the warm-up loop: warm-up
+    # executions are untimed per-query but not free wall-clock, and letting
+    # them run outside the budget could stretch total bench time to
+    # GLOBAL_BUDGET_S + 4x the per-query cap (round-10 advice). Warm-up
+    # spend therefore comes out of the same deadline the timed passes use;
+    # if warm-up eats the whole budget the timed loop degrades to (at
+    # least) one pass via the max(...) floor below.
+    deadline = time.monotonic() + GLOBAL_BUDGET_S
     JIT_WARMUP = ("cdc_materialize_state",)
     warmup_cold: dict[str, list[float]] = {}
     for name in JIT_WARMUP:
@@ -213,7 +221,6 @@ def main() -> int:
                 break
             prev = elapsed
 
-    deadline = time.monotonic() + GLOBAL_BUDGET_S
     plan = [("__calibration__", _calibration)] + [
         (name, overrides.get(name)) for name in BENCH_QUERIES
     ]
@@ -226,7 +233,10 @@ def main() -> int:
             # would starve tail queries out of the budget).
             if name in errors:
                 continue
-            if time.monotonic() >= deadline:
+            # rep 0 always runs (min 5 s cap via _run_capped's floor) so a
+            # warm-up that consumed the budget still yields one timed pass
+            # per query; later reps respect the deadline strictly.
+            if rep > 0 and time.monotonic() >= deadline:
                 continue
             if fn is None:
                 q = QUERIES.get(name)
@@ -285,7 +295,11 @@ def main() -> int:
             "a run improves <25% on its predecessor (r8 root-caused the "
             "8.5/3.1/1.3s pass profile to C2 compilation of the wide "
             "merge codegen), so the median reports the operator's steady "
-            "state; every cold run stays visible below.",
+            "state; every cold run stays visible below. Since r11 the "
+            "global budget clock starts BEFORE warm-up (warm-up spend "
+            "counts against the deadline; rep 0 still always runs), so "
+            "total bench wall-clock is bounded by GLOBAL_BUDGET_S plus "
+            "at most one capped pass.",
             "jit_warmup_cold_s": warmup_cold,
         },
     }

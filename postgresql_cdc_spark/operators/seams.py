@@ -56,11 +56,16 @@ def _null_safe_broadcast_join(
 
 
 def _with_super_bucket(summ: DataFrame, bkt: str, fanout: int) -> DataFrame:
-    # floor division, not `div`: `div` truncates toward zero, so -1 and +1
+    # Floor division, not `div`: `div` truncates toward zero, so -1 and +1
     # would share super-bucket 0 and the partitioned window would see
-    # non-contiguous bucket ranges.
+    # non-contiguous bucket ranges. Computed in exact BIGINT arithmetic
+    # (subtract the non-negative pmod, then exact DIV) — floor(a/b) in
+    # double space loses exactness past 2^53, eroding the documented
+    # max-rows-per-task bound at extreme key ranges.
+    f = int(fanout)
+    b = f"CAST(`{bkt}` AS BIGINT)"
     return summ.withColumn(
-        _SB, F.floor(F.col(bkt) / F.lit(int(fanout))).cast("bigint")
+        _SB, F.expr(f"({b} - pmod({b}, {f})) DIV {f}").cast("bigint")
     )
 
 
@@ -144,10 +149,15 @@ def two_level_next(
     parts = list(part)
     out = _with_super_bucket(summ, bkt, fanout)
     w_in = Window.partitionBy(*parts, _SB).orderBy(bkt)
+    tmp_lead = {alias: f"__seam_lead_{alias}" for alias in nexts.values()}
     tmp_first = {alias: f"__seam_first_{alias}" for alias in nexts.values()}
     tmp_next = {alias: f"__seam_next_{alias}" for alias in nexts.values()}
+    # The in-super-bucket LEAD goes to a TEMP column; writing the alias here
+    # would, for a caller passing nexts={'x': 'x'}, overwrite the source
+    # column before the firsts rollup below reads it — the alias is only
+    # assigned after every reader of the source column has run.
     for col, alias in nexts.items():
-        out = out.withColumn(alias, F.lead(col).over(w_in))
+        out = out.withColumn(tmp_lead[alias], F.lead(col).over(w_in))
     firsts = out.groupBy(*parts, _SB).agg(
         *[
             F.min_by(F.col(col), F.col(bkt)).alias(tmp_first[alias])
@@ -166,6 +176,6 @@ def two_level_next(
     out = _null_safe_broadcast_join(out, lvl2, [*parts, _SB])
     for alias in nexts.values():
         out = out.withColumn(
-            alias, F.coalesce(F.col(alias), F.col(tmp_next[alias]))
+            alias, F.coalesce(F.col(tmp_lead[alias]), F.col(tmp_next[alias]))
         )
-    return out.drop(_SB, *tmp_next.values())
+    return out.drop(_SB, *tmp_lead.values(), *tmp_next.values())

@@ -466,6 +466,10 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # top-25s + a broadcast count-strictly-smaller rank pass — the r9
     # stamp predates the rewrite.
     "sort_null_ordering": 9,
+    # r11: foreachBatch writes rewritten to epoch-partitioned dynamic
+    # overwrite with a strictly-earlier-epoch index probe (replay
+    # idempotence, round-10 advice) — the r10 stamp predates the rewrite.
+    "cdc_stream_incremental_dedup": 10,
 }
 
 

@@ -1093,11 +1093,13 @@ _STREAM_INCR_ORACLE = f"""
         "exactly: band collision across waves, size-ratio prune, exact "
         "shingle-Jaccard >= 0.5. Corpus never self-joins; per-wave cost "
         "is O(|wave| x collision rate) however large the accumulated "
-        "index grows. Delivery note (same caveat as "
-        "cdc_stream_scd2_history): the parquet appends are at-least-once "
-        "under replay — a restartable deployment would key the match and "
-        "index writes by batch_id and overwrite; this one-shot gate run "
-        "(fresh checkpoint, AvailableNow) cannot replay.",
+        "index grows. Delivery note: since r11 the match AND index "
+        "writes are partitioned by ingest_epoch and written with dynamic "
+        "partition overwrite, and the probe loads only index rows of "
+        "STRICTLY EARLIER epochs — a replayed micro-batch (at-least-once "
+        "foreachBatch) overwrites exactly its own partition and never "
+        "sees its own half-written index rows, making the pipeline "
+        "restart-idempotent rather than merely restart-documented.",
 )
 def cdc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
@@ -1137,25 +1139,54 @@ def cdc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     matches_dir = os.path.join(base, "matches")
 
-    def ingest(batch: DataFrame, _epoch: int) -> None:
+    def ingest(batch: DataFrame, epoch: int) -> None:
         sp = batch.sparkSession
         batch = batch.persist()  # probed and indexed: two consumers
+        ep = int(epoch)
+
+        def _older(path: str) -> DataFrame:
+            # strictly-earlier epochs only: a replayed batch must not probe
+            # against its own (possibly half-written) index rows
+            return (
+                sp.read.parquet(path)
+                .where(F.col("ingest_epoch") < ep)
+                .drop("ingest_epoch")
+            )
+
+        def _put(df: DataFrame, path: str) -> None:
+            # idempotent under at-least-once replay: each micro-batch owns
+            # its ingest_epoch partition and dynamic overwrite replaces
+            # exactly that partition on a re-run, never double-appends
+            (
+                df.withColumn("ingest_epoch", F.lit(ep))
+                .write.mode("overwrite")
+                .partitionBy("ingest_epoch")
+                .parquet(path)
+            )
+
         if os.path.isdir(idx["buckets"]):
             ci = dd.LshIndex(
-                sp.read.parquet(idx["buckets"]),
-                sp.read.parquet(idx["sizes"]),
-                sp.read.parquet(idx["postings"]),
+                _older(idx["buckets"]),
+                _older(idx["sizes"]),
+                _older(idx["postings"]),
             )
-            dd.minhash_lsh_incremental(
-                batch, None, "text", "doc_id", threshold=0.5,
-                corpus_index=ci, max_bucket=10**9,
-            ).write.mode("append").parquet(matches_dir)
+            _put(
+                dd.minhash_lsh_incremental(
+                    batch, None, "text", "doc_id", threshold=0.5,
+                    corpus_index=ci, max_bucket=10**9,
+                ),
+                matches_dir,
+            )
         bi = dd.build_lsh_index(batch, "text", "doc_id")
-        bi.buckets.write.mode("append").parquet(idx["buckets"])
-        bi.sizes.write.mode("append").parquet(idx["sizes"])
-        bi.postings.write.mode("append").parquet(idx["postings"])
+        _put(bi.buckets, idx["buckets"])
+        _put(bi.sizes, idx["sizes"])
+        _put(bi.postings, idx["postings"])
         sp.catalog.clearCache()  # per the dedup.py persist contract
 
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     q = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -1170,8 +1201,13 @@ def cdc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("incremental-dedup ingest did not finish")
     finally:
         q.stop()
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
     if not os.path.isdir(matches_dir):
         return spark.createDataFrame(
             [], "batch_id long, corpus_id long, jaccard double"
         )
-    return spark.read.parquet(matches_dir)
+    return spark.read.parquet(matches_dir).select(
+        "batch_id", "corpus_id", "jaccard"
+    )

@@ -1150,7 +1150,7 @@ def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "bkt", F.floor(F.col("score") / F.lit(1000)).cast("bigint")
         )
-        .persist()
+        .persist()  # feeds bcounts AND ranked; harness unpersists
     )
     bcounts = vals.groupBy("bkt").agg(F.sum("c").alias("bn"))
     from postgresql_cdc_spark.operators.seams import (

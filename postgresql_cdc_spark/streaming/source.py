@@ -117,6 +117,176 @@ class _WalPartition(InputPartition):
     end_lsn: int
 
 
+# -- chunk index (sidecars) ---------------------------------------------------
+#
+# Without an index, every latestOffset() re-reads and re-decodes the archive
+# from the head (to rebuild the relation registry and find the cursor), which
+# is O(archive) per micro-batch — quadratic total work over a long-lived
+# stream. Each ``<chunk>.wal`` gets a lazily-written ``<chunk>.wal.idx``
+# sidecar recording, as of the chunk's last frame: the byte size indexed, the
+# max LSN, the open-transaction state, and a FULL snapshot of the relation
+# registry. A scan may then skip any chunk whose sidecar is valid (size
+# matches — chunks are append-only) and whose max LSN is at or below the
+# cursor, restoring registry + txn state from the snapshot instead of
+# re-decoding. Registry snapshots are cumulative by induction: every scan
+# walks the chunk list from the head, covering each prior chunk either by
+# decoding it or via a sidecar that itself carried the cumulative registry.
+# Sidecar writes are atomic (tmp + rename) and best-effort (a read-only
+# archive simply never gets the speedup); only latestOffset() — driver-side,
+# once per batch — writes them, executors' read() only consumes.
+
+def _registry_to_json(relations) -> dict:
+    from postgresql_cdc_spark.sources.pgoutput import Relation  # noqa: F401
+
+    return {
+        str(rid): {
+            "schema": rel.schema,
+            "name": rel.name,
+            "replica_identity": rel.replica_identity,
+            "columns": [[c.name, c.type_oid, c.flags] for c in rel.columns],
+        }
+        for rid, rel in relations.items()
+    }
+
+
+def _registry_from_json(obj: dict) -> dict:
+    from postgresql_cdc_spark.sources.pgoutput import ColumnMeta, Relation
+
+    out = {}
+    for rid, r in obj.items():
+        out[int(rid)] = Relation(
+            relation_id=int(rid),
+            schema=r["schema"],
+            name=r["name"],
+            replica_identity=r["replica_identity"],
+            columns=tuple(ColumnMeta(n, o, f) for n, o, f in r["columns"]),
+        )
+    return out
+
+
+def _load_sidecar(chunk_fp: str) -> Optional[dict]:
+    try:
+        with open(chunk_fp + ".idx") as f:
+            d = json.load(f)
+        if isinstance(d, dict) and {"size", "max_lsn", "txn_open",
+                                    "txn_id", "registry"} <= d.keys():
+            return d
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _write_sidecar(chunk_fp: str, meta: dict) -> None:
+    tmp = chunk_fp + ".idx.tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, chunk_fp + ".idx")
+    except OSError:  # read-only archive: no index, correctness unaffected
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _read_chunk_bytes(fp: str) -> bytes:
+    """Single chokepoint for chunk I/O — tests spy on it to prove indexed
+    scans never touch the bytes of chunks behind the cursor."""
+    with open(fp, "rb") as f:
+        return f.read()
+
+
+def scan_wal_messages(path: str, decoder, state: dict,
+                      skip_upto_lsn: int = -1,
+                      write_index: bool = False) -> Iterator[Tuple[int, object]]:
+    """Decode the archive in LSN order, yielding ``(lsn, msg)`` per frame.
+
+    ``state`` (``{"txn_open": bool, "txn_id": int}``) is updated in place
+    BEFORE each yield and when a chunk is skipped, so callers always see the
+    transaction state as of the yielded frame. Chunks wholly at or below
+    ``skip_upto_lsn`` with a valid sidecar are skipped: their registry
+    snapshot merges into ``decoder.relations`` and their txn state replaces
+    ``state`` — byte-identical outcomes to decoding them, minus the I/O.
+    With ``write_index`` a sidecar is written for every cleanly-parsed,
+    fully-consumed chunk (torn-tail chunks and chunks the caller abandons
+    mid-iteration are left unindexed).
+    """
+    import warnings
+
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".wal"):
+            continue
+        fp = os.path.join(path, name)
+        sidecar = _load_sidecar(fp)
+        if sidecar is not None:
+            try:
+                size_now = os.path.getsize(fp)
+            except OSError:
+                size_now = -1
+            if sidecar["size"] != size_now:
+                sidecar = None  # chunk grew (append) — stale, full rescan
+        if sidecar is not None and sidecar["max_lsn"] <= skip_upto_lsn:
+            decoder.relations.update(_registry_from_json(sidecar["registry"]))
+            state["txn_open"] = bool(sidecar["txn_open"])
+            state["txn_id"] = int(sidecar["txn_id"])
+            state["max_lsn"] = int(sidecar["max_lsn"])
+            continue
+        data = _read_chunk_bytes(fp)
+        pos = 0
+        clean = True
+        saw_frame = False
+
+        def _index_chunk() -> None:
+            _write_sidecar(fp, {
+                "size": len(data),
+                "max_lsn": state["max_lsn"],
+                "txn_open": state["txn_open"],
+                "txn_id": state["txn_id"],
+                "registry": _registry_to_json(decoder.relations),
+            })
+
+        try:
+            while pos < len(data):
+                if pos + _FRAME_SIZE > len(data):
+                    warnings.warn(
+                        f"wal archive {name}: torn frame header at byte {pos};"
+                        " skipping tail (unacked frames replay into a later "
+                        "chunk)"
+                    )
+                    clean = False
+                    break
+                lsn, ln = struct.unpack_from(_FRAME_FMT, data, pos)
+                pos += _FRAME_SIZE
+                if ln < 0 or pos + ln > len(data):
+                    warnings.warn(
+                        f"wal archive {name}: torn frame payload at byte {pos}"
+                        f" (declared {ln}, have {len(data) - pos}); skipping "
+                        "tail"
+                    )
+                    clean = False
+                    break
+                msg = decoder.decode(data[pos:pos + ln])
+                pos += ln
+                if isinstance(msg, TxBegin):
+                    state["txn_open"] = True
+                    state["txn_id"] = msg.xid
+                elif isinstance(msg, TxCommit):
+                    state["txn_open"] = False
+                    state["txn_id"] = -1
+                saw_frame = True
+                state["max_lsn"] = lsn
+                yield lsn, msg
+        except GeneratorExit:
+            # A caller whose budget lands exactly on a chunk's last frame
+            # breaks right after that yield — the chunk IS fully parsed, so
+            # still index it; a mid-chunk abandon (pos < size) is not.
+            if write_index and clean and saw_frame and pos >= len(data):
+                _index_chunk()
+            raise
+        if write_index and clean and saw_frame:
+            _index_chunk()
+
+
 class WalArchiveStreamReader(DataSourceStreamReader):
     """Single-partition LSN-ordered stream over a WAL archive directory."""
 
@@ -191,34 +361,31 @@ class WalArchiveStreamReader(DataSourceStreamReader):
         offset, preferring a COMMIT boundary (txn_open False) when one lands
         within the budget window. Never regresses below the highest offset
         previously offered or committed."""
-        # NB: called on the driver once per micro-batch; the archive scan is
-        # sequential by protocol nature. A live transport would instead track
-        # the socket's last received LSN.
+        # NB: called on the driver once per micro-batch. The chunk index
+        # makes this O(new data + #chunks), not O(archive): chunks wholly
+        # behind the cursor are skipped via their sidecars (registry + txn
+        # state restored from the snapshot), and this driver-side call is
+        # the one place sidecars get written. A live transport would
+        # instead track the socket's last received LSN.
         last = self._last_offset or self.initialOffset()
         start_lsn = last["lsn"]
         budget = float("inf") if self.read_all else self.max_records
         decoder = PgOutputDecoder()
         n_dml = 0
         end_lsn = start_lsn
-        txn_open = False
-        for lsn, payload in read_wal_frames(self.path):
-            msg = decoder.decode(payload)
+        state = {"txn_open": False, "txn_id": -1}
+        for lsn, msg in scan_wal_messages(
+            self.path, decoder, state,
+            skip_upto_lsn=start_lsn, write_index=True,
+        ):
             if lsn <= start_lsn:
-                if isinstance(msg, TxBegin):
-                    txn_open = True
-                elif isinstance(msg, TxCommit):
-                    txn_open = False
-                continue
-            if isinstance(msg, TxBegin):
-                txn_open = True
-            elif isinstance(msg, TxCommit):
-                txn_open = False
-            elif isinstance(msg, ChangeRecord):
+                continue  # straddling chunk: pre-cursor frames only advance state
+            if isinstance(msg, ChangeRecord):
                 n_dml += 1
             end_lsn = lsn
-            if n_dml >= budget and not txn_open:
+            if n_dml >= budget and not state["txn_open"]:
                 break
-        out = {"lsn": end_lsn, "txn_open": txn_open}
+        out = {"lsn": end_lsn, "txn_open": state["txn_open"]}
         self._last_offset = out
         return out
 
@@ -236,22 +403,23 @@ class WalArchiveStreamReader(DataSourceStreamReader):
     def read(self, partition: _WalPartition) -> Iterator[tuple]:
         """Decode the archive; emit envelope rows with start < lsn <= end.
 
-        The decoder replays from the archive head so the relation registry is
-        always complete (RELATION may precede the window); only in-window rows
-        are materialized — the out-of-window path hits the cheap skip branches.
+        The relation registry must be complete at the window start (RELATION
+        may precede the window, possibly by the whole archive): chunks wholly
+        behind the window whose sidecar index exists are skipped via their
+        registry + txn-state snapshots; unindexed head chunks fall back to
+        replay, where the out-of-window path hits the cheap skip branches.
+        Executors only CONSUME sidecars (the driver's latestOffset writes
+        them), so this path never mutates the archive directory.
         """
         decoder = PgOutputDecoder()
-        txn_id = -1  # DML outside any txn: singleton semantics
-        for lsn, payload in read_wal_frames(partition.path):
+        # txn_id -1 = DML outside any txn: singleton semantics
+        state = {"txn_open": False, "txn_id": -1}
+        for lsn, msg in scan_wal_messages(
+            partition.path, decoder, state,
+            skip_upto_lsn=partition.start_lsn, write_index=False,
+        ):
             if lsn > partition.end_lsn:
                 break
-            msg = decoder.decode(payload)
-            if isinstance(msg, TxBegin):
-                txn_id = msg.xid
-                continue
-            if isinstance(msg, TxCommit):
-                txn_id = -1
-                continue
             if msg is None or lsn <= partition.start_lsn:
                 continue
             if isinstance(msg, ChangeRecord):
@@ -261,7 +429,7 @@ class WalArchiveStreamReader(DataSourceStreamReader):
                     msg.relation.name,
                     msg.relation.relation_id,
                     lsn,
-                    txn_id,
+                    state["txn_id"],
                     msg.columns,
                 )
 

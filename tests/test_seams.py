@@ -119,3 +119,65 @@ class TestTwoLevelNext:
             assert sorted(got.collect(), key=_key) == sorted(
                 want.collect(), key=_key
             ), seed
+
+
+class TestAdviceRegressions:
+    def test_next_alias_equals_source_column(self, spark):
+        """nexts={'a': 'a'} (in-place LEAD) must not let the alias write
+        clobber the source column before the firsts rollup reads it — the
+        LEAD now lands in a temp column and the alias is assigned last."""
+        rows = [(b, b * 10) for b in range(12)]
+        df = spark.createDataFrame(rows, "bkt long, a long")
+        w = Window.orderBy("bkt")
+        want = sorted(
+            df.select("bkt", F.lead("a").over(w).alias("a")).collect(),
+            key=_key,
+        )
+        got = sorted(
+            two_level_next(df, "bkt", {"a": "a"}, fanout=4)
+            .select("bkt", "a").collect(),
+            key=_key,
+        )
+        assert got == want
+
+    def test_super_bucket_exact_past_double_precision(self, spark):
+        """Bucket ids beyond 2^53: double-space floor(bkt/fanout) rounds,
+        merging or splitting super-buckets at the seam. The exact-BIGINT
+        floor-div must keep two adjacent huge buckets in DISTINCT
+        super-buckets so the stitched LEAD crosses the seam correctly."""
+        base = (1 << 60) + 1
+        # adjacent buckets straddling a fanout boundary at huge magnitude,
+        # plus negative twins (floor semantics, not truncate-toward-zero)
+        bkts = [base - 1, base, base + 1, -base - 1, -base, -base + 1]
+        df = spark.createDataFrame(
+            [(b, i) for i, b in enumerate(sorted(bkts))], "bkt long, a long"
+        )
+        w = Window.orderBy("bkt")
+        want = sorted(
+            df.select("bkt", F.lead("a").over(w).alias("na")).collect(),
+            key=_key,
+        )
+        for fanout in (2, 8192):
+            got = sorted(
+                two_level_next(df, "bkt", {"a": "na"}, fanout=fanout)
+                .select("bkt", "na").collect(),
+                key=_key,
+            )
+            assert got == want, fanout
+        # and the prefix-sum twin on the same layout
+        wsum = (
+            Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want2 = sorted(
+            df.select(
+                "bkt", (F.sum("a").over(wsum) - F.col("a")).alias("ca")
+            ).collect(),
+            key=_key,
+        )
+        got2 = sorted(
+            two_level_exclusive_prefix(df, "bkt", {"a": "ca"}, fanout=2)
+            .select("bkt", "ca").collect(),
+            key=_key,
+        )
+        assert got2 == want2

@@ -1,0 +1,235 @@
+"""WAL archive chunk index: sidecars make the source O(new data) per batch.
+
+Without the index, ``latestOffset()`` re-read and re-decoded the archive from
+the head every micro-batch and ``read()`` replayed from the head to rebuild
+the relation registry — O(archive) per batch, quadratic over a long-lived
+stream. These tests pin the r11 fix: per-chunk ``.idx`` sidecars (byte size,
+max LSN, txn state, cumulative registry snapshot) let both calls skip every
+chunk wholly behind the cursor, with byte-identical envelope output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from postgresql_cdc_spark.sources.pgoutput import (
+    ColumnMeta,
+    PgOutputDecoder,
+    Relation,
+    encode_begin,
+    encode_commit,
+    encode_insert,
+    encode_relation,
+)
+from postgresql_cdc_spark.streaming import source as src
+from postgresql_cdc_spark.streaming.source import (
+    WalArchiveStreamReader,
+    _WalPartition,
+    scan_wal_messages,
+    write_wal_archive,
+)
+
+REL = Relation(
+    relation_id=16384,
+    schema="public",
+    name="t",
+    replica_identity="d",
+    columns=(ColumnMeta("id", 20, flags=1), ColumnMeta("v", 1043)),
+)
+
+
+def _mk_archive(path: str, n_chunks: int = 3, txns_per_chunk: int = 4):
+    """RELATION only in chunk 0 — later-chunk decode depends on registry
+    recovery. One txn = BEGIN + 2 INSERTs + COMMIT, LSNs strictly increasing
+    across chunks."""
+    lsn = 0
+    for c in range(n_chunks):
+        frames = []
+        if c == 0:
+            lsn += 1
+            frames.append((lsn, encode_relation(REL)))
+        for t in range(txns_per_chunk):
+            xid = 100 * c + t
+            lsn += 1
+            frames.append((lsn, encode_begin(lsn + 3, 0, xid)))
+            for i in range(2):
+                lsn += 1
+                frames.append(
+                    (lsn, encode_insert(16384, [str(xid), f"v{c}.{t}.{i}"]))
+                )
+            lsn += 1
+            frames.append((lsn, encode_commit(lsn, lsn, 0)))
+        write_wal_archive(path, frames, chunk=f"{c:06d}.wal")
+    return lsn
+
+
+def _drain(reader: WalArchiveStreamReader, path: str):
+    """Run the micro-batch loop to exhaustion; return (rows, n_batches)."""
+    rows, batches = [], 0
+    start = reader.initialOffset()
+    while True:
+        end = reader.latestOffset()
+        if end["lsn"] <= start["lsn"]:
+            break
+        part = reader.partitions(start, end)[0]
+        rows.extend(reader.read(part))
+        reader.commit(end)
+        start = end
+        batches += 1
+    return rows, batches
+
+
+class TestSidecarLifecycle:
+    def test_sidecars_written_and_valid(self, tmp_path):
+        arch = str(tmp_path / "wal")
+        _mk_archive(arch, n_chunks=3)
+        r = WalArchiveStreamReader({"path": arch, "readall": "true"})
+        r.latestOffset()
+        idx = sorted(n for n in os.listdir(arch) if n.endswith(".idx"))
+        assert idx == ["000000.wal.idx", "000001.wal.idx", "000002.wal.idx"]
+        with open(os.path.join(arch, "000000.wal.idx")) as f:
+            meta = json.load(f)
+        assert meta["size"] == os.path.getsize(os.path.join(arch, "000000.wal"))
+        assert meta["txn_open"] is False
+        # cumulative registry snapshot carries the relation
+        assert "16384" in meta["registry"]
+        assert meta["registry"]["16384"]["name"] == "t"
+
+    def test_partial_scan_indexes_only_consumed_chunks(self, tmp_path):
+        arch = str(tmp_path / "wal")
+        _mk_archive(arch, n_chunks=3, txns_per_chunk=4)
+        # budget smaller than one chunk: first latestOffset stops mid-archive
+        r = WalArchiveStreamReader({"path": arch, "maxrecordsperbatch": "3"})
+        r.latestOffset()
+        idx = [n for n in os.listdir(arch) if n.endswith(".idx")]
+        assert idx == []  # chunk 0 abandoned mid-iteration: no stale index
+
+    def test_indexed_scan_skips_head_chunk_bytes(self, tmp_path, monkeypatch):
+        """THE asymptotic claim: once the cursor passes a chunk's max LSN,
+        later batches never read that chunk's bytes again."""
+        arch = str(tmp_path / "wal")
+        _mk_archive(arch, n_chunks=3, txns_per_chunk=4)
+        warm = WalArchiveStreamReader({"path": arch, "readall": "true"})
+        warm.latestOffset()  # writes all three sidecars
+
+        reads: list[str] = []
+        real = src._read_chunk_bytes
+
+        def spy(fp):
+            reads.append(os.path.basename(fp))
+            return real(fp)
+
+        monkeypatch.setattr(src, "_read_chunk_bytes", spy)
+        # fresh reader, per-chunk-sized budget => one batch ~ one chunk
+        r = WalArchiveStreamReader(
+            {"path": arch, "maxrecordsperbatch": "8",
+             "ackpath": str(tmp_path / "ack")}
+        )
+        rows, batches = _drain(r, arch)
+        assert batches >= 3
+        # per-chunk read counts are O(1), not O(batches): latestOffset +
+        # read of the chunk's own batch + at most one boundary peek from the
+        # previous batch's read (it must see one over-window frame to stop).
+        from collections import Counter
+
+        counts = Counter(reads)
+        assert all(counts[c] <= 3 for c in counts), reads
+        # chunk 0 can never be peeked into: scan + read only
+        assert counts["000000.wal"] <= 2, reads
+        # THE asymptotic claim, directly: a caught-up reader's next poll
+        # reads zero chunk bytes — every chunk skips via its sidecar.
+        reads.clear()
+        r2 = WalArchiveStreamReader(
+            {"path": arch, "maxrecordsperbatch": "8",
+             "ackpath": str(tmp_path / "ack")}
+        )
+        end = r2.latestOffset()
+        assert reads == [], reads
+        assert end["lsn"] == rows[-1][4] or end["lsn"] >= rows[-1][4]
+
+    def test_registry_and_txn_state_restored_across_skip(self, tmp_path):
+        """read() on a window entirely inside chunk 2 must still know the
+        relation (declared in chunk 0) and the open txn's xid when the
+        window starts mid-transaction."""
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=3, txns_per_chunk=2)
+        warm = WalArchiveStreamReader({"path": arch, "readall": "true"})
+        warm.latestOffset()
+        # chunk boundaries: find an LSN mid-chunk-2 (inside a txn): chunk 2
+        # txns start after chunk 0 (1 + 2*4 frames) and chunk 1 (2*4).
+        # Pick start just after chunk 2's first BEGIN+INSERT.
+        c2_first = last - 2 * 4 + 1  # first lsn in chunk 2
+        start = c2_first + 1  # after BEGIN (c2_first is BEGIN), after 1st insert?
+        part = _WalPartition(arch, start_lsn=start, end_lsn=last)
+        rows = list(WalArchiveStreamReader({"path": arch}).read(part))
+        assert rows, "window should contain rows"
+        for op, schema, table, rid, lsn, txn_id, cols in rows:
+            assert schema == "public" and table == "t" and rid == 16384
+            assert txn_id >= 200, rows  # chunk-2 xids; registry+txn restored
+
+    def test_stale_sidecar_rescans_appended_chunk(self, tmp_path):
+        """Chunks are append-only; a sidecar whose recorded size no longer
+        matches must be ignored (full rescan), not trusted."""
+        arch = str(tmp_path / "wal")
+        _mk_archive(arch, n_chunks=1, txns_per_chunk=2)
+        r = WalArchiveStreamReader({"path": arch, "readall": "true"})
+        end1 = r.latestOffset()
+        # append one more txn to the SAME chunk (legacy append path)
+        lsn = end1["lsn"]
+        frames = [(lsn + 1, encode_begin(lsn + 3, 0, 999)),
+                  (lsn + 2, encode_insert(16384, ["999", "late"])),
+                  (lsn + 3, encode_commit(lsn + 3, lsn + 3, 0))]
+        write_wal_archive(arch, frames, chunk="000000.wal")
+        end2 = r.latestOffset()
+        assert end2["lsn"] == lsn + 3
+        part = _WalPartition(arch, end1["lsn"], end2["lsn"])
+        rows = list(WalArchiveStreamReader({"path": arch}).read(part))
+        assert len(rows) == 1 and rows[0][0] == "I"
+        assert rows[0][5] == 999 and rows[0][6] == {"id": "999", "v": "late"}
+
+    def test_indexed_equals_unindexed_replay(self, tmp_path):
+        """Byte-identical envelope output with and without sidecars."""
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=3, txns_per_chunk=3)
+        part = _WalPartition(arch, -1, last)
+        cold = list(WalArchiveStreamReader({"path": arch}).read(part))
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        warm = list(WalArchiveStreamReader({"path": arch}).read(part))
+        assert cold == warm
+        # and a mid-archive window (head chunks skipped via sidecars)
+        mid = last // 2
+        part2 = _WalPartition(arch, mid, last)
+        direct = [r for r in cold if r[4] > mid]
+        assert list(WalArchiveStreamReader({"path": arch}).read(part2)) == direct
+
+    def test_sidecar_ignored_when_unparseable(self, tmp_path):
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=2)
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        with open(os.path.join(arch, "000000.wal.idx"), "w") as f:
+            f.write("{corrupt")
+        part = _WalPartition(arch, last - 1, last)
+        rows = list(WalArchiveStreamReader({"path": arch}).read(part))
+        assert len(rows) == len(
+            [r for r in WalArchiveStreamReader({"path": arch}).read(
+                _WalPartition(arch, -1, last)) if r[4] > last - 1]
+        )
+
+    def test_scan_state_contract(self, tmp_path):
+        """scan_wal_messages updates txn state BEFORE each yield and on
+        skips — the invariant both call sites rely on."""
+        arch = str(tmp_path / "wal")
+        _mk_archive(arch, n_chunks=1, txns_per_chunk=1)
+        d = PgOutputDecoder()
+        state = {"txn_open": False, "txn_id": -1}
+        seen = []
+        for lsn, msg in scan_wal_messages(arch, d, state):
+            seen.append((type(msg).__name__, state["txn_open"], state["txn_id"]))
+        # RELATION (None), BEGIN, 2 inserts, COMMIT
+        assert seen[0] == ("NoneType", False, -1)
+        assert seen[1] == ("TxBegin", True, 0)
+        assert seen[2][1:] == (True, 0) and seen[3][1:] == (True, 0)
+        assert seen[4] == ("TxCommit", False, -1)

@@ -240,6 +240,16 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # Builders persist() skinny intermediates read by multiple plan
+            # branches and cannot unpersist before their lazy result
+            # materializes — the harness owns cleanup (same contract as
+            # bench.py), or a full-registry gate accretes hundreds of
+            # cached blocks over its run.
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001
+                pass
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS-ONLY {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")

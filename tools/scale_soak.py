@@ -138,6 +138,121 @@ def _build_sf1(spark) -> None:
     out.write.mode("overwrite").parquet(os.path.join(DST, "orders.parquet"))
 
 
+def _stream_ingest_soak(spark, sf_dir: str) -> dict:
+    """The production CDC+dedup composition, measured as a STREAM: 4 ingest
+    waves through foreachBatch, each wave probing the LSH index the earlier
+    waves persisted (epoch-partitioned, like the registered gate) then
+    appending its own postings. Records per-batch wall time and docs/s —
+    the evidence the one-shot batch soak cannot give: per-wave cost must
+    track |wave| x collision rate, NOT the accumulated index size. Unlike
+    the oracle-gated query this uses the PRODUCTION hot-bucket cap (the
+    gate disables it only for oracle exactness)."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import DataFrame
+
+    from postgresql_cdc_spark.operators import dedup as dd
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    waves = [d.where(F.col("doc_id") % 3 == k) for k in range(3)]
+    waves.append(
+        d.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        )
+    )
+
+    base = tempfile.mkdtemp(prefix=f"soak_sincr_{uuid.uuid4().hex[:8]}_")
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    t0 = 1_600_000_000
+    n_docs = 0
+    for k, w in enumerate(waves):
+        tmp = os.path.join(base, f"w{k}")
+        w.coalesce(1).write.parquet(tmp)
+        n_docs += spark.read.parquet(tmp).count()
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(indir, f"wave{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * k, t0 + 60 * k))
+
+    idx = {p: os.path.join(base, "index", p)
+           for p in ("buckets", "sizes", "postings")}
+    matches_dir = os.path.join(base, "matches")
+    batch_s: list = []  # driver-side: foreachBatch runs in this process
+
+    def ingest(batch: DataFrame, epoch: int) -> None:
+        bt0 = time.perf_counter()
+        sp = batch.sparkSession
+        batch = batch.persist()
+        ep = int(epoch)
+
+        def _older(path):
+            return (sp.read.parquet(path)
+                    .where(F.col("ingest_epoch") < ep).drop("ingest_epoch"))
+
+        def _put(df, path):
+            (df.withColumn("ingest_epoch", F.lit(ep))
+             .write.mode("overwrite").partitionBy("ingest_epoch")
+             .parquet(path))
+
+        if os.path.isdir(idx["buckets"]):
+            ci = dd.LshIndex(_older(idx["buckets"]), _older(idx["sizes"]),
+                             _older(idx["postings"]))
+            _put(
+                dd.minhash_lsh_incremental(
+                    batch, None, "text", "doc_id", threshold=0.5,
+                    corpus_index=ci,
+                ),
+                matches_dir,
+            )
+        bi = dd.build_lsh_index(batch, "text", "doc_id")
+        _put(bi.buckets, idx["buckets"])
+        _put(bi.sizes, idx["sizes"])
+        _put(bi.postings, idx["postings"])
+        sp.catalog.clearCache()
+        batch_s.append(round(time.perf_counter() - bt0, 2))
+
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    wall0 = time.perf_counter()
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(1800):
+            raise TimeoutError("streaming soak did not finish")
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    wall = round(time.perf_counter() - wall0, 2)
+    n_matches = (
+        spark.read.parquet(matches_dir).count()
+        if os.path.isdir(matches_dir) else 0
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "n_docs": n_docs,
+        "n_matches": n_matches,
+        "per_batch_s": batch_s,
+        "stream_wall_s": wall,
+        "docs_per_s": round(n_docs / max(sum(batch_s), 1e-9), 1),
+    }
+
+
 def main() -> int:
     from postgresql_cdc_spark.plans import QUERIES
     from postgresql_cdc_spark.session import get_spark
@@ -236,6 +351,22 @@ def main() -> int:
         results[name]["time_ratio_10x_data"] = round(
             r1["best_s"] / r01["best_s"], 2
         )
+
+    # streaming ingest soak (round-10 verdict #5): the foreachBatch CDC+LSH
+    # admission pipeline, measured per-batch at 1x and 10x — ~flat docs/s
+    # across scales is the pass signal (per-wave cost tracks wave size, not
+    # accumulated index size).
+    stream: dict = {}
+    for tag, d in (("sf0.1", SRC), ("sf1", DST)):
+        print(f"  streaming ingest soak @ {tag} ...", file=sys.stderr,
+              flush=True)
+        stream[tag] = _stream_ingest_soak(spark, d)
+        print(f"  streaming ingest soak @ {tag}: {stream[tag]}",
+              file=sys.stderr, flush=True)
+    stream["docs_per_s_ratio_sf1_vs_sf01"] = round(
+        stream["sf1"]["docs_per_s"] / stream["sf0.1"]["docs_per_s"], 2
+    )
+    results["stream_incremental_dedup_ingest"] = stream
     print(json.dumps({"soak": results}, indent=2))
     return 0
 
