@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "sim_topk_brute",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "sim_topk_ivfpq",  # r11: composed IVF-PQ ADC index, the 100-TB ANN shape
     "mm_binary_features",
 ]
 
