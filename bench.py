@@ -301,6 +301,13 @@ def main() -> int:
             "counts against the deadline; rep 0 still always runs), so "
             "total bench wall-clock is bounded by GLOBAL_BUDGET_S plus "
             "at most one capped pass.",
+            "sim_topk_ivfpq": "added r11; at sf0.1 (2000 vectors) the row "
+            "is compile/driver-dominated — k-means training collects plus "
+            "Catalyst/Janino on the ~256-subexpression PQ-encode and ADC "
+            "LUT literal projections — not data work. The literal "
+            "projection is deliberate: zero shuffle on the corpus scan, "
+            "the right trade at 100 TB where the constant amortizes; see "
+            "the query doc.",
             "jit_warmup_cold_s": warmup_cold,
         },
     }
