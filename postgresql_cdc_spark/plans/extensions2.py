@@ -1139,54 +1139,38 @@ def cdc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     matches_dir = os.path.join(base, "matches")
 
+    from postgresql_cdc_spark.streaming.epoch_io import (
+        epoch_overwrite,
+        epochs_before,
+    )
+
     def ingest(batch: DataFrame, epoch: int) -> None:
+        # idempotent under at-least-once replay: a re-run epoch overwrites
+        # exactly its own ingest_epoch partition (epoch_io contract) and the
+        # probe reads only strictly-earlier epochs, so it never sees its own
+        # (possibly half-written) index rows
         sp = batch.sparkSession
         batch = batch.persist()  # probed and indexed: two consumers
         ep = int(epoch)
-
-        def _older(path: str) -> DataFrame:
-            # strictly-earlier epochs only: a replayed batch must not probe
-            # against its own (possibly half-written) index rows
-            return (
-                sp.read.parquet(path)
-                .where(F.col("ingest_epoch") < ep)
-                .drop("ingest_epoch")
-            )
-
-        def _put(df: DataFrame, path: str) -> None:
-            # idempotent under at-least-once replay: each micro-batch owns
-            # its ingest_epoch partition and dynamic overwrite replaces
-            # exactly that partition on a re-run, never double-appends
-            (
-                df.withColumn("ingest_epoch", F.lit(ep))
-                .write.mode("overwrite")
-                .partitionBy("ingest_epoch")
-                .parquet(path)
-            )
-
         if os.path.isdir(idx["buckets"]):
             ci = dd.LshIndex(
-                _older(idx["buckets"]),
-                _older(idx["sizes"]),
-                _older(idx["postings"]),
+                epochs_before(sp, idx["buckets"], ep),
+                epochs_before(sp, idx["sizes"], ep),
+                epochs_before(sp, idx["postings"], ep),
             )
-            _put(
+            epoch_overwrite(
                 dd.minhash_lsh_incremental(
                     batch, None, "text", "doc_id", threshold=0.5,
                     corpus_index=ci, max_bucket=10**9,
                 ),
-                matches_dir,
+                matches_dir, ep,
             )
         bi = dd.build_lsh_index(batch, "text", "doc_id")
-        _put(bi.buckets, idx["buckets"])
-        _put(bi.sizes, idx["sizes"])
-        _put(bi.postings, idx["postings"])
+        epoch_overwrite(bi.buckets, idx["buckets"], ep)
+        epoch_overwrite(bi.sizes, idx["sizes"], ep)
+        epoch_overwrite(bi.postings, idx["postings"], ep)
         sp.catalog.clearCache()  # per the dedup.py persist contract
 
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     q = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -1201,9 +1185,6 @@ def cdc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("incremental-dedup ingest did not finish")
     finally:
         q.stop()
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev_mode
-        )
     if not os.path.isdir(matches_dir):
         return spark.createDataFrame(
             [], "batch_id long, corpus_id long, jaccard double"

@@ -45,8 +45,10 @@ def DEC(col: str, p: int, s: int):
 
 # --- IVF-PQ: trained cells + residual PQ codes + ADC scan --------------------
 
-_IVFPQ_ORACLE = f"""
-WITH {_CTES},
+# The WITH body (shared by the top-k query and its recall eval): coarse
+# k-means CTEs come from extensions3's trained-IVF chain; everything after
+# is the PQ residual pipeline.
+_IVFPQ_BODY = f"""
 rsd AS (
     SELECT a.vec_id, a.cell,
            list_transform(range(1, len(a.qv) + 1), j -> a.qv[j] - c.cv[j])
@@ -100,7 +102,10 @@ ranked AS (
     SELECT query_id, neighbor_id, adc_dist,
            ROW_NUMBER() OVER (PARTITION BY query_id
                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
-    FROM adc)
+    FROM adc)"""
+
+_IVFPQ_ORACLE = f"""
+WITH {_CTES},{_IVFPQ_BODY}
 SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {_TOPK}
 """
@@ -171,6 +176,12 @@ def _adc_lut_sql(qrv_sql: str, codebook: list[list[int]]) -> str:
 )
 def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
+    return _ivfpq_topk(spark, e)
+
+
+def _ivfpq_topk(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """The full IVF-PQ pipeline (train -> residual-encode -> ADC top-k);
+    shared by the top-k query and its recall eval."""
     cents = sim.train_centroids_kmeans(e)
     if not cents:
         return spark.createDataFrame(
@@ -656,31 +667,22 @@ def cdc_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     ledger_dir = os.path.join(base, "ledger")
 
+    from postgresql_cdc_spark.streaming.epoch_io import (
+        epoch_overwrite,
+        epochs_before,
+    )
+
     def ingest(batch: DataFrame, epoch: int) -> None:
+        # replay-idempotent per the epoch_io contract: re-run epochs
+        # overwrite their own partition; probes see strictly-earlier epochs
         sp = batch.sparkSession
         batch = batch.persist()
         ep = int(epoch)
-
-        def _older(path: str) -> DataFrame:
-            return (
-                sp.read.parquet(path)
-                .where(F.col("ingest_epoch") < ep)
-                .drop("ingest_epoch")
-            )
-
-        def _put(df: DataFrame, path: str) -> None:
-            (
-                df.withColumn("ingest_epoch", F.lit(ep))
-                .write.mode("overwrite")
-                .partitionBy("ingest_epoch")
-                .parquet(path)
-            )
-
         if os.path.isdir(idx["buckets"]):
             ci = dd.LshIndex(
-                _older(idx["buckets"]),
-                _older(idx["sizes"]),
-                _older(idx["postings"]),
+                epochs_before(sp, idx["buckets"], ep),
+                epochs_before(sp, idx["sizes"], ep),
+                epochs_before(sp, idx["postings"], ep),
             )
             matched = (
                 dd.minhash_lsh_incremental(
@@ -711,17 +713,13 @@ def cdc_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("id"), F.lit(True).alias("admitted")
             )
             survivors = batch
-        _put(ledger, ledger_dir)
+        epoch_overwrite(ledger, ledger_dir, ep)
         bi = dd.build_lsh_index(survivors, "text", "doc_id")
-        _put(bi.buckets, idx["buckets"])
-        _put(bi.sizes, idx["sizes"])
-        _put(bi.postings, idx["postings"])
+        epoch_overwrite(bi.buckets, idx["buckets"], ep)
+        epoch_overwrite(bi.sizes, idx["sizes"], ep)
+        epoch_overwrite(bi.postings, idx["postings"], ep)
         sp.catalog.clearCache()  # per the dedup.py persist contract
 
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     q = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -736,11 +734,70 @@ def cdc_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("dedup-admission ingest did not finish")
     finally:
         q.stop()
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev_mode
-        )
     return spark.read.parquet(ledger_dir).select(
         "id",
         F.col("ingest_epoch").cast("int").alias("wave"),
         "admitted",
+    )
+
+
+# --- IVF-PQ recall@5 vs brute truth ------------------------------------------
+
+def _ivfpq_recall_oracle() -> str:
+    from postgresql_cdc_spark.plans.extensions import _cos_sql
+
+    return f"""
+WITH {_CTES},{_IVFPQ_BODY},
+ivfpq AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {_TOPK}),
+qe AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
+       WHERE vec_id % 100 = 0 AND len(embedding) > 0),
+brute AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos_sql('e.embedding', 'q.qemb')} DESC,
+                            e.vec_id ASC) AS rank
+        FROM embeddings e JOIN qe q ON e.vec_id <> q.query_id
+    ) WHERE rank <= {_TOPK}),
+ov AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n
+       FROM ivfpq JOIN brute USING (query_id, neighbor_id)
+       GROUP BY query_id)
+SELECT q.query_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap
+FROM qe q LEFT JOIN ov USING (query_id)
+"""
+
+
+@register(
+    "ivfpq_recall_eval",
+    _ivfpq_recall_oracle(),
+    doc="Recall@5 of the composed IVF-PQ index against the exact "
+        "brute-force cosine truth, per query — the acceptance metric a "
+        "vector store reports before serving an index, now measured for "
+        "the PRODUCTION index shape (sim_topk_ivfpq) rather than the "
+        "uncompressed IVF (ivf_recall_eval): losses here include both "
+        "coarse-probe misses AND PQ quantization error, which no other "
+        "registered eval isolates. Brute truth is the documented "
+        "quadratic baseline over the 1% query sample; the overlap join "
+        "and the per-query left join are skinny (5 rows per query each "
+        "side).",
+)
+def ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    ivfpq = _ivfpq_topk(spark, e)
+    q = e.where(
+        (F.col("vec_id") % 100 == 0) & (F.size("embedding") > 0)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = sim.topk_brute(e, q, k=_TOPK)
+    ov = (
+        ivfpq.select("query_id", "neighbor_id")
+        .join(
+            brute.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    return q.select("query_id").join(ov, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("__n"), F.lit(0).cast("bigint")).alias("n_overlap"),
     )

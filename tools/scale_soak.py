@@ -186,42 +186,36 @@ def _stream_ingest_soak(spark, sf_dir: str) -> dict:
     matches_dir = os.path.join(base, "matches")
     batch_s: list = []  # driver-side: foreachBatch runs in this process
 
+    from postgresql_cdc_spark.streaming.epoch_io import (
+        epoch_overwrite,
+        epochs_before,
+    )
+
     def ingest(batch: DataFrame, epoch: int) -> None:
         bt0 = time.perf_counter()
         sp = batch.sparkSession
         batch = batch.persist()
         ep = int(epoch)
-
-        def _older(path):
-            return (sp.read.parquet(path)
-                    .where(F.col("ingest_epoch") < ep).drop("ingest_epoch"))
-
-        def _put(df, path):
-            (df.withColumn("ingest_epoch", F.lit(ep))
-             .write.mode("overwrite").partitionBy("ingest_epoch")
-             .parquet(path))
-
         if os.path.isdir(idx["buckets"]):
-            ci = dd.LshIndex(_older(idx["buckets"]), _older(idx["sizes"]),
-                             _older(idx["postings"]))
-            _put(
+            ci = dd.LshIndex(
+                epochs_before(sp, idx["buckets"], ep),
+                epochs_before(sp, idx["sizes"], ep),
+                epochs_before(sp, idx["postings"], ep),
+            )
+            epoch_overwrite(
                 dd.minhash_lsh_incremental(
                     batch, None, "text", "doc_id", threshold=0.5,
                     corpus_index=ci,
                 ),
-                matches_dir,
+                matches_dir, ep,
             )
         bi = dd.build_lsh_index(batch, "text", "doc_id")
-        _put(bi.buckets, idx["buckets"])
-        _put(bi.sizes, idx["sizes"])
-        _put(bi.postings, idx["postings"])
+        epoch_overwrite(bi.buckets, idx["buckets"], ep)
+        epoch_overwrite(bi.sizes, idx["sizes"], ep)
+        epoch_overwrite(bi.postings, idx["postings"], ep)
         sp.catalog.clearCache()
         batch_s.append(round(time.perf_counter() - bt0, 2))
 
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     wall0 = time.perf_counter()
     q = (
         spark.readStream.schema("doc_id long, text string")
@@ -237,7 +231,6 @@ def _stream_ingest_soak(spark, sf_dir: str) -> dict:
             raise TimeoutError("streaming soak did not finish")
     finally:
         q.stop()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     wall = round(time.perf_counter() - wall0, 2)
     n_matches = (
         spark.read.parquet(matches_dir).count()
