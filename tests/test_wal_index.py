@@ -233,3 +233,88 @@ class TestSidecarLifecycle:
         assert seen[1] == ("TxBegin", True, 0)
         assert seen[2][1:] == (True, 0) and seen[3][1:] == (True, 0)
         assert seen[4] == ("TxCommit", False, -1)
+
+
+class TestIndexThroughSparkStreaming:
+    def test_real_streaming_query_writes_and_reuses_sidecars(
+        self, spark, tmp_path
+    ):
+        """Bind the unit-level sidecar mechanics to the real engine: a
+        Spark StreamingQuery over the pgcdc source (micro-batched, budget
+        per chunk) must leave .idx sidecars behind, and a RESTARTED query
+        from the same ack/checkpoint state must produce the same envelope
+        rows it would have without the index (the e2e twin of
+        test_indexed_equals_unindexed_replay). latestOffset runs in a
+        Python worker, so the byte-level skip proof lives in the unit
+        test; here we prove the engine-driven path exercises the same
+        code and stays correct."""
+        from postgresql_cdc_spark.streaming.source import PgCdcDataSource
+
+        arch = str(tmp_path / "wal")
+        _mk_archive(arch, n_chunks=3, txns_per_chunk=4)
+        spark.dataSource.register(PgCdcDataSource)
+        q = (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("maxRecordsPerBatch", "8")  # ~one chunk per batch
+            .load()
+            .writeStream.format("memory")
+            .queryName("walidx_stream")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows1 = [
+            (r.op, r.lsn, r.txn_id)
+            for r in spark.sql(
+                "select op, lsn, txn_id from walidx_stream order by lsn"
+            ).collect()
+        ]
+        assert len(rows1) == 3 * 4 * 2  # every INSERT, exactly once
+        idx = sorted(n for n in os.listdir(arch) if n.endswith(".idx"))
+        assert idx, "engine-driven latestOffset wrote no sidecars"
+        # restart after appending a new chunk: the indexed head chunks are
+        # skipped (engine path), the tail decodes, nothing duplicates
+        lsn = 10_000
+        frames = [(lsn, encode_begin(lsn + 2, 0, 777)),
+                  (lsn + 1, encode_insert(16384, ["777", "tail"])),
+                  (lsn + 2, encode_commit(lsn + 2, lsn + 2, 0))]
+        write_wal_archive(arch, frames, chunk="000003.wal")
+        with open(os.path.join(arch, "_flushed_lsn")) as f:
+            acked = json.load(f)["flushed_lsn"]  # q1's final ack
+        # fresh checkpoint (the memory sink cannot recover one); restart
+        # recovery flows through the ack file — slot semantics, the same
+        # path cdc_stream_restart_recovery gates
+        q2 = (
+            spark.readStream.format("pgcdc")
+            .option("path", arch)
+            .option("maxRecordsPerBatch", "8")
+            .load()
+            .writeStream.format("memory")
+            .queryName("walidx_stream2")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        rows2 = [
+            (r.op, r.lsn, r.txn_id)
+            for r in spark.sql(
+                "select op, lsn, txn_id from walidx_stream2 order by lsn"
+            ).collect()
+        ]
+        # at-least-once: the restart resumes from the ACKED flush LSN, so
+        # an unacked tail (the final batch's commit can race q.stop()) may
+        # replay — but nothing BEHIND the ack does, and the ack always
+        # covers the fully-committed chunks 0-1, which the sidecar skip
+        # path serves without decoding. The new tail row arrives exactly
+        # once; txn ids prove no chunk-0/1 (xid < 200) rows re-emit.
+        assert all(l > acked for _, l, _ in rows2), (acked, rows2)
+        assert all(t >= 200 for _, _, t in rows2), rows2
+        assert rows2.count(("I", lsn + 1, 777)) == 1
+        assert rows2[-1] == ("I", lsn + 1, 777)
