@@ -25,6 +25,7 @@ NESTED_LOOP_OK = {
     "sim_topk_brute",      # exact baseline: broadcast queries x corpus scan
     "knn_label_vote",      # built on the same brute baseline (vote is hash-agg)
     "ivf_recall_eval",     # recall eval joins trained-IVF against the brute truth
+    "ivfpq_recall_eval",   # same brute-truth baseline, IVF-PQ side
     "sim_topk_ivf",        # corpus x 16 broadcast centroids (cell assign)
     "ivf_cell_stats",      # same centroid cross
     "q11_important_stock",  # one-row global total broadcast
