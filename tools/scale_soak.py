@@ -52,6 +52,7 @@ SOAK_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_topk_lsh",
+    "sim_topk_ivfpq",  # r11 composed index: expect ~flat (compile-constant)
     # the round-10 two-level seam-stitch rewrites: the soak is the direct
     # evidence that no window task scales with the key/score range
     "dq_sequence_gaps",
@@ -63,6 +64,7 @@ ROWS_TABLE = {
     "dedup_ngram_jaccard": "documents",
     "dedup_simhash": "documents",
     "sim_topk_lsh": "embeddings",
+    "sim_topk_ivfpq": "embeddings",
     "dq_sequence_gaps": "orders",
     "eval_auc_exact": "embeddings",
 }
