@@ -89,3 +89,74 @@ class TestEpochOverwrite:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "PartitionFilters" in plan and "ingest_epoch" in plan, plan
+
+
+class TestEngineDrivenReplay:
+    def test_crashed_foreachbatch_epoch_replays_idempotently(
+        self, spark, tmp_path
+    ):
+        """The definitive at-least-once proof, through the REAL engine: a
+        foreachBatch that crashes AFTER its sink writes but BEFORE the
+        checkpoint commits forces Structured Streaming to re-run the same
+        epoch on restart. With the epoch_io sink the replay overwrites its
+        own partition, so the final table is identical to a crash-free run
+        — the exact failure the round-10 advice flagged against the old
+        append-mode sink (which would double-append here)."""
+        import glob as _glob
+        import os as _os
+
+        indir = str(tmp_path / "in")
+        _os.makedirs(indir)
+        for k in range(3):
+            df = spark.createDataFrame(
+                [(k * 10 + i, f"w{k}") for i in range(4)], "id long, v string"
+            )
+            tmp = str(tmp_path / f"w{k}")
+            df.coalesce(1).write.parquet(tmp)
+            part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+            dst = _os.path.join(indir, f"wave{k}.parquet")
+            _os.rename(part, dst)
+            _os.utime(dst, (1_600_000_000 + 60 * k,) * 2)
+
+        out = str(tmp_path / "out")
+        crash_flag = str(tmp_path / "crash_once")
+        with open(crash_flag, "w") as f:
+            f.write("1")
+
+        def ingest(batch, epoch):
+            epoch_overwrite(batch, out, int(epoch))
+            # crash exactly once, on epoch 1, AFTER the write landed
+            if int(epoch) == 1 and _os.path.exists(crash_flag):
+                _os.unlink(crash_flag)
+                raise RuntimeError("injected crash after sink write")
+
+        def run():
+            q = (
+                spark.readStream.schema("id long, v string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(indir)
+                .writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
+
+        try:
+            run()  # dies mid-stream on epoch 1's injected crash
+        except Exception:  # noqa: BLE001 — the injected crash surfaces here
+            pass
+        assert not _os.path.exists(crash_flag), "crash never fired"
+        run()  # restart from the SAME checkpoint: epoch 1 re-runs
+
+        got = sorted(
+            (r.id, r.v, r.ingest_epoch)
+            for r in spark.read.parquet(out).collect()
+        )
+        want = sorted(
+            (k * 10 + i, f"w{k}", k) for k in range(3) for i in range(4)
+        )
+        assert got == want, got  # every row exactly once, epochs 0/1/2
