@@ -302,12 +302,16 @@ def main() -> int:
             "total bench wall-clock is bounded by GLOBAL_BUDGET_S plus "
             "at most one capped pass.",
             "sim_topk_ivfpq": "added r11; at sf0.1 (2000 vectors) the row "
-            "is compile/driver-dominated — k-means training collects plus "
-            "Catalyst/Janino on the ~256-subexpression PQ-encode and ADC "
-            "LUT literal projections — not data work. The literal "
-            "projection is deliberate: zero shuffle on the corpus scan, "
-            "the right trade at 100 TB where the constant amortizes; see "
-            "the query doc.",
+            "is a ~5 s constant dominated by the k-means training jobs "
+            "(seed + 2 Lloyd collects) and per-action overhead, not data "
+            "work: measured 5.0 s at sf0.1 vs 5.1 s at sf1 (10x data, "
+            "1.01x time). A nested-higher-order-lambda rewrite of the "
+            "PQ-encode/LUT expressions was tried and REJECTED — slower "
+            "on both compile and runtime (lambda bodies evaluate "
+            "interpreted, losing whole-stage codegen) — so the inlined "
+            "literal projections stand as measured-best; zero shuffle on "
+            "the corpus scan, the right trade at 100 TB where the "
+            "constant amortizes.",
             "jit_warmup_cold_s": warmup_cold,
         },
     }
