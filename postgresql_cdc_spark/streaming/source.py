@@ -196,6 +196,104 @@ def _read_chunk_bytes(fp: str) -> bytes:
         return f.read()
 
 
+_BASE_SNAPSHOT = "_archive_base.json"
+
+
+def _load_base_snapshot(path: str) -> Optional[dict]:
+    try:
+        with open(os.path.join(path, _BASE_SNAPSHOT)) as f:
+            d = json.load(f)
+        if isinstance(d, dict) and {"base_lsn", "txn_open", "txn_id",
+                                    "registry"} <= d.keys():
+            return d
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def prune_wal_archive(path: str, upto_lsn: Optional[int] = None) -> dict:
+    """Retention: delete archive chunks wholly at or below ``upto_lsn`` —
+    the ``commit()`` contract's "producer may discard WAL <= flushed LSN",
+    which a month-long 100-TB stream needs or the archive grows without
+    bound. ``upto_lsn`` defaults to the default ack file's flushed LSN
+    (prune exactly what every consumer has acknowledged); pass the MIN of
+    all slots' flushed LSNs when several consumers share one archive.
+
+    Only chunks with a VALID sidecar proving ``max_lsn <= upto_lsn`` are
+    removable (no decode needed), pruning stops at the first keeper, and
+    the newest chunk is always kept so relay chunk numbering stays
+    monotone. Before deleting, the last pruned chunk's cumulative sidecar
+    state (relation registry + txn state + max LSN) is promoted to a head
+    snapshot (``_archive_base.json``, atomic) that ``scan_wal_messages``
+    loads before the first chunk — replays of the RETAINED window keep a
+    complete registry even though the RELATION frames left with the
+    pruned history. Returns ``{pruned_chunks, pruned_bytes, base_lsn}``.
+    """
+    if upto_lsn is None:
+        try:
+            with open(os.path.join(path, "_flushed_lsn")) as f:
+                upto_lsn = int(json.load(f)["flushed_lsn"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return {"pruned_chunks": 0, "pruned_bytes": 0, "base_lsn": None}
+    chunks = sorted(n for n in os.listdir(path) if n.endswith(".wal"))
+    prunable: List[str] = []
+    last_sidecar: Optional[dict] = None
+    for name in chunks[:-1]:  # the newest chunk is always kept
+        fp = os.path.join(path, name)
+        sc = _load_sidecar(fp)
+        if sc is not None:
+            try:
+                if sc["size"] != os.path.getsize(fp):
+                    sc = None
+            except OSError:
+                sc = None
+        if sc is None or sc["max_lsn"] > upto_lsn:
+            break  # unindexed or still-needed: keep it and everything after
+        prunable.append(name)
+        last_sidecar = sc
+    if not prunable:
+        return {"pruned_chunks": 0, "pruned_bytes": 0, "base_lsn": None}
+    # carry forward any EXISTING base snapshot's registry under the new
+    # one (sidecar registries are cumulative per scan, and every scan
+    # already merges the old snapshot first, so the sidecar state is the
+    # complete union — but merging defensively costs nothing)
+    assert last_sidecar is not None
+    merged_registry = {}
+    prev = _load_base_snapshot(path)
+    if prev is not None:
+        merged_registry.update(prev["registry"])
+    merged_registry.update(last_sidecar["registry"])
+    snap = {
+        "base_lsn": int(last_sidecar["max_lsn"]),
+        "txn_open": bool(last_sidecar["txn_open"]),
+        "txn_id": int(last_sidecar["txn_id"]),
+        "registry": merged_registry,
+    }
+    tmp = os.path.join(path, _BASE_SNAPSHOT + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+        f.flush()
+        os.fsync(f.fileno())  # snapshot durable BEFORE any chunk dies
+    os.replace(tmp, os.path.join(path, _BASE_SNAPSHOT))
+    pruned_bytes = 0
+    for name in prunable:
+        fp = os.path.join(path, name)
+        try:
+            pruned_bytes += os.path.getsize(fp)
+        except OSError:
+            pass
+        for victim in (fp, fp + ".idx"):
+            try:
+                os.unlink(victim)
+            except OSError:
+                pass
+    return {
+        "pruned_chunks": len(prunable),
+        "pruned_bytes": pruned_bytes,
+        "base_lsn": snap["base_lsn"],
+    }
+
+
 def scan_wal_messages(path: str, decoder, state: dict,
                       skip_upto_lsn: int = -1,
                       write_index: bool = False) -> Iterator[Tuple[int, object]]:
@@ -210,8 +308,21 @@ def scan_wal_messages(path: str, decoder, state: dict,
     With ``write_index`` a sidecar is written for every cleanly-parsed,
     fully-consumed chunk (torn-tail chunks and chunks the caller abandons
     mid-iteration are left unindexed).
+
+    If the archive carries a retention head snapshot (``prune_wal_archive``
+    promoted pruned history's registry + txn state to ``_archive_base.json``),
+    it is applied before the first chunk, so replays of the retained window
+    decode correctly even though the RELATION frames left with the pruned
+    chunks.
     """
     import warnings
+
+    base = _load_base_snapshot(path)
+    if base is not None:
+        decoder.relations.update(_registry_from_json(base["registry"]))
+        state["txn_open"] = bool(base["txn_open"])
+        state["txn_id"] = int(base["txn_id"])
+        state["max_lsn"] = int(base["base_lsn"])
 
     for name in sorted(os.listdir(path)):
         if not name.endswith(".wal"):

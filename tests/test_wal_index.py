@@ -318,3 +318,93 @@ class TestIndexThroughSparkStreaming:
         assert all(t >= 200 for _, _, t in rows2), rows2
         assert rows2.count(("I", lsn + 1, 777)) == 1
         assert rows2[-1] == ("I", lsn + 1, 777)
+
+
+class TestArchiveRetention:
+    def _replay(self, arch, start, end):
+        return list(WalArchiveStreamReader({"path": arch}).read(
+            _WalPartition(arch, start, end)))
+
+    def test_prune_preserves_retained_window_replay(self, tmp_path):
+        """Prune acked history; replaying the RETAINED window must produce
+        byte-identical rows — including the relation metadata that only
+        ever appeared in (now pruned) chunk 0."""
+        from postgresql_cdc_spark.streaming.source import prune_wal_archive
+
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=4, txns_per_chunk=2)
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        c2_first = last - 2 * 8  # lsn just before chunk 2 begins
+        want = self._replay(arch, c2_first, last)
+        stats = prune_wal_archive(arch, upto_lsn=c2_first)
+        assert stats["pruned_chunks"] == 2 and stats["base_lsn"] <= c2_first
+        left = sorted(n for n in os.listdir(arch) if n.endswith(".wal"))
+        assert left == ["000002.wal", "000003.wal"]
+        got = self._replay(arch, c2_first, last)
+        assert got == want
+        for *_, rid, _l, _t, _c in [(r[0], r[3], r[4], r[5], r[6]) for r in got]:
+            pass  # structure check above; registry proven by equality
+        # and offset discovery over the pruned archive still works
+        r = WalArchiveStreamReader(
+            {"path": arch, "readall": "true",
+             "ackpath": str(tmp_path / "ack2"), "startlsn": str(c2_first)}
+        )
+        end = r.latestOffset()
+        assert end["lsn"] == last
+
+    def test_prune_stops_at_unindexed_chunk(self, tmp_path):
+        from postgresql_cdc_spark.streaming.source import prune_wal_archive
+
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=3, txns_per_chunk=2)
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        os.unlink(os.path.join(arch, "000001.wal.idx"))  # hole in the index
+        stats = prune_wal_archive(arch, upto_lsn=last)
+        assert stats["pruned_chunks"] == 1  # chunk 0 only; 1 blocked the rest
+        left = sorted(n for n in os.listdir(arch) if n.endswith(".wal"))
+        assert left == ["000001.wal", "000002.wal"]
+
+    def test_newest_chunk_never_pruned_and_numbering_continues(self, tmp_path):
+        from postgresql_cdc_spark.streaming.source import (
+            prune_wal_archive,
+            run_wal_relay,
+        )
+
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=2, txns_per_chunk=1)
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        stats = prune_wal_archive(arch, upto_lsn=last + 100)
+        assert stats["pruned_chunks"] == 1  # chunk 1 is the newest: kept
+        assert sorted(
+            n for n in os.listdir(arch) if n.endswith(".wal")
+        ) == ["000001.wal"]
+
+        class _T:  # minimal transport: two frames, acks recorded
+            def __init__(self):
+                self.acked = []
+
+            def frames(self):
+                yield last + 1, encode_begin(last + 3, 0, 50)
+                yield last + 2, encode_commit(last + 2, last + 2, 0)
+
+            def ack(self, lsn):
+                self.acked.append(lsn)
+
+        run_wal_relay(_T(), arch, chunk_frames=10)
+        assert sorted(
+            n for n in os.listdir(arch) if n.endswith(".wal")
+        ) == ["000001.wal", "000002.wal"]  # numbering continued, no reuse
+
+    def test_prune_defaults_to_ack_file(self, tmp_path):
+        from postgresql_cdc_spark.streaming.source import prune_wal_archive
+
+        arch = str(tmp_path / "wal")
+        _mk_archive(arch, n_chunks=3, txns_per_chunk=2)
+        r = WalArchiveStreamReader({"path": arch, "maxrecordsperbatch": "4"})
+        _rows, _batches = _drain(r, arch)  # acks as it goes
+        stats = prune_wal_archive(arch)  # upto = flushed LSN from ack file
+        assert stats["pruned_chunks"] >= 1
+        # no ack file at all -> refuses to prune anything
+        arch2 = str(tmp_path / "wal2")
+        _mk_archive(arch2, n_chunks=2)
+        assert prune_wal_archive(arch2)["pruned_chunks"] == 0
