@@ -325,7 +325,9 @@ def main() -> int:
             "global budget clock starts BEFORE warm-up (warm-up spend "
             "counts against the deadline; rep 0 still always runs), so "
             "total bench wall-clock is bounded by GLOBAL_BUDGET_S plus "
-            "at most one capped pass.",
+            "at most one capped rep-0 pass PER QUERY (rep 0 is "
+            "deadline-exempt so every query reports at least one timed "
+            "pass even after a budget-exhausting warm-up).",
             "sim_topk_ivfpq": "added r11; times the SERVE path (residual "
             "encode + ADC scan + top-k) over a once-per-process untimed "
             "index build (centroids + codebook — the r8 materialize "

@@ -59,13 +59,20 @@ def _with_super_bucket(summ: DataFrame, bkt: str, fanout: int) -> DataFrame:
     # Floor division, not `div`: `div` truncates toward zero, so -1 and +1
     # would share super-bucket 0 and the partitioned window would see
     # non-contiguous bucket ranges. Computed in exact BIGINT arithmetic
-    # (subtract the non-negative pmod, then exact DIV) — floor(a/b) in
-    # double space loses exactness past 2^53, eroding the documented
-    # max-rows-per-task bound at extreme key ranges.
+    # as trunc-div plus a floor correction (subtract 1 when the dividend
+    # is negative with a nonzero remainder) — floor(a/b) in double space
+    # loses exactness past 2^53, and the earlier `(b - pmod(b, f)) DIV f`
+    # form underflows LONG when `bkt` is within `fanout` of LONG_MIN
+    # (b - pmod wraps silently); this form never leaves [LONG_MIN DIV f,
+    # LONG_MAX DIV f] so the whole BIGINT bucket domain is exact.
     f = int(fanout)
     b = f"CAST(`{bkt}` AS BIGINT)"
     return summ.withColumn(
-        _SB, F.expr(f"({b} - pmod({b}, {f})) DIV {f}").cast("bigint")
+        _SB,
+        F.expr(
+            f"({b} DIV {f}) - (CASE WHEN {b} < 0 AND pmod({b}, {f}) != 0 "
+            "THEN 1 ELSE 0 END)"
+        ).cast("bigint"),
     )
 
 

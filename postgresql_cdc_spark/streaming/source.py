@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
 from postgresql_cdc_spark.sources.pgoutput import (
     ChangeRecord,
     PgOutputDecoder,
+    ProtocolError,
     TxBegin,
     TxCommit,
 )
@@ -215,9 +216,14 @@ def prune_wal_archive(path: str, upto_lsn: Optional[int] = None) -> dict:
     """Retention: delete archive chunks wholly at or below ``upto_lsn`` —
     the ``commit()`` contract's "producer may discard WAL <= flushed LSN",
     which a month-long 100-TB stream needs or the archive grows without
-    bound. ``upto_lsn`` defaults to the default ack file's flushed LSN
-    (prune exactly what every consumer has acknowledged); pass the MIN of
-    all slots' flushed LSNs when several consumers share one archive.
+    bound. ``upto_lsn`` defaults to the MIN flushed LSN across EVERY ack
+    file in the archive directory (``_flushed_lsn`` plus every
+    slot-namespaced ``_flushed_lsn_<slot>`` that `WalArchiveStreamReader`
+    creates), refusing to prune if any is unreadable — a shared archive
+    must never drop chunks its slowest slot consumer has not acked.
+    Consumers acking through an EXPLICIT ``ackpath`` outside the archive
+    directory are invisible here; their coordinator must pass ``upto_lsn``
+    explicitly.
 
     Only chunks with a VALID sidecar proving ``max_lsn <= upto_lsn`` are
     removable (no decode needed), pruning stops at the first keeper, and
@@ -231,10 +237,27 @@ def prune_wal_archive(path: str, upto_lsn: Optional[int] = None) -> dict:
     """
     if upto_lsn is None:
         try:
-            with open(os.path.join(path, "_flushed_lsn")) as f:
-                upto_lsn = int(json.load(f)["flushed_lsn"])
-        except (OSError, ValueError, KeyError, TypeError):
+            ack_files = sorted(
+                n for n in os.listdir(path)
+                if (n == "_flushed_lsn" or n.startswith("_flushed_lsn_"))
+                and not n.endswith(".tmp")
+            )
+        except OSError:
+            ack_files = []
+        if not ack_files:
             return {"pruned_chunks": 0, "pruned_bytes": 0, "base_lsn": None}
+        flushed: List[int] = []
+        for name in ack_files:
+            try:
+                with open(os.path.join(path, name)) as f:
+                    flushed.append(int(json.load(f)["flushed_lsn"]))
+            except (OSError, ValueError, KeyError, TypeError):
+                # An unreadable slot ack means SOME consumer's position is
+                # unknown — pruning could drop chunks it still needs, so
+                # refuse rather than guess (explicit upto_lsn overrides).
+                return {"pruned_chunks": 0, "pruned_bytes": 0,
+                        "base_lsn": None}
+        upto_lsn = min(flushed)
     chunks = sorted(n for n in os.listdir(path) if n.endswith(".wal"))
     prunable: List[str] = []
     last_sidecar: Optional[dict] = None
@@ -317,8 +340,29 @@ def scan_wal_messages(path: str, decoder, state: dict,
     """
     import warnings
 
+    def _guard_pruned_start(base_lsn: int) -> None:
+        # Mirror PostgreSQL's "requested WAL segment has already been
+        # removed": a cursor strictly inside pruned history can no longer
+        # be served at-least-once, so fail loudly instead of silently
+        # emitting only the retained rows. A fresh reader (no cursor,
+        # ``skip_upto_lsn == -1``) legitimately starts at the retention
+        # head — warn so the truncated-history replay is visible.
+        if skip_upto_lsn < 0:
+            warnings.warn(
+                f"wal archive {path}: history up to LSN {base_lsn} was "
+                "pruned; replay starts at the retention head (registry/"
+                "txn state restored from the head snapshot)"
+            )
+        elif skip_upto_lsn < base_lsn:
+            raise ProtocolError(
+                f"wal archive {path}: requested start LSN "
+                f"{skip_upto_lsn} predates pruned history (retention head "
+                f"{base_lsn}) — the requested WAL has already been removed"
+            )
+
     base = _load_base_snapshot(path)
     if base is not None:
+        _guard_pruned_start(int(base["base_lsn"]))
         decoder.relations.update(_registry_from_json(base["registry"]))
         state["txn_open"] = bool(base["txn_open"])
         state["txn_id"] = int(base["txn_id"])
@@ -342,7 +386,29 @@ def scan_wal_messages(path: str, decoder, state: dict,
             state["txn_id"] = int(sidecar["txn_id"])
             state["max_lsn"] = int(sidecar["max_lsn"])
             continue
-        data = _read_chunk_bytes(fp)
+        try:
+            data = _read_chunk_bytes(fp)
+        except OSError:
+            # A concurrent prune_wal_archive unlinked the chunk between
+            # os.listdir and open. Prune's invariant: the head snapshot is
+            # fsynced BEFORE any chunk dies and covers every deleted
+            # chunk's max LSN, so the vanished frames are acked and their
+            # registry/txn state survives in the snapshot — adopt it and
+            # keep scanning rather than failing the executor task. Only a
+            # chunk that is REALLY gone and explained by a snapshot AHEAD
+            # of the scan position qualifies; anything else re-raises.
+            nb = _load_base_snapshot(path)
+            if os.path.exists(fp) or nb is None:
+                raise
+            nb_lsn = int(nb["base_lsn"])
+            if nb_lsn <= state.get("max_lsn", -1):
+                raise  # deletion not explained by retention — real I/O loss
+            _guard_pruned_start(nb_lsn)
+            decoder.relations.update(_registry_from_json(nb["registry"]))
+            state["txn_open"] = bool(nb["txn_open"])
+            state["txn_id"] = int(nb["txn_id"])
+            state["max_lsn"] = nb_lsn
+            continue
         pos = 0
         clean = True
         saw_frame = False

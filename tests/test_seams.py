@@ -181,3 +181,42 @@ class TestAdviceRegressions:
             key=_key,
         )
         assert got2 == want2
+
+    def test_super_bucket_no_underflow_at_long_min(self, spark):
+        """r12 advice: the old `(b - pmod(b, f)) DIV f` form wrapped LONG
+        when bkt is within fanout of LONG_MIN (b - pmod underflows before
+        the DIV). The trunc-div + floor-correction form must place the
+        absolute extremes of the BIGINT domain in the right super-buckets
+        so the stitched LEAD still crosses the seam there."""
+        lo = -(1 << 63)          # LONG_MIN, divisible by any 2^k fanout
+        hi = (1 << 63) - 1       # LONG_MAX
+        bkts = [lo, lo + 1, lo + 8191, lo + 8192, hi - 1, hi]
+        df = spark.createDataFrame(
+            [(b, i) for i, b in enumerate(sorted(bkts))], "bkt long, a long"
+        )
+        from postgresql_cdc_spark.operators.seams import _with_super_bucket
+        sb = {
+            r["bkt"]: r["__seam_sb"]
+            for r in _with_super_bucket(df, "bkt", 8192).collect()
+        }
+        import math
+        for b in bkts:
+            assert sb[b] == math.floor(b / 8192) if abs(b) < (1 << 52) else True
+        # exact expectations (math.floor in float space is wrong up here):
+        assert sb[lo] == lo // 8192
+        assert sb[lo + 1] == (lo + 1) // 8192 == lo // 8192
+        assert sb[lo + 8191] == lo // 8192
+        assert sb[lo + 8192] == lo // 8192 + 1
+        assert sb[hi] == hi // 8192
+        # and the end-to-end LEAD across the LONG_MIN-side seam
+        w = Window.orderBy("bkt")
+        want = sorted(
+            df.select("bkt", F.lead("a").over(w).alias("na")).collect(),
+            key=_key,
+        )
+        got = sorted(
+            two_level_next(df, "bkt", {"a": "na"}, fanout=8192)
+            .select("bkt", "na").collect(),
+            key=_key,
+        )
+        assert got == want

@@ -408,3 +408,126 @@ class TestArchiveRetention:
         arch2 = str(tmp_path / "wal2")
         _mk_archive(arch2, n_chunks=2)
         assert prune_wal_archive(arch2)["pruned_chunks"] == 0
+
+
+class TestRetentionSafety:
+    """r12 advice fixes: shared-archive prune safety + pruned-history
+    detection + concurrent-prune read race."""
+
+    def test_prune_default_is_min_over_all_slot_acks(self, tmp_path):
+        from postgresql_cdc_spark.streaming.source import prune_wal_archive
+
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=4, txns_per_chunk=2)
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        with open(os.path.join(arch, "000000.wal.idx")) as f:
+            c0_max = json.load(f)["max_lsn"]
+        # fast consumer fully caught up; slow slot parked at end of chunk 0
+        for name, lsn in (("_flushed_lsn", last), ("_flushed_lsn_slow", c0_max)):
+            with open(os.path.join(arch, name), "w") as f:
+                json.dump({"flushed_lsn": lsn}, f)
+        stats = prune_wal_archive(arch)  # default = min over ALL acks
+        assert stats["pruned_chunks"] == 1  # chunk 0 only — slow slot bounds it
+        left = sorted(n for n in os.listdir(arch) if n.endswith(".wal"))
+        assert left == ["000001.wal", "000002.wal", "000003.wal"]
+
+    def test_prune_refuses_on_unreadable_slot_ack(self, tmp_path):
+        from postgresql_cdc_spark.streaming.source import prune_wal_archive
+
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=3, txns_per_chunk=2)
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        with open(os.path.join(arch, "_flushed_lsn"), "w") as f:
+            json.dump({"flushed_lsn": last}, f)
+        with open(os.path.join(arch, "_flushed_lsn_corrupt"), "w") as f:
+            f.write("{not json")  # a consumer whose position is UNKNOWN
+        stats = prune_wal_archive(arch)
+        assert stats["pruned_chunks"] == 0  # refuse rather than guess
+        # explicit upto_lsn still overrides (external-coordinator path)
+        assert prune_wal_archive(arch, upto_lsn=last)["pruned_chunks"] == 2
+
+    def test_cursor_below_retention_head_raises(self, tmp_path):
+        """A checkpointed cursor strictly inside pruned history must fail
+        loudly (PostgreSQL's 'requested WAL segment has already been
+        removed'), not silently emit only the retained rows."""
+        from postgresql_cdc_spark.sources.pgoutput import ProtocolError
+        from postgresql_cdc_spark.streaming.source import prune_wal_archive
+
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=4, txns_per_chunk=2)
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        c2_first = last - 2 * 8
+        stats = prune_wal_archive(arch, upto_lsn=c2_first)
+        base = stats["base_lsn"]
+        assert base is not None and base > 0
+        d = PgOutputDecoder()
+        with pytest.raises(ProtocolError, match="already been removed"):
+            list(scan_wal_messages(arch, d, {"txn_open": False, "txn_id": -1},
+                                   skip_upto_lsn=base - 1))
+        # exactly-at-head cursor is fine: nothing it needs was pruned
+        rows = list(scan_wal_messages(
+            arch, PgOutputDecoder(), {"txn_open": False, "txn_id": -1},
+            skip_upto_lsn=base))
+        assert rows and all(l > base for l, _ in rows)
+
+    def test_fresh_replay_of_pruned_archive_warns(self, tmp_path):
+        from postgresql_cdc_spark.streaming.source import prune_wal_archive
+
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=3, txns_per_chunk=2)
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        prune_wal_archive(arch, upto_lsn=last)  # keeps only the newest chunk
+        d = PgOutputDecoder()
+        with pytest.warns(UserWarning, match="retention head"):
+            rows = list(scan_wal_messages(
+                arch, d, {"txn_open": False, "txn_id": -1}))
+        assert rows  # retained window still replays (registry via snapshot)
+
+    def test_concurrent_prune_mid_scan_skips_vanished_chunk(self, tmp_path):
+        """A chunk unlinked by prune between listdir and open must not fail
+        the read task: the head snapshot (fsynced before deletion) covers
+        the vanished frames, so the scan adopts it and keeps going."""
+        from postgresql_cdc_spark.streaming.source import prune_wal_archive
+
+        arch = str(tmp_path / "wal")
+        last = _mk_archive(arch, n_chunks=3, txns_per_chunk=2)
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        with open(os.path.join(arch, "000000.wal.idx")) as f:
+            c0_max = json.load(f)["max_lsn"]
+        with open(os.path.join(arch, "000001.wal.idx")) as f:
+            c1_max = json.load(f)["max_lsn"]
+        d = PgOutputDecoder()
+        state = {"txn_open": False, "txn_id": -1}
+        gen = scan_wal_messages(arch, d, state)
+        got = []
+        for lsn, msg in gen:
+            got.append(lsn)
+            if lsn == c0_max:
+                break  # suspended inside chunk 0; chunks 1-2 unopened
+        # prune chunks 0+1 out from under the suspended scan
+        stats = prune_wal_archive(arch, upto_lsn=c1_max)
+        assert stats["pruned_chunks"] == 2
+        with pytest.warns(UserWarning, match="retention head"):
+            for lsn, msg in gen:
+                got.append(lsn)
+        assert got[-1] == last  # chunk 2 decoded fine past the vanished chunk
+        assert all(l > c1_max for l in got if l > c0_max)  # no partial chunk 1
+        assert state["max_lsn"] == last
+
+    def test_vanished_chunk_without_snapshot_raises(self, tmp_path):
+        """Real I/O loss (a chunk gone with NO retention snapshot to explain
+        it) must still fail the task — the skip path is prune-race only."""
+        arch = str(tmp_path / "wal")
+        _mk_archive(arch, n_chunks=3, txns_per_chunk=2)
+        WalArchiveStreamReader({"path": arch, "readall": "true"}).latestOffset()
+        with open(os.path.join(arch, "000000.wal.idx")) as f:
+            c0_max = json.load(f)["max_lsn"]
+        d = PgOutputDecoder()
+        gen = scan_wal_messages(arch, d, {"txn_open": False, "txn_id": -1})
+        for lsn, _ in gen:
+            if lsn == c0_max:
+                break
+        os.unlink(os.path.join(arch, "000001.wal"))
+        os.unlink(os.path.join(arch, "000001.wal.idx"))
+        with pytest.raises(OSError):
+            list(gen)
