@@ -1,0 +1,528 @@
+"""Round-12 registry depth: lexical retrieval (BM25), hybrid lexical+vector
+rank fusion (RRF), a bigram perplexity-proxy quality filter, and streaming
+foreachBatch maintenance of the IVF vector index.
+
+These close the retrieval corner of the training-data north star: the repo
+already builds the inverted index (`text_inverted_index`) and serves pure
+vector ANN (`sim_topk_*`); this module adds the RANKING layer a retrieval
+pipeline actually answers with — BM25 term scoring, reciprocal-rank fusion
+of the lexical and semantic lists (Cormack et al., SIGIR'09), and the
+n-gram-LM quality filter (the CCNet/KenLM perplexity gate, integer-exact
+proxy form) — plus the streaming maintenance path that keeps the vector
+index fresh as embeddings arrive through the CDC pipe.
+
+Determinism conventions (shared with the rest of the registry): all ratio
+scores are exact-integer numerators/denominators with ONE IEEE division per
+ratio and a fixed left-assoc sum order, idf is the LOG-FREE rational form
+(monotone in the ln idf, bit-equal across engines — the
+`text_tfidf_topterms` convention), RRF contributions are scaled integer
+floor-divisions, and the perplexity proxy is pure BIGINT arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from postgresql_cdc_spark.plans.registry import register
+
+# BM25 parameters as exact rationals: k1 = 1.2 = 6/5, b = 0.75 = 3/4.
+# Per-term saturation tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl) with
+# avgdl = s/n multiplies out (by 10*s) to 22*s*tf / (10*s*tf + 3*s + 9*dl*n)
+# — every operand BIGINT-exact, one IEEE division. The idf is the log-free
+# rational (n - df + 0.5)/(df + 0.5) = (2n - 2df + 1)/(2df + 1): strictly
+# monotone in the Robertson ln idf, so rankings agree where ln() could
+# drift an ulp at a rank boundary.
+_BM25_TERMS = ("spark", "hash", "window", "dup")
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _term_score(t: str) -> str:
+    """Engine-neutral BM25 per-term score over columns tf_<t>, df_<t>,
+    dl, n, s (all BIGINT)."""
+    return (
+        f"(CAST(2 * n - 2 * df_{t} + 1 AS DOUBLE)"
+        f" / CAST(2 * df_{t} + 1 AS DOUBLE))"
+        f" * (CAST(22 * s * tf_{t} AS DOUBLE)"
+        f" / CAST(10 * s * tf_{t} + 3 * s + 9 * dl * n AS DOUBLE))"
+    )
+
+
+_BM25_SCORE = "round(" + " + ".join(_term_score(t) for t in _BM25_TERMS) + ", 6)"
+
+# Spark-side tokenization (operators/text.tokens as SQL text) vs the DuckDB
+# twin — same grammar the whole text family pins.
+_S_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+_D_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _bm25_doc_col_list(engine: str) -> list:
+    """Per-document projection: dl + one tf column per query term."""
+    if engine == "spark":
+        tf = "CAST(size(filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{t}"
+        dl = "CAST(size(toks) AS BIGINT) AS dl"
+    else:
+        tf = "CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{t}"
+        dl = "CAST(len(toks) AS BIGINT) AS dl"
+    return [dl] + [tf.format(t=t) for t in _BM25_TERMS]
+
+
+def _bm25_doc_cols(engine: str) -> str:
+    return ", ".join(_bm25_doc_col_list(engine))
+
+
+def _bm25_df_aggs(engine: str) -> str:
+    contains = "array_contains" if engine == "spark" else "list_contains"
+    return ", ".join(
+        f"CAST(SUM(CASE WHEN {contains}(toks, '{t}') THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+
+
+def _bm25_scored_sql(engine: str, docs_src: str) -> str:
+    """Full scored-collection SQL (CTE body ending in `scored`): doc_id +
+    bm25 over ``docs_src`` (a relation providing doc_id, text)."""
+    toks = _S_TOKS if engine == "spark" else _D_TOKS
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS toks FROM {docs_src}),
+    dd AS (SELECT doc_id, toks, {_bm25_doc_cols(engine)} FROM d),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(dl) AS BIGINT) AS s FROM dd),
+    dfs AS (SELECT {_bm25_df_aggs(engine)} FROM dd),
+    scored AS (SELECT doc_id, {_BM25_SCORE} AS bm25
+               FROM dd CROSS JOIN st CROSS JOIN dfs)
+    """
+
+
+@register(
+    "text_bm25_topk",
+    _bm25_scored_sql("duck", "documents")
+    + """
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+    doc="BM25 top-10 for a fixed 4-term query over the document corpus — "
+        "the lexical ranking layer on top of the already-registered "
+        "inverted-index build (Robertson & Zaragoza 2009, k1=1.2 b=0.75). "
+        "Every factor is an exact rational: the idf is the LOG-FREE form "
+        "(2n-2df+1)/(2df+1) (monotone in ln idf; the text_tfidf_topterms "
+        "bit-determinism convention), the length-normalized saturation "
+        "multiplies out to 22*s*tf / (10*s*tf + 3*s + 9*dl*n) over BIGINT "
+        "operands, each term is ONE IEEE division pair, and the 4-term sum "
+        "is fixed left-assoc then round(,6) — so both engines rank "
+        "identically with no float-log seam. Scale shape: corpus stats "
+        "(n, s) and the 4 dfs are two one-row aggregates CROSS-joined back "
+        "(broadcast), per-doc tf/dl are in-row array kernels (zero "
+        "shuffle), and the top-10 is an orderBy+limit TakeOrdered — no "
+        "global window, no explode, the scan reads (doc_id, text) only.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    dd = d.selectExpr("doc_id", f"{_S_TOKS} AS toks").selectExpr(
+        "doc_id", *_bm25_doc_col_list("spark")
+    )
+    st = dd.selectExpr("dl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("s"),
+    )
+    # dfs needs the token ARRAYS again — recompute from the scan rather
+    # than carrying the array through the agg (array columns never leave
+    # the per-doc projection; the scan is cheap and column-pruned)
+    dfs = d.selectExpr(f"{_S_TOKS} AS toks").agg(*[
+        F.expr(
+            f"CAST(SUM(CASE WHEN array_contains(toks, '{t}') THEN 1 ELSE 0 "
+            f"END) AS BIGINT)"
+        ).alias(f"df_{t}")
+        for t in _BM25_TERMS
+    ])
+    scored = (
+        dd.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(dfs))
+        .selectExpr("doc_id", f"{_BM25_SCORE} AS bm25")
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+
+
+# --- hybrid retrieval: reciprocal-rank fusion --------------------------------
+
+_RRF_K = 60          # the standard RRF damping constant (Cormack et al.)
+_RRF_SCALE = 10**9   # scaled-integer 1/(k+r): floor(1e9/(60+r)), exact
+_RRF_DEPTH = 50      # per-system candidate depth
+_COS_Q = 0           # the fixed query: vec_id 0's embedding
+
+# Rounded-cosine convention (operators/similarity._cos_sql and its DuckDB
+# twin in plans/extensions) — restated here for the fixed-query form.
+_S_DOT = (
+    "aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), "
+    "CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+    "0.0D, (acc, x) -> acc + x)"
+)
+_D_DOT = (
+    "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(list_zip({a}, {b}), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _cos(engine: str, a: str, b: str) -> str:
+    dot = _S_DOT if engine == "spark" else _D_DOT
+    return (
+        f"round({dot.format(a=a, b=b)} / "
+        f"(sqrt({dot.format(a=a, b=a)}) * sqrt({dot.format(a=b, b=b)})), 6)"
+    )
+
+
+_RRF_ORACLE = (
+    _bm25_scored_sql(
+        "duck",
+        "(SELECT d.doc_id, d.text FROM documents d "
+        "JOIN embeddings e ON e.vec_id = d.doc_id)",
+    )
+    + f""",
+    lex AS (SELECT doc_id AS id, r_lex FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+               AS r_lex FROM scored) WHERE r_lex <= {_RRF_DEPTH}),
+    u AS (SELECT e.vec_id, e.embedding FROM embeddings e
+          JOIN documents d ON d.doc_id = e.vec_id),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {_COS_Q}),
+    sem AS (SELECT vec_id AS id, r_sem FROM (
+        SELECT u.vec_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_cos("duck", "u.embedding", "qv.q")} DESC,
+                            u.vec_id ASC) AS r_sem
+        FROM u CROSS JOIN qv) WHERE r_sem <= {_RRF_DEPTH}),
+    fused AS (
+        SELECT COALESCE(lex.id, sem.id) AS id,
+               CAST(COALESCE(r_lex, 0) AS INT) AS r_lex,
+               CAST(COALESCE(r_sem, 0) AS INT) AS r_sem,
+               CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + r_lex), 0)
+                  + COALESCE({_RRF_SCALE} // ({_RRF_K} + r_sem), 0)
+                    AS BIGINT) AS rrf
+        FROM lex FULL JOIN sem ON lex.id = sem.id)
+    SELECT id, r_lex, r_sem, rrf FROM fused
+    ORDER BY rrf DESC, id ASC LIMIT 10
+    """
+)
+
+
+@register(
+    "hybrid_rrf_fusion",
+    _RRF_ORACLE,
+    doc="Hybrid retrieval by reciprocal-rank fusion (Cormack et al., "
+        "SIGIR'09): the BM25 lexical top-50 and the embedding-cosine "
+        "semantic top-50 (fixed query: vec_id 0's vector, the corpus "
+        "universe = ids present in BOTH documents and embeddings) fuse as "
+        "rrf = floor(1e9/(60+r_lex)) + floor(1e9/(60+r_sem)) — scaled-"
+        "integer floor-division, so the fused ranking is BIGINT-exact; a "
+        "list a doc missed contributes 0 (standard RRF absence handling). "
+        "This is the retrieval stack RAG/training-dedup pipelines actually "
+        "serve: two independent rankers, no score calibration, fusion on "
+        "ranks alone. Scale shape: each system's rank<=50 filter plans a "
+        "TakeOrdered LIMIT BELOW the global window "
+        "(LimitPushDownThroughWindow — the events_heavy_hitters pattern), "
+        "so no window task ever holds more than 50 rows; the fuse is a "
+        "50x50 full-outer equi-join and the final cut an orderBy+limit.",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    u_docs = d.join(e.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    # lexical list: BM25 over the universe (same machinery as text_bm25_topk)
+    dd = u_docs.selectExpr("doc_id", f"{_S_TOKS} AS toks").selectExpr(
+        "doc_id", *_bm25_doc_col_list("spark")
+    )
+    st = dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("s"),
+    )
+    dfs = u_docs.selectExpr(f"{_S_TOKS} AS toks").agg(*[
+        F.expr(
+            f"CAST(SUM(CASE WHEN array_contains(toks, '{t}') THEN 1 ELSE 0 "
+            f"END) AS BIGINT)"
+        ).alias(f"df_{t}")
+        for t in _BM25_TERMS
+    ])
+    scored = (
+        dd.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(dfs))
+        .selectExpr("doc_id", f"{_BM25_SCORE} AS bm25")
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        scored.withColumn("r_lex", F.row_number().over(w_lex))
+        .where(F.col("r_lex") <= _RRF_DEPTH)
+        .select(F.col("doc_id").alias("id"), "r_lex")
+    )
+    # semantic list: rounded cosine to the fixed query vector
+    u_emb = e.join(d.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    qv = e.where(F.col("vec_id") == _COS_Q).select(
+        F.col("embedding").alias("q")
+    )
+    sem_scored = u_emb.crossJoin(F.broadcast(qv)).selectExpr(
+        "vec_id", f"{_cos('spark', 'embedding', 'q')} AS cs"
+    )
+    w_sem = Window.orderBy(F.desc("cs"), F.asc("vec_id"))
+    sem = (
+        sem_scored.withColumn("r_sem", F.row_number().over(w_sem))
+        .where(F.col("r_sem") <= _RRF_DEPTH)
+        .select(F.col("vec_id").alias("id"), "r_sem")
+    )
+    fused = (
+        lex.join(sem, "id", "full_outer")
+        .selectExpr(
+            "id",
+            "CAST(COALESCE(r_lex, 0) AS INT) AS r_lex",
+            "CAST(COALESCE(r_sem, 0) AS INT) AS r_sem",
+            f"CAST(COALESCE({_RRF_SCALE} DIV ({_RRF_K} + r_lex), 0)"
+            f" + COALESCE({_RRF_SCALE} DIV ({_RRF_K} + r_sem), 0)"
+            " AS BIGINT) AS rrf",
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(10)
+
+
+# --- bigram perplexity-proxy quality filter ----------------------------------
+
+_PPX_SCALE = 10**6
+
+_PPX_ORACLE = f"""
+    WITH d AS (SELECT doc_id, source, {_D_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id, source, unnest(list_transform(
+               range(1, len(toks)), i ->
+               {{'w1': toks[i], 'w2': toks[i + 1]}})) AS b
+           FROM d WHERE len(toks) >= 2),
+    occ AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+           FROM occ GROUP BY 1, 2),
+    cl AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cl FROM cb GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+              FROM (SELECT unnest(toks) AS tok FROM d)),
+    px AS (SELECT occ.doc_id, occ.source,
+                  ({_PPX_SCALE} * (cl.cl + vocab.v)) // (cb.cb + 1) AS proxy
+           FROM occ JOIN cb USING (w1, w2) JOIN cl USING (w1)
+           CROSS JOIN vocab),
+    ds AS (SELECT doc_id, source,
+                  CAST(SUM(proxy) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                      AS surprisal
+           FROM px GROUP BY 1, 2),
+    top AS (SELECT source, doc_id AS top_doc_id, surprisal AS top_surprisal
+            FROM (SELECT source, doc_id, surprisal,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY surprisal DESC, doc_id ASC) AS rn
+                  FROM ds) WHERE rn = 1)
+    SELECT ds.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ds.surprisal) AS BIGINT)
+               // CAST(COUNT(*) AS BIGINT) AS mean_surprisal,
+           MAX(top.top_doc_id) AS top_doc_id,
+           MAX(top.top_surprisal) AS top_surprisal
+    FROM ds JOIN top USING (source)
+    GROUP BY ds.source
+"""
+
+
+@register(
+    "text_perplexity_proxy",
+    _PPX_ORACLE,
+    doc="Bigram-LM perplexity-proxy quality filter per source — the "
+        "CCNet/KenLM gate (Wenzek et al., LREC'20) that scores each "
+        "document by how surprising its bigrams are under the corpus's own "
+        "add-one-smoothed bigram model, in a LOG-FREE integer-exact form: "
+        "per-bigram proxy = floor(1e6 * (c(w1,*) + V) / (c(w1,w2) + 1)) — "
+        "the scaled INVERSE conditional probability, monotone per bigram "
+        "in the surprisal -log P(w2|w1) — and per-doc score = the floor "
+        "mean, all BIGINT (no float log to drift). Consumes the count "
+        "tables text_ngram_lm_counts builds but closes the loop to an "
+        "actual per-document quality signal: per source, the doc count, "
+        "mean surprisal, and the most-surprising document (the outlier a "
+        "filter would drop first). Docs under 2 tokens have no bigrams and "
+        "are excluded by construction. Scale shape: bigrams are in-row "
+        "array transforms, counts are two map-side-combinable hash aggs "
+        "over the vocab^2-bounded bigram table, the occurrence-to-count "
+        "join is the word-count equi-join, V rides in as a one-row cross "
+        "join, and the only window is partitioned by source.",
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", f"{_S_TOKS} AS toks"
+    )
+    occ = (
+        d.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "source", "b.w1", "b.w2")
+    )
+    cb = occ.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    cl = cb.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cl"))
+    vocab = (
+        d.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    px = (
+        occ.join(cb, ["w1", "w2"])
+        .join(F.broadcast(cl), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .selectExpr(
+            "doc_id", "source",
+            f"({_PPX_SCALE} * (cl + v)) DIV (cb + 1) AS proxy",
+        )
+    )
+    ds = px.groupBy("doc_id", "source").agg(
+        F.expr(
+            "CAST(SUM(proxy) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)"
+        ).alias("surprisal")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("surprisal"), F.asc("doc_id")
+    )
+    top = (
+        ds.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("doc_id").alias("top_doc_id"),
+            F.col("surprisal").alias("top_surprisal"),
+        )
+    )
+    return (
+        ds.join(top, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(SUM(surprisal) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)"
+            ).alias("mean_surprisal"),
+            F.max("top_doc_id").alias("top_doc_id"),
+            F.max("top_surprisal").alias("top_surprisal"),
+        )
+    )
+
+
+# --- streaming IVF index maintenance ------------------------------------------
+
+def _vector_index_oracle() -> str:
+    # The maintained index must be INVISIBLE to the serve path: the final
+    # top-k over the incrementally-built postings equals the batch IVF-Flat
+    # query bit-for-bit, so the oracle is sim_topk_ivf's SQL verbatim.
+    from postgresql_cdc_spark.plans.extensions import _TOPK_IVF_ORACLE
+
+    return _TOPK_IVF_ORACLE
+
+
+@register(
+    "cdc_stream_vector_index",
+    _vector_index_oracle(),
+    doc="STREAMING maintenance of the IVF-Flat vector index — the ANN twin "
+        "of cdc_stream_dedup_admission's LSH maintenance and the production "
+        "shape for a vector store fed by a CDC pipe: the coarse quantizer "
+        "(16 deterministic seed centroids) is trained OFFLINE and frozen "
+        "to parquet before the stream starts; each foreachBatch wave of "
+        "arriving embeddings (3 waves, one file per trigger, mtime-ordered "
+        "under AvailableNow) assigns its vectors to cells against the "
+        "frozen centroids (broadcast join, one scan, no shuffle) and "
+        "appends the postings as an ingest_epoch-partitioned dynamic "
+        "overwrite — the r11 replay-idempotence contract, so a crashed "
+        "epoch re-runs without duplicating postings. The serve path then "
+        "answers top-5 for the standard query set (vec_id % 100 = 0, "
+        "4-of-16 cell probes, rounded-cosine re-rank) from the MAINTAINED "
+        "index alone. The oracle is sim_topk_ivf's closed form verbatim: "
+        "incremental maintenance must be invisible to the serve path.",
+)
+def cdc_stream_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    from postgresql_cdc_spark.operators import similarity as sim
+    from postgresql_cdc_spark.streaming.epoch_io import epoch_overwrite
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    base = tempfile.mkdtemp(prefix=f"pgcdc_vidx_{uuid.uuid4().hex[:12]}_")
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    t0 = 1_600_000_000
+    for k in range(3):
+        tmp = os.path.join(base, f"w{k}")
+        e.where(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(indir, f"wave{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * k, t0 + 60 * k))
+
+    # offline-trained quantizer, frozen before the stream starts (a store
+    # trains its index parameters offline; maintenance only encodes)
+    cents_path = os.path.join(base, "cents")
+    sim.default_centroids(e, 16).write.parquet(cents_path)
+    postings = os.path.join(base, "postings")
+
+    def ingest(batch: DataFrame, epoch: int) -> None:
+        sp = batch.sparkSession
+        cents = sp.read.parquet(cents_path)
+        assigned = sim.ivf_assign(
+            batch.withColumnRenamed("vec_id", "neighbor_id"),
+            cents, "neighbor_id", "embedding",
+        ).select("cell", "neighbor_id", F.col("embedding").alias("nvec"))
+        epoch_overwrite(assigned, postings, int(epoch))
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("vector-index ingest did not finish")
+    finally:
+        q.stop()
+
+    # serve from the maintained index alone
+    cents = spark.read.parquet(cents_path)
+    posts = spark.read.parquet(postings)
+    queries = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("cell"))
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("__d", sim.l2sq(F.col("qvec"), F.col("__cvec")))
+        .withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= 4)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        posts.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            sim.cosine_expr("nvec", "qvec").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )

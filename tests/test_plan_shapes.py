@@ -66,6 +66,9 @@ NESTED_LOOP_OK = {
     "join_null_safe_equality",  # four 1-row count scalars assembled
     "orders_seasonality_index",  # one-row annual-total scalar broadcast
     "sort_null_ordering",  # <=50-candidate broadcast count-smaller pass
+    "text_bm25_topk",  # two one-row scalar broadcasts (corpus stats + dfs)
+    "hybrid_rrf_fusion",  # one-row stats/dfs/query-vector scalar broadcasts
+    "text_perplexity_proxy",  # one-row vocab-size scalar broadcast
 }
 
 
@@ -168,6 +171,8 @@ UNPARTITIONED_WINDOW_OK = {
     "stats_key_skew_profile": "top-10 keys",
     "text_bpe_merge_candidates": "top-20 pairs",
     "text_ngram_lm_counts": "top-50 bigrams",
+    "hybrid_rrf_fusion": "top-50 per system (lex + sem rank<=50 each push "
+                         "a TakeOrdered limit below their window)",
     # -- structural caps
     "skyline_pareto_parts": "global pass input = per-band frontiers only "
                             "(operators/frontier.py banded prefilter)",
