@@ -526,3 +526,110 @@ def cdc_stream_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 5)
     )
+
+
+# --- per-slot replication-lag report ------------------------------------------
+
+# Closed arithmetic form of streaming_gate._archive_frames (the shared
+# deterministic changelog): RELATION at LSN 1; insert txn t (t = 0..9) is
+# BEGIN 10+12t / inserts 11+12t..20+12t / COMMIT 21+12t; the update txn is
+# BEGIN 130 / 20 updates 131..150 / COMMIT 151; the delete txn is BEGIN 152 /
+# 15 deletes 153..167 / COMMIT 168. So:
+#  - head (archive end, final commit)                      = 168
+#  - a 25-DML txn-aligned budget from LSN -1 crosses 25 at txn 2
+#    (10+10+10 inserts) and acks its COMMIT                = 21 + 12*2 = 45
+#  - chunk split below: c0 = REL+txn0+txn1 (max 33), c1 = txn2+txn3
+#    (max 57), c2 = the rest (max 168); default prune takes
+#    min(fast, slow) = 45 -> only c0 (33 <= 45) is removable = base 33.
+_LAG_HEAD = 168
+_LAG_SLOW_ACK = 45
+_LAG_BASE = 33
+
+_SLOT_LAG_ORACLE = f"""
+    SELECT 'fast' AS slot, CAST({_LAG_HEAD} AS BIGINT) AS flushed_lsn,
+           CAST({_LAG_HEAD} AS BIGINT) AS head_lsn,
+           CAST(0 AS BIGINT) AS lag_lsn,
+           CAST(1 AS INT) AS pruned_chunks,
+           CAST({_LAG_BASE} AS BIGINT) AS base_lsn,
+           CAST(2 AS INT) AS retained_chunks
+    UNION ALL
+    SELECT 'slow', CAST({_LAG_SLOW_ACK} AS BIGINT),
+           CAST({_LAG_HEAD} AS BIGINT),
+           CAST({_LAG_HEAD - _LAG_SLOW_ACK} AS BIGINT),
+           CAST(1 AS INT), CAST({_LAG_BASE} AS BIGINT), CAST(2 AS INT)
+"""
+
+
+@register(
+    "cdc_slot_lag_report",
+    _SLOT_LAG_ORACLE,
+    doc="Per-slot replication-lag report — the pg_stat_replication analog "
+        "for the archive transport, gating the r12 shared-archive retention "
+        "semantics end-to-end: two slot consumers drain the same archive "
+        "(slot 'fast' to the head; slot 'slow' one 25-DML txn-aligned "
+        "micro-batch, acking the txn-2 COMMIT — the S15 flush-LSN contract, "
+        "CdcEngine.java:132-137), then the DEFAULT prune_wal_archive pass "
+        "takes min over every _flushed_lsn_<slot> ack file, so only the "
+        "chunk wholly behind the SLOWEST consumer (max LSN 33 <= 45) is "
+        "removed and the head snapshot lands at 33 — one chunk pruned, two "
+        "retained, and both slots' lag derived from ack files + chunk-index "
+        "sidecars alone. The oracle is the closed arithmetic form of the "
+        "shared archive builder (txn t commits at 21+12t; head 168). Scale "
+        "shape: the report reads ONLY slot ack files and per-chunk .idx "
+        "sidecars — O(slots + chunks) driver-side metadata, never the "
+        "changelog bytes; at a month of 100-TB WAL this is the operational "
+        "query a pipeline dashboards every minute.",
+)
+def cdc_slot_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from postgresql_cdc_spark.plans.streaming_gate import _archive_frames
+    from postgresql_cdc_spark.streaming.source import (
+        WalArchiveStreamReader,
+        prune_wal_archive,
+        write_wal_archive,
+    )
+
+    arch = tempfile.mkdtemp(prefix=f"pgcdc_lag_{uuid.uuid4().hex[:12]}_")
+    frames = _archive_frames()
+    # chunk at txn boundaries: c0 = REL + txns 0-1, c1 = txns 2-3, c2 = rest
+    write_wal_archive(arch, [f for f in frames if f[0] <= 33],
+                      chunk="000000.wal")
+    write_wal_archive(arch, [f for f in frames if 33 < f[0] <= 57],
+                      chunk="000001.wal")
+    write_wal_archive(arch, [f for f in frames if f[0] > 57],
+                      chunk="000002.wal")
+
+    def _cycle(reader):
+        """One micro-batch: offer, read, ack (the engine loop's body)."""
+        start = reader.initialOffset()
+        end = reader.latestOffset()
+        part = reader.partitions(start, end)[0]
+        list(reader.read(part))
+        reader.commit(end)
+        return end
+
+    fast = WalArchiveStreamReader(
+        {"path": arch, "slot": "fast", "readall": "true"}
+    )
+    fast_end = _cycle(fast)
+    slow = WalArchiveStreamReader(
+        {"path": arch, "slot": "slow", "maxrecordsperbatch": "25"}
+    )
+    slow_end = _cycle(slow)
+
+    stats = prune_wal_archive(arch)  # default: min over all slot acks
+    retained = sum(1 for n in os.listdir(arch) if n.endswith(".wal"))
+    head = _LAG_HEAD  # == fast_end["lsn"]; the oracle pins the equality
+    rows = [
+        ("fast", int(fast_end["lsn"]), head, head - int(fast_end["lsn"]),
+         int(stats["pruned_chunks"]), int(stats["base_lsn"]), retained),
+        ("slow", int(slow_end["lsn"]), head, head - int(slow_end["lsn"]),
+         int(stats["pruned_chunks"]), int(stats["base_lsn"]), retained),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "slot string, flushed_lsn bigint, head_lsn bigint, lag_lsn bigint, "
+        "pruned_chunks int, base_lsn bigint, retained_chunks int",
+    )
