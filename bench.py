@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_topk_ivfpq",  # r11: composed IVF-PQ ADC index, the 100-TB ANN shape
+    "text_bm25_topk",  # r12: lexical retrieval headline (BM25 top-10)
+    "hybrid_rrf_fusion",  # r12: lexical+vector rank fusion (RRF)
     "mm_binary_features",
 ]
 
@@ -314,6 +316,10 @@ def main() -> int:
         # (~6.7 s of synthesis at sf0.1). Subtract that row before
         # comparing totals apples-to-apples.
         "notes": {
+            "headline_set": "text_bm25_topk and hybrid_rrf_fusion were "
+            "ADDED in r12 (26 rows now); round-over-round totals vs r11 "
+            "and the recorded baseline should exclude those two rows for "
+            "apples-to-apples comparison.",
             "cdc_materialize_state": "timed work = merge operator only "
             "(changelog pre-synthesized, untimed) since r8; baseline row "
             "included ~6.7s synthesis. Since r10 UP TO FOUR untimed JIT "

@@ -57,6 +57,13 @@ SOAK_QUERIES = [
     # evidence that no window task scales with the key/score range
     "dq_sequence_gaps",
     "eval_auc_exact",
+    # r12 retrieval layer: BM25 is two one-row aggs + an in-row projection
+    # (expect ~linear); RRF adds the 50-deep rank windows (limit pushed
+    # below) and the universe equi-join; the perplexity proxy is the
+    # word-count shape (bigram hash aggs + occurrence equi-join)
+    "text_bm25_topk",
+    "hybrid_rrf_fusion",
+    "text_perplexity_proxy",
 ]
 ROWS_TABLE = {
     "cdc_materialize_state": "lineitem",
@@ -67,6 +74,9 @@ ROWS_TABLE = {
     "sim_topk_ivfpq": "embeddings",
     "dq_sequence_gaps": "orders",
     "eval_auc_exact": "embeddings",
+    "text_bm25_topk": "documents",
+    "hybrid_rrf_fusion": "documents",
+    "text_perplexity_proxy": "documents",
 }
 
 
