@@ -633,3 +633,88 @@ def cdc_slot_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slot string, flushed_lsn bigint, head_lsn bigint, lag_lsn bigint, "
         "pruned_chunks int, base_lsn bigint, retained_chunks int",
     )
+
+
+# --- WAL chunk compaction under the gate --------------------------------------
+
+def _chunk_compaction_oracle() -> str:
+    # Compaction must be invisible to replay: the closed form is
+    # cdc_stream_end_to_end's oracle verbatim.
+    from postgresql_cdc_spark.plans.streaming_gate import N
+
+    return f"""
+    SELECT i AS id,
+           CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                     ELSE (i * 7) % 13 END AS INT) AS v_int,
+           'acct-' || CAST(i AS VARCHAR) AS v_text
+    FROM range({N}) t(i)
+    WHERE i % 7 <> 0
+    """
+
+
+@register(
+    "cdc_stream_chunk_compaction",
+    _chunk_compaction_oracle(),
+    doc="WAL archive CHUNK compaction under the gate — the small-file "
+        "maintenance pass that completes the archive lifecycle (chunk "
+        "index r11, retention prune r11/r12, compaction r12): the shared "
+        "deterministic changelog is relayed as TEN tiny chunks (the shape "
+        "a chatty producer leaves), a first drain writes the chunk-index "
+        "sidecars, compact_wal_archive merges adjacent indexed runs "
+        "byte-identically (merged chunk atomically replaces the run's "
+        "first constituent so name order stays LSN order; sidecar derived "
+        "from the last constituent's cumulative state; newest chunk never "
+        "merged), and THEN a real StreamingQuery replays the compacted "
+        "archive through the pgcdc source into materialize + typed view. "
+        "The oracle is cdc_stream_end_to_end's closed form verbatim: one "
+        "lost, duplicated, or re-ordered frame fails the hash. Crash "
+        "windows (constituents outliving the merged chunk) are covered by "
+        "the scan's LSN-monotonicity guard, unit-tested in "
+        "tests/test_wal_compaction.py. Scale shape: compaction is O(bytes "
+        "rewritten) sequential I/O on the maintenance node; replay cost "
+        "after it is O(new data + #chunks) with #chunks now bounded by "
+        "archive_bytes / target_chunk_bytes.",
+)
+def cdc_stream_chunk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from postgresql_cdc_spark.functions.pg_types import typed_view
+    from postgresql_cdc_spark.operators.materialize import materialize
+    from postgresql_cdc_spark.plans.streaming_gate import (
+        _archive_frames,
+        _run_stream_to_memory,
+    )
+    from postgresql_cdc_spark.streaming.archive_maintenance import (
+        compact_wal_archive,
+    )
+    from postgresql_cdc_spark.streaming.source import (
+        WalArchiveStreamReader,
+        write_wal_archive,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"pgcdc_cmp_{uuid.uuid4().hex[:12]}_")
+    arch = os.path.join(base, "wal")
+    frames = _archive_frames()
+    per = (len(frames) + 9) // 10
+    for c in range(10):  # ten tiny chunks, txn boundaries NOT aligned
+        part = frames[c * per:(c + 1) * per]
+        if part:
+            write_wal_archive(arch, part, chunk=f"{c:06d}.wal")
+    # first drain writes the sidecars (driver-side latestOffset)
+    WalArchiveStreamReader(
+        {"path": arch, "readall": "true",
+         "ackpath": os.path.join(base, "ack0")}
+    ).latestOffset()
+    big = sum(
+        os.path.getsize(os.path.join(arch, n))
+        for n in os.listdir(arch) if n.endswith(".wal")
+    )
+    stats = compact_wal_archive(arch, target_chunk_bytes=(big // 2) + 1)
+    assert stats["merged_runs"] >= 1 and stats["chunks_after"] <= 4, stats
+
+    log = _run_stream_to_memory(spark, arch, base)
+    state = materialize(log, keys=["id"], merge_sparse=False)
+    return typed_view(
+        state, {"id": "bigint", "v_int": "int", "v_text": "string"}, keep=()
+    )

@@ -381,10 +381,18 @@ def scan_wal_messages(path: str, decoder, state: dict,
             if sidecar["size"] != size_now:
                 sidecar = None  # chunk grew (append) — stale, full rescan
         if sidecar is not None and sidecar["max_lsn"] <= skip_upto_lsn:
-            decoder.relations.update(_registry_from_json(sidecar["registry"]))
-            state["txn_open"] = bool(sidecar["txn_open"])
-            state["txn_id"] = int(sidecar["txn_id"])
-            state["max_lsn"] = int(sidecar["max_lsn"])
+            # Monotone application only: a sidecar wholly BEHIND the scan
+            # position (a compaction crash window leaves the merged chunk's
+            # constituents on disk until their unlinks land) must not
+            # regress txn state / max_lsn — its registry is a subset of
+            # what the scan already carries, so there is nothing to apply.
+            if int(sidecar["max_lsn"]) > state.get("max_lsn", -1):
+                decoder.relations.update(
+                    _registry_from_json(sidecar["registry"])
+                )
+                state["txn_open"] = bool(sidecar["txn_open"])
+                state["txn_id"] = int(sidecar["txn_id"])
+                state["max_lsn"] = int(sidecar["max_lsn"])
             continue
         try:
             data = _read_chunk_bytes(fp)
@@ -444,6 +452,17 @@ def scan_wal_messages(path: str, decoder, state: dict,
                     break
                 msg = decoder.decode(data[pos:pos + ln])
                 pos += ln
+                if lsn <= state.get("max_lsn", -1):
+                    # LSN-monotonicity guard: WAL LSNs strictly increase, so
+                    # a frame at or behind the scan position is a DUPLICATE
+                    # copy of one already processed — a compaction or prune
+                    # crash window can leave a merged chunk's constituents
+                    # (or a pruned chunk) on disk alongside the state that
+                    # already covers them. The first copy applied every
+                    # state transition; replaying it would double-emit.
+                    # (decode above is idempotent: identical bytes re-apply
+                    # identical RELATION metadata.)
+                    continue
                 if isinstance(msg, TxBegin):
                     state["txn_open"] = True
                     state["txn_id"] = msg.xid
