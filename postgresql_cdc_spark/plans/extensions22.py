@@ -718,3 +718,101 @@ def cdc_stream_chunk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed_view(
         state, {"id": "bigint", "v_int": "int", "v_text": "string"}, keep=()
     )
+
+
+# --- streaming BM25 corpus-stats maintenance ----------------------------------
+
+@register(
+    "cdc_stream_bm25_stats",
+    _bm25_scored_sql("duck", "documents")
+    + """
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+    doc="STREAMING maintenance of the BM25 corpus statistics — the "
+        "retrieval-layer twin of cdc_stream_vector_index: the corpus "
+        "arrives in 3 foreachBatch waves and each epoch appends ONE "
+        "partial-aggregate row (doc count, token total, per-term document "
+        "frequencies — all SUM-mergeable, the map-side-combine property "
+        "that lets a 100-TB index maintain its statistics without ever "
+        "re-scanning the corpus) as an ingest_epoch-partitioned dynamic "
+        "overwrite (replay-idempotent: a re-run epoch replaces its own "
+        "partial, never double-counts). The serve path folds the epoch "
+        "partials into the global (n, s, df_t) by ONE sum over "
+        "#epochs rows, broadcasts them against the per-doc tf/dl "
+        "projection, and answers the same fixed 4-term query — gated "
+        "against text_bm25_topk's closed form verbatim: maintained "
+        "statistics must be invisible to the scorer. Waves are one file "
+        "per trigger, mtime-ordered under AvailableNow.",
+)
+def cdc_stream_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    from postgresql_cdc_spark.streaming.epoch_io import epoch_overwrite
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    base = tempfile.mkdtemp(prefix=f"pgcdc_bm25_{uuid.uuid4().hex[:12]}_")
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    t0 = 1_600_000_000
+    for k in range(3):
+        tmp = os.path.join(base, f"w{k}")
+        d.where(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(indir, f"wave{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * k, t0 + 60 * k))
+
+    stats_dir = os.path.join(base, "stats")
+
+    def ingest(batch: DataFrame, epoch: int) -> None:
+        toks = batch.selectExpr(f"{_S_TOKS} AS toks")
+        partial = toks.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(size(toks) AS BIGINT)")).cast("bigint")
+            .alias("s"),
+            *[
+                F.expr(
+                    f"CAST(SUM(CASE WHEN array_contains(toks, '{t}') THEN 1 "
+                    f"ELSE 0 END) AS BIGINT)"
+                ).alias(f"df_{t}")
+                for t in _BM25_TERMS
+            ],
+        )
+        epoch_overwrite(partial, stats_dir, int(epoch))
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("bm25-stats ingest did not finish")
+    finally:
+        q.stop()
+
+    # fold the epoch partials (one row per epoch) into the global stats
+    folded = spark.read.parquet(stats_dir).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+        *[
+            F.sum(f"df_{t}").cast("bigint").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    dd = d.selectExpr("doc_id", f"{_S_TOKS} AS toks").selectExpr(
+        "doc_id", *_bm25_doc_col_list("spark")
+    )
+    scored = dd.crossJoin(F.broadcast(folded)).selectExpr(
+        "doc_id", f"{_BM25_SCORE} AS bm25"
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
