@@ -317,9 +317,9 @@ def main() -> int:
         # comparing totals apples-to-apples.
         "notes": {
             "headline_set": "text_bm25_topk and hybrid_rrf_fusion were "
-            "ADDED in r12 (26 rows now); round-over-round totals vs r11 "
-            "and the recorded baseline should exclude those two rows for "
-            "apples-to-apples comparison.",
+            "ADDED in r12 (27 rows now, was 25 in r11); round-over-round "
+            "totals vs r11 and the recorded baseline should exclude those "
+            "two rows for apples-to-apples comparison.",
             "cdc_materialize_state": "timed work = merge operator only "
             "(changelog pre-synthesized, untimed) since r8; baseline row "
             "included ~6.7s synthesis. Since r10 UP TO FOUR untimed JIT "
