@@ -178,7 +178,7 @@ def _cos(engine: str, a: str, b: str) -> str:
     )
 
 
-_RRF_ORACLE = (
+_RRF_CTES = (
     _bm25_scored_sql(
         "duck",
         "(SELECT d.doc_id, d.text FROM documents d "
@@ -205,6 +205,12 @@ _RRF_ORACLE = (
                   + COALESCE({_RRF_SCALE} // ({_RRF_K} + r_sem), 0)
                     AS BIGINT) AS rrf
         FROM lex FULL JOIN sem ON lex.id = sem.id)
+    """
+)
+
+_RRF_ORACLE = (
+    _RRF_CTES
+    + """
     SELECT id, r_lex, r_sem, rrf FROM fused
     ORDER BY rrf DESC, id ASC LIMIT 10
     """
@@ -816,3 +822,58 @@ def cdc_stream_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"{_BM25_SCORE} AS bm25"
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+
+
+# --- fusion overlap diagnostics ------------------------------------------------
+
+_FUSION_EVAL_ORACLE = (
+    _RRF_CTES
+    + f""",
+    top AS (SELECT id, r_lex, r_sem FROM fused
+            ORDER BY rrf DESC, id ASC LIMIT 10)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fused,
+           CAST(SUM(CASE WHEN r_sem BETWEEN 1 AND 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS in_sem10,
+           CAST(SUM(CASE WHEN r_lex BETWEEN 1 AND 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS in_lex10,
+           CAST(SUM(CASE WHEN r_sem BETWEEN 1 AND 10
+                          AND r_lex BETWEEN 1 AND 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS in_both10,
+           CAST(SUM(CASE WHEN r_sem = 0 OR r_sem > {_RRF_DEPTH}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS sem_absent
+    FROM top
+    """
+)
+
+
+@register(
+    "retrieval_fusion_overlap",
+    _FUSION_EVAL_ORACLE,
+    doc="Fusion overlap diagnostics — the acceptance readout a retrieval "
+        "stack reports next to its fused list (the recall-eval convention: "
+        "ivf_recall_eval for ANN, this for fusion): of the RRF top-10, how "
+        "many sit in the semantic top-10, the lexical top-10, both, and "
+        "how many the semantic system missed entirely (contributed by the "
+        "lexical side alone — the complementarity RRF exists to capture). "
+        "All counts are integer-exact over the same fused CTEs "
+        "hybrid_rrf_fusion gates, so the eval and the serving query can "
+        "never drift. Scale shape: identical to the fusion query (rank<=50 "
+        "limits below windows, 50x50 full-outer fuse) plus one 10-row "
+        "aggregate.",
+)
+def retrieval_fusion_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fused = hybrid_rrf_fusion(spark, sf_dir)  # the registered top-10
+    return fused.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fused"),
+        F.sum(F.expr("CASE WHEN r_sem BETWEEN 1 AND 10 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("in_sem10"),
+        F.sum(F.expr("CASE WHEN r_lex BETWEEN 1 AND 10 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("in_lex10"),
+        F.sum(F.expr(
+            "CASE WHEN r_sem BETWEEN 1 AND 10 AND r_lex BETWEEN 1 AND 10 "
+            "THEN 1 ELSE 0 END"
+        )).cast("bigint").alias("in_both10"),
+        F.sum(F.expr(
+            f"CASE WHEN r_sem = 0 OR r_sem > {_RRF_DEPTH} THEN 1 ELSE 0 END"
+        )).cast("bigint").alias("sem_absent"),
+    )

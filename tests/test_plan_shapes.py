@@ -69,6 +69,7 @@ NESTED_LOOP_OK = {
     "text_bm25_topk",  # two one-row scalar broadcasts (corpus stats + dfs)
     "hybrid_rrf_fusion",  # one-row stats/dfs/query-vector scalar broadcasts
     "text_perplexity_proxy",  # one-row vocab-size scalar broadcast
+    "retrieval_fusion_overlap",  # same scalar broadcasts as hybrid_rrf_fusion
 }
 
 
@@ -173,6 +174,9 @@ UNPARTITIONED_WINDOW_OK = {
     "text_ngram_lm_counts": "top-50 bigrams",
     "hybrid_rrf_fusion": "top-50 per system (lex + sem rank<=50 each push "
                          "a TakeOrdered limit below their window)",
+    "retrieval_fusion_overlap": "the same two bounded rank windows as "
+                                "hybrid_rrf_fusion (it aggregates that "
+                                "query's 10-row result)",
     # -- structural caps
     "skyline_pareto_parts": "global pass input = per-band frontiers only "
                             "(operators/frontier.py banded prefilter)",
