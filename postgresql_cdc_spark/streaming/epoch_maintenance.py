@@ -1,0 +1,246 @@
+"""Compaction for epoch-partitioned maintained stores — the small-file
+lifecycle pass for ``streaming/epoch_io.py`` sinks, the WAL archive's
+index -> prune -> compact lifecycle one level up.
+
+A foreachBatch-maintained store (the streaming BM25 corpus statistics, the
+streaming IVF postings) accretes ONE partition — and for stats stores one
+partial row — per epoch, forever: at a one-minute trigger that is ~525k
+partition directories a year, so listing cost, tiny-file count, and the
+serve path's fold width all grow linearly with stream age even though the
+folded state is constant-size. ``compact_epochs`` folds every partition
+with ``ingest_epoch < upto`` into ONE base partition while preserving the
+two contracts the streaming gates rely on:
+
+- **replay idempotence** (``epoch_io`` contract): a re-run of any epoch
+  ``e >= upto`` must still see exactly the pre-``e`` state through
+  :func:`epochs_before_compacted`, and its own dynamic-overwrite replay
+  still replaces only its own partition (the base lives in the reserved
+  NEGATIVE epoch space no live batch id can collide with).
+- **crash invisibility** (the ``compact_wal_archive`` protocol): a crash at
+  any point during compaction leaves readers seeing EITHER the exact
+  pre-compaction state or the exact post-compaction state, never a double
+  count and never a partial fold.
+
+Protocol (single maintenance writer, the same assumption the WAL archive
+compactor makes — ``streaming/archive_maintenance.py``):
+
+1. The rows of the current base (if any) plus every live partition in
+   ``[current_base_upto, upto)`` are folded — optionally through a caller
+   ``merge`` aggregate (SUM-mergeable stats partials collapse to one row;
+   the default concatenates, which is what postings stores need) — and
+   written under the reserved base partition ``ingest_epoch = -upto`` via
+   the same dynamic partition overwrite the live sink uses, so a crashed
+   earlier attempt at the SAME ``upto`` is replaced wholesale.
+2. The manifest ``_epoch_base.json`` (``{"upto": U}``) is replaced
+   atomically (tmp + fsync + rename + directory fsync). This is the commit
+   point: readers resolve the base partition as ``-U`` and live partials as
+   ``>= U``, so before the rename they see the old base + old partials
+   (the orphan new base is outside both ranges), and after it the new base
+   + surviving partials — never both generations of the same row.
+3. Only then are the folded partition directories (old base and partials
+   ``< upto``) deleted; a crash between 2 and 3 leaves stale directories
+   that every manifest-aware read filters out, and a re-run of
+   ``compact_epochs`` at the same ``upto`` completes the sweep.
+
+``upto`` must not exceed the oldest epoch that may still replay: a
+committed micro-batch never re-runs (Structured Streaming replays only the
+batch whose checkpoint commit did not land), so compacting up to — but not
+beyond — the latest committed epoch is always safe; the streaming gates
+compact ``upto = <last epoch>`` after the query terminates, keeping the
+newest epoch live (the WAL compactor's newest-chunk convention).
+
+Filesystem note: manifest and directory maintenance use local ``os``/
+``shutil`` calls like the WAL archive transport does; on a cluster store
+the same three-step protocol runs against the Hadoop FileSystem API — the
+commit point stays a single atomic rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgresql_cdc_spark.streaming.epoch_io import EPOCH_COL, epoch_overwrite
+
+BASE_MANIFEST = "_epoch_base.json"
+
+_PART_RE = re.compile(rf"^{EPOCH_COL}=(-?\d+)$")
+
+
+def base_upto(path: str) -> int:
+    """The store's committed base horizon U: every epoch ``< U`` has been
+    folded into the base partition ``ingest_epoch = -U``. 0 (no base) when
+    the manifest is absent; an unreadable manifest raises — guessing a
+    horizon could double-count a fold."""
+    fp = os.path.join(path, BASE_MANIFEST)
+    if not os.path.exists(fp):
+        return 0
+    with open(fp) as f:
+        return int(json.load(f)["upto"])
+
+
+def _store_filter(upto: int):
+    """Live-rows partition predicate for a base horizon: the base partition
+    plus every partial at or above the horizon. Stale partials (< upto) and
+    orphan bases from crashed attempts fall outside both arms. With
+    ``upto = 0`` this degrades to ``>= 0`` — exactly the uncompacted store.
+    Both arms are simple comparisons on the partition column, so the filter
+    prunes at the file level."""
+    return (F.col(EPOCH_COL) == F.lit(-upto)) | (F.col(EPOCH_COL) >= F.lit(upto))
+
+
+def read_epoch_store(spark: SparkSession, path: str) -> DataFrame:
+    """Every live row of a (possibly compacted) epoch store — the base fold
+    plus all surviving partials — without the epoch column. The serve-path
+    twin of ``epoch_io.epochs_before``; crash leftovers are invisible."""
+    return (
+        spark.read.parquet(path)
+        .where(_store_filter(base_upto(path)))
+        .drop(EPOCH_COL)
+    )
+
+
+def epochs_before_compacted(
+    spark: SparkSession, path: str, epoch: int
+) -> DataFrame:
+    """The strictly-earlier-epoch probe over a compacted store: base fold +
+    partials in ``[base_upto, epoch)``. Raises when ``epoch < base_upto`` —
+    the pre-``epoch`` state was folded away and the contract is
+    unsatisfiable (the epoch-store analog of the WAL retention
+    ``ProtocolError`` for a cursor below the pruned head)."""
+    upto = base_upto(path)
+    if int(epoch) < upto:
+        raise ValueError(
+            f"epoch {epoch} predates the compacted base horizon {upto}: "
+            "the strictly-earlier state no longer exists; compact only up "
+            "to the oldest epoch that may still replay"
+        )
+    return (
+        spark.read.parquet(path)
+        .where(
+            (F.col(EPOCH_COL) == F.lit(-upto))
+            | ((F.col(EPOCH_COL) >= F.lit(upto)) & (F.col(EPOCH_COL) < int(epoch)))
+        )
+        .drop(EPOCH_COL)
+    )
+
+
+def _partition_epochs(path: str) -> list[int]:
+    out = []
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return out
+    for n in names:
+        m = _PART_RE.match(n)
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a rename/unlink inside it survives power loss."""
+    try:
+        fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _commit_manifest(path: str, upto: int) -> None:
+    fp = os.path.join(path, BASE_MANIFEST)
+    tmp = fp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"upto": int(upto)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, fp)
+    _fsync_dir(path)
+
+
+def _sweep_stale(path: str, upto: int) -> int:
+    """Delete every partition the committed horizon no longer references:
+    partials below it and any base other than ``-upto`` (old generations
+    and orphans of crashed attempts — a future attempt's orphan is
+    recreated wholesale by its re-run's dynamic overwrite, so deleting it
+    is always safe)."""
+    deleted = 0
+    for e in _partition_epochs(path):
+        if (0 <= e < upto) or (e < 0 and e != -upto):
+            shutil.rmtree(
+                os.path.join(path, f"{EPOCH_COL}={e}"), ignore_errors=True
+            )
+            deleted += 1
+    if deleted:
+        _fsync_dir(path)
+    return deleted
+
+
+def compact_epochs(
+    spark: SparkSession,
+    path: str,
+    upto: int,
+    merge: Optional[Callable[[DataFrame], DataFrame]] = None,
+) -> dict:
+    """Fold every epoch ``< upto`` (including the current base) into ONE
+    base partition ``ingest_epoch = -upto``; returns ``{base_upto_before,
+    base_upto_after, folded_partitions, deleted_partitions}``.
+
+    ``merge`` reshapes the folded rows (schema-preserving) before the write
+    — pass the store's partial-merge aggregate for SUM-mergeable stats
+    stores; the default keeps the rows verbatim (postings stores). A re-run
+    after any crash converges: same-``upto`` re-runs overwrite the same
+    base partition and finish the delete sweep; ``upto == base_upto`` is a
+    pure garbage-collection pass."""
+    upto = int(upto)
+    prev = base_upto(path)
+    if upto < prev:
+        raise ValueError(
+            f"compaction horizon cannot regress: upto={upto} < committed "
+            f"base {prev}"
+        )
+    if upto == prev:
+        return {
+            "base_upto_before": prev,
+            "base_upto_after": prev,
+            "folded_partitions": 0,
+            "deleted_partitions": _sweep_stale(path, prev),
+        }
+
+    live = sorted(
+        e for e in _partition_epochs(path)
+        if (0 <= e < upto) or (prev > 0 and e == -prev)
+    )
+    # one predicate covers both generations: with prev = 0 the base arm
+    # (== -0) collapses into the partial range, so no special case
+    folded = (
+        spark.read.parquet(path)
+        .where(
+            (F.col(EPOCH_COL) == F.lit(-prev))
+            | ((F.col(EPOCH_COL) >= F.lit(prev)) & (F.col(EPOCH_COL) < F.lit(upto)))
+        )
+        .drop(EPOCH_COL)
+    )
+    if merge is not None:
+        folded = merge(folded)
+    # step 1: the fold lands in the reserved negative epoch (dynamic
+    # overwrite replaces a crashed attempt at the same horizon wholesale)
+    epoch_overwrite(folded, path, -upto)
+    # step 2: the commit point
+    _commit_manifest(path, upto)
+    # step 3: the sweep (crash-safe to skip; the next pass finishes it)
+    deleted = _sweep_stale(path, upto)
+    return {
+        "base_upto_before": prev,
+        "base_upto_after": upto,
+        "folded_partitions": len(live),
+        "deleted_partitions": deleted,
+    }
