@@ -472,6 +472,15 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # overwrite with a strictly-earlier-epoch index probe (replay
     # idempotence, round-10 advice) — the r10 stamp predates the rewrite.
     "cdc_stream_incremental_dedup": 10,
+    # r13: the maintained stores now compact their epoch partitions after
+    # the stream (epoch_maintenance.compact_epochs) and serve through the
+    # manifest-aware reader — the r12 stamps predate the lifecycle pass.
+    "cdc_stream_vector_index": 12,
+    "cdc_stream_bm25_stats": 12,
+    # r13: the forced F.broadcast on the vocab-sized bigram-count table was
+    # dropped (plain equi-join; AQE decides) — plan change, r12 stamp
+    # predates it.
+    "text_perplexity_proxy": 12,
 }
 
 

@@ -349,8 +349,10 @@ _PPX_ORACLE = f"""
         "filter would drop first). Docs under 2 tokens have no bigrams and "
         "are excluded by construction. Scale shape: bigrams are in-row "
         "array transforms, counts are two map-side-combinable hash aggs "
-        "over the vocab^2-bounded bigram table, the occurrence-to-count "
-        "join is the word-count equi-join, V rides in as a one-row cross "
+        "over the vocab^2-bounded bigram table, BOTH count joins (cb and "
+        "the vocab-sized cl) are plain equi-joins with no broadcast hint "
+        "(AQE broadcasts only when a side actually fits — a forced hint on "
+        "a 1e8+-token vocab would OOM), V rides in as a one-row cross "
         "join, and the only window is partitioned by source.",
 )
 def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,9 +382,14 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode("toks").alias("tok"))
         .agg(F.countDistinct("tok").cast("bigint").alias("v"))
     )
+    # NOTE: no broadcast hint on cl — it is vocab-sized (one row per distinct
+    # first token), which at a 100-TB corpus is 1e8-1e9 rows; a forced hint
+    # would override the size threshold and OOM. Left as a plain equi-join,
+    # AQE broadcasts it only when it actually fits (the sibling cb join is
+    # the same shape one token wider). vocab IS a one-row aggregate: safe.
     px = (
         occ.join(cb, ["w1", "w2"])
-        .join(F.broadcast(cl), "w1")
+        .join(cl, "w1")
         .crossJoin(F.broadcast(vocab))
         .selectExpr(
             "doc_id", "source",
@@ -444,11 +451,16 @@ def _vector_index_oracle() -> str:
         "frozen centroids (broadcast join, one scan, no shuffle) and "
         "appends the postings as an ingest_epoch-partitioned dynamic "
         "overwrite — the r11 replay-idempotence contract, so a crashed "
-        "epoch re-runs without duplicating postings. The serve path then "
-        "answers top-5 for the standard query set (vec_id % 100 = 0, "
-        "4-of-16 cell probes, rounded-cosine re-rank) from the MAINTAINED "
-        "index alone. The oracle is sim_topk_ivf's closed form verbatim: "
-        "incremental maintenance must be invisible to the serve path.",
+        "epoch re-runs without duplicating postings. After the stream, "
+        "compact_epochs folds the committed epochs below the newest into "
+        "ONE base partition (the maintained-store small-file lifecycle: "
+        "one partition per epoch forever is ~525k directories/year at "
+        "1-min triggers) and the serve path answers top-5 for the "
+        "standard query set (vec_id % 100 = 0, 4-of-16 cell probes, "
+        "rounded-cosine re-rank) from the COMPACTED maintained index "
+        "through the manifest-aware reader. The oracle is sim_topk_ivf's "
+        "closed form verbatim: incremental maintenance AND its compaction "
+        "must both be invisible to the serve path.",
 )
 def cdc_stream_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
@@ -458,6 +470,10 @@ def cdc_stream_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from postgresql_cdc_spark.operators import similarity as sim
     from postgresql_cdc_spark.streaming.epoch_io import epoch_overwrite
+    from postgresql_cdc_spark.streaming.epoch_maintenance import (
+        compact_epochs,
+        read_epoch_store,
+    )
 
     e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
@@ -503,9 +519,13 @@ def cdc_stream_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    # serve from the maintained index alone
+    # compact the committed epochs below the newest into the base partition
+    # (postings fold by concatenation — the identity merge), then serve
+    # from the compacted maintained index alone
+    stats = compact_epochs(spark, postings, upto=2)
+    assert stats["folded_partitions"] == 2, stats
     cents = spark.read.parquet(cents_path)
-    posts = spark.read.parquet(postings)
+    posts = read_epoch_store(spark, postings)
     queries = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -743,13 +763,18 @@ def cdc_stream_chunk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "that lets a 100-TB index maintain its statistics without ever "
         "re-scanning the corpus) as an ingest_epoch-partitioned dynamic "
         "overwrite (replay-idempotent: a re-run epoch replaces its own "
-        "partial, never double-counts). The serve path folds the epoch "
-        "partials into the global (n, s, df_t) by ONE sum over "
-        "#epochs rows, broadcasts them against the per-doc tf/dl "
-        "projection, and answers the same fixed 4-term query — gated "
+        "partial, never double-counts). After the stream, compact_epochs "
+        "SUM-merges the committed partials below the newest epoch into ONE "
+        "base row (the partials are SUM-mergeable by design, so the base "
+        "stays one row no matter how many epochs fold — the maintained-"
+        "store lifecycle that keeps a year-old store's fold width at "
+        "base+tail instead of 525k partials). The serve path folds the "
+        "compacted store into the global (n, s, df_t) by ONE sum through "
+        "the manifest-aware reader, broadcasts them against the per-doc "
+        "tf/dl projection, and answers the same fixed 4-term query — gated "
         "against text_bm25_topk's closed form verbatim: maintained "
-        "statistics must be invisible to the scorer. Waves are one file "
-        "per trigger, mtime-ordered under AvailableNow.",
+        "statistics and their compaction must be invisible to the scorer. "
+        "Waves are one file per trigger, mtime-ordered under AvailableNow.",
 )
 def cdc_stream_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
@@ -758,6 +783,10 @@ def cdc_stream_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from postgresql_cdc_spark.streaming.epoch_io import epoch_overwrite
+    from postgresql_cdc_spark.streaming.epoch_maintenance import (
+        compact_epochs,
+        read_epoch_store,
+    )
 
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -806,15 +835,21 @@ def cdc_stream_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    # fold the epoch partials (one row per epoch) into the global stats
-    folded = spark.read.parquet(stats_dir).agg(
-        F.sum("n").cast("bigint").alias("n"),
-        F.sum("s").cast("bigint").alias("s"),
-        *[
-            F.sum(f"df_{t}").cast("bigint").alias(f"df_{t}")
-            for t in _BM25_TERMS
-        ],
-    )
+    def _sum_merge(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").cast("bigint").alias("s"),
+            *[
+                F.sum(f"df_{t}").cast("bigint").alias(f"df_{t}")
+                for t in _BM25_TERMS
+            ],
+        )
+
+    # compact: SUM-merge the committed partials below the newest epoch into
+    # ONE base row, then fold base + live tail into the global stats
+    stats = compact_epochs(spark, stats_dir, upto=2, merge=_sum_merge)
+    assert stats["folded_partitions"] == 2, stats
+    folded = _sum_merge(read_epoch_store(spark, stats_dir))
     dd = d.selectExpr("doc_id", f"{_S_TOKS} AS toks").selectExpr(
         "doc_id", *_bm25_doc_col_list("spark")
     )
