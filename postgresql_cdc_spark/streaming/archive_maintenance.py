@@ -26,6 +26,9 @@ merged chunk that already contains their frames — scan_wal_messages'
 LSN-monotonicity guard (``source.py``) drops those duplicate frames, and
 its monotone sidecar application refuses to regress txn state from a
 behind-the-scan sidecar, so every crash window replays byte-identically.
+The directory is fsynced after each run's rename+unlink batch, so a power
+cut cannot resurrect an unlinked constituent either (belt to the guard's
+suspenders — the guard alone already keeps replay correct).
 A reader RACING the compactor (its listdir snapshot saw a constituent that
 vanished after the merge landed) fails its task loudly via the unexplained-
 loss check and retries against a fresh listing — never wrong data.
@@ -41,6 +44,7 @@ import os
 from typing import List, Optional
 
 from postgresql_cdc_spark.streaming.source import (
+    _fsync_dir,
     _load_sidecar,
     _write_sidecar,
 )
@@ -120,6 +124,8 @@ def compact_wal_archive(
                     pass
         merged_runs += 1
         merged_bytes += total
+    if merged_runs:
+        _fsync_dir(path)  # renames + unlinks durable (see module docstring)
     after = sum(1 for n in os.listdir(path) if n.endswith(".wal"))
     return {
         "merged_runs": merged_runs,

@@ -190,6 +190,29 @@ def _write_sidecar(chunk_fp: str, meta: dict) -> None:
             pass
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so renames/unlinks inside it survive power loss.
+
+    Maintenance passes (prune, compaction) use this after their rename/
+    unlink batches: without it a power cut can resurrect an unlinked chunk
+    or lose a renamed snapshot's directory entry. Replay stays CORRECT
+    either way — the head-snapshot application and the scan's
+    LSN-monotonicity guard drop resurrected duplicates — so this closes a
+    tidiness window, not a correctness one. Best-effort: filesystems that
+    refuse O_DIRECTORY fsync (some network mounts) degrade to the
+    pre-fsync behavior."""
+    try:
+        fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _read_chunk_bytes(fp: str) -> bytes:
     """Single chokepoint for chunk I/O — tests spy on it to prove indexed
     scans never touch the bytes of chunks behind the cursor."""
@@ -298,6 +321,7 @@ def prune_wal_archive(path: str, upto_lsn: Optional[int] = None) -> dict:
         f.flush()
         os.fsync(f.fileno())  # snapshot durable BEFORE any chunk dies
     os.replace(tmp, os.path.join(path, _BASE_SNAPSHOT))
+    _fsync_dir(path)  # snapshot's directory entry durable BEFORE chunks die
     pruned_bytes = 0
     for name in prunable:
         fp = os.path.join(path, name)
@@ -310,6 +334,8 @@ def prune_wal_archive(path: str, upto_lsn: Optional[int] = None) -> dict:
                 os.unlink(victim)
             except OSError:
                 pass
+    if prunable:
+        _fsync_dir(path)  # unlinks durable: no resurrected pruned chunks
     return {
         "pruned_chunks": len(prunable),
         "pruned_bytes": pruned_bytes,
