@@ -374,3 +374,95 @@ def test_materialize_pipeline_shuffle_budget(spark):
     assert counts["Exchange"] <= 2, (counts, plan[:1500])
     assert counts["Sort"] <= 2, (counts, plan[:1500])
     assert counts["Window"] <= 3, (counts, plan[:1500])
+
+
+# --- broadcast-hint boundedness sweep ----------------------------------------
+
+# Every F.broadcast() call site in non-test source, keyed (module, first
+# identifier of the argument). An explicit broadcast hint OVERRIDES Spark's
+# size threshold, so a hint on a side that scales with a data-derived key
+# domain is a 100-TB OOM even when tiny-SF runs are green — the class the
+# text_perplexity_proxy vocab-table hint fell into (r12 verdict) before it
+# was dropped. Review contract for ADDING an entry: the argument must be
+# provably bounded —
+#   (a) a one-row / k-row aggregate (global agg, codebook, centroids,
+#       count scalar),
+#   (b) a fixed dimension or limit/top-k output (nation/region, rank<=k),
+#   (c) a sampled query/probe set (vec_id % 100, fixed query list),
+#   (d) a hot-key prefilter (HAVING count > cap: at most total/cap rows), or
+#   (e) a bounded-domain rollup (priority/status/event_type/band/chunk).
+# NEVER a table keyed per distinct token/user/document — those grow with the
+# corpus; leave them as plain equi-joins and let AQE decide (it broadcasts
+# only what actually fits at runtime).
+BROADCAST_HINT_SITES = {
+    "operators/dedup.py": {"hot", "spam", "wide"},          # (d) hot lists
+    "operators/multimodal.py": {"hot"},                      # (d)
+    "operators/seams.py": {"rhs"},                           # (e) super-bucket rollup
+    "operators/similarity.py": {"centroids", "cents", "probes", "q", "wide"},
+    "plans/extensions10.py": {"b", "carry", "ladder", "max_doc", "nn",
+                              "np_", "spans"},
+    "plans/extensions11.py": {"tot", "totals"},
+    "plans/extensions12.py": {"at", "ct", "mx", "rt", "tot"},
+    "plans/extensions13.py": {"crossing", "tot", "vocab"},   # vocab: top-k LIMIT list
+    "plans/extensions15.py": {"med"},
+    "plans/extensions17.py": {"r"},
+    "plans/extensions19.py": {"n_nulls", "nullsafe", "plain", "t"},
+    "plans/extensions2.py": {"ca", "cb"},                    # (e) per-source counts
+    "plans/extensions21.py": {"probes", "qv", "short", "totals"},
+    "plans/extensions22.py": {"cents", "dfs", "folded", "probes", "qv",
+                              "st", "vocab"},                # vocab/st/dfs/folded: one-row aggs
+    "plans/extensions23.py": {"cents", "nq", "probes"},
+    "plans/extensions3.py": {"nq", "probes"},
+    "plans/extensions5.py": {"cust", "n", "q", "supp"},
+    "plans/extensions6.py": {"cb", "cust", "e0", "n", "n_found", "n_hit",
+                             "supp", "tri"},                 # e0/tri: one-row counts
+    "plans/extensions7.py": {"bounds", "carry", "f", "kp", "mad", "med",
+                             "nd", "q", "tot"},
+    "plans/extensions8.py": {"base", "bounds", "cand", "carry", "cb", "cust",
+                             "del_c", "del_o", "dim", "lut", "mad", "mau",
+                             "n", "nat", "r", "reg", "supp", "t", "tot"},
+    "plans/extensions9.py": {"bycat", "tot"},
+    "plans/relational.py": {"c", "n", "r"},                  # (b) filtered dims
+    "plans/relational2.py": {"heavy_orders", "small", "thresh"},
+    "plans/relational3.py": {"T", "b", "n", "p", "s"},
+    "plans/relational4.py": {"T", "bad", "mx", "p", "s", "top", "total"},
+    "plans/scale_patterns.py": {"buckets"},                  # (d) sampled bucket list
+    "plans/streaming_gate.py": {"nation"},                   # (b) 25-row dim
+}
+
+
+def test_broadcast_hints_are_reviewed():
+    """Registry-wide sweep of explicit broadcast hints (the BNLJ-sweep
+    pattern applied to hints): every F.broadcast() call site in package
+    source must appear in BROADCAST_HINT_SITES, and every recorded site
+    must still exist — adding a hint forces the boundedness review above,
+    and a removed hint (e.g. the r13 text_perplexity_proxy fix) must leave
+    the inventory so the list stays exact."""
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "postgresql_cdc_spark")
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", re.S)
+    live: dict[str, set[str]] = {}
+    for dirpath, _, files in os.walk(root):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, root)
+            with open(full) as f:
+                names = set(pat.findall(f.read()))
+            if names:
+                live[rel] = names
+    assert live == BROADCAST_HINT_SITES, {
+        "unreviewed (new hint: prove the bound, then add)": {
+            m: sorted(v - BROADCAST_HINT_SITES.get(m, set()))
+            for m, v in live.items()
+            if v - BROADCAST_HINT_SITES.get(m, set())
+        },
+        "stale (hint removed: drop the entry)": {
+            m: sorted(v - live.get(m, set()))
+            for m, v in BROADCAST_HINT_SITES.items()
+            if v - live.get(m, set())
+        },
+    }
