@@ -126,3 +126,93 @@ def test_index_prune_compact_replay_invariant(tmp_path_factory, n_txns,
     assert got == expect
     lsns = [l for l, _ in got]
     assert lsns == sorted(set(lsns)), "duplicates or disorder after maintenance"
+
+
+# --- multi-slot concurrent drain racing prune + compact -----------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_txns=st.integers(min_value=2, max_value=8),
+    cuts=st.lists(st.integers(min_value=1, max_value=32), max_size=6),
+    target=st.integers(min_value=1, max_value=4096),
+    b_a=st.integers(min_value=1, max_value=5),
+    b_b=st.integers(min_value=3, max_value=12),
+    data=st.data(),
+)
+def test_multi_slot_drain_races_prune_and_compact(tmp_path_factory, n_txns,
+                                                  cuts, target, b_a, b_b,
+                                                  data):
+    """The shared-archive contract under CONCURRENT consumption: two slot
+    consumers with different micro-batch budgets drain the same archive
+    while prune (default: min over every slot ack) and compact interleave
+    at arbitrary points. Every cycle's rows must be EXACTLY the reference
+    stream restricted to (max(cursor, retention base), end] — so each
+    slot's replayed stream is prefix-complete to its ack, byte-exact, and
+    duplicate-free — and both slots must drain to the head regardless of
+    the maintenance interleaving."""
+    import warnings
+
+    arch = str(tmp_path_factory.mktemp("fuzzslots"))
+    frames = _frames(n_txns)
+    _write_chunks(arch, frames, [c for c in cuts if c < len(frames)])
+    head = frames[-1][0]
+
+    # reference stream: full drain of the pristine archive (non-counting
+    # ack path so the reference never influences the min-over-acks prune)
+    ref_reader = WalArchiveStreamReader(
+        {"path": arch, "readall": "true",
+         "ackpath": os.path.join(arch, "__noack")}
+    )
+    ref_end = ref_reader.latestOffset()
+    ref = list(ref_reader.read(
+        ref_reader.partitions({"lsn": -1, "txn_open": False}, ref_end)[0]
+    ))
+    assert ref_end["lsn"] == head
+
+    base = -1  # highest retention base committed by any prune so far
+
+    class Slot:
+        def __init__(self, name: str, budget: int) -> None:
+            self.reader = WalArchiveStreamReader(
+                {"path": arch, "slot": name,
+                 "maxrecordsperbatch": str(budget)}
+            )
+            self.cur = self.reader.initialOffset()
+            self.name = name
+
+        def cycle(self):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # fresh-below-base warning
+                end = self.reader.latestOffset()
+                part = self.reader.partitions(self.cur, end)[0]
+                rows = list(self.reader.read(part))
+            self.reader.commit(end)
+            lo = max(self.cur["lsn"], base)
+            want = [t for t in ref if lo < t[4] <= end["lsn"]]
+            assert rows == want, (self.name, self.cur, end, base)
+            self.cur = end
+            return end
+
+    slots = {"a": Slot("a", b_a), "b": Slot("b", b_b)}
+    ops = data.draw(st.lists(
+        st.sampled_from(["cycle:a", "cycle:b", "prune", "compact"]),
+        min_size=3, max_size=12,
+    ))
+    for op in ops:
+        if op.startswith("cycle:"):
+            slots[op[6:]].cycle()
+        elif op == "prune":
+            r = prune_wal_archive(arch)  # default: min over slot acks
+            if r.get("base_lsn") is not None:
+                base = max(base, r["base_lsn"])
+        else:
+            compact_wal_archive(arch, target_chunk_bytes=target)
+
+    # drain both slots to the head; bounded loop (every non-empty cycle
+    # advances >= 1 DML, and budgets are >= 1)
+    for s in slots.values():
+        for _ in range(4 * n_txns + 8):
+            end = s.cycle()
+            if end["lsn"] >= head and not end.get("txn_open"):
+                break
+        assert s.cur["lsn"] == head, (s.name, s.cur)
