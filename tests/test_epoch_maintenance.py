@@ -207,3 +207,102 @@ class TestCompactEpochs:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "PartitionFilters" in plan and "ingest_epoch" in plan, plan
+
+
+class TestEngineDrivenCompaction:
+    def test_midstream_compaction_with_crash_replay(self, spark, tmp_path):
+        """Compaction DURING a live stream, through the real engine: epoch
+        2's foreachBatch first compacts the committed epochs below itself
+        (upto = 2 — both already committed, so neither can replay), then
+        probes the strictly-earlier state; the probe must see exactly
+        epochs 0+1 whether it reads two partials or the folded base. An
+        injected crash AFTER epoch 2's sink write forces the engine to
+        replay epoch 2 — the replay re-runs the (idempotent) compaction
+        GC pass and its probe and overwrite converge to the crash-free
+        result."""
+        import glob as _glob
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from postgresql_cdc_spark.streaming.epoch_maintenance import (
+            compact_epochs,
+            epochs_before_compacted,
+        )
+
+        indir = str(tmp_path / "in")
+        _os.makedirs(indir)
+        for k in range(3):
+            df = spark.createDataFrame(
+                [(k * 10 + i, f"w{k}") for i in range(4)], "id long, v string"
+            )
+            tmp = str(tmp_path / f"w{k}")
+            df.coalesce(1).write.parquet(tmp)
+            part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+            dst = _os.path.join(indir, f"wave{k}.parquet")
+            _os.rename(part, dst)
+            _os.utime(dst, (1_600_000_000 + 60 * k,) * 2)
+
+        out = str(tmp_path / "out")
+        probe_log = str(tmp_path / "probes")
+        _os.makedirs(probe_log)
+        crash_flag = str(tmp_path / "crash_once")
+        with open(crash_flag, "w") as f:
+            f.write("1")
+
+        def ingest(batch, epoch):
+            ep = int(epoch)
+            sp = batch.sparkSession
+            if ep == 2:
+                # epochs 0 and 1 are committed: fold them mid-stream (the
+                # replayed attempt re-runs this as a pure GC pass)
+                compact_epochs(sp, out, upto=2)
+                seen = sorted(
+                    r.id for r in
+                    epochs_before_compacted(sp, out, ep).collect()
+                )
+                with open(_os.path.join(probe_log, f"a{ep}"), "a") as f:
+                    f.write(",".join(map(str, seen)) + "\n")
+            epoch_overwrite(batch, out, ep)
+            if ep == 2 and _os.path.exists(crash_flag):
+                _os.unlink(crash_flag)
+                raise RuntimeError("injected crash after sink write")
+
+        def run():
+            q = (
+                spark.readStream.schema("id long, v string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(indir)
+                .writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
+
+        try:
+            run()  # dies on epoch 2's injected crash, after compaction+write
+        except Exception:  # noqa: BLE001 — the injected crash surfaces here
+            pass
+        assert not _os.path.exists(crash_flag), "crash never fired"
+        run()  # restart: epoch 2 replays over the already-compacted store
+
+        # both epoch-2 attempts (crashed + replay) probed the SAME pre-2
+        # state: exactly waves 0 and 1, from the folded base
+        with open(_os.path.join(probe_log, "a2")) as f:
+            probes = [ln.strip() for ln in f if ln.strip()]
+        want_pre2 = ",".join(
+            str(k * 10 + i) for k in range(2) for i in range(4)
+        )
+        assert probes == [want_pre2, want_pre2], probes
+
+        got = sorted(
+            (r.id, r.v) for r in read_epoch_store(spark, out).collect()
+        )
+        want = sorted(
+            (k * 10 + i, f"w{k}") for k in range(3) for i in range(4)
+        )
+        assert got == want, got
