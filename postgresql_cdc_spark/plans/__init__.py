@@ -470,9 +470,11 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # stamp predates the rewrite.
     "sort_null_ordering": 9,
     # r11: foreachBatch writes rewritten to epoch-partitioned dynamic
-    # overwrite with a strictly-earlier-epoch index probe (replay
-    # idempotence, round-10 advice) — the r10 stamp predates the rewrite.
-    "cdc_stream_incremental_dedup": 10,
+    # overwrite (replay idempotence); r13: the final wave now compacts the
+    # LSH index stores mid-stream and probes via epochs_before_compacted —
+    # the r11 stamp predates the lifecycle pass. (Value raised 10 -> 11 in
+    # r13; a duplicate literal key would shadow silently.)
+    "cdc_stream_incremental_dedup": 11,
     # r13: the maintained stores now compact their epoch partitions after
     # the stream (epoch_maintenance.compact_epochs) and serve through the
     # manifest-aware reader — the r12 stamps predate the lifecycle pass.

@@ -1099,7 +1099,13 @@ _STREAM_INCR_ORACLE = f"""
         "STRICTLY EARLIER epochs — a replayed micro-batch (at-least-once "
         "foreachBatch) overwrites exactly its own partition and never "
         "sees its own half-written index rows, making the pipeline "
-        "restart-idempotent rather than merely restart-documented.",
+        "restart-idempotent rather than merely restart-documented. Since "
+        "r13 the final wave's ingest also COMPACTS the three index stores "
+        "mid-stream (epochs 0-2, all committed, fold into each store's "
+        "base partition) and probes through the manifest-aware reader — "
+        "the epoch-per-partition growth the r12 verdict flagged now has "
+        "its lifecycle pass exercised under the oracle, inside a live "
+        "stream, with replay re-running compaction as a pure GC pass.",
 )
 def cdc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
@@ -1139,9 +1145,10 @@ def cdc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     matches_dir = os.path.join(base, "matches")
 
-    from postgresql_cdc_spark.streaming.epoch_io import (
-        epoch_overwrite,
-        epochs_before,
+    from postgresql_cdc_spark.streaming.epoch_io import epoch_overwrite
+    from postgresql_cdc_spark.streaming.epoch_maintenance import (
+        compact_epochs,
+        epochs_before_compacted,
     )
 
     def ingest(batch: DataFrame, epoch: int) -> None:
@@ -1153,10 +1160,18 @@ def cdc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = batch.persist()  # probed and indexed: two consumers
         ep = int(epoch)
         if os.path.isdir(idx["buckets"]):
+            if ep == 3:
+                # the maintained-store lifecycle, mid-stream: epochs 0-2
+                # are committed (AvailableNow processes them in order), so
+                # each index store folds them into its base partition; a
+                # replayed epoch 3 re-runs this as a pure GC pass and the
+                # manifest-aware probe below sees the identical pre-3 state
+                for p in idx.values():
+                    compact_epochs(sp, p, upto=ep)
             ci = dd.LshIndex(
-                epochs_before(sp, idx["buckets"], ep),
-                epochs_before(sp, idx["sizes"], ep),
-                epochs_before(sp, idx["postings"], ep),
+                epochs_before_compacted(sp, idx["buckets"], ep),
+                epochs_before_compacted(sp, idx["sizes"], ep),
+                epochs_before_compacted(sp, idx["postings"], ep),
             )
             epoch_overwrite(
                 dd.minhash_lsh_incremental(
