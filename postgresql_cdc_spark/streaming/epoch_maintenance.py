@@ -53,6 +53,15 @@ Filesystem note: manifest and directory maintenance use local ``os``/
 ``shutil`` calls like the WAL archive transport does; on a cluster store
 the same three-step protocol runs against the Hadoop FileSystem API — the
 commit point stays a single atomic rename.
+
+Reader-vs-compactor race: a read that resolves the manifest and then scans
+while a compaction COMMITS in between can see a torn view (its old-base
+partition swept away mid-scan). The maintenance passes here run QUIESCENT
+with respect to serving — the streaming gates compact inside foreachBatch
+(no concurrent serve) or after the query terminates — mirroring the WAL
+compactor's single-maintenance-writer assumption; a store that must serve
+during compaction re-resolves the manifest after the scan and retries on a
+mismatch (the WAL reader's unexplained-loss retry, one level up).
 """
 
 from __future__ import annotations
