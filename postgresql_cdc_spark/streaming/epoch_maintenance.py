@@ -223,6 +223,20 @@ def compact_epochs(
             "folded_partitions": 0,
             "deleted_partitions": _sweep_stale(path, prev),
         }
+    # Horizon cannot pass the store head: Spark batch ids are contiguous, so
+    # an epoch in [head, upto) WILL arrive later — its partition would land
+    # below the committed horizon and every manifest-aware read would filter
+    # it out silently. Raising here turns that data loss into a loud misuse
+    # error. (Checked after the GC branch: a re-run at upto == prev stays a
+    # valid cleanup pass even when the fold consumed every live epoch.)
+    live_now = [e for e in _partition_epochs(path) if e >= 0]
+    head = (max(live_now) + 1) if live_now else prev
+    if upto > head:
+        raise ValueError(
+            f"compaction horizon {upto} is beyond the store head {head}: "
+            f"epochs {head}..{upto - 1} have not arrived yet and would be "
+            "folded over invisibly when they do"
+        )
 
     live = sorted(
         e for e in _partition_epochs(path)

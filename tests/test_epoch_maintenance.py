@@ -306,3 +306,32 @@ class TestEngineDrivenCompaction:
             (k * 10 + i, f"w{k}") for k in range(3) for i in range(4)
         )
         assert got == want, got
+
+
+class TestHorizonGuards:
+    def test_horizon_beyond_head_raises(self, spark, tmp_path):
+        """Spark batch ids are contiguous: a horizon past the store head
+        would fold over epochs that WILL arrive later, making them
+        invisible to every manifest-aware read — misuse must be loud."""
+        p = str(tmp_path / "store")
+        _seed(spark, p, 3)  # epochs 0-2 -> head is 3
+        try:
+            compact_epochs(spark, p, upto=10)
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "head" in str(e)
+        # the full fold up to the head is legitimate
+        stats = compact_epochs(spark, p, upto=3)
+        assert stats["folded_partitions"] == 3
+        # post-full-fold: the GC re-run at the same horizon stays valid
+        # even though no live (non-negative) epoch remains
+        stats = compact_epochs(spark, p, upto=3)
+        assert stats["folded_partitions"] == 0
+        # and epochs arriving after the fold raise the head again
+        epoch_overwrite(
+            spark.createDataFrame([(30, "e3")], "id long, v string"), p, 3
+        )
+        stats = compact_epochs(spark, p, upto=4)
+        assert stats["base_upto_after"] == 4
+        got = _store(spark, p)
+        assert (30, "e3") in got and len(got) == 7
