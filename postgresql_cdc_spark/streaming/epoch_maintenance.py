@@ -55,13 +55,18 @@ the same three-step protocol runs against the Hadoop FileSystem API — the
 commit point stays a single atomic rename.
 
 Reader-vs-compactor race: a read that resolves the manifest and then scans
-while a compaction COMMITS in between can see a torn view (its old-base
-partition swept away mid-scan). The maintenance passes here run QUIESCENT
-with respect to serving — the streaming gates compact inside foreachBatch
-(no concurrent serve) or after the query terminates — mirroring the WAL
-compactor's single-maintenance-writer assumption; a store that must serve
-during compaction re-resolves the manifest after the scan and retries on a
-mismatch (the WAL reader's unexplained-loss retry, one level up).
+while a compaction COMMITS in between can see a torn view. The horizon-U
+filter can never double-count (the new base lives at a different reserved
+epoch, invisible to a stale-U filter), but it CAN silently lose the fold:
+a reader that captured U before the commit and lists files after the sweep
+sees neither the old base (swept) nor the new one (filtered out). The
+maintenance passes here therefore run QUIESCENT with respect to serving —
+the streaming gates compact inside foreachBatch (no concurrent serve) or
+after the query terminates — mirroring the WAL compactor's single-
+maintenance-writer assumption. A store that must serve DURING maintenance
+wraps its action in :func:`consistent_epoch_read`, which re-resolves the
+manifest after the action and retries on a horizon move (the WAL reader's
+unexplained-loss retry, one level up).
 """
 
 from __future__ import annotations
@@ -137,6 +142,55 @@ def epochs_before_compacted(
         )
         .drop(EPOCH_COL)
     )
+
+
+def consistent_epoch_read(
+    spark: SparkSession,
+    path: str,
+    action: Callable[[DataFrame], object],
+    max_retries: int = 3,
+):
+    """Run ``action(df)`` over the store's live rows, safely against a
+    CONCURRENT compaction — the serving-path variant of
+    :func:`read_epoch_store` for stores that cannot quiesce maintenance.
+
+    Why a wrapper instead of a smarter filter: the horizon-``U`` predicate
+    can never double-count across a commit (the new base's reserved epoch
+    fails both arms of a stale-``U`` filter), so the only torn outcomes are
+    LOUD — the old base's files swept mid-scan (task read error) — or
+    SILENT — the file listing ran after the sweep while the filter still
+    pinned the old horizon, dropping the fold entirely. Both are detected
+    the same way: the manifest moved between the pre-read resolve and the
+    action's completion. ``action`` must therefore be re-runnable (it may
+    execute more than once; return a collected value, don't mutate state).
+
+    Retries ``max_retries`` times, then raises — a store whose compactor
+    outruns every read attempt needs its maintenance cadence fixed, not a
+    longer spin.
+    """
+    last_exc: Exception | None = None
+    for _ in range(int(max_retries) + 1):
+        before = base_upto(path)
+        try:
+            df = (
+                spark.read.parquet(path)
+                .where(_store_filter(before))
+                .drop(EPOCH_COL)
+            )
+            out = action(df)
+        except Exception as exc:  # swept files: Py4J/AnalysisException
+            if base_upto(path) != before:
+                last_exc = exc
+                continue  # loud tear — rebuild against the new horizon
+            raise
+        if base_upto(path) == before:
+            return out
+        last_exc = None  # silent tear — result may have lost the base
+    raise RuntimeError(
+        f"epoch store {path!r} was compacted during every read attempt "
+        f"({int(max_retries) + 1}); quiesce maintenance or raise "
+        "max_retries"
+    ) from last_exc
 
 
 def _partition_epochs(path: str) -> list[int]:
@@ -267,3 +321,45 @@ def compact_epochs(
         "folded_partitions": len(live),
         "deleted_partitions": deleted,
     }
+
+
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    current_epoch: int,
+    max_live_partials: int = 8,
+    merge: Optional[Callable[[DataFrame], DataFrame]] = None,
+) -> Optional[dict]:
+    """Size-tiered compaction trigger: the policy a production foreachBatch
+    sink calls at the TOP of every epoch (before the epoch's own writes),
+    instead of hand-picking horizons. Compacts everything strictly below
+    ``current_epoch`` once the store's live partial count exceeds
+    ``max_live_partials``; below the cap it's a no-op returning ``None``,
+    so steady-state cost is one directory listing per epoch and the live
+    partial count stays bounded by the cap regardless of stream age.
+
+    The horizon is the CALLER's ``current_epoch`` — never inferred from the
+    partition listing — because a crashed earlier attempt at this very
+    epoch may have left its own half-written partition behind: a listing-
+    derived horizon would fold those partial rows into the base an instant
+    before the replay's dynamic overwrite replaces the live partition,
+    double-counting the epoch. Capping at the replaying epoch keeps that
+    partition live so the overwrite replaces it wholesale (the ``epoch_io``
+    contract), which also makes the trigger replay-idempotent: a re-run
+    either re-commits the same horizon (compact_epochs converges) or finds
+    the count back under the cap and no-ops. ``current_epoch`` is safe as a
+    horizon by the micro-batch commit argument in the module docstring:
+    every strictly-earlier epoch has committed and can never re-run.
+    """
+    current_epoch = int(current_epoch)
+    base = base_upto(path)
+    live = [e for e in _partition_epochs(path) if e >= base]
+    if len(live) <= int(max_live_partials):
+        return None
+    # A store an epoch wrote no rows to has no partition for it, so the
+    # head can trail current_epoch; cap the horizon at the head to keep
+    # compact_epochs' not-yet-arrived guard meaningful for direct callers.
+    upto = min(current_epoch, max(live) + 1)
+    if upto <= base:
+        return None
+    return compact_epochs(spark, path, upto, merge=merge)

@@ -335,3 +335,141 @@ class TestHorizonGuards:
         assert stats["base_upto_after"] == 4
         got = _store(spark, p)
         assert (30, "e3") in got and len(got) == 7
+
+
+from postgresql_cdc_spark.streaming.epoch_maintenance import (  # noqa: E402
+    consistent_epoch_read,
+    maybe_compact,
+)
+
+
+class TestMaybeCompact:
+    def test_noop_under_cap(self, spark, tmp_path):
+        p = str(tmp_path / "store")
+        _seed(spark, p, 4)
+        assert maybe_compact(spark, p, current_epoch=4,
+                             max_live_partials=8) is None
+        assert len(_parts(p)) == 4  # untouched
+
+    def test_folds_strictly_below_current_epoch(self, spark, tmp_path):
+        p = str(tmp_path / "store")
+        _seed(spark, p, 6)
+        before = _store(spark, p)
+        stats = maybe_compact(spark, p, current_epoch=6,
+                              max_live_partials=4)
+        assert stats is not None and stats["base_upto_after"] == 6
+        assert _store(spark, p) == before  # maintenance stays invisible
+        assert _parts(p) == ["ingest_epoch=-6"]
+        # bounded steady state: the next epochs stay under the cap -> no-op
+        for ep in range(6, 10):
+            epoch_overwrite(
+                spark.createDataFrame([(ep, f"e{ep}")], "id long, v string"),
+                p, ep,
+            )
+            assert maybe_compact(spark, p, current_epoch=ep + 1,
+                                 max_live_partials=4) is None
+        # one more partial crosses the cap and the trigger fires again
+        epoch_overwrite(
+            spark.createDataFrame([(10, "e10")], "id long, v string"), p, 10
+        )
+        stats = maybe_compact(spark, p, current_epoch=11,
+                              max_live_partials=4)
+        assert stats is not None and stats["base_upto_after"] == 11
+        assert len(_parts(p)) == 1
+
+    def test_crashed_own_partition_is_never_folded(self, spark, tmp_path):
+        """A crashed attempt at the CURRENT epoch left its half-written
+        partition behind; the trigger must keep it live so the replay's
+        dynamic overwrite replaces it instead of freezing the partial rows
+        into the base (which would double-count the epoch)."""
+        p = str(tmp_path / "store")
+        _seed(spark, p, 5)  # committed epochs 0-4
+        # crashed attempt at epoch 5: half-written garbage
+        epoch_overwrite(
+            spark.createDataFrame([(999, "half")], "id long, v string"), p, 5
+        )
+        stats = maybe_compact(spark, p, current_epoch=5,
+                              max_live_partials=2)
+        assert stats is not None and stats["base_upto_after"] == 5
+        assert _parts(p) == ["ingest_epoch=-5", "ingest_epoch=5"]
+        # the replay now overwrites its own (still live) partition wholesale
+        epoch_overwrite(
+            spark.createDataFrame(
+                [(50, "e5"), (51, "e5")], "id long, v string"
+            ),
+            p, 5,
+        )
+        got = _store(spark, p)
+        assert (999, "half") not in got
+        assert [(50, "e5"), (51, "e5")] == [r for r in got if r[1] == "e5"]
+        assert len(got) == 5 * 2 + 2
+
+    def test_sparse_store_caps_horizon_at_head(self, spark, tmp_path):
+        """Epochs that wrote no rows leave no partition: current_epoch can
+        run ahead of the store head, and the trigger must not trip
+        compact_epochs' not-yet-arrived guard."""
+        p = str(tmp_path / "store")
+        _seed(spark, p, 3)  # head is 3; epochs 3-9 wrote nothing here
+        stats = maybe_compact(spark, p, current_epoch=10,
+                              max_live_partials=2)
+        assert stats is not None and stats["base_upto_after"] == 3
+        assert _parts(p) == ["ingest_epoch=-3"]
+
+
+class TestConsistentEpochRead:
+    def test_single_attempt_when_quiescent(self, spark, tmp_path):
+        p = str(tmp_path / "store")
+        _seed(spark, p, 4)
+        attempts = []
+
+        def action(df):
+            attempts.append(1)
+            return sorted(tuple(r) for r in df.collect())
+
+        got = consistent_epoch_read(spark, p, action)
+        assert got == _store(spark, p)
+        assert len(attempts) == 1
+
+    def test_retries_when_compaction_commits_mid_read(self, spark, tmp_path):
+        """First attempt resolves the pre-compaction horizon, then a
+        compaction commits + sweeps before/through the scan: whether the
+        tear is loud (swept files fail the scan) or silent (stale filter
+        drops the fold), the wrapper must detect the horizon move and
+        converge on the post-compaction view."""
+        p = str(tmp_path / "store")
+        _seed(spark, p, 5)
+        want = _store(spark, p)
+        attempts = []
+
+        def action(df):
+            attempts.append(1)
+            if len(attempts) == 1:
+                # concurrent maintenance: commits (and sweeps) mid-read
+                compact_epochs(spark, p, upto=4)
+            return sorted(tuple(r) for r in df.collect())
+
+        got = consistent_epoch_read(spark, p, action)
+        assert got == want
+        assert len(attempts) >= 2
+
+    def test_gives_up_after_max_retries(self, spark, tmp_path):
+        p = str(tmp_path / "store")
+        _seed(spark, p, 3)
+        horizon = [0]
+
+        def action(df):
+            # a compactor that outruns every attempt (forward progress is
+            # simulated by bumping the manifest horizon each read)
+            horizon[0] += 1
+            _commit = __import__(
+                "postgresql_cdc_spark.streaming.epoch_maintenance",
+                fromlist=["_commit_manifest"],
+            )._commit_manifest
+            _commit(p, horizon[0])
+            return 1
+
+        try:
+            consistent_epoch_read(spark, p, action, max_retries=2)
+            raise AssertionError("expected RuntimeError")
+        except RuntimeError as e:
+            assert "compacted during every read attempt" in str(e)
