@@ -224,3 +224,119 @@ def cdc_stream_ivf_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000 * n_hits) DIV (5 * n) AS BIGINT)")
         .alias("recall_milli"),
     )
+
+
+# --- fuzzy (MinHash) decontamination of the held-out split -------------------
+
+from postgresql_cdc_spark.plans.extensions import _mh_sql  # noqa: E402
+from postgresql_cdc_spark.plans.extensions2 import (  # noqa: E402
+    _H60,
+    _SHINGLES3,
+    _TOKS,
+    _band_from_sql,
+)
+
+_FUZZY_DECON_ORACLE = f"""
+    WITH test0 AS (SELECT doc_id AS id, text FROM documents
+                   WHERE doc_id % 10 = 0),
+    train0 AS (SELECT doc_id AS id, text FROM documents
+               WHERE doc_id % 10 <> 0),
+    tt AS (SELECT id, {_TOKS} AS toks FROM test0),
+    tr AS (SELECT id, {_TOKS} AS toks FROM train0),
+    sht AS (SELECT id, {_SHINGLES3} AS sh FROM tt),
+    shr AS (SELECT id, {_SHINGLES3} AS sh FROM tr),
+    bt AS (SELECT id, list_transform(sh, s -> {_H60.format(x='s')}) AS shh
+           FROM sht WHERE len(sh) > 0),
+    br AS (SELECT id, list_transform(sh, s -> {_H60.format(x='s')}) AS shh
+           FROM shr WHERE len(sh) > 0),
+    sigt AS (SELECT id, {", ".join(_mh_sql(i) for i in range(12))} FROM bt),
+    sigr AS (SELECT id, {", ".join(_mh_sql(i) for i in range(12))} FROM br),
+    bandst AS ({" UNION ALL ".join(_band_from_sql("sigt", b) for b in range(4))}),
+    bandsr AS ({" UNION ALL ".join(_band_from_sql("sigr", b) for b in range(4))}),
+    wide AS (SELECT band, bucket FROM bandsr GROUP BY 1, 2
+             HAVING COUNT(*) > 50),
+    bkr AS (SELECT bandsr.* FROM bandsr ANTI JOIN wide USING (band, bucket)),
+    cand0 AS (SELECT DISTINCT p.id AS test_id, q.id AS train_id
+              FROM bandst p JOIN bkr q USING (band, bucket)),
+    szt AS (SELECT id, len(shh) AS n_sh FROM bt),
+    szr AS (SELECT id, len(shh) AS n_sh FROM br),
+    cand AS (SELECT c.test_id, c.train_id, sa.n_sh AS na, sb.n_sh AS nb
+             FROM cand0 c
+             JOIN szt sa ON sa.id = c.test_id
+             JOIN szr sb ON sb.id = c.train_id
+             WHERE least(sa.n_sh, sb.n_sh)
+                   >= (0.5 - 1e-6) * greatest(sa.n_sh, sb.n_sh)),
+    pt AS (SELECT id, unnest(shh) AS sh_hash FROM bt),
+    pr AS (SELECT id, unnest(shh) AS sh_hash FROM br),
+    common AS (SELECT c.test_id, c.train_id, c.na, c.nb,
+                      COUNT(*) AS n_common
+               FROM cand c
+               JOIN pt ON pt.id = c.test_id
+               JOIN pr ON pr.id = c.train_id AND pr.sh_hash = pt.sh_hash
+               GROUP BY 1, 2, 3, 4),
+    matches AS (
+        SELECT test_id, train_id,
+               round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6)
+                 AS jaccard
+        FROM common
+        WHERE round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6)
+              >= 0.5)
+    SELECT test_doc_id, n_contaminating, best_train_id, best_jaccard FROM (
+        SELECT test_id AS test_doc_id,
+               CAST(COUNT(*) OVER (PARTITION BY test_id) AS BIGINT)
+                 AS n_contaminating,
+               CAST(train_id AS BIGINT) AS best_train_id,
+               jaccard AS best_jaccard,
+               ROW_NUMBER() OVER (PARTITION BY test_id
+                   ORDER BY jaccard DESC, train_id ASC) AS rn
+        FROM matches) WHERE rn = 1
+"""
+
+
+@register(
+    "decon_fuzzy_minhash",
+    _FUZZY_DECON_ORACLE,
+    doc="Fuzzy decontamination of the held-out split: each test doc "
+        "(doc_id % 10 = 0) probes the TRAINING split's LSH band-bucket "
+        "index for near-duplicate contamination — MinHash banding for "
+        "candidates, hot-bucket cap, size-ratio prune, exact shingle "
+        "Jaccard >= 0.5 verification — and the report aggregates per test "
+        "doc: how many training docs contaminate it and the best match "
+        "(max Jaccard, ties to the lowest train id). This is the fuzzy "
+        "complement of decon_test_train_overlap's exact-shingle "
+        "containment: paraphrased/perturbed eval leakage that exact "
+        "n-gram overlap understates shows up here (the standard pre-"
+        "training decon pass — fuzzy variants of it guard most published "
+        "LLM eval suites). Scale shape: the test split probes a stored "
+        "index (batch->index equi-join); the training corpus never self-"
+        "joins, the per-test-doc aggregate is a bounded groupBy with a "
+        "struct-max (no global window), so cost is O(|test| x collision "
+        "rate) however large the training corpus grows.",
+)
+def decon_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_cdc_spark.operators import dedup as dd
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    test = d.where(F.col("doc_id") % 10 == 0)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    m = dd.minhash_lsh_incremental(
+        test, train, "text", "doc_id", threshold=0.5
+    )
+    # best match per test doc without a window: struct-max orders by
+    # (jaccard, -train_id), so ties deterministically take the lowest id
+    best = F.max(
+        F.struct(
+            F.col("jaccard").alias("j"),
+            (-F.col("corpus_id")).alias("neg_id"),
+        )
+    ).alias("best")
+    return (
+        m.groupBy(F.col("batch_id").alias("test_doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminating"), best)
+        .select(
+            "test_doc_id",
+            "n_contaminating",
+            (-F.col("best.neg_id")).cast("bigint").alias("best_train_id"),
+            F.col("best.j").alias("best_jaccard"),
+        )
+    )
