@@ -2101,3 +2101,298 @@ def cdc_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _sink_to_memory(spark, agg, base, available_now=False)
+
+
+# --- streaming IVM over a JOIN (delta rules, two CDC tables) ------------------
+
+_IVM_DIM_REL = Relation(
+    relation_id=16396,
+    schema="public",
+    name="dim_grp",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("id", 20, flags=1),
+        ColumnMeta("grp", 23),
+    ),
+)
+
+_IVM_FACT_REL = Relation(
+    relation_id=16397,
+    schema="public",
+    name="fact_amt",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("fid", 20, flags=1),
+        ColumnMeta("did", 20),
+        ColumnMeta("amount", 23),
+    ),
+)
+
+_N_DIM = 20
+_N_FACT = 100
+
+
+def _ivm_join_frames() -> list:
+    """Deterministic two-table changelog for the join view: dims insert,
+    facts insert, then a MIXED txn updates both sides (dim regroups move
+    every joined fact; fact updates change amounts and some foreign keys),
+    then a mixed txn deletes from both (dims 0/7/14 leave their facts
+    dangling — inner-join semantics drop them from the view)."""
+    frames = [
+        (1, encode_relation(_IVM_DIM_REL)),
+        (2, encode_relation(_IVM_FACT_REL)),
+    ]
+    lsn, xid = 10, 500
+
+    def txn(rows):
+        nonlocal lsn, xid
+        frames.append((lsn, encode_begin(lsn + len(rows) + 1, 0, xid)))
+        for payload in rows:
+            lsn += 1
+            frames.append((lsn, payload))
+        lsn += 1
+        frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+        lsn += 1
+        xid += 1
+
+    txn([
+        encode_insert(_IVM_DIM_REL.relation_id, [str(i), str(i % 3)])
+        for i in range(_N_DIM)
+    ])
+    txn([
+        encode_insert(
+            _IVM_FACT_REL.relation_id,
+            [str(i), str(i % _N_DIM), str((i * 11) % 29)],
+        )
+        for i in range(50)
+    ])
+    txn([
+        encode_insert(
+            _IVM_FACT_REL.relation_id,
+            [str(i), str(i % _N_DIM), str((i * 11) % 29)],
+        )
+        for i in range(50, _N_FACT)
+    ])
+    mixed = [
+        encode_update(_IVM_DIM_REL.relation_id, [str(i), str((i + 1) % 3)])
+        for i in range(0, _N_DIM, 4)
+    ] + [
+        encode_update(
+            _IVM_FACT_REL.relation_id,
+            [
+                str(i),
+                str((i + 1) % _N_DIM if i % 10 == 0 else i % _N_DIM),
+                str((i * 11) % 29 + 50),
+            ],
+        )
+        for i in range(0, _N_FACT, 5)
+    ]
+    txn(mixed)
+    txn([
+        encode_delete(_IVM_DIM_REL.relation_id, [str(i), None])
+        for i in range(0, _N_DIM, 7)
+    ] + [
+        encode_delete(_IVM_FACT_REL.relation_id, [str(i), None, None])
+        for i in range(0, _N_FACT, 9)
+    ])
+    return frames
+
+
+@register(
+    "cdc_stream_ivm_join_sums",
+    f"""
+    WITH dim AS (
+        SELECT i AS id,
+               CASE WHEN i % 4 = 0 THEN (i + 1) % 3 ELSE i % 3 END AS grp
+        FROM range({_N_DIM}) t(i) WHERE i % 7 <> 0),
+    fact AS (
+        SELECT i AS fid,
+               CASE WHEN i % 10 = 0 THEN (i + 1) % {_N_DIM}
+                    ELSE i % {_N_DIM} END AS did,
+               (i * 11) % 29 + CASE WHEN i % 5 = 0 THEN 50 ELSE 0 END
+                 AS amount
+        FROM range({_N_FACT}) t(i) WHERE i % 9 <> 0)
+    SELECT CAST(grp AS INT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(amount) AS BIGINT) AS total
+    FROM fact JOIN dim ON fact.did = dim.id
+    GROUP BY 1
+    """,
+    doc="STREAMING incremental view maintenance over a JOIN — the delta-"
+        "rule algebra (DBSP/Materialize-style counting IVM) the single-"
+        "table IVM gate cannot exercise: the maintained view is "
+        "SUM(fact.amount), COUNT(*) per dim.grp over fact JOIN dim, with "
+        "BOTH tables receiving inserts, updates, and deletes interleaved "
+        "in ONE WAL stream (mixed transactions, micro-batched at "
+        "maxRecordsPerBatch=25 so txn chunks split across batches). Each "
+        "foreachBatch merges both key states (latest-wins), snapshot-"
+        "diffs each into SIGNED row deltas, and applies "
+        "delta(F JOIN D) = dF JOIN D_old UNION F_new JOIN dD — never "
+        "recomputing from history: a dim regroup moves every joined "
+        "fact's contribution between groups via dD alone; a dim delete "
+        "retracts its facts (they dangle thereafter and later fact "
+        "deltas on them join nothing); same-batch fact+dim changes "
+        "cancel exactly once by the F_new-vs-D_old split. The final "
+        "sums table must equal the closed-form one-shot join aggregate. "
+        "Scale: every step is a key-partitioned equi-join (state merge "
+        "on pk, delta join on the fk), delta sizes track CHANGED rows, "
+        "and the sums fold touches |groups| + |delta| rows, independent "
+        "of state size.",
+)
+def cdc_stream_ivm_join_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ivmj_{run}_")
+    arch = os.path.join(base, "wal")
+    write_wal_archive(arch, _ivm_join_frames())
+
+    DIM_DDL = "id long, grp int, op string, lsn long"
+    FACT_DDL = "fid long, did long, amount int, op string, lsn long"
+    dim_dirs: list[str] = []
+    fact_dirs: list[str] = []
+    sums_dirs: list[str] = []
+
+    def _merge(prev, batch, key):
+        combined = prev.unionByName(batch) if prev is not None else batch
+        w = Window.partitionBy(key).orderBy(F.desc("lsn"))
+        return (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+            .drop("__rn")
+        )
+
+    def _signed_diff(old, new, key, payload):
+        """Signed row deltas old -> new: (-1, old payload) for vanished or
+        changed keys, (+1, new payload) for appeared or changed keys —
+        null-safe on every payload column (the cdc_snapshot_diff
+        convention)."""
+        o = old.select(
+            F.col(key).alias("__ok"),
+            *[F.col(c).alias(f"__o_{c}") for c in payload],
+        )
+        n = new.select(key, *payload)
+        j = o.join(n, o.__ok == F.col(key), "full_outer")
+        changed = F.col(key).isNotNull() & F.col("__ok").isNotNull() & (
+            ~F.struct(*payload).eqNullSafe(
+                F.struct(*[F.col(f"__o_{c}").alias(c) for c in payload])
+            )
+        )
+        minus = F.when(
+            F.col("__ok").isNotNull() & (F.col(key).isNull() | changed),
+            F.struct(
+                F.lit(-1).alias("sign"),
+                F.col("__ok").alias(key),
+                *[F.col(f"__o_{c}").alias(c) for c in payload],
+            ),
+        )
+        plus = F.when(
+            F.col(key).isNotNull() & (F.col("__ok").isNull() | changed),
+            F.struct(
+                F.lit(1).alias("sign"),
+                F.col(key).alias(key),
+                *[F.col(c).alias(c) for c in payload],
+            ),
+        )
+        return j.select(
+            F.explode(F.array_compact(F.array(minus, plus))).alias("d")
+        ).select("d.*")
+
+    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        d_batch = batch_df.where(F.col("table") == "dim_grp").select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "grp").cast("int").alias("grp"),
+            "op", "lsn",
+        )
+        f_batch = batch_df.where(F.col("table") == "fact_amt").select(
+            F.element_at("columns", "fid").cast("long").alias("fid"),
+            F.element_at("columns", "did").cast("long").alias("did"),
+            F.element_at("columns", "amount").cast("int").alias("amount"),
+            "op", "lsn",
+        )
+        d_old = (
+            ss.read.schema(DIM_DDL).parquet(dim_dirs[-1])
+            if dim_dirs else ss.createDataFrame([], DIM_DDL)
+        ).select("id", "grp")
+        f_old = (
+            ss.read.schema(FACT_DDL).parquet(fact_dirs[-1])
+            if fact_dirs else ss.createDataFrame([], FACT_DDL)
+        ).select("fid", "did", "amount")
+
+        d_new_full = _merge(
+            ss.read.schema(DIM_DDL).parquet(dim_dirs[-1])
+            if dim_dirs else None,
+            d_batch, "id",
+        )
+        f_new_full = _merge(
+            ss.read.schema(FACT_DDL).parquet(fact_dirs[-1])
+            if fact_dirs else None,
+            f_batch, "fid",
+        )
+        d_out = os.path.join(base, f"dim_v{batch_id}")
+        f_out = os.path.join(base, f"fact_v{batch_id}")
+        d_new_full.write.mode("overwrite").parquet(d_out)
+        f_new_full.write.mode("overwrite").parquet(f_out)
+        d_new = ss.read.schema(DIM_DDL).parquet(d_out).select("id", "grp")
+        f_new = ss.read.schema(FACT_DDL).parquet(f_out).select(
+            "fid", "did", "amount"
+        )
+
+        d_delta = _signed_diff(d_old, d_new, "id", ["grp"])
+        f_delta = _signed_diff(f_old, f_new, "fid", ["did", "amount"])
+
+        # delta(F JOIN D) = dF JOIN D_old  UNION ALL  F_new JOIN dD
+        c1 = f_delta.join(d_old, f_delta.did == d_old.id).select(
+            F.col("grp"),
+            F.col("sign").cast("long").alias("dn"),
+            (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
+        )
+        c2 = f_new.join(d_delta, f_new.did == d_delta.id).select(
+            F.col("grp"),
+            F.col("sign").cast("long").alias("dn"),
+            (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
+        )
+        deltas = c1.unionByName(c2)
+        if sums_dirs:
+            deltas = ss.read.schema("grp int, dn long, dq long").parquet(
+                sums_dirs[-1]
+            ).unionByName(deltas)
+        new_sums = (
+            deltas.groupBy("grp")
+            .agg(F.sum("dn").alias("dn"), F.sum("dq").alias("dq"))
+            .where(F.col("dn") != 0)
+        )
+        s_out = os.path.join(base, f"sums_v{batch_id}")
+        new_sums.write.mode("overwrite").parquet(s_out)
+        dim_dirs.append(d_out)
+        fact_dirs.append(f_out)
+        sums_dirs.append(s_out)
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivm_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+
+    if not sums_dirs:
+        raise RuntimeError("no micro-batch reached the join-IVM sink")
+    return (
+        spark.read.schema("grp int, dn long, dq long").parquet(sums_dirs[-1])
+        .select(
+            "grp",
+            F.col("dn").alias("n_rows"),
+            F.col("dq").alias("total"),
+        )
+    )
