@@ -484,6 +484,11 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # dropped (plain equi-join; AQE decides) — plan change, r12 stamp
     # predates it.
     "text_perplexity_proxy": 12,
+    # r13: prior-state reads rewritten to strictly-below-batch-id disk
+    # resolution (join_ivm replay contract; the in-memory dir list made a
+    # checkpoint restart treat its first replayed batch as the stream's
+    # first) — the r9 stamp predates the rewrite.
+    "cdc_stream_ivm_group_sums": 9,
 }
 
 

@@ -1448,7 +1448,12 @@ def cdc_stream_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state merge is the bucketed-key upsert every CDC sink already "
         "pays; the diff is a co-partitioned join on the same key; the "
         "sums fold touches |groups| + |changed rows| rows, independent of "
-        "state size.",
+        "state size. Since r13 prior state resolves STRICTLY BELOW the "
+        "batch id from the directory listing (join_ivm's replay "
+        "contract), so a crashed batch's partial state/sums versions are "
+        "invisible to its replay and a checkpoint restart reconstructs "
+        "from disk — previously the in-memory dir list made a restarted "
+        "query treat its first replayed batch as the stream's first.",
 )
 def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1460,19 +1465,27 @@ def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     arch = os.path.join(base, "wal")
     _build_archive(arch)
 
-    state_dirs: list[str] = []
-    sums_dirs: list[str] = []
-
     def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # prior state resolves STRICTLY BELOW batch_id from the directory
+        # listing (join_ivm's replay contract): a crashed attempt's own
+        # partial state_v<id>/sums_v<id> are invisible to the replay, and
+        # a checkpoint restart reconstructs from disk instead of treating
+        # the replayed batch as the first
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            _prev_version,
+            _vdir,
+        )
+
         ss = batch_df.sparkSession
         decoded = batch_df.select(
             F.element_at("columns", "id").cast("long").alias("id"),
             F.element_at("columns", "v_int").cast("int").alias("v_int"),
             "op", "lsn",
         )
-        if state_dirs:
+        pv = _prev_version(base, "state", int(batch_id))
+        if pv is not None:
             prev = ss.read.schema("id long, v_int int, op string, lsn long") \
-                .parquet(state_dirs[-1])
+                .parquet(_vdir(base, "state", pv))
             combined = prev.unionByName(decoded)
         else:
             prev = None
@@ -1522,9 +1535,10 @@ def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1).cast("long").alias("dn"),
                 F.col("v_int").cast("long").alias("dq"),
             )
-        if sums_dirs:
+        sv = _prev_version(base, "sums", int(batch_id))
+        if sv is not None:
             prev_sums = ss.read.schema("grp int, dn long, dq long") \
-                .parquet(sums_dirs[-1])
+                .parquet(_vdir(base, "sums", sv))
             deltas = prev_sums.unionByName(deltas)
         new_sums = (
             deltas.groupBy("grp")
@@ -1533,8 +1547,6 @@ def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sums_out = os.path.join(base, f"sums_v{batch_id}")
         new_sums.write.mode("overwrite").parquet(sums_out)
-        state_dirs.append(state_out)
-        sums_dirs.append(sums_out)
 
     stream = (
         spark.readStream.format("pgcdc")
@@ -1549,10 +1561,14 @@ def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_bounded(q)
 
-    if not sums_dirs:
+    from postgresql_cdc_spark.streaming.join_ivm import _prev_version, _vdir
+
+    last = _prev_version(base, "sums", None)
+    if last is None:
         raise RuntimeError("no micro-batch reached the IVM sink")
     return (
-        spark.read.schema("grp int, dn long, dq long").parquet(sums_dirs[-1])
+        spark.read.schema("grp int, dn long, dq long")
+        .parquet(_vdir(base, "sums", last))
         .select("grp", F.col("dn").alias("n_rows"), F.col("dq").alias("total"))
     )
 
@@ -2232,17 +2248,23 @@ def _ivm_join_frames() -> list:
         "fact's contribution between groups via dD alone; a dim delete "
         "retracts its facts (they dangle thereafter and later fact "
         "deltas on them join nothing); same-batch fact+dim changes "
-        "cancel exactly once by the F_new-vs-D_old split. The final "
-        "sums table must equal the closed-form one-shot join aggregate. "
+        "cancel exactly once by the F_new-vs-D_old split. State is disk-"
+        "versioned per batch id and every prior-state read resolves "
+        "STRICTLY BELOW the current id (streaming/join_ivm.py), so a "
+        "crashed batch's partial writes are invisible to its replay and "
+        "a checkpoint restart reconstructs state purely from disk — the "
+        "at-least-once contract, crash-tested in tests/test_join_ivm.py. "
+        "The final sums table must equal the closed-form one-shot join "
+        "aggregate. "
         "Scale: every step is a key-partitioned equi-join (state merge "
         "on pk, delta join on the fk), delta sizes track CHANGED rows, "
         "and the sums fold touches |groups| + |delta| rows, independent "
         "of state size.",
 )
 def cdc_stream_ivm_join_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from postgresql_cdc_spark.streaming import join_ivm
     from postgresql_cdc_spark.streaming.source import write_wal_archive
 
     _register_source(spark)
@@ -2250,60 +2272,15 @@ def cdc_stream_ivm_join_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix=f"pgcdc_ivmj_{run}_")
     arch = os.path.join(base, "wal")
     write_wal_archive(arch, _ivm_join_frames())
-
-    DIM_DDL = "id long, grp int, op string, lsn long"
-    FACT_DDL = "fid long, did long, amount int, op string, lsn long"
-    dim_dirs: list[str] = []
-    fact_dirs: list[str] = []
-    sums_dirs: list[str] = []
-
-    def _merge(prev, batch, key):
-        combined = prev.unionByName(batch) if prev is not None else batch
-        w = Window.partitionBy(key).orderBy(F.desc("lsn"))
-        return (
-            combined.withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") == 1) & (F.col("op") != "D"))
-            .drop("__rn")
-        )
-
-    def _signed_diff(old, new, key, payload):
-        """Signed row deltas old -> new: (-1, old payload) for vanished or
-        changed keys, (+1, new payload) for appeared or changed keys —
-        null-safe on every payload column (the cdc_snapshot_diff
-        convention)."""
-        o = old.select(
-            F.col(key).alias("__ok"),
-            *[F.col(c).alias(f"__o_{c}") for c in payload],
-        )
-        n = new.select(key, *payload)
-        j = o.join(n, o.__ok == F.col(key), "full_outer")
-        changed = F.col(key).isNotNull() & F.col("__ok").isNotNull() & (
-            ~F.struct(*payload).eqNullSafe(
-                F.struct(*[F.col(f"__o_{c}").alias(c) for c in payload])
-            )
-        )
-        minus = F.when(
-            F.col("__ok").isNotNull() & (F.col(key).isNull() | changed),
-            F.struct(
-                F.lit(-1).alias("sign"),
-                F.col("__ok").alias(key),
-                *[F.col(f"__o_{c}").alias(c) for c in payload],
-            ),
-        )
-        plus = F.when(
-            F.col(key).isNotNull() & (F.col("__ok").isNull() | changed),
-            F.struct(
-                F.lit(1).alias("sign"),
-                F.col(key).alias(key),
-                *[F.col(c).alias(c) for c in payload],
-            ),
-        )
-        return j.select(
-            F.explode(F.array_compact(F.array(minus, plus))).alias("d")
-        ).select("d.*")
+    state = os.path.join(base, "state")
+    os.makedirs(state)
 
     def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ss = batch_df.sparkSession
+        # route the envelope per table, then apply the delta rule through
+        # the disk-versioned step: every prior-state read resolves
+        # STRICTLY BELOW batch_id, so a replayed batch never sees its own
+        # crashed attempt's partial writes (streaming/join_ivm.py; the
+        # crash windows are pinned by tests/test_join_ivm.py)
         d_batch = batch_df.where(F.col("table") == "dim_grp").select(
             F.element_at("columns", "id").cast("long").alias("id"),
             F.element_at("columns", "grp").cast("int").alias("grp"),
@@ -2315,63 +2292,9 @@ def cdc_stream_ivm_join_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("columns", "amount").cast("int").alias("amount"),
             "op", "lsn",
         )
-        d_old = (
-            ss.read.schema(DIM_DDL).parquet(dim_dirs[-1])
-            if dim_dirs else ss.createDataFrame([], DIM_DDL)
-        ).select("id", "grp")
-        f_old = (
-            ss.read.schema(FACT_DDL).parquet(fact_dirs[-1])
-            if fact_dirs else ss.createDataFrame([], FACT_DDL)
-        ).select("fid", "did", "amount")
-
-        d_new_full = _merge(
-            ss.read.schema(DIM_DDL).parquet(dim_dirs[-1])
-            if dim_dirs else None,
-            d_batch, "id",
+        join_ivm.apply_batch(
+            batch_df.sparkSession, state, batch_id, d_batch, f_batch
         )
-        f_new_full = _merge(
-            ss.read.schema(FACT_DDL).parquet(fact_dirs[-1])
-            if fact_dirs else None,
-            f_batch, "fid",
-        )
-        d_out = os.path.join(base, f"dim_v{batch_id}")
-        f_out = os.path.join(base, f"fact_v{batch_id}")
-        d_new_full.write.mode("overwrite").parquet(d_out)
-        f_new_full.write.mode("overwrite").parquet(f_out)
-        d_new = ss.read.schema(DIM_DDL).parquet(d_out).select("id", "grp")
-        f_new = ss.read.schema(FACT_DDL).parquet(f_out).select(
-            "fid", "did", "amount"
-        )
-
-        d_delta = _signed_diff(d_old, d_new, "id", ["grp"])
-        f_delta = _signed_diff(f_old, f_new, "fid", ["did", "amount"])
-
-        # delta(F JOIN D) = dF JOIN D_old  UNION ALL  F_new JOIN dD
-        c1 = f_delta.join(d_old, f_delta.did == d_old.id).select(
-            F.col("grp"),
-            F.col("sign").cast("long").alias("dn"),
-            (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
-        )
-        c2 = f_new.join(d_delta, f_new.did == d_delta.id).select(
-            F.col("grp"),
-            F.col("sign").cast("long").alias("dn"),
-            (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
-        )
-        deltas = c1.unionByName(c2)
-        if sums_dirs:
-            deltas = ss.read.schema("grp int, dn long, dq long").parquet(
-                sums_dirs[-1]
-            ).unionByName(deltas)
-        new_sums = (
-            deltas.groupBy("grp")
-            .agg(F.sum("dn").alias("dn"), F.sum("dq").alias("dq"))
-            .where(F.col("dn") != 0)
-        )
-        s_out = os.path.join(base, f"sums_v{batch_id}")
-        new_sums.write.mode("overwrite").parquet(s_out)
-        dim_dirs.append(d_out)
-        fact_dirs.append(f_out)
-        sums_dirs.append(s_out)
 
     stream = (
         spark.readStream.format("pgcdc")
@@ -2385,14 +2308,4 @@ def cdc_stream_ivm_join_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain_bounded(q)
-
-    if not sums_dirs:
-        raise RuntimeError("no micro-batch reached the join-IVM sink")
-    return (
-        spark.read.schema("grp int, dn long, dq long").parquet(sums_dirs[-1])
-        .select(
-            "grp",
-            F.col("dn").alias("n_rows"),
-            F.col("dq").alias("total"),
-        )
-    )
+    return join_ivm.latest_sums(spark, state)
