@@ -487,8 +487,9 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # r13: prior-state reads rewritten to strictly-below-batch-id disk
     # resolution (join_ivm replay contract; the in-memory dir list made a
     # checkpoint restart treat its first replayed batch as the stream's
-    # first) — the r9 stamp predates the rewrite.
+    # first) — the r9/r7 stamps predate the rewrite.
     "cdc_stream_ivm_group_sums": 9,
+    "cdc_foreachbatch_upsert": 7,
 }
 
 

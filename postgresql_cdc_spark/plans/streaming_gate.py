@@ -657,10 +657,14 @@ def cdc_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the idempotent MERGE pattern on a plain object store, what Delta/"
         "Iceberg do transactionally), deletes drop terminal keys, updates "
         "replace the full image; the FINAL version must equal the one-shot "
-        "materialization. Scale: per-batch work is one window over (state "
-        "union batch) partitioned by key — at 100 TB the state side is a "
-        "bucketed table so the merge co-locates without a full shuffle. "
-        "Same closed-form oracle as cdc_stream_end_to_end.",
+        "materialization. Since r13 the previous version resolves STRICTLY "
+        "BELOW the batch id from the directory listing (join_ivm's replay "
+        "contract) — a crashed batch's partial version is invisible to its "
+        "replay and a checkpoint restart reconstructs from disk. Scale: "
+        "per-batch work is one window over (state union batch) partitioned "
+        "by key — at 100 TB the state side is a bucketed table so the "
+        "merge co-locates without a full shuffle. Same closed-form oracle "
+        "as cdc_stream_end_to_end.",
 )
 def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
@@ -673,17 +677,28 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     arch = os.path.join(base, "wal")
     _build_archive(arch)
 
-    state_dirs: list[str] = []  # driver-side pointer to the latest version
-
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # prior state resolves STRICTLY BELOW batch_id from the directory
+        # listing (join_ivm's replay contract): a crashed attempt's own
+        # partial state_v<id> is invisible to its replay, and a checkpoint
+        # restart reconstructs from disk instead of treating the replayed
+        # batch as the stream's first
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            _prev_version,
+            _vdir,
+        )
+
         decoded = batch_df.select(
             F.element_at("columns", "id").cast("long").alias("id"),
             F.element_at("columns", "v_int").cast("int").alias("v_int"),
             F.element_at("columns", "v_text").alias("v_text"),
             "op", "lsn",
         )
-        if state_dirs:
-            prev = batch_df.sparkSession.read.parquet(state_dirs[-1])
+        pv = _prev_version(base, "state", int(batch_id))
+        if pv is not None:
+            prev = batch_df.sparkSession.read.parquet(
+                _vdir(base, "state", pv)
+            )
             combined = prev.unionByName(decoded)
         else:
             combined = decoded
@@ -695,7 +710,6 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = os.path.join(base, f"state_v{batch_id}")
         new_state.write.mode("overwrite").parquet(out)
-        state_dirs.append(out)
 
     stream = (
         spark.readStream.format("pgcdc")
@@ -710,9 +724,14 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_bounded(q)
 
-    if not state_dirs:
+    from postgresql_cdc_spark.streaming.join_ivm import _prev_version, _vdir
+
+    last = _prev_version(base, "state", None)
+    if last is None:
         raise RuntimeError("no micro-batch reached the upsert sink")
-    return spark.read.parquet(state_dirs[-1]).select("id", "v_int", "v_text")
+    return spark.read.parquet(_vdir(base, "state", last)).select(
+        "id", "v_int", "v_text"
+    )
 
 
 # One oracle + one streaming pipeline shared by BOTH output-mode variants:
