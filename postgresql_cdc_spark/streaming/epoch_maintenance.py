@@ -134,14 +134,13 @@ def epochs_before_compacted(
             "the strictly-earlier state no longer exists; compact only up "
             "to the oldest epoch that may still replay"
         )
-    return (
-        spark.read.parquet(path)
-        .where(
-            (F.col(EPOCH_COL) == F.lit(-upto))
-            | ((F.col(EPOCH_COL) >= F.lit(upto)) & (F.col(EPOCH_COL) < int(epoch)))
-        )
-        .drop(EPOCH_COL)
-    )
+    cond = (F.col(EPOCH_COL) >= F.lit(upto)) & (F.col(EPOCH_COL) < int(epoch))
+    # the base arm only exists once a base has been committed: at horizon 0
+    # the literal ``== -0`` would alias LIVE epoch 0, making the probe for
+    # epoch 0 return epoch 0's own rows (found by the lifecycle fuzz)
+    if upto > 0:
+        cond = (F.col(EPOCH_COL) == F.lit(-upto)) | cond
+    return spark.read.parquet(path).where(cond).drop(EPOCH_COL)
 
 
 def consistent_epoch_read(
