@@ -1,0 +1,110 @@
+"""Property fuzz for the join-view IVM delta rule: ANY sequence of
+inserts/updates/deletes on BOTH tables, split into ANY batch partitioning,
+must leave the maintained sums equal to a direct one-shot recompute of
+``SUM(amount), COUNT(*) per grp over fact JOIN dim`` on the final state.
+
+This hunts the algebra's edge cases the deterministic gate
+(cdc_stream_ivm_join_sums) cannot enumerate: several changes to one key
+inside one batch (latest-wins collapses them before the diff), foreign-key
+re-pointing, updates writing the same value back (no delta), deletes of
+keys that never existed, facts pointing at never-existing or deleted dims,
+and a dim regrouped in the same batch its facts change. Spark-backed —
+few examples, small domains."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from postgresql_cdc_spark.streaming.join_ivm import apply_batch, latest_sums
+
+N_DIM = 4     # dim ids 0..3; facts may point at 0..4 (4 never exists)
+N_FACT = 6
+N_GRP = 3
+
+_DIM_OP = st.tuples(
+    st.just("d"),
+    st.integers(0, N_DIM - 1),              # id
+    st.integers(0, N_GRP - 1),              # grp
+    st.sampled_from(["I", "U", "D"]),
+)
+_FACT_OP = st.tuples(
+    st.just("f"),
+    st.integers(0, N_FACT - 1),             # fid
+    st.integers(0, N_DIM),                  # did (N_DIM = dangling)
+    st.sampled_from(["I", "U", "D"]),
+)
+_SCHEDULE = st.lists(st.one_of(_DIM_OP, _FACT_OP), min_size=3, max_size=14)
+_CUTS = st.sets(st.integers(1, 13), max_size=3)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_SCHEDULE, cuts=_CUTS)
+def test_maintained_sums_equal_one_shot_recompute(
+    spark, tmp_path_factory, ops, cuts
+):
+    state = str(tmp_path_factory.mktemp("jivm_fuzz") / "state")
+
+    # deterministic amounts keyed off the op index so same-fid rewrites
+    # change the value (or not — index collisions exercise no-op deltas)
+    rows = []
+    dims: dict[int, int] = {}
+    facts: dict[int, tuple[int, int]] = {}
+    for i, (tab, key, aux, op) in enumerate(ops):
+        lsn = 100 + i
+        if tab == "d":
+            rows.append(("d", key, aux, None, op, lsn))
+            if op == "D":
+                dims.pop(key, None)
+            else:
+                dims[key] = aux
+        else:
+            amount = (key * 7 + aux * 3) % 11
+            rows.append(("f", key, aux, amount, op, lsn))
+            if op == "D":
+                facts.pop(key, None)
+            else:
+                facts[key] = (aux, amount)
+
+    # reference: one-shot join aggregate over the FINAL state
+    agg: dict[int, list[int]] = {}
+    for did, amount in facts.values():
+        if did in dims:
+            g = dims[did]
+            agg.setdefault(g, [0, 0])
+            agg[g][0] += 1
+            agg[g][1] += amount
+    want = sorted((g, n, t) for g, (n, t) in agg.items())
+
+    from pyspark.sql import functions as F
+
+    bounds = [0] + sorted(c for c in cuts if c < len(rows)) + [len(rows)]
+    bid = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo >= hi:
+            continue
+        batch = spark.createDataFrame(
+            rows[lo:hi], "tab string, k long, a long, b long, op string, lsn long"
+        )
+        d_batch = batch.where(F.col("tab") == "d").select(
+            F.col("k").alias("id"),
+            F.col("a").cast("int").alias("grp"),
+            "op", "lsn",
+        )
+        f_batch = batch.where(F.col("tab") == "f").select(
+            F.col("k").alias("fid"),
+            F.col("a").alias("did"),
+            F.col("b").cast("int").alias("amount"),
+            "op", "lsn",
+        )
+        apply_batch(spark, state, bid, d_batch, f_batch)
+        bid += 1
+
+    got = sorted(
+        (r.grp, r.n_rows, r.total) for r in latest_sums(spark, state).collect()
+    )
+    assert got == want, (got, want, rows, sorted(cuts))
