@@ -2328,3 +2328,140 @@ def cdc_stream_ivm_join_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_bounded(q)
     return join_ivm.latest_sums(spark, state)
+
+
+@register(
+    "cdc_stream_ivm_min_maintenance",
+    f"""
+    WITH state AS (
+        SELECT i AS id,
+               CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                         ELSE (i * 7) % 13 END AS INT) AS v_int
+        FROM range({N}) t(i)
+        WHERE i % 7 <> 0)
+    SELECT CAST(id % 3 AS INT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(v_int) AS INT) AS min_v,
+           CAST(MAX(v_int) AS INT) AS max_v
+    FROM state GROUP BY 1
+    """,
+    doc="STREAMING maintenance of MIN/MAX — the classic NON-self-"
+        "maintainable aggregates: a SUM adjusts from deltas alone, but "
+        "when a delete or update removes the current minimum, the new "
+        "minimum is NOT derivable from (old_min, delta) — it needs the "
+        "surviving value multiset. The textbook fix maintained here is an "
+        "auxiliary SUPPORT table (grp, v_int, cnt): each foreachBatch "
+        "latest-wins-merges the key state, snapshot-diffs it into signed "
+        "row deltas (join_ivm's kernel), folds the deltas into the "
+        "support counts (zero-count values drop out), and MIN/MAX/COUNT "
+        "re-derive from the supports — never from history. The archive's "
+        "update txn moves every id%5 value up by 100 (evicting group "
+        "minima) and the delete txn removes id%7 (shrinking supports), "
+        "so a naive min-of-old-min-and-new-values maintenance gives the "
+        "WRONG answer and only the support multiset converges to the "
+        "one-shot closed form. State is disk-versioned with strictly-"
+        "below-batch-id resolution (replay/restart-safe). Scale: the "
+        "support table is bounded by distinct (group, value) pairs — "
+        "orders of magnitude smaller than the state — and the per-batch "
+        "fold touches |delta| + |supports| rows; every step is a key-"
+        "partitioned equi-operation.",
+)
+def cdc_stream_ivm_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        _prev_version,
+        _signed_diff,
+        _vdir,
+    )
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ivmm_{run}_")
+    arch = os.path.join(base, "wal")
+    _build_archive(arch)
+
+    STATE_DDL = "id long, v_int int, op string, lsn long"
+    SUPP_DDL = "grp int, v_int int, cnt long"
+
+    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        ss = batch_df.sparkSession
+        bid = int(batch_id)
+        decoded = batch_df.select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "v_int").cast("int").alias("v_int"),
+            "op", "lsn",
+        )
+        pv = _prev_version(base, "state", bid)
+        prev_full = (
+            ss.read.schema(STATE_DDL).parquet(_vdir(base, "state", pv))
+            if pv is not None else None
+        )
+        old = (
+            prev_full if prev_full is not None
+            else ss.createDataFrame([], STATE_DDL)
+        ).select("id", "v_int")
+        combined = (
+            prev_full.unionByName(decoded)
+            if prev_full is not None else decoded
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("lsn"))
+        new_state = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+            .drop("__rn")
+        )
+        new_state.write.mode("overwrite").parquet(_vdir(base, "state", bid))
+        new = ss.read.schema(STATE_DDL).parquet(
+            _vdir(base, "state", bid)
+        ).select("id", "v_int")
+
+        # signed value deltas -> support-count adjustments per (grp, value)
+        delta = _signed_diff(old, new, "id", ["v_int"]).select(
+            (F.col("id") % 3).cast("int").alias("grp"),
+            "v_int",
+            F.col("sign").cast("long").alias("cnt"),
+        )
+        sv = _prev_version(base, "supports", bid)
+        if sv is not None:
+            delta = ss.read.schema(SUPP_DDL).parquet(
+                _vdir(base, "supports", sv)
+            ).unionByName(delta)
+        supports = (
+            delta.groupBy("grp", "v_int")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") != 0)
+        )
+        supports.write.mode("overwrite").parquet(
+            _vdir(base, "supports", bid)
+        )
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivm_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+
+    last = _prev_version(base, "supports", None)
+    if last is None:
+        raise RuntimeError("no micro-batch reached the support sink")
+    return (
+        spark.read.schema("grp int, v_int int, cnt long")
+        .parquet(_vdir(base, "supports", last))
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.min("v_int").alias("min_v"),
+            F.max("v_int").alias("max_v"),
+        )
+        .select("grp", "n_rows", "min_v", "max_v")
+    )
