@@ -684,8 +684,8 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # restart reconstructs from disk instead of treating the replayed
         # batch as the stream's first
         from postgresql_cdc_spark.streaming.join_ivm import (
-            _prev_version,
-            _vdir,
+            prev_version,
+            version_dir,
         )
 
         decoded = batch_df.select(
@@ -694,10 +694,10 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("columns", "v_text").alias("v_text"),
             "op", "lsn",
         )
-        pv = _prev_version(base, "state", int(batch_id))
+        pv = prev_version(base, "state", int(batch_id))
         if pv is not None:
             prev = batch_df.sparkSession.read.parquet(
-                _vdir(base, "state", pv)
+                version_dir(base, "state", pv)
             )
             combined = prev.unionByName(decoded)
         else:
@@ -724,12 +724,15 @@ def cdc_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_bounded(q)
 
-    from postgresql_cdc_spark.streaming.join_ivm import _prev_version, _vdir
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        prev_version,
+        version_dir,
+    )
 
-    last = _prev_version(base, "state", None)
+    last = prev_version(base, "state", None)
     if last is None:
         raise RuntimeError("no micro-batch reached the upsert sink")
-    return spark.read.parquet(_vdir(base, "state", last)).select(
+    return spark.read.parquet(version_dir(base, "state", last)).select(
         "id", "v_int", "v_text"
     )
 
@@ -1491,8 +1494,8 @@ def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a checkpoint restart reconstructs from disk instead of treating
         # the replayed batch as the first
         from postgresql_cdc_spark.streaming.join_ivm import (
-            _prev_version,
-            _vdir,
+            prev_version,
+            version_dir,
         )
 
         ss = batch_df.sparkSession
@@ -1501,10 +1504,10 @@ def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("columns", "v_int").cast("int").alias("v_int"),
             "op", "lsn",
         )
-        pv = _prev_version(base, "state", int(batch_id))
+        pv = prev_version(base, "state", int(batch_id))
         if pv is not None:
             prev = ss.read.schema("id long, v_int int, op string, lsn long") \
-                .parquet(_vdir(base, "state", pv))
+                .parquet(version_dir(base, "state", pv))
             combined = prev.unionByName(decoded)
         else:
             prev = None
@@ -1554,10 +1557,10 @@ def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1).cast("long").alias("dn"),
                 F.col("v_int").cast("long").alias("dq"),
             )
-        sv = _prev_version(base, "sums", int(batch_id))
+        sv = prev_version(base, "sums", int(batch_id))
         if sv is not None:
             prev_sums = ss.read.schema("grp int, dn long, dq long") \
-                .parquet(_vdir(base, "sums", sv))
+                .parquet(version_dir(base, "sums", sv))
             deltas = prev_sums.unionByName(deltas)
         new_sums = (
             deltas.groupBy("grp")
@@ -1580,14 +1583,17 @@ def cdc_stream_ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_bounded(q)
 
-    from postgresql_cdc_spark.streaming.join_ivm import _prev_version, _vdir
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        prev_version,
+        version_dir,
+    )
 
-    last = _prev_version(base, "sums", None)
+    last = prev_version(base, "sums", None)
     if last is None:
         raise RuntimeError("no micro-batch reached the IVM sink")
     return (
         spark.read.schema("grp int, dn long, dq long")
-        .parquet(_vdir(base, "sums", last))
+        .parquet(version_dir(base, "sums", last))
         .select("grp", F.col("dn").alias("n_rows"), F.col("dq").alias("total"))
     )
 
@@ -2370,9 +2376,10 @@ def cdc_stream_ivm_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql import functions as F
 
     from postgresql_cdc_spark.streaming.join_ivm import (
-        _prev_version,
-        _signed_diff,
-        _vdir,
+        merge_latest_wins,
+        prev_version,
+        signed_diff,
+        version_dir,
     )
 
     _register_source(spark)
@@ -2385,8 +2392,6 @@ def cdc_stream_ivm_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     SUPP_DDL = "grp int, v_int int, cnt long"
 
     def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
         ss = batch_df.sparkSession
         bid = int(batch_id)
         decoded = batch_df.select(
@@ -2394,40 +2399,31 @@ def cdc_stream_ivm_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             F.element_at("columns", "v_int").cast("int").alias("v_int"),
             "op", "lsn",
         )
-        pv = _prev_version(base, "state", bid)
+        pv = prev_version(base, "state", bid)
         prev_full = (
-            ss.read.schema(STATE_DDL).parquet(_vdir(base, "state", pv))
+            ss.read.schema(STATE_DDL).parquet(version_dir(base, "state", pv))
             if pv is not None else None
         )
         old = (
             prev_full if prev_full is not None
             else ss.createDataFrame([], STATE_DDL)
         ).select("id", "v_int")
-        combined = (
-            prev_full.unionByName(decoded)
-            if prev_full is not None else decoded
-        )
-        w = Window.partitionBy("id").orderBy(F.desc("lsn"))
-        new_state = (
-            combined.withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") == 1) & (F.col("op") != "D"))
-            .drop("__rn")
-        )
-        new_state.write.mode("overwrite").parquet(_vdir(base, "state", bid))
+        new_state = merge_latest_wins(prev_full, decoded, "id")
+        new_state.write.mode("overwrite").parquet(version_dir(base, "state", bid))
         new = ss.read.schema(STATE_DDL).parquet(
-            _vdir(base, "state", bid)
+            version_dir(base, "state", bid)
         ).select("id", "v_int")
 
         # signed value deltas -> support-count adjustments per (grp, value)
-        delta = _signed_diff(old, new, "id", ["v_int"]).select(
+        delta = signed_diff(old, new, "id", ["v_int"]).select(
             (F.col("id") % 3).cast("int").alias("grp"),
             "v_int",
             F.col("sign").cast("long").alias("cnt"),
         )
-        sv = _prev_version(base, "supports", bid)
+        sv = prev_version(base, "supports", bid)
         if sv is not None:
             delta = ss.read.schema(SUPP_DDL).parquet(
-                _vdir(base, "supports", sv)
+                version_dir(base, "supports", sv)
             ).unionByName(delta)
         supports = (
             delta.groupBy("grp", "v_int")
@@ -2435,7 +2431,7 @@ def cdc_stream_ivm_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             .where(F.col("cnt") != 0)
         )
         supports.write.mode("overwrite").parquet(
-            _vdir(base, "supports", bid)
+            version_dir(base, "supports", bid)
         )
 
     stream = (
@@ -2451,12 +2447,12 @@ def cdc_stream_ivm_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     )
     _drain_bounded(q)
 
-    last = _prev_version(base, "supports", None)
+    last = prev_version(base, "supports", None)
     if last is None:
         raise RuntimeError("no micro-batch reached the support sink")
     return (
         spark.read.schema("grp int, v_int int, cnt long")
-        .parquet(_vdir(base, "supports", last))
+        .parquet(version_dir(base, "supports", last))
         .groupBy("grp")
         .agg(
             F.sum("cnt").alias("n_rows"),

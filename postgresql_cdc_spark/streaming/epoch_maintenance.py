@@ -30,7 +30,9 @@ compactor makes — ``streaming/archive_maintenance.py``):
    the default concatenates, which is what postings stores need) — and
    written under the reserved base partition ``ingest_epoch = -upto`` via
    the same dynamic partition overwrite the live sink uses, so a crashed
-   earlier attempt at the SAME ``upto`` is replaced wholesale.
+   earlier attempt at the SAME ``upto`` is replaced wholesale; the base's
+   files are then fsynced — the fold is the only surviving copy once step
+   3 runs, so it must be durable before the commit references it.
 2. The manifest ``_epoch_base.json`` (``{"upto": U}``) is replaced
    atomically (tmp + fsync + rename + directory fsync). This is the commit
    point: readers resolve the base partition as ``-U`` and live partials as
@@ -206,15 +208,41 @@ def _partition_epochs(path: str) -> list[int]:
 
 
 def _fsync_dir(path: str) -> None:
-    """fsync a DIRECTORY so a rename/unlink inside it survives power loss."""
+    """fsync a DIRECTORY so a rename/unlink inside it survives power loss.
+    Refusal tolerated (some network mounts reject fsync on a directory fd —
+    the WAL transport's convention): durability narrows to what the mount
+    gives, but a maintenance pass must never crash-loop the stream on it."""
     try:
         fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
     except OSError:
         return
     try:
         os.fsync(fd)
+    except OSError:
+        pass
     finally:
         os.close(fd)
+
+
+def _fsync_tree(path: str) -> None:
+    """fsync every regular file under ``path`` plus the directories: Spark's
+    local parquet writes land in the page cache only, so the folded base
+    must be durable BEFORE the manifest commit points readers at it — the
+    folded partials are deleted right after, and unlike the WAL archive
+    (replayable from upstream) a stats store has nothing to rebuild from."""
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            try:
+                fd = os.open(os.path.join(root, name), os.O_RDONLY)
+            except OSError:
+                continue
+            try:
+                os.fsync(fd)
+            except OSError:
+                pass
+            finally:
+                os.close(fd)
+        _fsync_dir(root)
 
 
 def _commit_manifest(path: str, upto: int) -> None:
@@ -305,11 +333,33 @@ def compact_epochs(
         )
         .drop(EPOCH_COL)
     )
+    if not live:
+        # nothing to fold (sparse store: no base yet and no partials below
+        # the horizon). Writing anyway would be WRONG under a global-
+        # aggregate merge — df.agg over zero rows yields one all-null row,
+        # a phantom the store would serve forever. Skip the base entirely
+        # (readers' base arm then matches nothing) and clear any orphan a
+        # pre-guard crashed attempt left at this horizon, since the commit
+        # below would otherwise resurrect it.
+        shutil.rmtree(
+            os.path.join(path, f"{EPOCH_COL}=-{upto}"), ignore_errors=True
+        )
+        _commit_manifest(path, upto)
+        return {
+            "base_upto_before": prev,
+            "base_upto_after": upto,
+            "folded_partitions": 0,
+            "deleted_partitions": _sweep_stale(path, upto),
+        }
     if merge is not None:
         folded = merge(folded)
     # step 1: the fold lands in the reserved negative epoch (dynamic
-    # overwrite replaces a crashed attempt at the same horizon wholesale)
+    # overwrite replaces a crashed attempt at the same horizon wholesale),
+    # then is made DURABLE before the commit points readers at it — the
+    # folded partials are deleted in step 3, so page-cache-only base data
+    # plus a power cut would otherwise lose the store's entire history
     epoch_overwrite(folded, path, -upto)
+    _fsync_tree(os.path.join(path, f"{EPOCH_COL}=-{upto}"))
     # step 2: the commit point
     _commit_manifest(path, upto)
     # step 3: the sweep (crash-safe to skip; the next pass finishes it)

@@ -44,11 +44,11 @@ FACT_DDL = "fid long, did long, amount int, op string, lsn long"
 SUMS_DDL = "grp int, dn long, dq long"
 
 
-def _vdir(base: str, prefix: str, bid: int) -> str:
+def version_dir(base: str, prefix: str, bid: int) -> str:
     return os.path.join(base, f"{prefix}_v{int(bid)}")
 
 
-def _prev_version(base: str, prefix: str, below: Optional[int]) -> Optional[int]:
+def prev_version(base: str, prefix: str, below: Optional[int]) -> Optional[int]:
     """Largest committed version strictly below ``below`` (all versions when
     ``below`` is None), from the directory listing — a crashed attempt at
     ``below`` itself is deliberately invisible."""
@@ -73,13 +73,13 @@ def _prev_version(base: str, prefix: str, below: Optional[int]) -> Optional[int]
 def _read_version(
     spark: SparkSession, base: str, prefix: str, ddl: str, below: Optional[int]
 ) -> Optional[DataFrame]:
-    v = _prev_version(base, prefix, below)
+    v = prev_version(base, prefix, below)
     if v is None:
         return None
-    return spark.read.schema(ddl).parquet(_vdir(base, prefix, v))
+    return spark.read.schema(ddl).parquet(version_dir(base, prefix, v))
 
 
-def _merge(prev: Optional[DataFrame], batch: DataFrame, key: str) -> DataFrame:
+def merge_latest_wins(prev: Optional[DataFrame], batch: DataFrame, key: str) -> DataFrame:
     """Latest-wins key-state merge (per-key window, bounded by versions of
     one key), deletes dropped from the surviving state."""
     combined = prev.unionByName(batch) if prev is not None else batch
@@ -91,7 +91,7 @@ def _merge(prev: Optional[DataFrame], batch: DataFrame, key: str) -> DataFrame:
     )
 
 
-def _signed_diff(
+def signed_diff(
     old: DataFrame, new: DataFrame, key: str, payload: list[str]
 ) -> DataFrame:
     """Signed row deltas old -> new: (-1, old payload) for vanished or
@@ -153,19 +153,19 @@ def apply_batch(
         else spark.createDataFrame([], FACT_DDL).select("fid", "did", "amount")
     )
 
-    d_new_full = _merge(d_prev_full, d_batch, "id")
-    f_new_full = _merge(f_prev_full, f_batch, "fid")
-    d_new_full.write.mode("overwrite").parquet(_vdir(base, "dim", bid))
-    f_new_full.write.mode("overwrite").parquet(_vdir(base, "fact", bid))
+    d_new_full = merge_latest_wins(d_prev_full, d_batch, "id")
+    f_new_full = merge_latest_wins(f_prev_full, f_batch, "fid")
+    d_new_full.write.mode("overwrite").parquet(version_dir(base, "dim", bid))
+    f_new_full.write.mode("overwrite").parquet(version_dir(base, "fact", bid))
     d_new = spark.read.schema(DIM_DDL).parquet(
-        _vdir(base, "dim", bid)
+        version_dir(base, "dim", bid)
     ).select("id", "grp")
     f_new = spark.read.schema(FACT_DDL).parquet(
-        _vdir(base, "fact", bid)
+        version_dir(base, "fact", bid)
     ).select("fid", "did", "amount")
 
-    d_delta = _signed_diff(d_old, d_new, "id", ["grp"])
-    f_delta = _signed_diff(f_old, f_new, "fid", ["did", "amount"])
+    d_delta = signed_diff(d_old, d_new, "id", ["grp"])
+    f_delta = signed_diff(f_old, f_new, "fid", ["did", "amount"])
 
     # delta(F JOIN D) = dF JOIN D_old  UNION ALL  F_new JOIN dD
     c1 = f_delta.join(d_old, f_delta.did == d_old.id).select(
@@ -187,7 +187,7 @@ def apply_batch(
         .agg(F.sum("dn").alias("dn"), F.sum("dq").alias("dq"))
         .where(F.col("dn") != 0)
     )
-    new_sums.write.mode("overwrite").parquet(_vdir(base, "sums", bid))
+    new_sums.write.mode("overwrite").parquet(version_dir(base, "sums", bid))
 
 
 def latest_sums(spark: SparkSession, base: str) -> DataFrame:

@@ -334,8 +334,9 @@ def prune_wal_archive(path: str, upto_lsn: Optional[int] = None) -> dict:
                 os.unlink(victim)
             except OSError:
                 pass
-    if prunable:
-        _fsync_dir(path)  # unlinks durable: no resurrected pruned chunks
+    # prunable is non-empty here (early return above): unlinks durable so
+    # no pruned chunk resurrects after a power cut
+    _fsync_dir(path)
     return {
         "pruned_chunks": len(prunable),
         "pruned_bytes": pruned_bytes,

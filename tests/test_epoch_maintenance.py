@@ -473,3 +473,43 @@ class TestConsistentEpochRead:
             raise AssertionError("expected RuntimeError")
         except RuntimeError as e:
             assert "compacted during every read attempt" in str(e)
+
+
+class TestEmptyFold:
+    def test_empty_fold_with_merge_writes_no_phantom_row(self, spark, tmp_path):
+        """Sparse store (epochs below the horizon wrote nothing): a global-
+        aggregate merge over the ZERO folded rows yields one all-null row —
+        it must not be persisted as the base, and the horizon still
+        commits."""
+        p = str(tmp_path / "store")
+        for ep in (5, 6, 7):
+            epoch_overwrite(
+                spark.createDataFrame([(ep * 10, f"e{ep}")], "id long, v string"),
+                p, ep,
+            )
+
+        def merge(df):
+            return df.groupBy("v").agg(F.min("id").alias("id")).select("id", "v")
+
+        stats = compact_epochs(spark, p, upto=3, merge=merge)
+        assert stats["folded_partitions"] == 0
+        assert stats["base_upto_after"] == 3 and base_upto(p) == 3
+        got = sorted(tuple(r) for r in read_epoch_store(spark, p).collect())
+        assert got == [(50, "e5"), (60, "e6"), (70, "e7")], got
+        # no base partition materialized for the empty fold
+        assert "ingest_epoch=-3" not in _parts(p)
+        # an orphan base a crashed pre-guard attempt left at this horizon
+        # is cleared rather than resurrected by the commit
+        p2 = str(tmp_path / "store2")
+        for ep in (5, 6):
+            epoch_overwrite(
+                spark.createDataFrame([(ep * 10, f"e{ep}")], "id long, v string"),
+                p2, ep,
+            )
+        epoch_overwrite(
+            spark.createDataFrame([(999, "garbage")], "id long, v string"),
+            p2, -3,
+        )
+        compact_epochs(spark, p2, upto=3, merge=merge)
+        got = sorted(tuple(r) for r in read_epoch_store(spark, p2).collect())
+        assert got == [(50, "e5"), (60, "e6")], got
