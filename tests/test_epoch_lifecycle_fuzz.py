@@ -102,3 +102,110 @@ def test_any_maintenance_interleaving_is_invisible(spark, tmp_path_factory, ops)
         if horizon > 0:
             with pytest.raises(ValueError):
                 epochs_before_compacted(spark, store, horizon - 1)
+
+
+# --- crash-injection variant --------------------------------------------------
+
+_CRASH_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("ingest"), st.integers(1, 2)),
+        st.tuples(st.just("trigger"), st.integers(1, 2)),
+        # compaction that CRASHES at a protocol point, then the schedule
+        # continues: "fold" = base written but manifest not committed;
+        # "commit" = manifest committed but the sweep never ran
+        st.tuples(st.just("crash"), st.sampled_from(["fold", "commit"])),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=4,
+    max_size=9,
+)
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_CRASH_OPS)
+def test_crashed_compactions_stay_invisible_and_converge(
+    spark, tmp_path_factory, ops
+):
+    """A compaction killed between any two protocol steps must leave every
+    reader on exactly the pre- or post-compaction state, and ANY later
+    maintenance pass (trigger, explicit compaction, re-run) must converge —
+    under arbitrary interleavings with live ingest, not just the one-shot
+    schedules the unit tests pin."""
+    import unittest.mock as mock
+
+    import postgresql_cdc_spark.streaming.epoch_maintenance as em
+
+    store = str(tmp_path_factory.mktemp("els_crash") / "store")
+    reference: dict[int, list[tuple[int, str]]] = {}
+    next_epoch = 0
+
+    def _rows(df):
+        return sorted((r.id, r.v) for r in df.collect())
+
+    def _crash_compact(where: str, upto: int):
+        if where == "fold":
+            # die between the base write and the manifest commit
+            with mock.patch.object(
+                em, "_commit_manifest",
+                side_effect=_Boom("crash before commit"),
+            ):
+                try:
+                    compact_epochs(spark, store, upto=upto)
+                except _Boom:
+                    return
+            raise AssertionError("injected crash did not fire")
+        # die between the manifest commit and the sweep
+        real_commit = em._commit_manifest
+
+        def commit_then_die(path, u):
+            real_commit(path, u)
+            raise _Boom("crash after commit")
+
+        with mock.patch.object(
+            em, "_commit_manifest", side_effect=commit_then_die
+        ):
+            try:
+                compact_epochs(spark, store, upto=upto)
+            except _Boom:
+                return
+        raise AssertionError("injected crash did not fire")
+
+    for kind, arg in ops:
+        if kind == "ingest":
+            rows = [(next_epoch * 10 + i, f"e{next_epoch}") for i in range(arg)]
+            epoch_overwrite(
+                spark.createDataFrame(rows, "id long, v string"),
+                store, next_epoch,
+            )
+            reference[next_epoch] = rows
+            next_epoch += 1
+        elif not os.path.isdir(store):
+            continue
+        elif kind == "trigger":
+            maybe_compact(
+                spark, store, current_epoch=next_epoch, max_live_partials=arg
+            )
+        elif kind == "crash":
+            if next_epoch > base_upto(store):
+                _crash_compact(arg, next_epoch)
+        else:  # compact: a clean full pass — also completes any crashed sweep
+            upto = max(base_upto(store), next_epoch)
+            if upto >= base_upto(store):
+                compact_epochs(spark, store, upto=upto)
+
+        if not os.path.isdir(store):
+            continue
+        want_all = sorted(r for rows in reference.values() for r in rows)
+        assert _rows(read_epoch_store(spark, store)) == want_all
+        assert _rows(
+            epochs_before_compacted(spark, store, next_epoch)
+        ) == want_all
