@@ -469,27 +469,29 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # top-25s + a broadcast count-strictly-smaller rank pass — the r9
     # stamp predates the rewrite.
     "sort_null_ordering": 9,
-    # r11: foreachBatch writes rewritten to epoch-partitioned dynamic
-    # overwrite (replay idempotence); r13: the final wave now compacts the
-    # LSH index stores mid-stream and probes via epochs_before_compacted —
-    # the r11 stamp predates the lifecycle pass. (Value raised 10 -> 11 in
-    # r13; a duplicate literal key would shadow silently.)
-    "cdc_stream_incremental_dedup": 11,
-    # r13: the maintained stores now compact their epoch partitions after
-    # the stream (epoch_maintenance.compact_epochs) and serve through the
-    # manifest-aware reader — the r12 stamps predate the lifecycle pass.
-    "cdc_stream_vector_index": 12,
-    "cdc_stream_bm25_stats": 12,
     # r13: the forced F.broadcast on the vocab-sized bigram-count table was
     # dropped (plain equi-join; AQE decides) — plan change, r12 stamp
     # predates it.
     "text_perplexity_proxy": 12,
-    # r13: prior-state reads rewritten to strictly-below-batch-id disk
-    # resolution (join_ivm replay contract; the in-memory dir list made a
-    # checkpoint restart treat its first replayed batch as the stream's
-    # first) — the r9/r7 stamps predate the rewrite.
-    "cdc_stream_ivm_group_sums": 9,
-    "cdc_foreachbatch_upsert": 7,
+    # r14: the join-IVM state lifecycle was closed (streaming/join_ivm.py
+    # rewritten: epoch-store-backed kv states with maybe_compact, batch-
+    # keyed broadcast delta probes, by-FK signed arrangement, sums-version
+    # sweep) and all four adopter gates rewrote their foreachBatch bodies
+    # over the new kernel — the r13 stamps predate the rewrite. (Values for
+    # group_sums/upsert raised 9/7 -> 13; duplicate literal keys would
+    # shadow silently.)
+    "cdc_stream_ivm_join_sums": 13,
+    "cdc_stream_ivm_group_sums": 13,
+    "cdc_stream_ivm_min_maintenance": 13,
+    "cdc_foreachbatch_upsert": 13,
+    # r14: epoch_maintenance's fsync paths now re-raise genuine write
+    # failures (EIO) instead of swallowing them (capability refusals still
+    # tolerated) — error-path-only, but these gates run maybe_compact /
+    # the fold fsync live, so one conservative re-stamp each. (Values
+    # raised 11/12/12 -> 13 over the r13 lifecycle pins.)
+    "cdc_stream_incremental_dedup": 13,
+    "cdc_stream_vector_index": 13,
+    "cdc_stream_bm25_stats": 13,
 }
 
 

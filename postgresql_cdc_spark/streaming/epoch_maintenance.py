@@ -73,6 +73,7 @@ unexplained-loss retry, one level up).
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import re
@@ -207,19 +208,43 @@ def _partition_epochs(path: str) -> list[int]:
     return out
 
 
+# fsync refusals a maintenance pass may tolerate: CAPABILITY errors only
+# (some network mounts reject fsync on a directory fd, or lack the syscall —
+# the WAL transport's convention; durability then narrows to what the mount
+# gives). A genuine WRITE failure — EIO means the kernel LOST dirty pages —
+# must abort the compaction BEFORE the manifest commit references the fold
+# as the only surviving copy of the store's history; swallowing it was
+# exactly the data-loss window the fold fsync exists to close (r13 advice).
+_FSYNC_CAPABILITY_ERRNOS = frozenset(
+    e for e in (
+        getattr(errno, "EINVAL", None),
+        getattr(errno, "ENOTSUP", None),
+        getattr(errno, "EOPNOTSUPP", None),
+        getattr(errno, "ENOSYS", None),
+    )
+    if e is not None
+)
+
+
+def _fsync_fd(fd: int) -> None:
+    """fsync with the capability/write-failure discrimination above."""
+    try:
+        os.fsync(fd)
+    except OSError as exc:
+        if exc.errno not in _FSYNC_CAPABILITY_ERRNOS:
+            raise
+
+
 def _fsync_dir(path: str) -> None:
     """fsync a DIRECTORY so a rename/unlink inside it survives power loss.
-    Refusal tolerated (some network mounts reject fsync on a directory fd —
-    the WAL transport's convention): durability narrows to what the mount
-    gives, but a maintenance pass must never crash-loop the stream on it."""
+    Capability refusal tolerated; real write failures re-raise (see
+    ``_FSYNC_CAPABILITY_ERRNOS``)."""
     try:
         fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
     except OSError:
-        return
+        return  # dir gone / not openable: nothing of ours to make durable
     try:
-        os.fsync(fd)
-    except OSError:
-        pass
+        _fsync_fd(fd)
     finally:
         os.close(fd)
 
@@ -229,17 +254,17 @@ def _fsync_tree(path: str) -> None:
     local parquet writes land in the page cache only, so the folded base
     must be durable BEFORE the manifest commit points readers at it — the
     folded partials are deleted right after, and unlike the WAL archive
-    (replayable from upstream) a stats store has nothing to rebuild from."""
+    (replayable from upstream) a stats store has nothing to rebuild from.
+    Capability refusals are tolerated; a genuine fsync failure (EIO)
+    propagates so the compaction aborts before its commit point."""
     for root, _dirs, files in os.walk(path):
         for name in files:
             try:
                 fd = os.open(os.path.join(root, name), os.O_RDONLY)
             except OSError:
-                continue
+                continue  # vanished mid-walk: not part of the fold
             try:
-                os.fsync(fd)
-            except OSError:
-                pass
+                _fsync_fd(fd)
             finally:
                 os.close(fd)
         _fsync_dir(root)
@@ -251,7 +276,7 @@ def _commit_manifest(path: str, upto: int) -> None:
     with open(tmp, "w") as f:
         json.dump({"upto": int(upto)}, f)
         f.flush()
-        os.fsync(f.fileno())
+        _fsync_fd(f.fileno())
     os.replace(tmp, fp)
     _fsync_dir(path)
 

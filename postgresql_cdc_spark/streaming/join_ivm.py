@@ -1,4 +1,6 @@
-"""Replay-idempotent JOIN-view incremental maintenance for foreachBatch.
+"""Replay-idempotent JOIN-view incremental maintenance for foreachBatch,
+with a CLOSED state lifecycle: per-batch work and per-batch state I/O are
+O(|batch|), disk is bounded regardless of stream age.
 
 Maintains ``SUM(fact.amount), COUNT(*) per dim.grp over fact JOIN dim``
 from signed row deltas — the counting-IVM delta rule (Koch's incremental
@@ -11,38 +13,94 @@ both sides apply exactly once. The running aggregate is only ever
 ADJUSTED (|groups| + |delta| rows per batch); history is never
 recomputed.
 
-State layout and the replay contract: each batch writes parquet dirs
-``<base>/{dim,fact,sums}_v<batch_id>``, and every read resolves the
-LATEST VERSION STRICTLY BELOW the current batch id from a directory
-listing — never from in-process memory. That makes the step idempotent
-under Structured Streaming's at-least-once foreachBatch in BOTH crash
-windows the in-memory-list pattern gets wrong:
+State layout (all under one base directory):
 
-- a batch retried in-run (crash after some of its writes): the retry
-  resolves the previous batch's versions, not its own partial ones, and
-  ``mode("overwrite")`` replaces the crashed attempt wholesale;
-- a checkpoint RESTART (new process, empty memory): versions come back
-  from disk, so the replayed batch sees exactly the committed prefix
-  instead of treating itself as the first batch.
+- ``dim_kv`` / ``fact_kv`` — latest-wins key-value stores backed by the
+  epoch store (``streaming/epoch_io.py``): each batch writes ONLY its own
+  collapsed rows (delete tombstones included) under
+  ``ingest_epoch=<batch_id>`` via dynamic partition overwrite, and the
+  current state of a key is resolved by a per-key latest-LSN window over
+  the base fold plus the live partials. ``maybe_compact``
+  (``streaming/epoch_maintenance.py``) folds old epochs into the
+  manifest-committed base, so live partials stay bounded by the cap and
+  the per-batch write is O(|batch|), never a full-state rewrite.
+- ``fact_by_did`` — the by-FOREIGN-KEY arrangement (Materialize's
+  "arrangement" / DBSP's indexed Z-set): the batch's SIGNED fact deltas,
+  epoch-partitioned and consolidated on compaction
+  (``sum(sign) per (fid, did, amount)``, zero rows dropped). Integrating
+  it yields the live fact multiset KEYED BY ``did`` — which is what the
+  ``F_new JOIN dD`` leg probes; resolving latest-wins-by-fid there would
+  be wrong once a fact re-points its FK (the old row is invisible to a
+  did-filtered latest-wins), while signed rows stay correct under
+  addition for any key restriction.
+- ``sums_v<batch_id>`` — the maintained aggregate, tiny (|groups| rows),
+  versioned per batch with the previous generation retained and everything
+  older SWEPT (:func:`sweep_versions`): Structured Streaming replays at
+  most the last uncommitted batch, and a replay resolves strictly below
+  its own id, so latest-committed + in-flight is the whole replay window.
 
-This is ``epoch_io``'s strictly-earlier-epoch contract applied to a
-versioned-state pipeline. Gated end-to-end by
-``plans/streaming_gate.cdc_stream_ivm_join_sums``; the crash windows are
-pinned by ``tests/test_join_ivm.py``.
+Per-batch dataflow (all O(|batch|) shuffle/compute):
+
+1. ``maybe_compact`` each store at the CALLER's batch id (the horizon
+   convention of ``epoch_maintenance``: a crashed attempt's own partition
+   must stay live so the replay's overwrite replaces it wholesale).
+2. Collapse the batch latest-wins per key, write it as the stores' epoch.
+3. Diff ONLY the batch's keys: probe prior state with a broadcast
+   left-semi join on the batch's distinct keys, latest-wins-resolve the
+   O(|batch|) surviving history, and signed-diff old vs new sub-state —
+   never a full-outer join of full old state against full new state.
+4. ``dF JOIN D_old``: probe ``dim_kv`` with the fact delta's distinct FK
+   values (broadcast, batch-bounded) and join the fact delta against the
+   resolved O(|batch|) dim rows — broadcast, so a hot dimension key never
+   becomes a skewed shuffle (the fact delta is not exchanged at all).
+5. ``F_new JOIN dD``: restrict the integrated ``fact_by_did`` arrangement
+   to the dim delta's keys (broadcast semi-join; consolidation commutes
+   with any did restriction because signed rows group by the full triple)
+   and join against the broadcast dim delta.
+6. Fold the signed (grp, dn, dq) deltas into the previous sums version,
+   write ``sums_v<bid>``, sweep versions behind the previous generation.
+
+Replay contract: every prior-state read resolves STRICTLY BELOW the
+current batch id (``epoch_io``'s strictly-earlier-epoch contract for the
+kv/arrangement stores; :func:`prev_version` for the sums), so a crashed
+attempt's partial writes are invisible to its replay — which then
+recomputes byte-identical deltas from the same committed prefix and
+replaces the crashed partitions via dynamic overwrite. Crash windows are
+pinned by ``tests/test_join_ivm.py``; the delta algebra by
+``tests/test_join_ivm_fuzz.py``; the bounded lifecycle by the retention
+test and ``tools/join_ivm_lifecycle_soak.py``.
+
+Ordering note: epochs partition the change stream in commit order, so a
+later epoch never carries an LSN below an earlier epoch's (the WAL
+source's guarantee). Ties on (key, lsn) — impossible in a real WAL, where
+every change owns a distinct LSN — resolve deterministically by ``op``
+descending, so replayed and restarted runs materialize identical state by
+construction.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
+
+from postgresql_cdc_spark.streaming.epoch_io import EPOCH_COL, epoch_overwrite
+from postgresql_cdc_spark.streaming.epoch_maintenance import (
+    base_upto,
+    maybe_compact,
+)
 
 DIM_DDL = "id long, grp int, op string, lsn long"
 FACT_DDL = "fid long, did long, amount int, op string, lsn long"
+ARR_DDL = "fid long, did long, amount int, sign int"
 SUMS_DDL = "grp int, dn long, dq long"
 
+
+# --- versioned small-table helpers (sums / supports) --------------------------
 
 def version_dir(base: str, prefix: str, bid: int) -> str:
     return os.path.join(base, f"{prefix}_v{int(bid)}")
@@ -70,25 +128,215 @@ def prev_version(base: str, prefix: str, below: Optional[int]) -> Optional[int]:
     return best
 
 
-def _read_version(
-    spark: SparkSession, base: str, prefix: str, ddl: str, below: Optional[int]
-) -> Optional[DataFrame]:
-    v = prev_version(base, prefix, below)
-    if v is None:
-        return None
-    return spark.read.schema(ddl).parquet(version_dir(base, prefix, v))
+def sweep_versions(base: str, prefix: str, keep_from: int) -> int:
+    """Delete version dirs strictly below ``keep_from`` — the retention pass
+    the versioned layout needs to stay bounded. Retaining the latest
+    committed generation plus the in-flight one covers the whole replay
+    window: Structured Streaming replays at most the last uncommitted batch,
+    whose reads resolve strictly below itself, i.e. the retained previous
+    generation. Crash-safe to interrupt: the next batch's sweep finishes it."""
+    deleted = 0
+    tag = f"{prefix}_v"
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return 0
+    for n in names:
+        if not n.startswith(tag):
+            continue
+        try:
+            k = int(n[len(tag):])
+        except ValueError:
+            continue
+        if k < int(keep_from):
+            shutil.rmtree(os.path.join(base, n), ignore_errors=True)
+            deleted += 1
+    return deleted
 
 
-def merge_latest_wins(prev: Optional[DataFrame], batch: DataFrame, key: str) -> DataFrame:
-    """Latest-wins key-state merge (per-key window, bounded by versions of
-    one key), deletes dropped from the surviving state."""
-    combined = prev.unionByName(batch) if prev is not None else batch
-    w = Window.partitionBy(key).orderBy(F.desc("lsn"))
+def fold_versioned(
+    spark: SparkSession,
+    base: str,
+    prefix: str,
+    ddl: str,
+    group_cols: list[str],
+    epoch: int,
+    deltas: DataFrame,
+    drop_when_zero: str,
+) -> None:
+    """Fold signed deltas into the previous committed version of a small
+    grouped table (sums, support counts): union, re-group, drop groups whose
+    ``drop_when_zero`` sum reaches zero, write ``<prefix>_v<epoch>``, then
+    sweep versions behind the previous generation. Per-batch cost is
+    |groups| + |delta| rows — the table is bounded by the group domain, so
+    full-version rewrite is the cheap, simple choice here (the KEY state is
+    where O(|state|) rewrites hurt; that lives in the epoch stores)."""
+    epoch = int(epoch)
+    pv = prev_version(base, prefix, epoch)
+    if pv is not None:
+        prev = spark.read.schema(ddl).parquet(version_dir(base, prefix, pv))
+        deltas = prev.unionByName(deltas)
+    st = StructType.fromDDL(ddl)
+    aggs = [
+        F.sum(f.name).cast(f.dataType).alias(f.name)
+        for f in st.fields
+        if f.name not in group_cols
+    ]
+    out = (
+        deltas.groupBy(*group_cols)
+        .agg(*aggs)
+        .where(F.col(drop_when_zero) != 0)
+    )
+    out.write.mode("overwrite").parquet(version_dir(base, prefix, epoch))
+    sweep_versions(base, prefix, pv if pv is not None else epoch)
+
+
+# --- latest-wins kv state over the epoch store --------------------------------
+
+def _resolve(rows: DataFrame, key: str) -> DataFrame:
+    """Latest-wins per key, tombstones dropped from the survivors. The
+    window is bounded by versions of ONE key. Tie-break: ``op`` descending
+    after ``lsn`` descending — arbitrary but DETERMINISTIC, so replays and
+    restarts materialize identical state even on (impossible-in-WAL)
+    duplicate LSNs."""
+    w = Window.partitionBy(key).orderBy(F.desc("lsn"), F.desc("op"))
     return (
-        combined.withColumn("__rn", F.row_number().over(w))
+        rows.withColumn("__rn", F.row_number().over(w))
         .where((F.col("__rn") == 1) & (F.col("op") != "D"))
         .drop("__rn")
     )
+
+
+def collapse_batch(batch: DataFrame, key: str) -> DataFrame:
+    """One row per key: the batch's latest change, KEEPING delete
+    tombstones (unlike :func:`_resolve` — the store needs the tombstone to
+    mask earlier epochs' live rows). Same deterministic ordering."""
+    w = Window.partitionBy(key).orderBy(F.desc("lsn"), F.desc("op"))
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_wins_merge(key: str):
+    """Schema-preserving ``maybe_compact`` merge for a latest-wins kv store:
+    the fold keeps only each key's newest image and drops keys whose newest
+    change is a delete — safe because surviving partials' LSNs are never
+    below the fold's (stream order; see module docstring)."""
+    return lambda df: _resolve(df, key)
+
+
+def _consolidate(df: DataFrame) -> DataFrame:
+    """Z-set consolidation for the by-FK arrangement: net sign per full row
+    triple, zeros dropped. Doubles as the store's compaction merge."""
+    return (
+        df.groupBy("fid", "did", "amount")
+        .agg(F.sum("sign").cast("int").alias("sign"))
+        .where(F.col("sign") != 0)
+    )
+
+
+def _history(
+    spark: SparkSession, store: str, ddl: str, before: Optional[int]
+) -> DataFrame:
+    """Rows of the store's live epochs strictly before ``before`` (all live
+    epochs when None): the manifest-aware base fold plus surviving partials,
+    read with an EXPLICIT schema — a store whose table saw only empty
+    batches has no files to infer from, and must read as empty, not raise."""
+    if not os.path.isdir(store):
+        return spark.createDataFrame([], ddl)
+    upto = base_upto(store)
+    if before is not None and int(before) < upto:
+        raise ValueError(
+            f"epoch {before} predates the compacted base horizon {upto}: "
+            "the strictly-earlier state no longer exists"
+        )
+    full = f"{ddl}, {EPOCH_COL} int"
+    df = spark.read.schema(full).parquet(store)
+    cond = F.col(EPOCH_COL) >= F.lit(upto)
+    if before is not None:
+        cond = cond & (F.col(EPOCH_COL) < int(before))
+    # the base arm only exists once a base has been committed: at horizon 0
+    # the literal == -0 would alias LIVE epoch 0 (the epoch_maintenance
+    # lifecycle-fuzz finding, honored here too)
+    if upto > 0:
+        cond = (F.col(EPOCH_COL) == F.lit(-upto)) | cond
+    return df.where(cond).drop(EPOCH_COL)
+
+
+def _read_epoch(
+    spark: SparkSession, store: str, ddl: str, epoch: int
+) -> DataFrame:
+    """This epoch's own committed partition (what the batch just wrote)."""
+    if not os.path.isdir(store):
+        return spark.createDataFrame([], ddl)
+    full = f"{ddl}, {EPOCH_COL} int"
+    return (
+        spark.read.schema(full).parquet(store)
+        .where(F.col(EPOCH_COL) == int(epoch))
+        .drop(EPOCH_COL)
+    )
+
+
+def ingest_kv_batch(
+    spark: SparkSession,
+    store: str,
+    key: str,
+    epoch: int,
+    batch: DataFrame,
+    max_live_partials: int = 8,
+) -> None:
+    """Compact-then-write one batch into a latest-wins kv epoch store:
+    maintenance first (horizon = the CALLER's batch id, keeping a crashed
+    attempt's own partition live for its overwrite), then the collapsed
+    batch rows — tombstones included — as partition ``ingest_epoch=epoch``.
+    O(|batch|) written bytes; live partials bounded by the cap."""
+    epoch = int(epoch)
+    maybe_compact(
+        spark, store, epoch, max_live_partials, merge=latest_wins_merge(key)
+    )
+    epoch_overwrite(collapse_batch(batch, key), store, epoch)
+
+
+def key_state(
+    spark: SparkSession,
+    store: str,
+    ddl: str,
+    key: str,
+    before: Optional[int] = None,
+) -> DataFrame:
+    """The kv store's live latest-wins rows (strictly before ``before``;
+    the full materialized state when None)."""
+    return _resolve(_history(spark, store, ddl, before), key)
+
+
+def ingest_and_delta(
+    spark: SparkSession,
+    store: str,
+    ddl: str,
+    key: str,
+    payload: list[str],
+    epoch: int,
+    batch: DataFrame,
+    max_live_partials: int = 8,
+) -> DataFrame:
+    """Write the batch into the kv store and return its SIGNED row deltas
+    vs prior state — O(|batch|): prior state is probed with a broadcast
+    left-semi join on the batch's distinct keys (batch-bounded, never a
+    full-state scan shuffle), and the old-vs-new diff runs over the
+    O(|batch|) surviving rows only. Deterministic given the committed
+    prefix, so a replay regenerates identical deltas."""
+    epoch = int(epoch)
+    ingest_kv_batch(spark, store, key, epoch, batch, max_live_partials)
+    written = _read_epoch(spark, store, ddl, epoch)
+    keys = written.select(key).distinct()
+    hist = _history(spark, store, ddl, epoch).join(
+        F.broadcast(keys), key, "left_semi"
+    )
+    old_live = _resolve(hist, key).select(key, *payload)
+    new_live = _resolve(hist.unionByName(written), key).select(key, *payload)
+    return signed_diff(old_live, new_live, key, payload)
 
 
 def signed_diff(
@@ -96,7 +344,9 @@ def signed_diff(
 ) -> DataFrame:
     """Signed row deltas old -> new: (-1, old payload) for vanished or
     changed keys, (+1, new payload) for appeared or changed keys —
-    null-safe on every payload column (the cdc_snapshot_diff convention)."""
+    null-safe on every payload column (the cdc_snapshot_diff convention).
+    Inputs here are batch-keyed sub-states, so the full-outer join is
+    O(|batch|) by construction."""
     o = old.select(
         F.col(key).alias("__ok"),
         *[F.col(c).alias(f"__o_{c}") for c in payload],
@@ -129,73 +379,128 @@ def signed_diff(
     ).select("d.*")
 
 
+# --- the join-view step -------------------------------------------------------
+
 def apply_batch(
     spark: SparkSession,
     base: str,
     batch_id: int,
     d_batch: DataFrame,
     f_batch: DataFrame,
+    max_live_partials: int = 8,
 ) -> None:
-    """One foreachBatch step: merge both key states, signed-diff each,
-    apply the join delta rule, fold into the sums table. Every prior-state
-    read resolves strictly below ``batch_id`` (see module docstring)."""
+    """One foreachBatch step of the join-view maintenance (see the module
+    docstring's dataflow). Every prior-state read resolves strictly below
+    ``batch_id``; every store is size-tiered-compacted at the top of the
+    epoch; sums versions behind the previous generation are swept — so
+    per-batch cost is O(|batch|) and disk objects stay bounded at any
+    stream age."""
     bid = int(batch_id)
-    d_prev_full = _read_version(spark, base, "dim", DIM_DDL, bid)
-    f_prev_full = _read_version(spark, base, "fact", FACT_DDL, bid)
-    d_old = (
-        d_prev_full.select("id", "grp")
-        if d_prev_full is not None
-        else spark.createDataFrame([], DIM_DDL).select("id", "grp")
+    dim_store = os.path.join(base, "dim_kv")
+    fact_store = os.path.join(base, "fact_kv")
+    arr_store = os.path.join(base, "fact_by_did")
+
+    d_delta = ingest_and_delta(
+        spark, dim_store, DIM_DDL, "id", ["grp"], bid, d_batch,
+        max_live_partials,
     )
-    f_old = (
-        f_prev_full.select("fid", "did", "amount")
-        if f_prev_full is not None
-        else spark.createDataFrame([], FACT_DDL).select("fid", "did", "amount")
+    f_delta = ingest_and_delta(
+        spark, fact_store, FACT_DDL, "fid", ["did", "amount"], bid, f_batch,
+        max_live_partials,
     )
 
-    d_new_full = merge_latest_wins(d_prev_full, d_batch, "id")
-    f_new_full = merge_latest_wins(f_prev_full, f_batch, "fid")
-    d_new_full.write.mode("overwrite").parquet(version_dir(base, "dim", bid))
-    f_new_full.write.mode("overwrite").parquet(version_dir(base, "fact", bid))
-    d_new = spark.read.schema(DIM_DDL).parquet(
-        version_dir(base, "dim", bid)
+    # persist the fact delta as the by-FK arrangement's epoch (signed rows;
+    # compaction consolidates), then read the committed partition back so
+    # both join legs reuse one materialization instead of recomputing
+    maybe_compact(
+        spark, arr_store, bid, max_live_partials, merge=_consolidate
+    )
+    epoch_overwrite(
+        f_delta.select(
+            "fid", "did", "amount", F.col("sign").cast("int").alias("sign")
+        ),
+        arr_store,
+        bid,
+    )
+    f_delta_w = _read_epoch(spark, arr_store, ARR_DDL, bid)
+
+    fold_versioned(
+        spark, base, "sums", SUMS_DDL, ["grp"], bid,
+        join_deltas(spark, base, bid, d_delta, f_delta_w),
+        drop_when_zero="dn",
+    )
+
+
+def join_deltas(
+    spark: SparkSession,
+    base: str,
+    batch_id: int,
+    d_delta: DataFrame,
+    f_delta_w: DataFrame,
+) -> DataFrame:
+    """The batch's signed (grp, dn, dq) view deltas from the two delta-rule
+    legs; ``f_delta_w`` must already be the committed arrangement epoch.
+    Split from :func:`apply_batch` so plan-shape tests can assert the join
+    strategies directly."""
+    bid = int(batch_id)
+    dim_store = os.path.join(base, "dim_kv")
+    arr_store = os.path.join(base, "fact_by_did")
+
+    # c1 = dF JOIN D_old: probe the dim state with the fact delta's FK
+    # values. Both broadcast sides are batch-bounded (<= 2|batch| rows), and
+    # broadcasting the DIM side means a hot dimension key never induces a
+    # skewed shuffle — the fact delta is not exchanged at all.
+    dids = f_delta_w.select(F.col("did").alias("id")).distinct()
+    dsub = _resolve(
+        _history(spark, dim_store, DIM_DDL, bid).join(
+            F.broadcast(dids), "id", "left_semi"
+        ),
+        "id",
     ).select("id", "grp")
-    f_new = spark.read.schema(FACT_DDL).parquet(
-        version_dir(base, "fact", bid)
-    ).select("fid", "did", "amount")
-
-    d_delta = signed_diff(d_old, d_new, "id", ["grp"])
-    f_delta = signed_diff(f_old, f_new, "fid", ["did", "amount"])
-
-    # delta(F JOIN D) = dF JOIN D_old  UNION ALL  F_new JOIN dD
-    c1 = f_delta.join(d_old, f_delta.did == d_old.id).select(
+    c1 = f_delta_w.join(F.broadcast(dsub), f_delta_w.did == dsub.id).select(
         F.col("grp"),
         F.col("sign").cast("long").alias("dn"),
         (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
     )
-    c2 = f_new.join(d_delta, f_new.did == d_delta.id).select(
-        F.col("grp"),
-        F.col("sign").cast("long").alias("dn"),
-        (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
+
+    # c2 = F_new JOIN dD: integrate the arrangement (strictly-before epochs
+    # + this batch's delta) restricted to the dim delta's keys — the did
+    # restriction commutes with consolidation because signed rows group by
+    # the full (fid, did, amount) triple. The consolidated sign is the row's
+    # multiplicity (1 for live facts), carried through the arithmetic.
+    dkeys = d_delta.select(F.col("id").alias("did")).distinct()
+    arr = _history(spark, arr_store, ARR_DDL, bid).unionByName(f_delta_w)
+    f_new_sub = _consolidate(
+        arr.join(F.broadcast(dkeys), "did", "left_semi")
+    ).where(F.col("sign") > 0)
+    # rename the dim-delta columns before the join: f_new_sub already
+    # carries d_delta in its lineage (via dkeys), so attribute references
+    # would be ambiguous self-join columns
+    dd = d_delta.select(
+        F.col("id").alias("__d_id"),
+        F.col("grp").alias("__d_grp"),
+        F.col("sign").alias("__d_sign"),
     )
-    deltas = c1.unionByName(c2)
-    prev_sums = _read_version(spark, base, "sums", SUMS_DDL, bid)
-    if prev_sums is not None:
-        deltas = prev_sums.unionByName(deltas)
-    new_sums = (
-        deltas.groupBy("grp")
-        .agg(F.sum("dn").alias("dn"), F.sum("dq").alias("dq"))
-        .where(F.col("dn") != 0)
+    c2 = f_new_sub.join(
+        F.broadcast(dd), f_new_sub.did == F.col("__d_id")
+    ).select(
+        F.col("__d_grp").alias("grp"),
+        (F.col("__d_sign") * F.col("sign")).cast("long").alias("dn"),
+        (F.col("__d_sign") * F.col("sign") * F.col("amount"))
+        .cast("long").alias("dq"),
     )
-    new_sums.write.mode("overwrite").parquet(version_dir(base, "sums", bid))
+
+    return c1.unionByName(c2)
 
 
 def latest_sums(spark: SparkSession, base: str) -> DataFrame:
     """The maintained view after the stream: the newest committed sums
     version, as (grp, n_rows, total)."""
-    sums = _read_version(spark, base, "sums", SUMS_DDL, None)
+    sums = prev_version(base, "sums", None)
     if sums is None:
         raise RuntimeError(f"no batch reached the join-IVM sink at {base!r}")
-    return sums.select(
-        "grp", F.col("dn").alias("n_rows"), F.col("dq").alias("total")
+    return (
+        spark.read.schema(SUMS_DDL)
+        .parquet(version_dir(base, "sums", sums))
+        .select("grp", F.col("dn").alias("n_rows"), F.col("dq").alias("total"))
     )

@@ -513,3 +513,59 @@ class TestEmptyFold:
         compact_epochs(spark, p2, upto=3, merge=merge)
         got = sorted(tuple(r) for r in read_epoch_store(spark, p2).collect())
         assert got == [(50, "e5"), (60, "e6")], got
+
+
+class TestFsyncFailureDiscrimination:
+    """r13 advice: the fold fsync exists because the base becomes the ONLY
+    surviving copy before the sweep deletes the partials — a genuine write
+    failure (EIO: the kernel lost dirty pages) must abort the compaction
+    BEFORE the manifest commit, while a capability refusal (network mounts
+    rejecting fsync on a directory fd) stays tolerated."""
+
+    def test_eio_during_fold_fsync_aborts_before_commit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import errno
+
+        p = str(tmp_path / "store")
+        _seed(spark, p, 4)
+        before = _store(spark, p)
+        real_fsync = os.fsync
+
+        def failing_fsync(fd):
+            raise OSError(errno.EIO, "writeback lost")
+
+        monkeypatch.setattr(os, "fsync", failing_fsync)
+        try:
+            import pytest
+
+            with pytest.raises(OSError):
+                compact_epochs(spark, p, upto=3)
+        finally:
+            monkeypatch.setattr(os, "fsync", real_fsync)
+        # aborted before the commit point: no manifest, store intact,
+        # and a re-run converges cleanly
+        assert base_upto(p) == 0
+        assert _store(spark, p) == before
+        stats = compact_epochs(spark, p, upto=3)
+        assert stats["base_upto_after"] == 3
+        assert _store(spark, p) == before
+
+    def test_capability_refusal_is_tolerated(self, spark, tmp_path, monkeypatch):
+        import errno
+
+        p = str(tmp_path / "store")
+        _seed(spark, p, 4)
+        before = _store(spark, p)
+        real_fsync = os.fsync
+
+        def refusing_fsync(fd):
+            raise OSError(errno.EINVAL, "fsync not supported on this fd")
+
+        monkeypatch.setattr(os, "fsync", refusing_fsync)
+        try:
+            stats = compact_epochs(spark, p, upto=3)
+        finally:
+            monkeypatch.setattr(os, "fsync", real_fsync)
+        assert stats["base_upto_after"] == 3 and base_upto(p) == 3
+        assert _store(spark, p) == before

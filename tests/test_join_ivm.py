@@ -128,20 +128,37 @@ class TestJoinIvmReplay:
     def test_replay_ignores_crashed_attempts_partial_versions(
         self, spark, tmp_path
     ):
-        """Direct pin of the strictly-below contract: a half-written
-        attempt at batch 2 (garbage dim_v2/sums_v2 on disk) must be
-        invisible to the replay of batch 2, which overwrites it."""
+        """Direct pin of the strictly-below contract in the epoch-store
+        layout: a half-written attempt at batch 2 — garbage rows in the kv
+        stores' ``ingest_epoch=2`` partitions, a garbage arrangement epoch,
+        and a garbage ``sums_v2`` — must be invisible to the replay of
+        batch 2, whose dynamic overwrite replaces it wholesale."""
+        from postgresql_cdc_spark.streaming.epoch_io import epoch_overwrite
+
         waves, want = _waves()
         state = str(tmp_path / "state")
         os.makedirs(state)
         for ep, w in enumerate(waves[:2]):
             _route_and_apply(spark.createDataFrame(w, ROW_DDL), ep, state)
-        # crashed attempt at batch 2: plausible-schema garbage, all three
-        garbage_dim = spark.createDataFrame(
-            [(999, 2, "I", 999)], "id long, grp int, op string, lsn long"
+        # crashed attempt at batch 2: plausible-schema garbage, all four
+        epoch_overwrite(
+            spark.createDataFrame(
+                [(999, 2, "I", 999)], "id long, grp int, op string, lsn long"
+            ),
+            os.path.join(state, "dim_kv"), 2,
         )
-        garbage_dim.write.mode("overwrite").parquet(
-            os.path.join(state, "dim_v2")
+        epoch_overwrite(
+            spark.createDataFrame(
+                [(999, 999, 7, "I", 999)],
+                "fid long, did long, amount int, op string, lsn long",
+            ),
+            os.path.join(state, "fact_kv"), 2,
+        )
+        epoch_overwrite(
+            spark.createDataFrame(
+                [(999, 999, 7, 1)], "fid long, did long, amount int, sign int"
+            ),
+            os.path.join(state, "fact_by_did"), 2,
         )
         spark.createDataFrame(
             [(2, 99, 99999)], "grp int, dn long, dq long"
@@ -153,6 +170,151 @@ class TestJoinIvmReplay:
             for r in latest_sums(spark, state).collect()
         )
         assert got == want, got
+
+    def test_lifecycle_bounded_disk_and_swept_versions(self, spark, tmp_path):
+        """The r13-verdict fix: state must not grow with stream age. Drive
+        the same schedule through MANY small batches with a tight compaction
+        cap and assert (a) the answer is still exact, (b) only the last two
+        sums generations survive the sweep, (c) every epoch store's live
+        partial count is bounded by the cap (older epochs folded into the
+        manifest-committed base)."""
+        from postgresql_cdc_spark.streaming.epoch_maintenance import base_upto
+
+        waves, want = _waves()
+        rows = [r for w in waves for r in w]
+        state = str(tmp_path / "state")
+        os.makedirs(state)
+        CAP = 2
+        # one batch per 3 rows -> 10 epochs, far past the cap
+        batches = [rows[i:i + 3] for i in range(0, len(rows), 3)]
+        for ep, chunk in enumerate(batches):
+            d_batch = spark.createDataFrame(chunk, ROW_DDL).where(
+                F.col("tab") == "d"
+            ).select(
+                F.col("k").alias("id"), F.col("a").cast("int").alias("grp"),
+                "op", "lsn",
+            )
+            f_batch = spark.createDataFrame(chunk, ROW_DDL).where(
+                F.col("tab") == "f"
+            ).select(
+                F.col("k").alias("fid"), F.col("a").alias("did"),
+                F.col("b").cast("int").alias("amount"), "op", "lsn",
+            )
+            apply_batch(
+                spark, state, ep, d_batch, f_batch, max_live_partials=CAP
+            )
+
+        got = sorted(
+            (r.grp, r.n_rows, r.total)
+            for r in latest_sums(spark, state).collect()
+        )
+        assert got == want, got
+
+        last = len(batches) - 1
+        sums_vs = sorted(
+            int(n[len("sums_v"):])
+            for n in os.listdir(state) if n.startswith("sums_v")
+        )
+        assert sums_vs == [last - 1, last], sums_vs
+        for store in ("dim_kv", "fact_kv", "fact_by_did"):
+            path = os.path.join(state, store)
+            upto = base_upto(path)
+            assert upto > 0, f"{store}: compaction never committed a base"
+            live = [
+                n for n in os.listdir(path)
+                if n.startswith("ingest_epoch=")
+                and int(n.split("=")[1]) >= upto
+            ]
+            # cap live partials can exceed max_live_partials by the epochs
+            # written since the last trigger fired (trigger runs at the TOP
+            # of an epoch), but never grows with total stream age
+            assert len(live) <= CAP + 2, (store, sorted(live))
+
+    def test_same_lsn_ties_resolve_deterministically(self, spark, tmp_path):
+        """The r13-advice latent hazard: two ops on one key at the SAME lsn
+        must resolve identically on every (re)application — the window
+        orders by (lsn desc, op desc), so the U image wins over the I here,
+        by construction rather than by partition luck."""
+        batch = [
+            ("d", 1, 0, None, "I", 10),
+            ("d", 1, 2, None, "U", 10),  # same lsn: op desc -> U wins
+            ("f", 7, 1, 5, "I", 11),
+        ]
+        outcomes = []
+        for trial in range(2):
+            state = str(tmp_path / f"state{trial}")
+            os.makedirs(state)
+            _route_and_apply(spark.createDataFrame(batch, ROW_DDL), 0, state)
+            # replay the same batch (at-least-once) on the second trial
+            if trial == 1:
+                _route_and_apply(
+                    spark.createDataFrame(batch, ROW_DDL), 0, state
+                )
+            outcomes.append(sorted(
+                (r.grp, r.n_rows, r.total)
+                for r in latest_sums(spark, state).collect()
+            ))
+        assert outcomes[0] == outcomes[1] == [(2, 1, 5)], outcomes
+
+    def test_hot_fk_batch_is_correct_and_broadcast_joined(
+        self, spark, tmp_path
+    ):
+        """Skew hardening (r14): EVERY fact points at one dimension key and
+        that dimension regroups, so the c2 leg touches the whole fact set
+        through one hot FK value. The answer must stay exact, and the
+        delta-rule joins must be BROADCAST hash joins with no sort-merge
+        exchange on the FK — a hot key then never induces a skewed shuffle
+        because the fact side is simply not exchanged."""
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            _read_epoch,
+            ingest_and_delta,
+            join_deltas,
+        )
+        from postgresql_cdc_spark.streaming.epoch_io import epoch_overwrite
+        from postgresql_cdc_spark.streaming.join_ivm import ARR_DDL
+
+        state = str(tmp_path / "state")
+        os.makedirs(state)
+        w0 = [("d", 0, 0, None, "I", 10)] + [
+            ("f", i, 0, i, "I", 20 + i) for i in range(40)
+        ]
+        w1 = [("d", 0, 2, None, "U", 100)]  # regroup: all 40 facts move
+        _route_and_apply(spark.createDataFrame(w0, ROW_DDL), 0, state)
+        _route_and_apply(spark.createDataFrame(w1, ROW_DDL), 1, state)
+        got = sorted(
+            (r.grp, r.n_rows, r.total)
+            for r in latest_sums(spark, state).collect()
+        )
+        assert got == [(2, 40, sum(range(40)))], got
+
+        # plan shape of a further hot batch's delta legs
+        d_batch = spark.createDataFrame(
+            [(0, 1, "U", 200)], "id long, grp int, op string, lsn long"
+        )
+        d_delta = ingest_and_delta(
+            spark, os.path.join(state, "dim_kv"),
+            "id long, grp int, op string, lsn long", "id", ["grp"], 2,
+            d_batch,
+        )
+        f_delta = spark.createDataFrame([], "sign int, fid long, did long, amount int")
+        epoch_overwrite(
+            f_delta.select("fid", "did", "amount", "sign"),
+            os.path.join(state, "fact_by_did"), 2,
+        )
+        f_delta_w = _read_epoch(
+            spark, os.path.join(state, "fact_by_did"), ARR_DDL, 2
+        )
+        plan = (
+            join_deltas(spark, state, 2, d_delta, f_delta_w)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        # the only sort-merge joins allowed are signed_diff's FULL OUTER
+        # old-vs-new diffs — batch-bounded on both sides by construction
+        # (Spark cannot broadcast a full outer); the FK joins themselves
+        # must never sort-merge, or a hot key becomes a skewed shuffle
+        smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+        assert all("FullOuter" in ln for ln in smj), smj
 
     def test_double_application_converges(self, spark, tmp_path):
         """Applying the same batch twice (at-least-once) yields the same

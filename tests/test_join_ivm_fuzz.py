@@ -37,6 +37,27 @@ _SCHEDULE = st.lists(st.one_of(_DIM_OP, _FACT_OP), min_size=3, max_size=14)
 _CUTS = st.sets(st.integers(1, 13), max_size=3)
 
 
+# hot-FK variant (r14 skew hardening): most facts point at dim 0 and the
+# dim churn concentrates on ids 0..1, so the c2 leg repeatedly moves the
+# whole fact population through ONE dimension key — the skewed-shuffle
+# shape the broadcast delta joins must keep exact
+_HOT_FACT_OP = st.tuples(
+    st.just("f"),
+    st.integers(0, N_FACT - 1),
+    st.sampled_from([0, 0, 0, 0, 1]),
+    st.sampled_from(["I", "U", "D"]),
+)
+_HOT_DIM_OP = st.tuples(
+    st.just("d"),
+    st.integers(0, 1),
+    st.integers(0, N_GRP - 1),
+    st.sampled_from(["I", "U", "D"]),
+)
+_HOT_SCHEDULE = st.lists(
+    st.one_of(_HOT_DIM_OP, _HOT_FACT_OP), min_size=3, max_size=14
+)
+
+
 @settings(
     max_examples=8,
     deadline=None,
@@ -47,6 +68,21 @@ _CUTS = st.sets(st.integers(1, 13), max_size=3)
 def test_maintained_sums_equal_one_shot_recompute(
     spark, tmp_path_factory, ops, cuts
 ):
+    _run_schedule(spark, tmp_path_factory, ops, cuts)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_HOT_SCHEDULE, cuts=_CUTS)
+def test_hot_fk_schedules_stay_exact(spark, tmp_path_factory, ops, cuts):
+    _run_schedule(spark, tmp_path_factory, ops, cuts)
+
+
+def _run_schedule(spark, tmp_path_factory, ops, cuts):
     state = str(tmp_path_factory.mktemp("jivm_fuzz") / "state")
 
     # deterministic amounts keyed off the op index so same-fid rewrites
@@ -101,7 +137,9 @@ def test_maintained_sums_equal_one_shot_recompute(
             F.col("b").cast("int").alias("amount"),
             "op", "lsn",
         )
-        apply_batch(spark, state, bid, d_batch, f_batch)
+        # tight compaction cap so the fuzz also interleaves base folds,
+        # manifest commits, and partial sweeps with arbitrary schedules
+        apply_batch(spark, state, bid, d_batch, f_batch, max_live_partials=2)
         bid += 1
 
     got = sorted(

@@ -428,6 +428,12 @@ BROADCAST_HINT_SITES = {
     "plans/relational4.py": {"T", "bad", "mx", "p", "s", "top", "total"},
     "plans/scale_patterns.py": {"buckets"},                  # (d) sampled bucket list
     "plans/streaming_gate.py": {"nation"},                   # (b) 25-row dim
+    # (c)-style batch-bounded probe/delta sides of the join-IVM delta rule:
+    # every one is <= 2|micro-batch| rows by construction (maxRecordsPerBatch
+    # caps the batch; the deltas/keys derive from the batch, never the
+    # corpus). Broadcasting them is ALSO the skew fix — a hot FK value then
+    # never induces a skewed shuffle because the big side isn't exchanged.
+    "streaming/join_ivm.py": {"keys", "dids", "dsub", "dkeys", "dd"},
 }
 
 

@@ -1,0 +1,192 @@
+"""Join-IVM state-lifecycle soak: a MEASURED stream-AGE curve for the
+rewritten ``streaming/join_ivm.py`` (r14).
+
+The r13 verdict's #1 finding: the first join-IVM state layer wrote a FULL
+dim/fact/sums snapshot per batch id, never garbage-collected old versions
+(O(batches x |state|) disk — ~525k full fact copies per year at a
+one-minute trigger), and full-outer-joined ENTIRE old state against
+ENTIRE new state every micro-batch (O(|state|) compute per trigger).
+The r14 rewrite backs the key states with epoch stores (per-batch write =
+the batch's collapsed rows only, ``maybe_compact`` folds old epochs
+behind a manifest-committed base), derives deltas from batch-keyed
+broadcast probes, and sweeps sums versions behind the previous
+generation. This soak drives 120 micro-batches — 12x the deterministic
+gate's stream age — and reports, at checkpoints along the stream's life:
+
+- disk objects (version dirs, live epoch partitions, parquet files) —
+  must stay BOUNDED, not grow with batch count;
+- per-batch apply latency (median of the trailing window) — must stay
+  FLAT, not grow with state/stream age;
+- and verifies the maintained sums EQUAL a driver-side one-shot
+  recompute of the join aggregate at every checkpoint (maintenance and
+  retention must be invisible to answers — the registry convention).
+
+Batches are deterministic (epoch-seeded arithmetic), mixing dim
+inserts/regroups/deletes with fact inserts/updates/deletes so both
+delta-rule legs and the tombstone paths stay hot.
+
+Usage: python tools/join_ivm_lifecycle_soak.py  (JSON to stdout; paste
+the table into BASELINE.md's lifecycle section)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+N_EPOCHS = 120
+CHECKPOINTS = (10, 30, 60, 120)
+N_DIM = 12
+N_FACT = 60
+N_GRP = 4
+CAP = 8  # max_live_partials (the maybe_compact default)
+
+ROW_DDL = "tab string, k long, a long, b long, op string, lsn long"
+
+
+def _batch_rows(ep: int, lsn0: int) -> list:
+    """Deterministic mixed-op batch for epoch ``ep``: 2 dim ops + 8 fact
+    ops, cycling keys so updates/deletes hit existing rows."""
+    rows = []
+    lsn = lsn0
+    for j in range(2):
+        did = (ep * 2 + j) % N_DIM
+        r = (ep + j) % 5
+        if r == 4 and ep > 3:
+            rows.append(("d", did, None, None, "D", lsn))
+        else:
+            rows.append(("d", did, (ep + did + j) % N_GRP, None,
+                         "U" if ep > 0 else "I", lsn))
+        lsn += 1
+    for j in range(8):
+        fid = (ep * 8 + j * 3) % N_FACT
+        r = (ep + j) % 6
+        if r == 5 and ep > 3:
+            rows.append(("f", fid, None, None, "D", lsn))
+        else:
+            did = (fid + ep) % N_DIM
+            amount = (fid * 7 + ep * 3) % 50
+            rows.append(("f", fid, did, amount,
+                         "U" if ep > 0 else "I", lsn))
+        lsn += 1
+    return rows
+
+
+def _model_apply(dims: dict, facts: dict, rows: list) -> None:
+    for tab, k, a, b, op, _lsn in rows:
+        if tab == "d":
+            if op == "D":
+                dims.pop(k, None)
+            else:
+                dims[k] = a
+        else:
+            if op == "D":
+                facts.pop(k, None)
+            else:
+                facts[k] = (a, b)
+
+
+def _model_sums(dims: dict, facts: dict) -> list:
+    agg: dict[int, list[int]] = {}
+    for did, amount in facts.values():
+        if did in dims:
+            g = dims[did]
+            agg.setdefault(g, [0, 0])
+            agg[g][0] += 1
+            agg[g][1] += amount
+    return sorted((g, n, t) for g, (n, t) in agg.items() if n)
+
+
+def _disk(state: str) -> dict:
+    """Bounded-lifecycle metrics: versioned dirs, live epoch partitions,
+    parquet file count across the whole state tree."""
+    version_dirs = sum(
+        1 for n in os.listdir(state) if "_v" in n and not n.endswith("_kv")
+    )
+    partitions = 0
+    for store in ("dim_kv", "fact_kv", "fact_by_did"):
+        p = os.path.join(state, store)
+        if os.path.isdir(p):
+            partitions += sum(
+                1 for n in os.listdir(p) if n.startswith("ingest_epoch=")
+            )
+    files = 0
+    for root, _dirs, names in os.walk(state):
+        files += sum(1 for n in names if n.endswith(".parquet"))
+    return {
+        "version_dirs": version_dirs,
+        "epoch_partitions": partitions,
+        "parquet_files": files,
+    }
+
+
+def main() -> int:
+    from postgresql_cdc_spark.session import get_spark
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        apply_batch,
+        latest_sums,
+    )
+
+    spark = get_spark("join-ivm-lifecycle-soak")
+    base = tempfile.mkdtemp(prefix=f"jivm_soak_{uuid.uuid4().hex[:8]}_")
+    state = os.path.join(base, "state")
+    os.makedirs(state)
+
+    dims: dict = {}
+    facts: dict = {}
+    out: dict = {}
+    window: list[float] = []
+    t_start = time.monotonic()
+    try:
+        for ep in range(N_EPOCHS):
+            rows = _batch_rows(ep, lsn0=1000 + ep * 16)
+            _model_apply(dims, facts, rows)
+            batch = spark.createDataFrame(rows, ROW_DDL)
+            d_batch = batch.where(F.col("tab") == "d").select(
+                F.col("k").alias("id"), F.col("a").cast("int").alias("grp"),
+                "op", "lsn",
+            )
+            f_batch = batch.where(F.col("tab") == "f").select(
+                F.col("k").alias("fid"), F.col("a").alias("did"),
+                F.col("b").cast("int").alias("amount"), "op", "lsn",
+            )
+            t0 = time.monotonic()
+            apply_batch(
+                spark, state, ep, d_batch, f_batch, max_live_partials=CAP
+            )
+            window.append(time.monotonic() - t0)
+            if ep + 1 in CHECKPOINTS:
+                got = sorted(
+                    (r.grp, r.n_rows, r.total)
+                    for r in latest_sums(spark, state).collect()
+                )
+                want = _model_sums(dims, facts)
+                assert got == want, (ep, got, want)
+                tail = sorted(window[-10:])
+                out[ep + 1] = {
+                    **_disk(state),
+                    "batch_s_median_last10": round(tail[len(tail) // 2], 3),
+                    "answers_match_recompute": True,
+                }
+        out["total_wall_s"] = round(time.monotonic() - t_start, 1)
+        out["config"] = {
+            "n_epochs": N_EPOCHS, "n_dim": N_DIM, "n_fact": N_FACT,
+            "max_live_partials": CAP,
+        }
+        print(json.dumps({"join_ivm_lifecycle_soak": out}, indent=2))
+        return 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
