@@ -38,6 +38,7 @@ from postgresql_cdc_spark.plans import extensions20  # noqa: E402,F401
 from postgresql_cdc_spark.plans import extensions21  # noqa: E402,F401
 from postgresql_cdc_spark.plans import extensions22  # noqa: E402,F401
 from postgresql_cdc_spark.plans import extensions23  # noqa: E402,F401
+from postgresql_cdc_spark.plans import extensions24  # noqa: E402,F401
 from postgresql_cdc_spark.plans import cdc  # noqa: E402,F401
 from postgresql_cdc_spark.plans import streaming_gate  # noqa: E402,F401
 from postgresql_cdc_spark.plans import sources_io  # noqa: E402,F401
