@@ -188,5 +188,119 @@ def main() -> int:
         shutil.rmtree(base, ignore_errors=True)
 
 
+
+# --- 10x-STATE comparison mode (--scale-compare) -----------------------------
+# Pins the O(|batch|) claim with a measured curve the way the sf1 soaks pin
+# data-scale claims: seed the store with N fact rows (one bulk batch), then
+# drive 60 SMALL batches (2 dim + 8 fact ops) and report the median per-batch
+# apply time. Run at N and 10N: if per-batch cost were O(|state|) (the old
+# layout's full-state rewrite + full-outer diff), the 10N column would be
+# ~10x; the delta-backed layout should hold ~flat, paying only the bounded
+# base-fold scan.
+
+def _scale_run(spark, n_fact: int, n_small: int = 60) -> dict:
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        apply_batch,
+        latest_sums,
+    )
+
+    n_dim = max(12, n_fact // 10)
+    base = _tf.mkdtemp(prefix=f"jivm_scale_{uuid.uuid4().hex[:8]}_")
+    state = os.path.join(base, "state")
+    os.makedirs(state)
+    dims: dict = {}
+    facts: dict = {}
+    try:
+        # epoch 0: bulk seed — N facts + N/10 dims in one batch
+        seed = (
+            [("d", i, i % N_GRP, None, "I", 10 + i) for i in range(n_dim)]
+            + [("f", i, i % n_dim, (i * 7) % 50, "I", 10 + n_dim + i)
+               for i in range(n_fact)]
+        )
+        _model_apply(dims, facts, seed)
+        sdf = spark.createDataFrame(seed, ROW_DDL)
+        apply_batch(
+            spark, state, 0,
+            sdf.where(F.col("tab") == "d").select(
+                F.col("k").alias("id"), F.col("a").cast("int").alias("grp"),
+                "op", "lsn"),
+            sdf.where(F.col("tab") == "f").select(
+                F.col("k").alias("fid"), F.col("a").alias("did"),
+                F.col("b").cast("int").alias("amount"), "op", "lsn"),
+            max_live_partials=CAP,
+        )
+        # then n_small SMALL batches of fixed size against the big state
+        lsn0 = 10 + n_dim + n_fact
+        times = []
+        for ep in range(1, n_small + 1):
+            rows = []
+            lsn = lsn0 + ep * 16
+            for j in range(2):
+                did = (ep * 7 + j) % n_dim
+                rows.append(("d", did, (ep + did) % N_GRP, None, "U", lsn))
+                lsn += 1
+            for j in range(8):
+                fid = (ep * 13 + j * 5) % n_fact
+                if (ep + j) % 6 == 5:
+                    rows.append(("f", fid, None, None, "D", lsn))
+                else:
+                    rows.append(("f", fid, (fid + ep) % n_dim,
+                                 (fid * 7 + ep * 3) % 50, "U", lsn))
+                lsn += 1
+            _model_apply(dims, facts, rows)
+            bdf = spark.createDataFrame(rows, ROW_DDL)
+            t0 = time.monotonic()
+            apply_batch(
+                spark, state, ep,
+                bdf.where(F.col("tab") == "d").select(
+                    F.col("k").alias("id"),
+                    F.col("a").cast("int").alias("grp"), "op", "lsn"),
+                bdf.where(F.col("tab") == "f").select(
+                    F.col("k").alias("fid"), F.col("a").alias("did"),
+                    F.col("b").cast("int").alias("amount"), "op", "lsn"),
+                max_live_partials=CAP,
+            )
+            times.append(time.monotonic() - t0)
+        got = sorted(
+            (r.grp, r.n_rows, r.total)
+            for r in latest_sums(spark, state).collect()
+        )
+        want = _model_sums(dims, facts)
+        assert got == want, (n_fact, got[:5], want[:5])
+        mid = sorted(times)
+        return {
+            "state_fact_rows": n_fact,
+            "n_small_batches": n_small,
+            "batch_s_median": round(mid[len(mid) // 2], 3),
+            "batch_s_p90": round(mid[int(len(mid) * 0.9)], 3),
+            "answers_match_recompute": True,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def scale_compare() -> int:
+    from postgresql_cdc_spark.session import get_spark
+
+    spark = get_spark("join-ivm-scale-compare")
+    out = {}
+    for n in (5_000, 50_000):
+        print(f"  seeding {n} fact rows + 60 small batches ...",
+              file=sys.stderr, flush=True)
+        out[n] = _scale_run(spark, n)
+    small, big = out[5_000], out[50_000]
+    out["median_ratio_10x_state"] = round(
+        big["batch_s_median"] / small["batch_s_median"], 2
+    )
+    print(json.dumps({"join_ivm_scale_compare": out}, indent=2))
+    return 0
+
+
 if __name__ == "__main__":
+    if "--scale-compare" in sys.argv:
+        raise SystemExit(scale_compare())
     raise SystemExit(main())
