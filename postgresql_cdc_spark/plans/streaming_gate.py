@@ -2193,8 +2193,9 @@ def _ivm_join_frames() -> list:
         "BOTH tables receiving inserts, updates, and deletes interleaved "
         "in ONE WAL stream (mixed transactions, micro-batched at "
         "maxRecordsPerBatch=25 so txn chunks split across batches). Each "
-        "foreachBatch merges both key states (latest-wins), snapshot-"
-        "diffs each into SIGNED row deltas, and applies "
+        "foreachBatch ingests both tables' rows into epoch-store key "
+        "states and derives SIGNED row deltas from batch-keyed broadcast "
+        "probes of prior state, then applies "
         "delta(F JOIN D) = dF JOIN D_old UNION F_new JOIN dD — never "
         "recomputing from history: a dim regroup moves every joined "
         "fact's contribution between groups via dD alone; a dim delete "

@@ -111,19 +111,30 @@ def _store_filter(upto: int):
     return (F.col(EPOCH_COL) == F.lit(-upto)) | (F.col(EPOCH_COL) >= F.lit(upto))
 
 
-def read_epoch_store(spark: SparkSession, path: str) -> DataFrame:
+def _store_reader(spark: SparkSession, schema: Optional[str]):
+    """Parquet reader for an epoch store, optionally with an EXPLICIT row
+    schema (plus the partition column): a store whose table saw only empty
+    batches has no files to infer from and must read as empty, not raise."""
+    if schema is None:
+        return spark.read
+    return spark.read.schema(f"{schema}, {EPOCH_COL} int")
+
+
+def read_epoch_store(
+    spark: SparkSession, path: str, schema: Optional[str] = None
+) -> DataFrame:
     """Every live row of a (possibly compacted) epoch store — the base fold
     plus all surviving partials — without the epoch column. The serve-path
     twin of ``epoch_io.epochs_before``; crash leftovers are invisible."""
     return (
-        spark.read.parquet(path)
+        _store_reader(spark, schema).parquet(path)
         .where(_store_filter(base_upto(path)))
         .drop(EPOCH_COL)
     )
 
 
 def epochs_before_compacted(
-    spark: SparkSession, path: str, epoch: int
+    spark: SparkSession, path: str, epoch: int, schema: Optional[str] = None
 ) -> DataFrame:
     """The strictly-earlier-epoch probe over a compacted store: base fold +
     partials in ``[base_upto, epoch)``. Raises when ``epoch < base_upto`` —
@@ -143,7 +154,7 @@ def epochs_before_compacted(
     # epoch 0 return epoch 0's own rows (found by the lifecycle fuzz)
     if upto > 0:
         cond = (F.col(EPOCH_COL) == F.lit(-upto)) | cond
-    return spark.read.parquet(path).where(cond).drop(EPOCH_COL)
+    return _store_reader(spark, schema).parquet(path).where(cond).drop(EPOCH_COL)
 
 
 def consistent_epoch_read(
@@ -238,11 +249,16 @@ def _fsync_fd(fd: int) -> None:
 def _fsync_dir(path: str) -> None:
     """fsync a DIRECTORY so a rename/unlink inside it survives power loss.
     Capability refusal tolerated; real write failures re-raise (see
-    ``_FSYNC_CAPABILITY_ERRNOS``)."""
+    ``_FSYNC_CAPABILITY_ERRNOS``). The open itself gets the same
+    discrimination: only a GONE directory (ENOENT/ENOTDIR — nothing of
+    ours left to make durable) is tolerable; an EIO at open is the same
+    lost-writeback signal as an EIO at fsync."""
     try:
         fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
-    except OSError:
-        return  # dir gone / not openable: nothing of ours to make durable
+    except OSError as exc:
+        if exc.errno in (errno.ENOENT, errno.ENOTDIR):
+            return
+        raise
     try:
         _fsync_fd(fd)
     finally:
@@ -261,8 +277,13 @@ def _fsync_tree(path: str) -> None:
         for name in files:
             try:
                 fd = os.open(os.path.join(root, name), os.O_RDONLY)
-            except OSError:
-                continue  # vanished mid-walk: not part of the fold
+            except OSError as exc:
+                if exc.errno == errno.ENOENT:
+                    continue  # vanished mid-walk: not part of the fold
+                # EIO/EACCES on a file that EXISTS is a durability failure
+                # for fold data the sweep is about to orphan — abort before
+                # the commit point, same as an fsync failure (r14 review)
+                raise
             try:
                 _fsync_fd(fd)
             finally:

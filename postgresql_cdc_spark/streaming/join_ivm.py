@@ -46,9 +46,11 @@ Per-batch dataflow (all O(|batch|) shuffle/compute):
    must stay live so the replay's overwrite replaces it wholesale).
 2. Collapse the batch latest-wins per key, write it as the stores' epoch.
 3. Diff ONLY the batch's keys: probe prior state with a broadcast
-   left-semi join on the batch's distinct keys, latest-wins-resolve the
-   O(|batch|) surviving history, and signed-diff old vs new sub-state —
-   never a full-outer join of full old state against full new state.
+   left-semi join on the batch's distinct keys, then extract each key's
+   old and new image in ONE ``max_by`` aggregation and derive the
+   retract/assert pair from the image pair — one store scan, one key
+   shuffle, no window sorts, no join; never a full-outer of full old
+   state against full new state.
 4. ``dF JOIN D_old``: probe ``dim_kv`` with the fact delta's distinct FK
    values (broadcast, batch-bounded) and join the fact delta against the
    resolved O(|batch|) dim rows — broadcast, so a hot dimension key never
@@ -90,13 +92,15 @@ from pyspark.sql.window import Window
 
 from postgresql_cdc_spark.streaming.epoch_io import EPOCH_COL, epoch_overwrite
 from postgresql_cdc_spark.streaming.epoch_maintenance import (
-    base_upto,
+    epochs_before_compacted,
     maybe_compact,
+    read_epoch_store,
 )
 
 DIM_DDL = "id long, grp int, op string, lsn long"
 FACT_DDL = "fid long, did long, amount int, op string, lsn long"
 ARR_DDL = "fid long, did long, amount int, sign int"
+DIM_DELTA_DDL = "sign int, id long, grp int"
 SUMS_DDL = "grp int, dn long, dq long"
 
 
@@ -241,28 +245,16 @@ def _history(
     spark: SparkSession, store: str, ddl: str, before: Optional[int]
 ) -> DataFrame:
     """Rows of the store's live epochs strictly before ``before`` (all live
-    epochs when None): the manifest-aware base fold plus surviving partials,
-    read with an EXPLICIT schema — a store whose table saw only empty
-    batches has no files to infer from, and must read as empty, not raise."""
+    epochs when None), read with an explicit schema: delegates to the
+    manifest-aware ``epoch_maintenance`` readers so the horizon filter —
+    including the subtle negative-zero base-alias guard the lifecycle fuzz
+    found — lives in exactly one place. Only the missing-store guard is
+    local (a table whose first batches were empty has no directory yet)."""
     if not os.path.isdir(store):
         return spark.createDataFrame([], ddl)
-    upto = base_upto(store)
-    if before is not None and int(before) < upto:
-        raise ValueError(
-            f"epoch {before} predates the compacted base horizon {upto}: "
-            "the strictly-earlier state no longer exists"
-        )
-    full = f"{ddl}, {EPOCH_COL} int"
-    df = spark.read.schema(full).parquet(store)
-    cond = F.col(EPOCH_COL) >= F.lit(upto)
-    if before is not None:
-        cond = cond & (F.col(EPOCH_COL) < int(before))
-    # the base arm only exists once a base has been committed: at horizon 0
-    # the literal == -0 would alias LIVE epoch 0 (the epoch_maintenance
-    # lifecycle-fuzz finding, honored here too)
-    if upto > 0:
-        cond = (F.col(EPOCH_COL) == F.lit(-upto)) | cond
-    return df.where(cond).drop(EPOCH_COL)
+    if before is None:
+        return read_epoch_store(spark, store, schema=ddl)
+    return epochs_before_compacted(spark, store, int(before), schema=ddl)
 
 
 def _read_epoch(
@@ -322,11 +314,18 @@ def ingest_and_delta(
     max_live_partials: int = 8,
 ) -> DataFrame:
     """Write the batch into the kv store and return its SIGNED row deltas
-    vs prior state — O(|batch|): prior state is probed with a broadcast
-    left-semi join on the batch's distinct keys (batch-bounded, never a
-    full-state scan shuffle), and the old-vs-new diff runs over the
-    O(|batch|) surviving rows only. Deterministic given the committed
-    prefix, so a replay regenerates identical deltas."""
+    ``(sign, key, *payload)`` vs prior state — O(|batch|): prior state is
+    probed with a broadcast left-semi join on the batch's distinct keys
+    (batch-bounded, never a full-state scan shuffle), and the old-vs-new
+    diff is ONE aggregation over the O(|batch|) surviving rows — per key,
+    ``max_by`` extracts the overall latest image (the new state) and the
+    latest HISTORY-only image (the old state; ``max_by`` ignores rows
+    whose ordering expression is NULL, so batch rows drop out), then the
+    retract/assert pair derives from the two images directly. One store
+    scan, one key shuffle, no window sorts, no full-outer join (the r14
+    review's shape fix). Deterministic given the committed prefix, so a
+    replay regenerates identical deltas; same (lsn desc, op desc) winner
+    as the store's resolve — ``max`` of the ascending (lsn, op) struct."""
     epoch = int(epoch)
     ingest_kv_batch(spark, store, key, epoch, batch, max_live_partials)
     written = _read_epoch(spark, store, ddl, epoch)
@@ -334,47 +333,46 @@ def ingest_and_delta(
     hist = _history(spark, store, ddl, epoch).join(
         F.broadcast(keys), key, "left_semi"
     )
-    old_live = _resolve(hist, key).select(key, *payload)
-    new_live = _resolve(hist.unionByName(written), key).select(key, *payload)
-    return signed_diff(old_live, new_live, key, payload)
-
-
-def signed_diff(
-    old: DataFrame, new: DataFrame, key: str, payload: list[str]
-) -> DataFrame:
-    """Signed row deltas old -> new: (-1, old payload) for vanished or
-    changed keys, (+1, new payload) for appeared or changed keys —
-    null-safe on every payload column (the cdc_snapshot_diff convention).
-    Inputs here are batch-keyed sub-states, so the full-outer join is
-    O(|batch|) by construction."""
-    o = old.select(
-        F.col(key).alias("__ok"),
-        *[F.col(c).alias(f"__o_{c}") for c in payload],
+    img = F.struct(*[F.col(c) for c in payload], F.col("op"))
+    ordk = F.struct(F.col("lsn"), F.col("op"))
+    hist_only = F.col("__b") == 0
+    per_key = (
+        hist.withColumn("__b", F.lit(0))
+        .unionByName(written.withColumn("__b", F.lit(1)))
+        .groupBy(key)
+        .agg(
+            F.max_by(img, ordk).alias("__new"),
+            F.max_by(F.when(hist_only, img), F.when(hist_only, ordk))
+            .alias("__old"),
+        )
     )
-    n = new.select(key, *payload)
-    j = o.join(n, o.__ok == F.col(key), "full_outer")
-    changed = F.col(key).isNotNull() & F.col("__ok").isNotNull() & (
-        ~F.struct(*payload).eqNullSafe(
-            F.struct(*[F.col(f"__o_{c}").alias(c) for c in payload])
+    old_live = F.col("__old").isNotNull() & (F.col("__old.op") != "D")
+    new_live = F.col("__new.op") != "D"
+    # null-safe payload comparison (the cdc_snapshot_diff convention): a
+    # value -> NULL transition must fire retract + assert, not evaluate to
+    # NULL and silently drop both deltas
+    changed = old_live & new_live & ~(
+        F.struct(*[F.col(f"__old.{c}").alias(c) for c in payload]).eqNullSafe(
+            F.struct(*[F.col(f"__new.{c}").alias(c) for c in payload])
         )
     )
     minus = F.when(
-        F.col("__ok").isNotNull() & (F.col(key).isNull() | changed),
+        old_live & (~new_live | changed),
         F.struct(
             F.lit(-1).alias("sign"),
-            F.col("__ok").alias(key),
-            *[F.col(f"__o_{c}").alias(c) for c in payload],
+            F.col(key).alias(key),
+            *[F.col(f"__old.{c}").alias(c) for c in payload],
         ),
     )
     plus = F.when(
-        F.col(key).isNotNull() & (F.col("__ok").isNull() | changed),
+        new_live & (~old_live | changed),
         F.struct(
             F.lit(1).alias("sign"),
             F.col(key).alias(key),
-            *[F.col(c).alias(c) for c in payload],
+            *[F.col(f"__new.{c}").alias(c) for c in payload],
         ),
     )
-    return j.select(
+    return per_key.select(
         F.explode(F.array_compact(F.array(minus, plus))).alias("d")
     ).select("d.*")
 
@@ -424,9 +422,22 @@ def apply_batch(
     )
     f_delta_w = _read_epoch(spark, arr_store, ARR_DDL, bid)
 
+    # materialize the dim delta the same way: join_deltas consumes it
+    # twice (dkeys + the broadcast join side), and without this the whole
+    # dim-diff subtree would execute twice per batch (r14 review). The
+    # write is deterministic per batch id, so a replay overwrites it; only
+    # the current batch ever reads it, so everything older sweeps now.
+    d_delta.write.mode("overwrite").parquet(
+        version_dir(base, "dim_delta", bid)
+    )
+    d_delta_w = spark.read.schema(DIM_DELTA_DDL).parquet(
+        version_dir(base, "dim_delta", bid)
+    )
+    sweep_versions(base, "dim_delta", keep_from=bid)
+
     fold_versioned(
         spark, base, "sums", SUMS_DDL, ["grp"], bid,
-        join_deltas(spark, base, bid, d_delta, f_delta_w),
+        join_deltas(spark, base, bid, d_delta_w, f_delta_w),
         drop_when_zero="dn",
     )
 

@@ -309,12 +309,11 @@ class TestJoinIvmReplay:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan, plan[:2000]
-        # the only sort-merge joins allowed are signed_diff's FULL OUTER
-        # old-vs-new diffs — batch-bounded on both sides by construction
-        # (Spark cannot broadcast a full outer); the FK joins themselves
-        # must never sort-merge, or a hot key becomes a skewed shuffle
-        smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
-        assert all("FullOuter" in ln for ln in smj), smj
+        # no sort-merge join anywhere: the FK joins broadcast their
+        # batch-bounded sides (a hot key must never become a skewed
+        # shuffle) and since the r14 max_by diff rewrite the delta
+        # derivation has no join at all
+        assert "SortMergeJoin" not in plan, plan[:2000]
 
     def test_double_application_converges(self, spark, tmp_path):
         """Applying the same batch twice (at-least-once) yields the same

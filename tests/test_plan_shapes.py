@@ -412,6 +412,7 @@ BROADCAST_HINT_SITES = {
     "plans/extensions22.py": {"cents", "dfs", "folded", "probes", "qv",
                               "st", "vocab"},                # vocab/st/dfs/folded: one-row aggs
     "plans/extensions23.py": {"cents", "nq", "probes"},
+    "plans/extensions24.py": {"mx", "scan"},                 # (a) one-row aggs
     "plans/extensions3.py": {"nq", "probes"},
     "plans/extensions5.py": {"cust", "n", "q", "supp"},
     "plans/extensions6.py": {"cb", "cust", "e0", "n", "n_found", "n_hit",

@@ -31,7 +31,11 @@ class TestQuantizerRefresh:
         assert g2.probe_scan_rows <= g1.probe_scan_rows, (g1, g2)
 
         # the swap swept generation 1: exactly one quant_v dir remains
-        bases = glob.glob("/tmp/pgcdc_qref_*")
+        # (the gate mkdtemps under the honoring-TMPDIR temp root)
+        import tempfile
+
+        bases = glob.glob(os.path.join(tempfile.gettempdir(), "pgcdc_qref_*"))
+        assert bases, "gate left no state dir under the temp root"
         newest = max(bases, key=os.path.getmtime)
         quants = sorted(
             n for n in os.listdir(newest) if n.startswith("quant_v")
