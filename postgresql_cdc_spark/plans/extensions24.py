@@ -64,6 +64,13 @@ _NPROBE = 4
 _DIM = 8
 _QMOD = 40  # query sample: vec_id % 40 == 0
 
+# The gate's most recent state dir in THIS process, for tests that inspect
+# the on-disk layout (sweep assertions): globbing the shared temp root
+# can pick up stale dirs from earlier failed or concurrent runs (r15
+# advice). The previous run's dir is removed before a new one is created,
+# so per-process temp usage stays bounded at one live state dir.
+LAST_STATE_DIR: str | None = None
+
 
 # --- the deterministic drifting corpus (both engines) ------------------------
 
@@ -263,8 +270,14 @@ def cdc_stream_ivf_quantizer_refresh(
         version_dir,
     )
 
+    global LAST_STATE_DIR
     corpus = _syn_corpus(spark, sf_dir)
+    # bound temp growth: the previous run's state (if any) is dead once a
+    # new run starts — its returned DataFrame has been collected by then
+    if LAST_STATE_DIR is not None:
+        shutil.rmtree(LAST_STATE_DIR, ignore_errors=True)
     base = tempfile.mkdtemp(prefix=f"pgcdc_qref_{uuid.uuid4().hex[:12]}_")
+    LAST_STATE_DIR = base
     indir = os.path.join(base, "in")
     os.makedirs(indir)
     t0 = 1_600_000_000

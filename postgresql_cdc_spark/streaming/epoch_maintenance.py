@@ -236,6 +236,21 @@ _FSYNC_CAPABILITY_ERRNOS = frozenset(
     if e is not None
 )
 
+# open() refusals the fsync walk may tolerate: PERMISSION conditions, not
+# lost writeback. On ACL-restricted or FUSE mounts the driver may be unable
+# to re-open executor-written parquet files read-only; aborting there would
+# crash-loop every compaction with no data actually at risk — durability
+# then narrows to what the mount grants, the same contract as a capability
+# fsync refusal. EIO at open stays fatal: it is the kernel reporting lost
+# dirty pages for data the sweep is about to orphan (r15 advice).
+_OPEN_PERMISSION_ERRNOS = frozenset(
+    e for e in (
+        getattr(errno, "EACCES", None),
+        getattr(errno, "EPERM", None),
+    )
+    if e is not None
+)
+
 
 def _fsync_fd(fd: int) -> None:
     """fsync with the capability/write-failure discrimination above."""
@@ -250,13 +265,16 @@ def _fsync_dir(path: str) -> None:
     """fsync a DIRECTORY so a rename/unlink inside it survives power loss.
     Capability refusal tolerated; real write failures re-raise (see
     ``_FSYNC_CAPABILITY_ERRNOS``). The open itself gets the same
-    discrimination: only a GONE directory (ENOENT/ENOTDIR — nothing of
-    ours left to make durable) is tolerable; an EIO at open is the same
-    lost-writeback signal as an EIO at fsync."""
+    discrimination: a GONE directory (ENOENT/ENOTDIR — nothing of ours
+    left to make durable) and a permission refusal (EACCES/EPERM — a
+    capability condition, not lost writeback) are tolerable; an EIO at
+    open is the same lost-writeback signal as an EIO at fsync."""
     try:
         fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
     except OSError as exc:
         if exc.errno in (errno.ENOENT, errno.ENOTDIR):
+            return
+        if exc.errno in _OPEN_PERMISSION_ERRNOS:
             return
         raise
     try:
@@ -280,8 +298,10 @@ def _fsync_tree(path: str) -> None:
             except OSError as exc:
                 if exc.errno == errno.ENOENT:
                     continue  # vanished mid-walk: not part of the fold
-                # EIO/EACCES on a file that EXISTS is a durability failure
-                # for fold data the sweep is about to orphan — abort before
+                if exc.errno in _OPEN_PERMISSION_ERRNOS:
+                    continue  # can't re-open, nothing lost (r15 advice)
+                # EIO on a file that EXISTS is a durability failure for
+                # fold data the sweep is about to orphan — abort before
                 # the commit point, same as an fsync failure (r14 review)
                 raise
             try:

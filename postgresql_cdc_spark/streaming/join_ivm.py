@@ -174,9 +174,27 @@ def fold_versioned(
     sweep versions behind the previous generation. Per-batch cost is
     |groups| + |delta| rows — the table is bounded by the group domain, so
     full-version rewrite is the cheap, simple choice here (the KEY state is
-    where O(|state|) rewrites hurt; that lives in the epoch stores)."""
+    where O(|state|) rewrites hurt; that lives in the epoch stores).
+
+    Raises when the retention floor was swept PAST the replayed batch —
+    ``prev_version`` finds nothing below ``epoch`` while committed versions
+    at or above it exist (a version AT ``epoch`` alone is the normal crashed
+    attempt a replay overwrites; STRICTLY NEWER versions mean later batches
+    committed and swept, so the replay's prior state is gone). Restarting
+    the aggregate from empty there would be silent corruption; the kv path
+    already raises loudly on the analogous misuse
+    (``epochs_before_compacted``'s below-base ValueError — r15 advice)."""
     epoch = int(epoch)
     pv = prev_version(base, prefix, epoch)
+    if pv is None:
+        newest = prev_version(base, prefix, None)
+        if newest is not None and newest > epoch:
+            raise ValueError(
+                f"versioned table {prefix!r} at {base!r}: batch {epoch} "
+                f"replayed after the retention sweep passed it (newest "
+                f"committed version {newest}); its previous generation no "
+                "longer exists — a committed micro-batch must never re-run"
+            )
     if pv is not None:
         prev = spark.read.schema(ddl).parquet(version_dir(base, prefix, pv))
         deltas = prev.unionByName(deltas)

@@ -569,3 +569,52 @@ class TestFsyncFailureDiscrimination:
             monkeypatch.setattr(os, "fsync", real_fsync)
         assert stats["base_upto_after"] == 3 and base_upto(p) == 3
         assert _store(spark, p) == before
+
+    def test_eacces_at_open_is_tolerated(self, spark, tmp_path, monkeypatch):
+        """r15 advice: EACCES at os.open signals a permission/capability
+        condition (ACL-restricted or FUSE mounts where the driver cannot
+        re-open executor-written files), NOT lost writeback — compaction
+        must proceed (durability narrows to what the mount grants) instead
+        of crash-looping with no data at risk."""
+        import errno
+
+        p = str(tmp_path / "store")
+        _seed(spark, p, 4)
+        before = _store(spark, p)
+        real_open = os.open
+
+        def denying_open(path, flags, *a, **kw):
+            raise OSError(errno.EACCES, "mount denies re-open")
+
+        monkeypatch.setattr(os, "open", denying_open)
+        try:
+            stats = compact_epochs(spark, p, upto=3)
+        finally:
+            monkeypatch.setattr(os, "open", real_open)
+        assert stats["base_upto_after"] == 3 and base_upto(p) == 3
+        assert _store(spark, p) == before
+
+    def test_eio_at_open_still_aborts(self, spark, tmp_path, monkeypatch):
+        """The discrimination's other arm: EIO at open IS the kernel
+        reporting lost pages for fold data the sweep would orphan — abort
+        before the commit point, exactly like an EIO at fsync."""
+        import errno
+
+        import pytest
+
+        p = str(tmp_path / "store")
+        _seed(spark, p, 4)
+        before = _store(spark, p)
+        real_open = os.open
+
+        def failing_open(path, flags, *a, **kw):
+            raise OSError(errno.EIO, "lost writeback at open")
+
+        monkeypatch.setattr(os, "open", failing_open)
+        try:
+            with pytest.raises(OSError):
+                compact_epochs(spark, p, upto=3)
+        finally:
+            monkeypatch.setattr(os, "open", real_open)
+        assert base_upto(p) == 0
+        assert _store(spark, p) == before

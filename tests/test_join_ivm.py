@@ -315,6 +315,60 @@ class TestJoinIvmReplay:
         # derivation has no join at all
         assert "SortMergeJoin" not in plan, plan[:2000]
 
+    def test_fold_versioned_raises_when_replay_predates_retention(
+        self, spark, tmp_path
+    ):
+        """r15 advice: a replay of a batch the retention sweep already
+        passed must raise LOUDLY (mirroring epochs_before_compacted's
+        below-base ValueError) instead of quietly restarting the aggregate
+        from empty — while a crashed attempt's own version AT the replayed
+        epoch stays the normal, overwritable case."""
+        import pytest
+
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            SUMS_DDL,
+            fold_versioned,
+            latest_sums,
+        )
+
+        base = str(tmp_path / "state")
+        os.makedirs(base)
+
+        def deltas(g, n, q):
+            return spark.createDataFrame([(g, n, q)], SUMS_DDL)
+
+        for ep in range(3):  # versions 0..2; sweep keeps {1, 2}
+            fold_versioned(
+                spark, base, "sums", SUMS_DDL, ["grp"], ep,
+                deltas(1, 1, 10), drop_when_zero="dn",
+            )
+        with pytest.raises(ValueError, match="retention sweep"):
+            fold_versioned(
+                spark, base, "sums", SUMS_DDL, ["grp"], 0,
+                deltas(1, 1, 10), drop_when_zero="dn",
+            )
+        # the legitimate replay window is untouched
+        fold_versioned(
+            spark, base, "sums", SUMS_DDL, ["grp"], 2,
+            deltas(1, 1, 10), drop_when_zero="dn",
+        )
+        got = [(r.grp, r.n_rows, r.total) for r in
+               latest_sums(spark, base).collect()]
+        assert got == [(1, 3, 30)], got
+
+        # fresh table whose FIRST batch crashed: its own orphan version at
+        # the replayed epoch must not trip the guard
+        base2 = str(tmp_path / "state2")
+        os.makedirs(base2)
+        deltas(2, 5, 50).write.parquet(os.path.join(base2, "sums_v0"))
+        fold_versioned(
+            spark, base2, "sums", SUMS_DDL, ["grp"], 0,
+            deltas(1, 1, 10), drop_when_zero="dn",
+        )
+        got2 = [(r.grp, r.n_rows, r.total) for r in
+                latest_sums(spark, base2).collect()]
+        assert got2 == [(1, 1, 10)], got2
+
     def test_double_application_converges(self, spark, tmp_path):
         """Applying the same batch twice (at-least-once) yields the same
         sums as applying it once."""

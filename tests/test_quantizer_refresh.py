@@ -7,7 +7,6 @@ quantizer generation."""
 
 from __future__ import annotations
 
-import glob
 import os
 
 
@@ -30,14 +29,15 @@ class TestQuantizerRefresh:
         # probing must not get more expensive after the swap
         assert g2.probe_scan_rows <= g1.probe_scan_rows, (g1, g2)
 
-        # the swap swept generation 1: exactly one quant_v dir remains
-        # (the gate mkdtemps under the honoring-TMPDIR temp root)
-        import tempfile
+        # the swap swept generation 1: exactly one quant_v dir remains.
+        # The gate records its state dir in LAST_STATE_DIR — globbing the
+        # shared temp root could match a stale dir from an earlier failed
+        # or concurrent run (r15 advice).
+        from postgresql_cdc_spark.plans import extensions24
 
-        bases = glob.glob(os.path.join(tempfile.gettempdir(), "pgcdc_qref_*"))
-        assert bases, "gate left no state dir under the temp root"
-        newest = max(bases, key=os.path.getmtime)
+        state = extensions24.LAST_STATE_DIR
+        assert state is not None and os.path.isdir(state), state
         quants = sorted(
-            n for n in os.listdir(newest) if n.startswith("quant_v")
+            n for n in os.listdir(state) if n.startswith("quant_v")
         )
         assert quants == ["quant_v2"], quants
