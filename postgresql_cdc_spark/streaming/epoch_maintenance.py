@@ -345,6 +345,8 @@ def compact_epochs(
     path: str,
     upto: int,
     merge: Optional[Callable[[DataFrame], DataFrame]] = None,
+    cluster_by: Optional[list[str]] = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Fold every epoch ``< upto`` (including the current base) into ONE
     base partition ``ingest_epoch = -upto``; returns ``{base_upto_before,
@@ -355,7 +357,21 @@ def compact_epochs(
     stores; the default keeps the rows verbatim (postings stores). A re-run
     after any crash converges: same-``upto`` re-runs overwrite the same
     base partition and finish the delete sweep; ``upto == base_upto`` is a
-    pure garbage-collection pass."""
+    pure garbage-collection pass.
+
+    ``cluster_by`` KEY-CLUSTERS the fold: the merged rows are range-
+    partitioned and sorted on the given columns before the base write
+    (``operators/layout.compact``'s re-clustering move applied to the base
+    fold), so every base file — and every row group inside it — carries a
+    tight min/max envelope on the store key and a per-batch key probe
+    (``join_ivm.ingest_and_delta``'s pushed key ranges) prunes its scan to
+    the files actually containing the batch's keys. Without it the fold
+    inherits the shuffle layout of ``merge``, where key min/max spans the
+    whole domain in every file and a probe must read the entire base.
+    File count is sized from the folded partitions' INPUT bytes against
+    ``target_file_bytes`` (the ``operators/layout`` sizing rule — no extra
+    count job; latest-wins folds shrink, so this slightly over-partitions,
+    which only tightens the envelopes)."""
     upto = int(upto)
     prev = base_upto(path)
     if upto < prev:
@@ -419,6 +435,18 @@ def compact_epochs(
         }
     if merge is not None:
         folded = merge(folded)
+    if cluster_by:
+        from postgresql_cdc_spark.operators.layout import list_data_files
+
+        part_dirs = {f"{EPOCH_COL}={e}" for e in live}
+        bytes_in = sum(
+            b for f, b in list_data_files(spark, path)
+            if any(f"/{d}/" in f or f.endswith(f"/{d}") for d in part_dirs)
+        )
+        n_files = max(1, min(4096, -(-bytes_in // int(target_file_bytes))))
+        folded = folded.repartitionByRange(
+            n_files, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
     # step 1: the fold lands in the reserved negative epoch (dynamic
     # overwrite replaces a crashed attempt at the same horizon wholesale),
     # then is made DURABLE before the commit points readers at it — the
@@ -444,6 +472,8 @@ def maybe_compact(
     current_epoch: int,
     max_live_partials: int = 8,
     merge: Optional[Callable[[DataFrame], DataFrame]] = None,
+    cluster_by: Optional[list[str]] = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> Optional[dict]:
     """Size-tiered compaction trigger: the policy a production foreachBatch
     sink calls at the TOP of every epoch (before the epoch's own writes),
@@ -477,4 +507,7 @@ def maybe_compact(
     upto = min(current_epoch, max(live) + 1)
     if upto <= base:
         return None
-    return compact_epochs(spark, path, upto, merge=merge)
+    return compact_epochs(
+        spark, path, upto, merge=merge, cluster_by=cluster_by,
+        target_file_bytes=target_file_bytes,
+    )

@@ -45,18 +45,20 @@ Per-batch dataflow (all O(|batch|) shuffle/compute):
    convention of ``epoch_maintenance``: a crashed attempt's own partition
    must stay live so the replay's overwrite replaces it wholesale).
 2. Collapse the batch latest-wins per key, write it as the stores' epoch.
-3. Diff ONLY the batch's keys: probe prior state with a broadcast
-   left-semi join on the batch's distinct keys, then extract each key's
-   old and new image in ONE ``max_by`` aggregation and derive the
-   retract/assert pair from the image pair — one store scan, one key
-   shuffle, no window sorts, no join; never a full-outer of full old
-   state against full new state.
+3. Diff ONLY the batch's keys: probe prior state with the batch's
+   distinct keys PUSHED into the store scan as literal range predicates
+   (:func:`probe_by_keys` — the key-clustered base fold's min/max
+   envelopes prune the read to the files holding those keys), then
+   extract each key's old and new image in ONE ``max_by`` aggregation
+   and derive the retract/assert pair from the image pair — one pruned
+   store scan, one key shuffle, no window sorts, no join; never a
+   full-outer of full old state against full new state.
 4. ``dF JOIN D_old``: probe ``dim_kv`` with the fact delta's distinct FK
-   values (broadcast, batch-bounded) and join the fact delta against the
+   values (pushed, batch-bounded) and join the fact delta against the
    resolved O(|batch|) dim rows — broadcast, so a hot dimension key never
    becomes a skewed shuffle (the fact delta is not exchanged at all).
 5. ``F_new JOIN dD``: restrict the integrated ``fact_by_did`` arrangement
-   to the dim delta's keys (broadcast semi-join; consolidation commutes
+   to the dim delta's keys (pushed key predicate; consolidation commutes
    with any did restriction because signed rows group by the full triple)
    and join against the broadcast dim delta.
 6. Fold the signed (grp, dn, dq) deltas into the previous sums version,
@@ -84,6 +86,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -102,6 +105,83 @@ FACT_DDL = "fid long, did long, amount int, op string, lsn long"
 ARR_DDL = "fid long, did long, amount int, sign int"
 DIM_DELTA_DDL = "sign int, id long, grp int"
 SUMS_DDL = "grp int, dn long, dq long"
+
+
+# --- the view spec: one kernel, many maintained views -------------------------
+
+@dataclass(frozen=True)
+class JoinViewSpec:
+    """Schema + aggregate parameterization of the join-view kernel, so a
+    structurally different maintained view (other payload columns, other
+    SUM-measures, other grouping attribute) shares :func:`apply_batch` /
+    :func:`join_deltas` instead of copy-pasting the module (r14 verdict
+    #3). What stays fixed is the ALGEBRA — one FK equi-join, grouped
+    SUM/COUNT measures (abelian-group aggregates that adjust from signed
+    deltas alone); MIN/MAX-style views keep composing the kernel's
+    ``ingest_and_delta`` + a support table (the
+    ``cdc_stream_ivm_min_maintenance`` shape) because their aggregates
+    are not delta-adjustable.
+
+    - ``dim_ddl`` / ``fact_ddl``: change-row schemas, each ending in
+      ``op string, lsn long`` (the CDC envelope the kv stores resolve on).
+    - ``dim_payload`` ⊇ ``group_cols``: dim columns carried through the
+      delta rule; ``fact_payload`` must include ``fact_fk``.
+    - ``measures``: ``(name, sql_expr)`` pairs — each expr is a Spark SQL
+      expression over FACT payload columns giving the row's contribution;
+      the kernel emits ``sign * expr`` (and ``dim_sign * sign * expr`` on
+      the dD leg) summed per group, plus the implicit row count ``dn``
+      that also drives empty-group drop-out. Dim and fact column names
+      must be disjoint (the dim side is prefixed internally; measure
+      exprs see fact columns only).
+    """
+
+    dim_ddl: str
+    dim_key: str
+    dim_payload: tuple[str, ...]
+    fact_ddl: str
+    fact_key: str
+    fact_fk: str
+    fact_payload: tuple[str, ...]
+    group_cols: tuple[str, ...]
+    measures: tuple[tuple[str, str], ...]
+
+    def _types(self, ddl: str) -> dict[str, str]:
+        return {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromDDL(ddl).fields
+        }
+
+    @property
+    def arr_ddl(self) -> str:
+        t = self._types(self.fact_ddl)
+        cols = [self.fact_key, *self.fact_payload]
+        return ", ".join(f"{c} {t[c]}" for c in cols) + ", sign int"
+
+    @property
+    def dim_delta_ddl(self) -> str:
+        t = self._types(self.dim_ddl)
+        cols = [self.dim_key, *self.dim_payload]
+        return "sign int, " + ", ".join(f"{c} {t[c]}" for c in cols)
+
+    @property
+    def sums_ddl(self) -> str:
+        t = self._types(self.dim_ddl)
+        groups = ", ".join(f"{g} {t[g]}" for g in self.group_cols)
+        meas = "".join(f", {name} long" for name, _ in self.measures)
+        return f"{groups}, dn long{meas}"
+
+
+DEFAULT_SPEC = JoinViewSpec(
+    dim_ddl=DIM_DDL,
+    dim_key="id",
+    dim_payload=("grp",),
+    fact_ddl=FACT_DDL,
+    fact_key="fid",
+    fact_fk="did",
+    fact_payload=("did", "amount"),
+    group_cols=("grp",),
+    measures=(("dq", "amount"),),
+)
 
 
 # --- versioned small-table helpers (sums / supports) --------------------------
@@ -213,6 +293,72 @@ def fold_versioned(
     sweep_versions(base, prefix, pv if pv is not None else epoch)
 
 
+# --- pushed key probes over clustered base folds ------------------------------
+
+_PROBE_MAX_RANGES = 64   # OR-of-BETWEEN disjuncts: keeps the plan small
+_PROBE_MAX_IN = 4096     # above this, exactness moves to a semi-join
+
+
+def _key_ranges(ks: list) -> list[tuple]:
+    """Gap-merged sorted runs covering ``ks``, at most ``_PROBE_MAX_RANGES``
+    of them: keep the R-1 LARGEST gaps as run boundaries so the runs hug
+    the batch's key clusters. The OR-of-BETWEEN predicate they become is
+    pure comparisons on the key column — pushed to the parquet scan, it
+    skips every file and row group whose [min, max] envelope intersects no
+    run (exactly what the key-clustered base fold's envelopes are tight
+    for). Non-numeric keys fall back to one [min, max] run (no gap
+    arithmetic), which still prunes a sorted lexicographic layout."""
+    ks = sorted(ks)
+    if len(ks) <= _PROBE_MAX_RANGES:
+        return [(k, k) for k in ks]
+    try:
+        splits = sorted(
+            sorted(range(1, len(ks)), key=lambda i: ks[i] - ks[i - 1])
+            [-(_PROBE_MAX_RANGES - 1):]
+        )
+    except TypeError:
+        return [(ks[0], ks[-1])]
+    bounds, start = [], 0
+    for s in splits:
+        bounds.append((ks[start], ks[s - 1]))
+        start = s
+    bounds.append((ks[start], ks[-1]))
+    return bounds
+
+
+def probe_by_keys(hist: DataFrame, key: str, keys_df: DataFrame) -> DataFrame:
+    """Restrict ``hist`` to rows whose ``key`` appears in ``keys_df`` —
+    semantically the broadcast left-semi probe, but with the key set pushed
+    INTO the parquet scan as literal predicates so min/max statistics prune
+    the read (a semi-join's runtime key set never reaches the reader's
+    row-group filter, so the old shape scanned the whole base fold per
+    batch — O(|state|) read I/O even though shuffle/compute were
+    O(|batch|)).
+
+    The key set is collected to the driver: batch-bounded, the same order
+    of driver memory the broadcast relation build already paid (null keys
+    are dropped — a semi-join never matches them either). Small sets
+    (<= ``_PROBE_MAX_IN``) stay exact via ``isin`` on top of the pushed
+    ranges; larger ones keep the pushed ranges for I/O pruning and restore
+    exactness with the broadcast semi-join (64 BETWEEN disjuncts bound the
+    plan size regardless of batch size)."""
+    ks = [r[0] for r in keys_df.distinct().collect()]
+    ks = [k for k in ks if k is not None]
+    if not ks:
+        return hist.where(F.lit(False))
+    cond = None
+    for lo, hi in _key_ranges(ks):
+        arm = (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
+        cond = arm if cond is None else (cond | arm)
+    if len(ks) <= _PROBE_MAX_RANGES:
+        return hist.where(cond)  # point runs: the ranges ARE the key set
+    if len(ks) <= _PROBE_MAX_IN:
+        return hist.where(cond & F.col(key).isin(ks))
+    return hist.where(cond).join(
+        F.broadcast(keys_df.distinct()), key, "left_semi"
+    )
+
+
 # --- latest-wins kv state over the epoch store --------------------------------
 
 def _resolve(rows: DataFrame, key: str) -> DataFrame:
@@ -249,11 +395,13 @@ def latest_wins_merge(key: str):
     return lambda df: _resolve(df, key)
 
 
-def _consolidate(df: DataFrame) -> DataFrame:
+def _consolidate(
+    df: DataFrame, cols: tuple[str, ...] = ("fid", "did", "amount")
+) -> DataFrame:
     """Z-set consolidation for the by-FK arrangement: net sign per full row
-    triple, zeros dropped. Doubles as the store's compaction merge."""
+    tuple, zeros dropped. Doubles as the store's compaction merge."""
     return (
-        df.groupBy("fid", "did", "amount")
+        df.groupBy(*cols)
         .agg(F.sum("sign").cast("int").alias("sign"))
         .where(F.col("sign") != 0)
     )
@@ -296,15 +444,20 @@ def ingest_kv_batch(
     epoch: int,
     batch: DataFrame,
     max_live_partials: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> None:
     """Compact-then-write one batch into a latest-wins kv epoch store:
     maintenance first (horizon = the CALLER's batch id, keeping a crashed
     attempt's own partition live for its overwrite), then the collapsed
     batch rows — tombstones included — as partition ``ingest_epoch=epoch``.
-    O(|batch|) written bytes; live partials bounded by the cap."""
+    O(|batch|) written bytes; live partials bounded by the cap. The fold is
+    KEY-CLUSTERED (``cluster_by=[key]``) so the per-batch probe's pushed
+    key ranges prune the base scan instead of reading the whole fold."""
     epoch = int(epoch)
     maybe_compact(
-        spark, store, epoch, max_live_partials, merge=latest_wins_merge(key)
+        spark, store, epoch, max_live_partials,
+        merge=latest_wins_merge(key), cluster_by=[key],
+        target_file_bytes=target_file_bytes,
     )
     epoch_overwrite(collapse_batch(batch, key), store, epoch)
 
@@ -330,11 +483,15 @@ def ingest_and_delta(
     epoch: int,
     batch: DataFrame,
     max_live_partials: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """Write the batch into the kv store and return its SIGNED row deltas
     ``(sign, key, *payload)`` vs prior state — O(|batch|): prior state is
-    probed with a broadcast left-semi join on the batch's distinct keys
-    (batch-bounded, never a full-state scan shuffle), and the old-vs-new
+    probed with the batch's distinct keys PUSHED into the store scan as
+    literal range predicates (:func:`probe_by_keys` — with the key-
+    clustered base fold, parquet min/max skipping prunes the read to the
+    files holding the batch's keys, closing the O(|state|) scan-I/O term
+    the r14 broadcast semi-join still paid), and the old-vs-new
     diff is ONE aggregation over the O(|batch|) surviving rows — per key,
     ``max_by`` extracts the overall latest image (the new state) and the
     latest HISTORY-only image (the old state; ``max_by`` ignores rows
@@ -345,11 +502,13 @@ def ingest_and_delta(
     replay regenerates identical deltas; same (lsn desc, op desc) winner
     as the store's resolve — ``max`` of the ascending (lsn, op) struct."""
     epoch = int(epoch)
-    ingest_kv_batch(spark, store, key, epoch, batch, max_live_partials)
+    ingest_kv_batch(
+        spark, store, key, epoch, batch, max_live_partials,
+        target_file_bytes,
+    )
     written = _read_epoch(spark, store, ddl, epoch)
-    keys = written.select(key).distinct()
-    hist = _history(spark, store, ddl, epoch).join(
-        F.broadcast(keys), key, "left_semi"
+    hist = probe_by_keys(
+        _history(spark, store, ddl, epoch), key, written.select(key)
     )
     img = F.struct(*[F.col(c) for c in payload], F.col("op"))
     ordk = F.struct(F.col("lsn"), F.col("op"))
@@ -404,58 +563,69 @@ def apply_batch(
     d_batch: DataFrame,
     f_batch: DataFrame,
     max_live_partials: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    spec: JoinViewSpec = DEFAULT_SPEC,
 ) -> None:
     """One foreachBatch step of the join-view maintenance (see the module
-    docstring's dataflow). Every prior-state read resolves strictly below
-    ``batch_id``; every store is size-tiered-compacted at the top of the
-    epoch; sums versions behind the previous generation are swept — so
+    docstring's dataflow), for any :class:`JoinViewSpec`-shaped view.
+    Every prior-state read resolves strictly below ``batch_id``; every
+    store is size-tiered-compacted at the top of the epoch (base folds
+    key-clustered into ``target_file_bytes``-sized files so the probes
+    prune); sums versions behind the previous generation are swept — so
     per-batch cost is O(|batch|) and disk objects stay bounded at any
     stream age."""
     bid = int(batch_id)
     dim_store = os.path.join(base, "dim_kv")
     fact_store = os.path.join(base, "fact_kv")
     arr_store = os.path.join(base, "fact_by_did")
+    arr_cols = (spec.fact_key, *spec.fact_payload)
 
     d_delta = ingest_and_delta(
-        spark, dim_store, DIM_DDL, "id", ["grp"], bid, d_batch,
-        max_live_partials,
+        spark, dim_store, spec.dim_ddl, spec.dim_key,
+        list(spec.dim_payload), bid, d_batch,
+        max_live_partials, target_file_bytes,
     )
     f_delta = ingest_and_delta(
-        spark, fact_store, FACT_DDL, "fid", ["did", "amount"], bid, f_batch,
-        max_live_partials,
+        spark, fact_store, spec.fact_ddl, spec.fact_key,
+        list(spec.fact_payload), bid, f_batch,
+        max_live_partials, target_file_bytes,
     )
 
     # persist the fact delta as the by-FK arrangement's epoch (signed rows;
-    # compaction consolidates), then read the committed partition back so
-    # both join legs reuse one materialization instead of recomputing
+    # compaction consolidates, clustered by the FK the c2 leg probes), then
+    # read the committed partition back so both join legs reuse one
+    # materialization instead of recomputing
     maybe_compact(
-        spark, arr_store, bid, max_live_partials, merge=_consolidate
+        spark, arr_store, bid, max_live_partials,
+        merge=lambda df: _consolidate(df, arr_cols),
+        cluster_by=[spec.fact_fk], target_file_bytes=target_file_bytes,
     )
     epoch_overwrite(
         f_delta.select(
-            "fid", "did", "amount", F.col("sign").cast("int").alias("sign")
+            *arr_cols, F.col("sign").cast("int").alias("sign")
         ),
         arr_store,
         bid,
     )
-    f_delta_w = _read_epoch(spark, arr_store, ARR_DDL, bid)
+    f_delta_w = _read_epoch(spark, arr_store, spec.arr_ddl, bid)
 
     # materialize the dim delta the same way: join_deltas consumes it
-    # twice (dkeys + the broadcast join side), and without this the whole
-    # dim-diff subtree would execute twice per batch (r14 review). The
-    # write is deterministic per batch id, so a replay overwrites it; only
-    # the current batch ever reads it, so everything older sweeps now.
+    # twice (the probe key set + the broadcast join side), and without
+    # this the whole dim-diff subtree would execute twice per batch (r14
+    # review). The write is deterministic per batch id, so a replay
+    # overwrites it; only the current batch ever reads it, so everything
+    # older sweeps now.
     d_delta.write.mode("overwrite").parquet(
         version_dir(base, "dim_delta", bid)
     )
-    d_delta_w = spark.read.schema(DIM_DELTA_DDL).parquet(
+    d_delta_w = spark.read.schema(spec.dim_delta_ddl).parquet(
         version_dir(base, "dim_delta", bid)
     )
     sweep_versions(base, "dim_delta", keep_from=bid)
 
     fold_versioned(
-        spark, base, "sums", SUMS_DDL, ["grp"], bid,
-        join_deltas(spark, base, bid, d_delta_w, f_delta_w),
+        spark, base, "sums", spec.sums_ddl, list(spec.group_cols), bid,
+        join_deltas(spark, base, bid, d_delta_w, f_delta_w, spec=spec),
         drop_when_zero="dn",
     )
 
@@ -466,70 +636,94 @@ def join_deltas(
     batch_id: int,
     d_delta: DataFrame,
     f_delta_w: DataFrame,
+    spec: JoinViewSpec = DEFAULT_SPEC,
 ) -> DataFrame:
-    """The batch's signed (grp, dn, dq) view deltas from the two delta-rule
-    legs; ``f_delta_w`` must already be the committed arrangement epoch.
-    Split from :func:`apply_batch` so plan-shape tests can assert the join
-    strategies directly."""
+    """The batch's signed (group_cols, dn, *measures) view deltas from the
+    two delta-rule legs; ``f_delta_w`` must already be the committed
+    arrangement epoch. Split from :func:`apply_batch` so plan-shape tests
+    can assert the join strategies directly. The dim side is prefixed
+    ``__d_`` before each join (its columns already appear in the fact
+    side's lineage via the probe key set, and spec column names need not
+    be disjoint from internals)."""
     bid = int(batch_id)
     dim_store = os.path.join(base, "dim_kv")
     arr_store = os.path.join(base, "fact_by_did")
+    fk = spec.fact_fk
+
+    def _signed_measures(sign_expr):
+        out = [sign_expr.cast("long").alias("dn")]
+        for name, expr in spec.measures:
+            out.append((sign_expr * F.expr(expr)).cast("long").alias(name))
+        return out
 
     # c1 = dF JOIN D_old: probe the dim state with the fact delta's FK
-    # values. Both broadcast sides are batch-bounded (<= 2|batch| rows), and
-    # broadcasting the DIM side means a hot dimension key never induces a
-    # skewed shuffle — the fact delta is not exchanged at all.
-    dids = f_delta_w.select(F.col("did").alias("id")).distinct()
+    # values, pushed into the dim store's scan (probe_by_keys — the
+    # clustered base prunes). The broadcast JOIN side is batch-bounded
+    # (<= 2|batch| rows), and broadcasting the DIM side means a hot
+    # dimension key never induces a skewed shuffle — the fact delta is
+    # not exchanged at all.
     dsub = _resolve(
-        _history(spark, dim_store, DIM_DDL, bid).join(
-            F.broadcast(dids), "id", "left_semi"
+        probe_by_keys(
+            _history(spark, dim_store, spec.dim_ddl, bid), spec.dim_key,
+            f_delta_w.select(F.col(fk).alias(spec.dim_key)),
         ),
-        "id",
-    ).select("id", "grp")
-    c1 = f_delta_w.join(F.broadcast(dsub), f_delta_w.did == dsub.id).select(
-        F.col("grp"),
-        F.col("sign").cast("long").alias("dn"),
-        (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
+        spec.dim_key,
+    ).select(
+        F.col(spec.dim_key).alias("__d_key"),
+        *[F.col(c).alias(f"__d_{c}") for c in spec.dim_payload],
+    )
+    c1 = f_delta_w.join(
+        F.broadcast(dsub), F.col(fk) == F.col("__d_key")
+    ).select(
+        *[F.col(f"__d_{g}").alias(g) for g in spec.group_cols],
+        *_signed_measures(F.col("sign")),
     )
 
     # c2 = F_new JOIN dD: integrate the arrangement (strictly-before epochs
-    # + this batch's delta) restricted to the dim delta's keys — the did
+    # + this batch's delta) restricted to the dim delta's keys — the FK
     # restriction commutes with consolidation because signed rows group by
-    # the full (fid, did, amount) triple. The consolidated sign is the row's
-    # multiplicity (1 for live facts), carried through the arithmetic.
-    dkeys = d_delta.select(F.col("id").alias("did")).distinct()
-    arr = _history(spark, arr_store, ARR_DDL, bid).unionByName(f_delta_w)
+    # the full row tuple, and the pushed key predicate prunes the
+    # FK-clustered base fold's scan (Catalyst pushes the filter through
+    # the union into both branches). The consolidated sign is the row's
+    # multiplicity (1 for live facts), carried through.
+    arr = _history(spark, arr_store, spec.arr_ddl, bid).unionByName(
+        f_delta_w
+    )
     f_new_sub = _consolidate(
-        arr.join(F.broadcast(dkeys), "did", "left_semi")
+        probe_by_keys(arr, fk, d_delta.select(F.col(spec.dim_key).alias(fk))),
+        (spec.fact_key, *spec.fact_payload),
     ).where(F.col("sign") > 0)
-    # rename the dim-delta columns before the join: f_new_sub already
-    # carries d_delta in its lineage (via dkeys), so attribute references
-    # would be ambiguous self-join columns
     dd = d_delta.select(
-        F.col("id").alias("__d_id"),
-        F.col("grp").alias("__d_grp"),
+        F.col(spec.dim_key).alias("__d_key"),
+        *[F.col(c).alias(f"__d_{c}") for c in spec.dim_payload],
         F.col("sign").alias("__d_sign"),
     )
     c2 = f_new_sub.join(
-        F.broadcast(dd), f_new_sub.did == F.col("__d_id")
+        F.broadcast(dd), F.col(fk) == F.col("__d_key")
     ).select(
-        F.col("__d_grp").alias("grp"),
-        (F.col("__d_sign") * F.col("sign")).cast("long").alias("dn"),
-        (F.col("__d_sign") * F.col("sign") * F.col("amount"))
-        .cast("long").alias("dq"),
+        *[F.col(f"__d_{g}").alias(g) for g in spec.group_cols],
+        *_signed_measures(F.col("__d_sign") * F.col("sign")),
     )
 
     return c1.unionByName(c2)
 
 
-def latest_sums(spark: SparkSession, base: str) -> DataFrame:
+def latest_view(
+    spark: SparkSession, base: str, spec: JoinViewSpec = DEFAULT_SPEC
+) -> DataFrame:
     """The maintained view after the stream: the newest committed sums
-    version, as (grp, n_rows, total)."""
+    version, with the spec's (group_cols, dn, *measures) columns."""
     sums = prev_version(base, "sums", None)
     if sums is None:
         raise RuntimeError(f"no batch reached the join-IVM sink at {base!r}")
-    return (
-        spark.read.schema(SUMS_DDL)
-        .parquet(version_dir(base, "sums", sums))
-        .select("grp", F.col("dn").alias("n_rows"), F.col("dq").alias("total"))
+    return spark.read.schema(spec.sums_ddl).parquet(
+        version_dir(base, "sums", sums)
+    )
+
+
+def latest_sums(spark: SparkSession, base: str) -> DataFrame:
+    """The default-spec view as (grp, n_rows, total) — the original
+    SUM/COUNT gate surface."""
+    return latest_view(spark, base).select(
+        "grp", F.col("dn").alias("n_rows"), F.col("dq").alias("total")
     )

@@ -434,7 +434,11 @@ BROADCAST_HINT_SITES = {
     # caps the batch; the deltas/keys derive from the batch, never the
     # corpus). Broadcasting them is ALSO the skew fix — a hot FK value then
     # never induces a skewed shuffle because the big side isn't exchanged.
-    "streaming/join_ivm.py": {"keys", "dids", "dsub", "dkeys", "dd"},
+    # (r15: the key-set PROBES moved to pushed scan predicates —
+    # probe_by_keys — leaving the two delta-rule JOIN sides plus the
+    # exactness semi-join of probe_by_keys' large-batch fallback, which is
+    # the same batch-bounded key set.)
+    "streaming/join_ivm.py": {"dsub", "dd", "keys_df"},
 }
 
 

@@ -195,8 +195,45 @@ def main() -> int:
 # drive 60 SMALL batches (2 dim + 8 fact ops) and report the median per-batch
 # apply time. Run at N and 10N: if per-batch cost were O(|state|) (the old
 # layout's full-state rewrite + full-outer diff), the 10N column would be
-# ~10x; the delta-backed layout should hold ~flat, paying only the bounded
-# base-fold scan.
+# ~10x; the delta-backed layout should hold ~flat, paying only the base-fold
+# scan — which since r15 is itself PRUNED: the fold is key-clustered into
+# target-sized files and the probe pushes the batch's keys as range
+# predicates, so probe_scan_rows (the fact_kv scan's numOutputRows for a
+# 3-key probe, measured below) must stop tracking |state| too.
+# target_file_bytes here is scaled down (64 KiB) so the soak's MB-sized
+# state splits into multiple base files the way 128 MiB files split TB-sized
+# state — same files-per-state ratio, same pruning geometry.
+
+_SOAK_FILE_BYTES = 64 * 1024
+
+
+def _probe_scan_rows(spark, state: str, keys: list[int]) -> int:
+    """numOutputRows of the fact_kv store scan for a pushed 3-key probe —
+    rows the reader actually surfaced after min/max skipping (the
+    test_join_ivm metric helper, applied to the soak's store)."""
+    from postgresql_cdc_spark.streaming.epoch_maintenance import (
+        read_epoch_store,
+    )
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        FACT_DDL,
+        probe_by_keys,
+    )
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "fid long")
+    probe = probe_by_keys(
+        read_epoch_store(spark, os.path.join(state, "fact_kv"),
+                         schema=FACT_DDL),
+        "fid", kdf,
+    )
+    probe.collect()
+    leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numOutputRows"):
+            total += m.apply("numOutputRows").value()
+    return int(total)
+
 
 def _scale_run(spark, n_fact: int, n_small: int = 60) -> dict:
     import tempfile as _tf
@@ -232,6 +269,7 @@ def _scale_run(spark, n_fact: int, n_small: int = 60) -> dict:
                 F.col("k").alias("fid"), F.col("a").alias("did"),
                 F.col("b").cast("int").alias("amount"), "op", "lsn"),
             max_live_partials=CAP,
+            target_file_bytes=_SOAK_FILE_BYTES,
         )
         # then n_small SMALL batches of fixed size against the big state
         lsn0 = 10 + n_dim + n_fact
@@ -263,6 +301,7 @@ def _scale_run(spark, n_fact: int, n_small: int = 60) -> dict:
                     F.col("k").alias("fid"), F.col("a").alias("did"),
                     F.col("b").cast("int").alias("amount"), "op", "lsn"),
                 max_live_partials=CAP,
+                target_file_bytes=_SOAK_FILE_BYTES,
             )
             times.append(time.monotonic() - t0)
         got = sorted(
@@ -272,11 +311,15 @@ def _scale_run(spark, n_fact: int, n_small: int = 60) -> dict:
         want = _model_sums(dims, facts)
         assert got == want, (n_fact, got[:5], want[:5])
         mid = sorted(times)
+        scan = _probe_scan_rows(
+            spark, state, [1, 2, n_fact - 7]
+        )
         return {
             "state_fact_rows": n_fact,
             "n_small_batches": n_small,
             "batch_s_median": round(mid[len(mid) // 2], 3),
             "batch_s_p90": round(mid[int(len(mid) * 0.9)], 3),
+            "probe_scan_rows_3keys": scan,
             "answers_match_recompute": True,
         }
     finally:
@@ -295,6 +338,10 @@ def scale_compare() -> int:
     small, big = out[5_000], out[50_000]
     out["median_ratio_10x_state"] = round(
         big["batch_s_median"] / small["batch_s_median"], 2
+    )
+    out["probe_scan_ratio_10x_state"] = round(
+        big["probe_scan_rows_3keys"] / max(1, small["probe_scan_rows_3keys"]),
+        2,
     )
     print(json.dumps({"join_ivm_scale_compare": out}, indent=2))
     return 0
