@@ -474,25 +474,52 @@ _PIN_UNTIL_STAMPED_AFTER = {
     # dropped (plain equi-join; AQE decides) — plan change, r12 stamp
     # predates it.
     "text_perplexity_proxy": 12,
-    # r14: the join-IVM state lifecycle was closed (streaming/join_ivm.py
-    # rewritten: epoch-store-backed kv states with maybe_compact, batch-
-    # keyed broadcast delta probes, by-FK signed arrangement, sums-version
-    # sweep) and all four adopter gates rewrote their foreachBatch bodies
-    # over the new kernel — the r13 stamps predate the rewrite. (Values for
-    # group_sums/upsert raised 9/7 -> 13; duplicate literal keys would
-    # shadow silently.)
-    "cdc_stream_ivm_join_sums": 13,
-    "cdc_stream_ivm_group_sums": 13,
-    "cdc_stream_ivm_min_maintenance": 13,
-    "cdc_foreachbatch_upsert": 13,
-    # r14: epoch_maintenance's fsync paths now re-raise genuine write
-    # failures (EIO) instead of swallowing them (capability refusals still
-    # tolerated) — error-path-only, but these gates run maybe_compact /
-    # the fold fsync live, so one conservative re-stamp each. (Values
-    # raised 11/12/12 -> 13 over the r13 lifecycle pins.)
-    "cdc_stream_incremental_dedup": 13,
-    "cdc_stream_vector_index": 13,
-    "cdc_stream_bm25_stats": 13,
+    # r15: the join-IVM kernel changed again (key-clustered base folds,
+    # pushed key probes replacing the broadcast semi-joins, JoinViewSpec
+    # parameterization) — all four adopter gates re-stamp over the new
+    # probe/cluster path. (Values raised 13 -> 14 over the r14 pins;
+    # duplicate literal keys would shadow silently.)
+    "cdc_stream_ivm_join_sums": 14,
+    "cdc_stream_ivm_group_sums": 14,
+    "cdc_stream_ivm_min_maintenance": 14,
+    "cdc_foreachbatch_upsert": 14,
+    # r15: epoch_maintenance gained cluster_by/target_file_bytes (default
+    # no-op for these gates) and the fsync walk now tolerates EACCES at
+    # open — error-path-only, but these gates run maybe_compact / the
+    # fold fsync live, so one conservative re-stamp each (13 -> 14).
+    "cdc_stream_incremental_dedup": 14,
+    "cdc_stream_vector_index": 14,
+    "cdc_stream_bm25_stats": 14,
+    # r15: gen-2 quantizer retraining moved to a deterministic hash
+    # sample (oracle in lockstep) — the r14 stamp predates the change.
+    "cdc_stream_ivf_quantizer_refresh": 14,
+    # r15 hygiene restamp of the full r8 cohort (the verdict's item 2:
+    # these 24 stamps are 7 rounds old — 12 were judge-re-verified in r14,
+    # so risk is low, but no stamp should age past the window's reach).
+    "corpus_boilerplate_removal": 8,
+    "corpus_quality_funnel": 8,
+    "dedup_cluster_size_hist": 8,
+    "dq_referential_orphans": 8,
+    "er_golden_record": 8,
+    "events_bot_detection": 8,
+    "events_cohort_ltv": 8,
+    "events_dau_mau_stickiness": 8,
+    "events_forecast_backtest": 8,
+    "events_lateness_profile": 8,
+    "events_markov_transitions": 8,
+    "events_seasonal_anomaly": 8,
+    "feat_quantile_binning": 8,
+    "graph_bfs_hops": 8,
+    "mm_video_scene_cuts": 8,
+    "orders_abc_classification": 8,
+    "orders_reorder_survival_table": 8,
+    "orders_rolling_median_revenue": 8,
+    "privacy_erasure_cascade": 8,
+    "sample_reservoir_per_group": 8,
+    "sim_topk_pq_rerank": 8,
+    "text_inverted_index": 8,
+    "text_ngram_lm_counts": 8,
+    "text_source_divergence": 8,
 }
 
 

@@ -386,6 +386,56 @@ class TestJoinIvmReplay:
                 latest_sums(spark, base2).collect()]
         assert got2 == [(1, 1, 10)], got2
 
+    def test_fold_epoch_store_replays_and_compacts_exactly(
+        self, spark, tmp_path
+    ):
+        """The high-cardinality sums backing (r15): signed group deltas
+        land as epochs, a replayed epoch's overwrite converges, compaction
+        SUM-merges behind the base without dropping a transient dn=0 /
+        dq!=0 partial, and the served aggregate drops groups whose count
+        nets zero."""
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            fold_epoch_store,
+            read_folded_groups,
+        )
+
+        DDL = "cust long, dn long, dq long"
+        store = str(tmp_path / "sums_store")
+
+        def deltas(rows):
+            return spark.createDataFrame(rows, DDL)
+
+        # epoch 0: three customers appear
+        fold_epoch_store(
+            spark, store, DDL, ["cust"], 0,
+            deltas([(1, 1, 10), (2, 1, 20), (3, 1, 30)]),
+            max_live_partials=2,
+        )
+        # epoch 1: cust 2 amount-only update (dn nets 0, dq moves) and
+        # cust 3 deleted (dn nets to zero overall)
+        e1 = [(2, -1, -20), (2, 1, 25), (3, -1, -30)]
+        fold_epoch_store(spark, store, DDL, ["cust"], 1, deltas(e1),
+                         max_live_partials=2)
+        # at-least-once: epoch 1 replays with identical deltas
+        fold_epoch_store(spark, store, DDL, ["cust"], 1, deltas(e1),
+                         max_live_partials=2)
+        # epochs 2..6 churn cust 1 (each nets dn 0, dq +ep) so compaction
+        # folds past the dn=0 partial of cust 2
+        for ep in range(2, 7):
+            fold_epoch_store(
+                spark, store, DDL, ["cust"], ep,
+                deltas([(1, -1, -10), (1, 1, 10 + ep)]),
+                max_live_partials=2,
+            )
+        got = sorted(
+            (r.cust, r.dn, r.dq)
+            for r in read_folded_groups(
+                spark, store, DDL, ["cust"], drop_when_zero="dn"
+            ).collect()
+        )
+        # cust 1: 10 + sum(ep for ep in 2..6) = 30; cust 3 dropped (dn 0)
+        assert got == [(1, 1, 30), (2, 1, 25)], got
+
     def test_clustered_base_fold_prunes_probe_scan(self, spark, tmp_path):
         """The r14-verdict optimization target: the per-batch kv probe's
         read I/O must stop tracking |state|. With the base fold KEY-

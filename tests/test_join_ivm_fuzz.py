@@ -15,7 +15,12 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-from postgresql_cdc_spark.streaming.join_ivm import apply_batch, latest_sums
+from postgresql_cdc_spark.streaming.join_ivm import (
+    JoinViewSpec,
+    apply_batch,
+    latest_sums,
+    latest_view,
+)
 
 N_DIM = 4     # dim ids 0..3; facts may point at 0..4 (4 never exists)
 N_FACT = 6
@@ -80,6 +85,106 @@ def test_maintained_sums_equal_one_shot_recompute(
 @given(ops=_HOT_SCHEDULE, cuts=_CUTS)
 def test_hot_fk_schedules_stay_exact(spark, tmp_path_factory, ops, cuts):
     _run_schedule(spark, tmp_path_factory, ops, cuts)
+
+
+# the revenue-shaped spec (two dim payload columns, composite grouping,
+# expression measures) — the r15 kernel parameterization must keep the
+# SAME schedules exact through a structurally different view
+_REV_SPEC = JoinViewSpec(
+    dim_ddl="pid long, cat int, tier int, op string, lsn long",
+    dim_key="pid",
+    dim_payload=("cat", "tier"),
+    fact_ddl="iid long, pid long, price int, qty int, op string, lsn long",
+    fact_key="iid",
+    fact_fk="pid",
+    fact_payload=("pid", "price", "qty"),
+    group_cols=("cat", "tier"),
+    measures=(("revenue", "price * qty"), ("units", "qty")),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_SCHEDULE, cuts=_CUTS)
+def test_parameterized_spec_schedules_stay_exact(
+    spark, tmp_path_factory, ops, cuts
+):
+    """The generalized kernel under fuzz: identical op schedules, driven
+    through the revenue spec (composite group, price*qty / qty measures)
+    and checked against a one-shot model recompute."""
+    state = str(tmp_path_factory.mktemp("jivm_fuzz_rev") / "state")
+
+    rows = []
+    dims: dict[int, tuple[int, int]] = {}
+    facts: dict[int, tuple[int, int, int]] = {}
+    for i, (tab, key, aux, op) in enumerate(ops):
+        lsn = 100 + i
+        if tab == "d":
+            cat, tier = aux, (key + aux) % 2
+            rows.append(("d", key, cat, tier, None, None, op, lsn))
+            if op == "D":
+                dims.pop(key, None)
+            else:
+                dims[key] = (cat, tier)
+        else:
+            price = (key * 7 + aux * 3) % 11 + 1
+            qty = (key + aux) % 3 + 1
+            rows.append(("f", key, aux, None, price, qty, op, lsn))
+            if op == "D":
+                facts.pop(key, None)
+            else:
+                facts[key] = (aux, price, qty)
+
+    agg: dict[tuple[int, int], list[int]] = {}
+    for pid, price, qty in facts.values():
+        if pid in dims:
+            g = dims[pid]
+            agg.setdefault(g, [0, 0, 0])
+            agg[g][0] += 1
+            agg[g][1] += price * qty
+            agg[g][2] += qty
+    want = sorted(
+        (c, t, n, rev, u) for (c, t), (n, rev, u) in agg.items()
+    )
+
+    from pyspark.sql import functions as F
+
+    DDL = ("tab string, k long, a long, t long, p long, q long, "
+           "op string, lsn long")
+    bounds = [0] + sorted(c for c in cuts if c < len(rows)) + [len(rows)]
+    bid = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo >= hi:
+            continue
+        batch = spark.createDataFrame(rows[lo:hi], DDL)
+        d_batch = batch.where(F.col("tab") == "d").select(
+            F.col("k").alias("pid"),
+            F.col("a").cast("int").alias("cat"),
+            F.col("t").cast("int").alias("tier"),
+            "op", "lsn",
+        )
+        f_batch = batch.where(F.col("tab") == "f").select(
+            F.col("k").alias("iid"),
+            F.col("a").alias("pid"),
+            F.col("p").cast("int").alias("price"),
+            F.col("q").cast("int").alias("qty"),
+            "op", "lsn",
+        )
+        apply_batch(
+            spark, state, bid, d_batch, f_batch, max_live_partials=2,
+            spec=_REV_SPEC,
+        )
+        bid += 1
+
+    got = sorted(
+        (r.cat, r.tier, r.dn, r.revenue, r.units)
+        for r in latest_view(spark, state, _REV_SPEC).collect()
+    )
+    assert got == want, (got, want, rows, sorted(cuts))
 
 
 def _run_schedule(spark, tmp_path_factory, ops, cuts):

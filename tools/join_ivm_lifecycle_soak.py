@@ -200,11 +200,11 @@ def main() -> int:
 # target-sized files and the probe pushes the batch's keys as range
 # predicates, so probe_scan_rows (the fact_kv scan's numOutputRows for a
 # 3-key probe, measured below) must stop tracking |state| too.
-# target_file_bytes here is scaled down (64 KiB) so the soak's MB-sized
+# target_file_bytes here is scaled down (16 KiB) so the soak's MB-sized
 # state splits into multiple base files the way 128 MiB files split TB-sized
 # state — same files-per-state ratio, same pruning geometry.
 
-_SOAK_FILE_BYTES = 64 * 1024
+_SOAK_FILE_BYTES = 16 * 1024
 
 
 def _probe_scan_rows(spark, state: str, keys: list[int]) -> int:
@@ -347,7 +347,134 @@ def scale_compare() -> int:
     return 0
 
 
+# --- high-cardinality sums-backend comparison (--hicard-compare) --------------
+# Pins r15's fold_epoch_store claim: per-batch sums I/O must be
+# O(|batch groups|), independent of the group-domain size. A customer-
+# grained view (one group per key) is maintained twice — once on
+# fold_versioned (full-version rewrite: |groups| rows written per batch)
+# and once on fold_epoch_store (the batch's grouped deltas only) — at G
+# and 10G groups. The versioned column's rows-written-per-batch tracks G;
+# the epoch-backed column stays at |batch|.
+
+def _hicard_run(spark, n_keys: int, backend: str, n_small: int = 40) -> dict:
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        fold_epoch_store,
+        fold_versioned,
+        ingest_and_delta,
+        prev_version,
+        read_folded_groups,
+        version_dir,
+    )
+
+    DDL = "id long, cust long, v int, op string, lsn long"
+    SUMS = "cust long, dn long, dq long"
+    base = _tf.mkdtemp(prefix=f"jivm_hc_{uuid.uuid4().hex[:8]}_")
+    state_kv = os.path.join(base, "state_kv")
+    sums_store = os.path.join(base, "sums_store")
+    model: dict[int, int] = {}
+
+    def apply(ep: int, rows: list) -> tuple[float, int]:
+        for _id, v in rows:
+            model[_id] = v
+        # epoch stride >> max batch size keeps LSNs monotonic across
+        # epochs (the WAL stream-order guarantee the kernel assumes)
+        batch = spark.createDataFrame(
+            [(i, i, v, "U" if ep else "I", 1000 + ep * 1_000_000 + k)
+             for k, (i, v) in enumerate(rows)],
+            DDL,
+        )
+        t0 = time.monotonic()
+        delta = ingest_and_delta(
+            spark, state_kv, DDL, "id", ["cust", "v"], ep, batch,
+            target_file_bytes=_SOAK_FILE_BYTES,
+        ).select(
+            "cust",
+            F.col("sign").cast("long").alias("dn"),
+            (F.col("sign") * F.col("v")).cast("long").alias("dq"),
+        )
+        if backend == "versioned":
+            fold_versioned(
+                spark, base, "sums", SUMS, ["cust"], ep, delta,
+                drop_when_zero="dn",
+            )
+            written = spark.read.schema(SUMS).parquet(
+                version_dir(base, "sums", ep)
+            ).count()
+        else:
+            fold_epoch_store(
+                spark, sums_store, SUMS, ["cust"], ep, delta,
+                target_file_bytes=_SOAK_FILE_BYTES,
+            )
+            written = (
+                spark.read.schema(SUMS + ", ingest_epoch int")
+                .parquet(sums_store)
+                .where(F.col("ingest_epoch") == ep)
+                .count()
+            )
+        return time.monotonic() - t0, written
+
+    apply(0, [(i, (i * 7) % 13) for i in range(n_keys)])
+    times, rows_written = [], []
+    for ep in range(1, n_small + 1):
+        upd = [((ep * 13 + j * 7) % n_keys, (ep * 3 + j) % 50)
+               for j in range(10)]
+        t, w = apply(ep, upd)
+        times.append(t)
+        rows_written.append(w)
+
+    if backend == "versioned":
+        last = prev_version(base, "sums", None)
+        served = spark.read.schema(SUMS).parquet(
+            version_dir(base, "sums", last)
+        )
+    else:
+        served = read_folded_groups(
+            spark, sums_store, SUMS, ["cust"], drop_when_zero="dn"
+        )
+    got = sorted((r.cust, r.dn, r.dq) for r in served.collect())
+    want = sorted((i, 1, v) for i, v in model.items())
+    assert got == want, (backend, n_keys, got[:5], want[:5])
+    shutil.rmtree(base, ignore_errors=True)
+    ts, ws = sorted(times), sorted(rows_written)
+    return {
+        "groups": n_keys,
+        "batch_s_median": round(ts[len(ts) // 2], 3),
+        "sums_rows_written_median": ws[len(ws) // 2],
+    }
+
+
+def hicard_compare() -> int:
+    from postgresql_cdc_spark.session import get_spark
+
+    spark = get_spark("join-ivm-hicard-compare")
+    out: dict = {}
+    for backend in ("versioned", "epoch"):
+        for n in (500, 5_000):
+            print(f"  {backend} @ {n} groups ...", file=sys.stderr, flush=True)
+            out[f"{backend}_{n}"] = _hicard_run(spark, n, backend)
+    out["versioned_rows_ratio_10x_groups"] = round(
+        out["versioned_5000"]["sums_rows_written_median"]
+        / max(1, out["versioned_500"]["sums_rows_written_median"]), 2,
+    )
+    out["epoch_rows_ratio_10x_groups"] = round(
+        out["epoch_5000"]["sums_rows_written_median"]
+        / max(1, out["epoch_500"]["sums_rows_written_median"]), 2,
+    )
+    out["epoch_batch_s_ratio_10x_groups"] = round(
+        out["epoch_5000"]["batch_s_median"]
+        / out["epoch_500"]["batch_s_median"], 2,
+    )
+    print(json.dumps({"join_ivm_hicard_compare": out}, indent=2))
+    return 0
+
+
 if __name__ == "__main__":
     if "--scale-compare" in sys.argv:
         raise SystemExit(scale_compare())
+    if "--hicard-compare" in sys.argv:
+        raise SystemExit(hicard_compare())
     raise SystemExit(main())
