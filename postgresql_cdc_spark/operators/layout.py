@@ -43,6 +43,25 @@ def zvalue(a: Column | str, b: Column | str, bits: int = 8) -> Column:
     return F.expr(z_sql(a_sql, b_sql, bits))
 
 
+def scan_output_rows(df) -> int:
+    """Rows the file scan(s) of an EXECUTED DataFrame actually produced —
+    post parquet row-group/page skipping, pre Filter re-evaluation: the
+    honest measure of read I/O a pushed predicate saved (the diagnostic
+    the layout operators here exist to improve). Executes the plan via
+    ``collect`` if the caller hasn't. Only meaningful for plans whose
+    leaves are file scans and that carry no exchange (an AQE-wrapped plan
+    hides its leaves behind the adaptive node); probe/filter shapes
+    qualify."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numOutputRows"):
+            total += m.apply("numOutputRows").value()
+    return int(total)
+
+
 def list_data_files(spark, path: str) -> list[tuple[str, int]]:
     """(path, bytes) of every data file under ``path``, recursively, via the
     Hadoop FileSystem API — the same listing works on file://, hdfs:// and

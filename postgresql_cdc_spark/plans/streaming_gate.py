@@ -101,6 +101,21 @@ def _build_archive(path: str) -> None:
     write_wal_archive(path, _archive_frames())
 
 
+def _append_txn(frames: list, rows: list, lsn: int, xid: int) -> tuple[int, int]:
+    """Append one BEGIN / rows / COMMIT transaction starting at ``lsn``;
+    returns the next (lsn, xid). Keeps the envelope convention — begin's
+    final_lsn = lsn + len(rows) + 1, commit at the final lsn, +1 stride —
+    in ONE place for every fixture changelog (r15 review: three builders
+    had carried verbatim copies)."""
+    frames.append((lsn, encode_begin(lsn + len(rows) + 1, 0, xid)))
+    for payload in rows:
+        lsn += 1
+        frames.append((lsn, payload))
+    lsn += 1
+    frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+    return lsn + 1, xid + 1
+
+
 def _register_source(spark: SparkSession) -> None:
     from postgresql_cdc_spark.streaming.source import PgCdcDataSource
 
@@ -2114,14 +2129,7 @@ def _ivm_join_frames() -> list:
 
     def txn(rows):
         nonlocal lsn, xid
-        frames.append((lsn, encode_begin(lsn + len(rows) + 1, 0, xid)))
-        for payload in rows:
-            lsn += 1
-            frames.append((lsn, payload))
-        lsn += 1
-        frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
-        lsn += 1
-        xid += 1
+        lsn, xid = _append_txn(frames, rows, lsn, xid)
 
     txn([
         encode_insert(_IVM_DIM_REL.relation_id, [str(i), str(i % 3)])
@@ -2432,14 +2440,7 @@ def _rev_frames() -> list:
 
     def txn(rows):
         nonlocal lsn, xid
-        frames.append((lsn, encode_begin(lsn + len(rows) + 1, 0, xid)))
-        for payload in rows:
-            lsn += 1
-            frames.append((lsn, payload))
-        lsn += 1
-        frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
-        lsn += 1
-        xid += 1
+        lsn, xid = _append_txn(frames, rows, lsn, xid)
 
     txn([
         encode_insert(
@@ -2618,14 +2619,7 @@ def _hc_frames() -> list:
 
     def txn(rows):
         nonlocal lsn, xid
-        frames.append((lsn, encode_begin(lsn + len(rows) + 1, 0, xid)))
-        for payload in rows:
-            lsn += 1
-            frames.append((lsn, payload))
-        lsn += 1
-        frames.append((lsn, encode_commit(lsn, lsn + 1, 0)))
-        lsn += 1
-        xid += 1
+        lsn, xid = _append_txn(frames, rows, lsn, xid)
 
     for start in range(0, _N_HC, 50):
         txn([

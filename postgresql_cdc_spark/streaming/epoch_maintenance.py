@@ -435,7 +435,10 @@ def compact_epochs(
         }
     if merge is not None:
         folded = merge(folded)
+    cached = None
     if cluster_by:
+        from pyspark import StorageLevel
+
         from postgresql_cdc_spark.operators.layout import list_data_files
 
         part_dirs = {f"{EPOCH_COL}={e}" for e in live}
@@ -444,7 +447,13 @@ def compact_epochs(
             if any(f"/{d}/" in f or f.endswith(f"/{d}") for d in part_dirs)
         )
         n_files = max(1, min(4096, -(-bytes_in // int(target_file_bytes))))
-        folded = folded.repartitionByRange(
+        # repartitionByRange runs a separate SAMPLING job over its child
+        # to compute range boundaries — without a persist the whole fold
+        # subtree (full store scan + merge aggregate) would execute twice
+        # per compaction (r15 review). Spill-safe level: the fold is
+        # |state|-sized.
+        cached = folded.persist(StorageLevel.MEMORY_AND_DISK)
+        folded = cached.repartitionByRange(
             n_files, *cluster_by
         ).sortWithinPartitions(*cluster_by)
     # step 1: the fold lands in the reserved negative epoch (dynamic
@@ -452,7 +461,11 @@ def compact_epochs(
     # then is made DURABLE before the commit points readers at it — the
     # folded partials are deleted in step 3, so page-cache-only base data
     # plus a power cut would otherwise lose the store's entire history
-    epoch_overwrite(folded, path, -upto)
+    try:
+        epoch_overwrite(folded, path, -upto)
+    finally:
+        if cached is not None:
+            cached.unpersist()
     _fsync_tree(os.path.join(path, f"{EPOCH_COL}=-{upto}"))
     # step 2: the commit point
     _commit_manifest(path, upto)

@@ -131,8 +131,9 @@ class JoinViewSpec:
       the kernel emits ``sign * expr`` (and ``dim_sign * sign * expr`` on
       the dD leg) summed per group, plus the implicit row count ``dn``
       that also drives empty-group drop-out. Dim and fact column names
-      must be disjoint (the dim side is prefixed internally; measure
-      exprs see fact columns only).
+      MAY collide (the shipped revenue spec shares ``pid``): the dim side
+      is ``__d_``-prefixed before every join, and measure exprs see fact
+      columns only.
     """
 
     dim_ddl: str
@@ -144,6 +145,63 @@ class JoinViewSpec:
     fact_payload: tuple[str, ...]
     group_cols: tuple[str, ...]
     measures: tuple[tuple[str, str], ...]
+
+    @staticmethod
+    def _ddl_names(ddl: str) -> list[str]:
+        """Top-level field names of a DDL string WITHOUT a SparkSession
+        (construction happens at import time, before any session exists):
+        split on commas outside parens/angle brackets, take each field's
+        first token."""
+        names: list[str] = []
+        depth, tok = 0, []
+        for ch in ddl + ",":
+            if ch in "(<":
+                depth += 1
+            elif ch in ")>":
+                depth -= 1
+            if ch == "," and depth == 0:
+                part = "".join(tok).strip()
+                tok = []
+                if part:
+                    names.append(part.split()[0].strip("`"))
+            else:
+                tok.append(ch)
+        return names
+
+    def __post_init__(self):
+        """Validate the real invariants at construction, so a malformed
+        spec fails loudly here instead of as an opaque KeyError in a DDL
+        property or an AnalysisException mid-batch (r15 review)."""
+        dim_fields = set(self._ddl_names(self.dim_ddl))
+        fact_fields = set(self._ddl_names(self.fact_ddl))
+        missing_d = ({self.dim_key, *self.dim_payload} | {"op", "lsn"}) - \
+            dim_fields
+        if missing_d:
+            raise ValueError(f"dim_ddl lacks columns {sorted(missing_d)}")
+        missing_f = ({self.fact_key, *self.fact_payload} | {"op", "lsn"}) - \
+            fact_fields
+        if missing_f:
+            raise ValueError(f"fact_ddl lacks columns {sorted(missing_f)}")
+        if self.fact_fk not in self.fact_payload:
+            raise ValueError(
+                f"fact_fk {self.fact_fk!r} must be in fact_payload "
+                f"{self.fact_payload} (the arrangement carries it)"
+            )
+        bad_groups = set(self.group_cols) - set(self.dim_payload)
+        if bad_groups:
+            raise ValueError(
+                f"group_cols {sorted(bad_groups)} not in dim_payload "
+                f"{self.dim_payload}"
+            )
+        names = [n for n, _ in self.measures]
+        clash = ({*names} & {*self.group_cols, "dn"}) | (
+            {n for n in names if names.count(n) > 1}
+        )
+        if clash:
+            raise ValueError(
+                f"measure names {sorted(clash)} collide with group "
+                "columns, 'dn', or each other"
+            )
 
     def _types(self, ddl: str) -> dict[str, str]:
         return {
@@ -434,9 +492,13 @@ def probe_by_keys(hist: DataFrame, key: str, keys_df: DataFrame) -> DataFrame:
         return hist.where(cond)  # point runs: the ranges ARE the key set
     if len(ks) <= _PROBE_MAX_IN:
         return hist.where(cond & F.col(key).isin(ks))
-    return hist.where(cond).join(
-        F.broadcast(keys_df.distinct()), key, "left_semi"
+    # rebuild the semi-join side from the ALREADY-collected keys instead
+    # of re-executing keys_df's distinct subtree for the broadcast build
+    # (r15 review)
+    keys_local = keys_df.sparkSession.createDataFrame(
+        [(k,) for k in ks], keys_df.select(key).schema
     )
+    return hist.where(cond).join(F.broadcast(keys_local), key, "left_semi")
 
 
 # --- latest-wins kv state over the epoch store --------------------------------

@@ -22,20 +22,11 @@ ROW_DDL = "tab string, k long, a long, b long, op string, lsn long"
 KV_DDL = "id long, grp int, op string, lsn long"
 
 
-def _scan_output_rows(df) -> int:
-    """Rows the file scan(s) actually produced for an EXECUTED DataFrame —
-    post row-group skipping, pre Filter re-evaluation: the honest measure
-    of read I/O a pushed predicate saved. (The probe plans here are pure
-    scan+filter — no exchange — so the executed plan is not AQE-wrapped
-    and the leaves are the FileSourceScan nodes directly.)"""
-    df.collect()
-    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
-    total = 0
-    for i in range(leaves.size()):
-        m = leaves.apply(i).metrics()
-        if m.contains("numOutputRows"):
-            total += m.apply("numOutputRows").value()
-    return int(total)
+# the probe plans measured here are pure scan+filter — no exchange — so
+# scan_output_rows sees the FileSourceScan leaves directly
+from postgresql_cdc_spark.operators.layout import (  # noqa: E402
+    scan_output_rows as _scan_output_rows,
+)
 
 
 def _waves():

@@ -438,7 +438,7 @@ BROADCAST_HINT_SITES = {
     # probe_by_keys — leaving the two delta-rule JOIN sides plus the
     # exactness semi-join of probe_by_keys' large-batch fallback, which is
     # the same batch-bounded key set.)
-    "streaming/join_ivm.py": {"dsub", "dd", "keys_df"},
+    "streaming/join_ivm.py": {"dsub", "dd", "keys_local"},
 }
 
 

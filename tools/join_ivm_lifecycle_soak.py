@@ -209,8 +209,9 @@ _SOAK_FILE_BYTES = 16 * 1024
 
 def _probe_scan_rows(spark, state: str, keys: list[int]) -> int:
     """numOutputRows of the fact_kv store scan for a pushed 3-key probe —
-    rows the reader actually surfaced after min/max skipping (the
-    test_join_ivm metric helper, applied to the soak's store)."""
+    rows the reader actually surfaced after min/max skipping
+    (``operators/layout.scan_output_rows`` over the soak's store)."""
+    from postgresql_cdc_spark.operators.layout import scan_output_rows
     from postgresql_cdc_spark.streaming.epoch_maintenance import (
         read_epoch_store,
     )
@@ -225,17 +226,12 @@ def _probe_scan_rows(spark, state: str, keys: list[int]) -> int:
                          schema=FACT_DDL),
         "fid", kdf,
     )
-    probe.collect()
-    leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
-    total = 0
-    for i in range(leaves.size()):
-        m = leaves.apply(i).metrics()
-        if m.contains("numOutputRows"):
-            total += m.apply("numOutputRows").value()
-    return int(total)
+    return scan_output_rows(probe)
 
 
-def _scale_run(spark, n_fact: int, n_small: int = 60) -> dict:
+def _scale_run(
+    spark, n_fact: int, n_small: int = 60, ops_scale: int = 1
+) -> dict:
     import tempfile as _tf
 
     from pyspark.sql import functions as F
@@ -276,13 +272,17 @@ def _scale_run(spark, n_fact: int, n_small: int = 60) -> dict:
         times = []
         for ep in range(1, n_small + 1):
             rows = []
-            lsn = lsn0 + ep * 16
-            for j in range(2):
+            lsn = lsn0 + ep * 16 * ops_scale
+            for j in range(2 * ops_scale):
                 did = (ep * 7 + j) % n_dim
                 rows.append(("d", did, (ep + did) % N_GRP, None, "U", lsn))
                 lsn += 1
-            for j in range(8):
+            seen: set = set()
+            for j in range(8 * ops_scale):
                 fid = (ep * 13 + j * 5) % n_fact
+                if fid in seen:
+                    continue  # latest-wins would collapse it anyway
+                seen.add(fid)
                 if (ep + j) % 6 == 5:
                     rows.append(("f", fid, None, None, "D", lsn))
                 else:
@@ -447,6 +447,30 @@ def _hicard_run(spark, n_keys: int, backend: str, n_small: int = 40) -> dict:
     }
 
 
+def batch_compare() -> int:
+    """The OTHER axis of the O(|batch|) claim: state held constant
+    (20k facts), batch size scaled 10x (10 -> 100 ops). Per-batch cost
+    may grow toward linear in |batch| (that IS the claim's bound) but is
+    expected sub-linear here because per-trigger overhead dominates at
+    these sizes; what it must NOT do is pick up an O(|state|) term."""
+    from postgresql_cdc_spark.session import get_spark
+
+    spark = get_spark("join-ivm-batch-compare")
+    out = {}
+    for scale in (1, 10):
+        print(f"  20k-fact state, {10 * scale} ops/batch ...",
+              file=sys.stderr, flush=True)
+        out[f"ops_{10 * scale}"] = {
+            **_scale_run(spark, 20_000, n_small=40, ops_scale=scale),
+            "ops_per_batch": 10 * scale,
+        }
+    out["median_ratio_10x_batch"] = round(
+        out["ops_100"]["batch_s_median"] / out["ops_10"]["batch_s_median"], 2
+    )
+    print(json.dumps({"join_ivm_batch_compare": out}, indent=2))
+    return 0
+
+
 def hicard_compare() -> int:
     from postgresql_cdc_spark.session import get_spark
 
@@ -477,4 +501,6 @@ if __name__ == "__main__":
         raise SystemExit(scale_compare())
     if "--hicard-compare" in sys.argv:
         raise SystemExit(hicard_compare())
+    if "--batch-compare" in sys.argv:
+        raise SystemExit(batch_compare())
     raise SystemExit(main())
