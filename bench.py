@@ -362,7 +362,20 @@ def main() -> int:
         payload["errors"] = errors
     if skipped:
         payload["skipped"] = skipped
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    print(line)
+    # The driver's BENCH_r*.json capture keeps only a stdout TAIL (the
+    # per-query history from r9-r15 survives only in READMEs and reruns),
+    # so ALSO persist the full JSON to a stable path the judge can read:
+    # $BENCH_OUT if set, else bench_last.json next to this file.
+    out_path = os.environ.get("BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"  (bench_last.json not written: {e})", file=sys.stderr)
     return 0
 
 

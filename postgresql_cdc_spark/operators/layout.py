@@ -47,13 +47,24 @@ def scan_output_rows(df) -> int:
     """Rows the file scan(s) of an EXECUTED DataFrame actually produced —
     post parquet row-group/page skipping, pre Filter re-evaluation: the
     honest measure of read I/O a pushed predicate saved (the diagnostic
-    the layout operators here exist to improve). Executes the plan via
-    ``collect`` if the caller hasn't. Only meaningful for plans whose
-    leaves are file scans and that carry no exchange (an AQE-wrapped plan
-    hides its leaves behind the adaptive node); probe/filter shapes
-    qualify."""
-    df.collect()
-    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    the layout operators here exist to improve). Executes the plan via a
+    ROW-DISCARDING action — ``executedPlan().execute().count()`` runs the
+    exact physical plan instance whose metrics are read below as a JVM
+    RDD count, so no row ever crosses to the driver (``collect`` here
+    materialized the full result set just to populate metrics, and a
+    large diagnostic frame would OOM the driver — r16 advice). Note the
+    plan executes once per call even if the caller already ran it (the
+    metrics belong to this plan instance, not the caller's action). Only
+    meaningful for plans whose leaves are file scans and that carry no
+    exchange (an AQE-wrapped plan hides its leaves behind the adaptive
+    node); probe/filter shapes qualify."""
+    exec_plan = df._jdf.queryExecution().executedPlan()
+    # Dataset actions reset plan metrics before running; a raw
+    # execute() does not, so without this a caller's earlier action on
+    # the same DataFrame would double-count into numOutputRows
+    exec_plan.resetMetrics()
+    exec_plan.execute().count()
+    leaves = exec_plan.collectLeaves()
     total = 0
     for i in range(leaves.size()):
         m = leaves.apply(i).metrics()

@@ -440,86 +440,70 @@ def tables_of(q: Query) -> set[str]:
 # inert on its own — no hand-removal needed. name -> round of the now-stale
 # stamp.
 _PIN_UNTIL_STAMPED_AFTER = {
-    # r7: size-ratio prefilter + sizes-through-groupBy rewrite, oracle in
-    # lockstep — r6 stamp predates it. (r6 pins for minhash/ngram went inert
-    # when their r6 stamps landed.)
-    "dedup_ngram_jaccard": 6,
-    # r7: operators/dedup.py changed in the same module (ngram path only, but
-    # a module edit warrants one conservative re-stamp of its other consumer).
-    "dedup_minhash_lsh": 6,
-    # r9: island-numbering window order fix in operators/timeseries.py with
-    # the oracle's islands CTE changed in lockstep — r8 stamp predates both.
-    "events_interval_coverage": 8,
-    # r9: window-fill merge rewritten (generated-SQL kernel, struct fills,
-    # last-INSERT-LSN freshness instead of generation numbering) — every
-    # consumer of the merge_sparse=True+columns path re-verifies; the
-    # latest-image query shares the module and re-stamps conservatively.
-    "cdc_materialize_state": 8,
-    "cdc_pricing_after_replay": 8,
-    "cdc_materialize_latest_image": 8,
-    # r9: N-D skyline phase-1 kernel rewritten (sorted-survivor blocked
-    # dominance) — the stamped consumer re-verifies. (skyline_pareto_3d is
-    # never-stamped and already front-of-window.)
-    "skyline_pareto_parts": 8,
-    # r10: per-row global RANK replaced by the distinct-score histogram +
-    # two-level stitched prefix (operators/seams.py) — the r8 stamp predates
-    # the rewrite; QUERIES.md regeneration erased the changed flag, so the
-    # pin forces the driver re-stamp.
-    "eval_auc_exact": 9,
-    # r10: the two global ROW_NUMBER windows replaced by distributed
-    # top-25s + a broadcast count-strictly-smaller rank pass — the r9
-    # stamp predates the rewrite.
-    "sort_null_ordering": 9,
-    # r13: the forced F.broadcast on the vocab-sized bigram-count table was
-    # dropped (plain equi-join; AQE decides) — plan change, r12 stamp
-    # predates it.
-    "text_perplexity_proxy": 12,
-    # r15: the join-IVM kernel changed again (key-clustered base folds,
-    # pushed key probes replacing the broadcast semi-joins, JoinViewSpec
-    # parameterization) — all four adopter gates re-stamp over the new
-    # probe/cluster path. (Values raised 13 -> 14 over the r14 pins;
-    # duplicate literal keys would shadow silently.)
-    "cdc_stream_ivm_join_sums": 14,
-    "cdc_stream_ivm_group_sums": 14,
-    "cdc_stream_ivm_min_maintenance": 14,
-    "cdc_foreachbatch_upsert": 14,
-    # r15: epoch_maintenance gained cluster_by/target_file_bytes (default
-    # no-op for these gates) and the fsync walk now tolerates EACCES at
-    # open — error-path-only, but these gates run maybe_compact / the
-    # fold fsync live, so one conservative re-stamp each (13 -> 14).
-    "cdc_stream_incremental_dedup": 14,
-    "cdc_stream_vector_index": 14,
-    "cdc_stream_bm25_stats": 14,
-    # r15: gen-2 quantizer retraining moved to a deterministic hash
-    # sample (oracle in lockstep) — the r14 stamp predates the change.
-    "cdc_stream_ivf_quantizer_refresh": 14,
-    # r15 hygiene restamp of the full r8 cohort (the verdict's item 2:
-    # these 24 stamps are 7 rounds old — 12 were judge-re-verified in r14,
+    # (Pins from r6-r15 that have since gone inert — their targets carry
+    # newer driver stamps — were pruned in r16; git history preserves the
+    # full ledger.)
+    #
+    # r16: the join-IVM kernel was GENERALIZED (JoinViewSpec: N dims via
+    # DimSpec, support-counted extrema measures, dimensionless mode;
+    # apply_batch/join_deltas rewritten around the N-ary delta rule) —
+    # every kernel adopter re-stamps over the new code path. The min gate
+    # was additionally REWIRED through the spec (same oracle), and the
+    # left-join gate's serve now probe-prunes the dim read
+    # (probe_key_state).
+    "cdc_stream_ivm_join_sums": 15,
+    "cdc_stream_ivm_join_revenue": 15,
+    "cdc_stream_ivm_min_maintenance": 15,
+    "cdc_stream_ivm_left_join": 15,
+    # r16: fold_epoch_store gained the below-base-horizon guard and
+    # probe_by_keys the string-surrogate ranges — error-path / key-type
+    # extensions, but these gates run the changed functions live, so one
+    # conservative re-stamp each.
+    "cdc_stream_ivm_sums_hicard": 15,
+    "cdc_stream_ivm_group_sums": 15,
+    "cdc_foreachbatch_upsert": 15,
+    # r16: the epoch-maintenance fsync walk now WARNS on tolerated
+    # permission refusals — error-path-only; conservative re-stamp of the
+    # live maybe_compact consumers.
+    "cdc_stream_incremental_dedup": 15,
+    "cdc_stream_vector_index": 15,
+    "cdc_stream_bm25_stats": 15,
+    # r16 hygiene restamp of the full r9 cohort (the verdict's item 2:
+    # these 33 stamps are 7 rounds old — 8 were judge-re-verified in r15,
     # so risk is low, but no stamp should age past the window's reach).
-    "corpus_boilerplate_removal": 8,
-    "corpus_quality_funnel": 8,
-    "dedup_cluster_size_hist": 8,
-    "dq_referential_orphans": 8,
-    "er_golden_record": 8,
-    "events_bot_detection": 8,
-    "events_cohort_ltv": 8,
-    "events_dau_mau_stickiness": 8,
-    "events_forecast_backtest": 8,
-    "events_lateness_profile": 8,
-    "events_markov_transitions": 8,
-    "events_seasonal_anomaly": 8,
-    "feat_quantile_binning": 8,
-    "graph_bfs_hops": 8,
-    "mm_video_scene_cuts": 8,
-    "orders_abc_classification": 8,
-    "orders_reorder_survival_table": 8,
-    "orders_rolling_median_revenue": 8,
-    "privacy_erasure_cascade": 8,
-    "sample_reservoir_per_group": 8,
-    "sim_topk_pq_rerank": 8,
-    "text_inverted_index": 8,
-    "text_ngram_lm_counts": 8,
-    "text_source_divergence": 8,
+    "agg_listagg_ordered": 9,
+    "agg_percentile_cont": 9,
+    "agg_percentile_disc": 9,
+    "agg_pivot_linestatus": 9,
+    "agg_unpivot_measures": 9,
+    "asof_tolerance_recent_signups": 9,
+    "cdc_conflict_detection": 9,
+    "cdc_image_sparsity_report": 9,
+    "cdc_log_compaction_stats": 9,
+    "cdc_stream_session_windows": 9,
+    "cdc_stream_sliding_counts": 9,
+    "events_bounce_rate": 9,
+    "events_funnel_steps": 9,
+    "events_funnel_time_to_convert": 9,
+    "events_gapfill_locf": 9,
+    "events_heavy_hitters": 9,
+    "events_retention_cohorts": 9,
+    "join_bloomlike_prefilter": 9,
+    "join_correlated_scalar_subq": 9,
+    "join_inline_values_dim": 9,
+    "join_interval_overlap": 9,
+    "join_not_in_null_semantics": 9,
+    "join_preagg_pushdown": 9,
+    "layout_compaction_roundtrip": 9,
+    "layout_zorder_file_stats": 9,
+    "nested_struct_roundtrip": 9,
+    "orders_cumulative_customers": 9,
+    "scalar_date_arithmetic": 9,
+    "skyline_pareto_3d": 9,
+    "source_text_roundtrip": 9,
+    "stats_column_profile": 9,
+    "union_schema_drift": 9,
+    "window_topk_two_phase": 9,
 }
 
 

@@ -251,6 +251,30 @@ _OPEN_PERMISSION_ERRNOS = frozenset(
     if e is not None
 )
 
+# Paths the permission-tolerance branch already warned for: tolerating
+# EACCES/EPERM at the fsync walk's open narrows durability to what the
+# mount grants, and doing so SILENTLY would make 'compaction proceeded
+# without fsyncing the fold' indistinguishable from a healthy walk (r16
+# advice). One warning per distinct path per process — the walk re-visits
+# the same files every compaction, so warning every time would flood.
+_PERM_TOLERATED_WARNED: set[str] = set()
+
+
+def _warn_perm_tolerated(path: str, exc: OSError) -> None:
+    if path in _PERM_TOLERATED_WARNED:
+        return
+    _PERM_TOLERATED_WARNED.add(path)
+    import warnings
+
+    warnings.warn(
+        f"fsync walk could not re-open {path!r} "
+        f"(errno {exc.errno}: {exc.strerror}); durability for this entry "
+        "narrows to what the mount grants — compaction proceeds, but the "
+        "folded base may not be fsynced here",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
 
 def _fsync_fd(fd: int) -> None:
     """fsync with the capability/write-failure discrimination above."""
@@ -275,6 +299,7 @@ def _fsync_dir(path: str) -> None:
         if exc.errno in (errno.ENOENT, errno.ENOTDIR):
             return
         if exc.errno in _OPEN_PERMISSION_ERRNOS:
+            _warn_perm_tolerated(path, exc)
             return
         raise
     try:
@@ -299,7 +324,10 @@ def _fsync_tree(path: str) -> None:
                 if exc.errno == errno.ENOENT:
                     continue  # vanished mid-walk: not part of the fold
                 if exc.errno in _OPEN_PERMISSION_ERRNOS:
-                    continue  # can't re-open, nothing lost (r15 advice)
+                    # can't re-open, nothing lost (r15 advice) — but say
+                    # so once, loudly (r16 advice)
+                    _warn_perm_tolerated(os.path.join(root, name), exc)
+                    continue
                 # EIO on a file that EXISTS is a durability failure for
                 # fold data the sweep is about to orphan — abort before
                 # the commit point, same as an fsync failure (r14 review)

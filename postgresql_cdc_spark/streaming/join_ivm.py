@@ -1,19 +1,32 @@
-"""Replay-idempotent JOIN-view incremental maintenance for foreachBatch,
+"""Replay-idempotent VIEW incremental maintenance for foreachBatch,
 with a CLOSED state lifecycle: per-batch work and per-batch state I/O are
 O(|batch|), disk is bounded regardless of stream age.
 
-Maintains ``SUM(fact.amount), COUNT(*) per dim.grp over fact JOIN dim``
-from signed row deltas — the counting-IVM delta rule (Koch's incremental
-algebra; DBSP/Materialize lineage):
+Maintains grouped aggregates over a fact FK-equi-joined to ZERO or more
+dimensions (:class:`JoinViewSpec`: single-table grouped views, the
+classic fact-join-dim view, and star/snowflake fact x dim1 x dim2 ...
+shapes) from signed row deltas — the counting-IVM delta rule (Koch's
+incremental algebra; DBSP/Materialize lineage). For one dimension:
 
     delta(F JOIN D) = dF JOIN D_old  UNION ALL  F_new JOIN dD
 
 which expands to dF·D_old + F_old·dD + dF·dD, so same-batch changes on
-both sides apply exactly once. The running aggregate is only ever
-ADJUSTED (|groups| + |delta| rows per batch); history is never
-recomputed.
+both sides apply exactly once; for N dimensions ordered fact-first the
+rule contributes one term per relation with the triangular new/old split
 
-State layout (all under one base directory):
+    dF·D1_old···Dn_old + sum_i  F_new·D1_new···dDi···Dn_old
+
+(every relation before the delta position is NEW, every one after is
+OLD). The running aggregate is only ever ADJUSTED (|groups| + |delta|
+rows per batch); history is never recomputed. Measures are abelian SUMs
+plus an implicit COUNT; MIN/MAX-style extrema — not delta-adjustable —
+are maintained through per-measure SUPPORT tables ((group, value) ->
+live count; the textbook eviction-safe construction) folded from the
+same signed view deltas and re-derived at serve time.
+
+State layout (all under one base directory; multi-dim specs keep one
+``dim_<name>_kv`` and one ``fact_by_<name>`` arrangement PER dimension,
+and extrema measures one versioned ``supp_<name>`` table each):
 
 - ``dim_kv`` / ``fact_kv`` — latest-wins key-value stores backed by the
   epoch store (``streaming/epoch_io.py``): each batch writes ONLY its own
@@ -95,6 +108,7 @@ from pyspark.sql.window import Window
 
 from postgresql_cdc_spark.streaming.epoch_io import EPOCH_COL, epoch_overwrite
 from postgresql_cdc_spark.streaming.epoch_maintenance import (
+    base_upto,
     epochs_before_compacted,
     maybe_compact,
     read_epoch_store,
@@ -109,91 +123,163 @@ SUMS_DDL = "grp int, dn long, dq long"
 
 # --- the view spec: one kernel, many maintained views -------------------------
 
+def _ddl_names(ddl: str) -> list[str]:
+    """Top-level field names of a DDL string WITHOUT a SparkSession
+    (construction happens at import time, before any session exists):
+    split on commas outside parens/angle brackets, take each field's
+    first token."""
+    names: list[str] = []
+    depth, tok = 0, []
+    for ch in ddl + ",":
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            part = "".join(tok).strip()
+            tok = []
+            if part:
+                names.append(part.split()[0].strip("`"))
+        else:
+            tok.append(ch)
+    return names
+
+
+@dataclass(frozen=True)
+class DimSpec:
+    """One dimension of a maintained star view: its change-row schema
+    (ending in ``op string, lsn long``), key, the payload columns carried
+    through the delta rule, and the FACT payload column referencing it.
+    ``name`` suffixes the dimension's state directories (``dim_<name>_kv``,
+    ``fact_by_<name>``); it defaults to ``fact_fk``."""
+
+    ddl: str
+    key: str
+    payload: tuple[str, ...]
+    fact_fk: str
+    name: str = ""
+
+    def __post_init__(self):
+        if not self.name:
+            object.__setattr__(self, "name", self.fact_fk)
+        fields = set(_ddl_names(self.ddl))
+        missing = ({self.key, *self.payload} | {"op", "lsn"}) - fields
+        if missing:
+            raise ValueError(
+                f"dim {self.name!r}: ddl lacks columns {sorted(missing)}"
+            )
+        if self.key in self.payload:
+            raise ValueError(
+                f"dim {self.name!r}: key {self.key!r} must not repeat in "
+                "payload (the kernel carries the key separately; a "
+                "duplicate emits twice-named DDL columns — r16 advice)"
+            )
+
+
 @dataclass(frozen=True)
 class JoinViewSpec:
     """Schema + aggregate parameterization of the join-view kernel, so a
     structurally different maintained view (other payload columns, other
-    SUM-measures, other grouping attribute) shares :func:`apply_batch` /
-    :func:`join_deltas` instead of copy-pasting the module (r14 verdict
-    #3). What stays fixed is the ALGEBRA — one FK equi-join, grouped
-    SUM/COUNT measures (abelian-group aggregates that adjust from signed
-    deltas alone); MIN/MAX-style views keep composing the kernel's
-    ``ingest_and_delta`` + a support table (the
-    ``cdc_stream_ivm_min_maintenance`` shape) because their aggregates
-    are not delta-adjustable.
+    measures, other grouping attributes, MORE dimensions, or no dimension
+    at all) shares :func:`apply_batch` / :func:`join_deltas` instead of
+    copy-pasting the module (r14 verdict #3; generalized to the full
+    view class in r16). The covered ALGEBRA:
 
-    - ``dim_ddl`` / ``fact_ddl``: change-row schemas, each ending in
-      ``op string, lsn long`` (the CDC envelope the kv stores resolve on).
-    - ``dim_payload`` ⊇ ``group_cols``: dim columns carried through the
-      delta rule; ``fact_payload`` must include ``fact_fk``.
-    - ``measures``: ``(name, sql_expr)`` pairs — each expr is a Spark SQL
-      expression over FACT payload columns giving the row's contribution;
-      the kernel emits ``sign * expr`` (and ``dim_sign * sign * expr`` on
-      the dD leg) summed per group, plus the implicit row count ``dn``
-      that also drives empty-group drop-out. Dim and fact column names
-      MAY collide (the shipped revenue spec shares ``pid``): the dim side
-      is ``__d_``-prefixed before every join, and measure exprs see fact
-      columns only.
+    - ``dims``: ZERO or more dimensions FK-equi-joined to the fact
+      (``()`` = a single-table grouped view; one entry = the classic
+      fact-join-dim view; two+ = the star/snowflake shape, e.g.
+      orders x customer x part). The N-ary counting-IVM delta rule is
+      applied with the relations ordered fact-first:
+      ``delta = dF .. D_i_old ..  +  sum_i  F_new .. D_j_new(j<i) ..
+      dD_i .. D_j_old(j>i)`` — each term's carrier is bounded by the
+      batch (dF) or the batch's dimension-delta fan-out (dD_i).
+    - ``measures``: ``(name, sql_expr)`` pairs — abelian SUMs of a Spark
+      SQL expression over FACT payload columns; the kernel emits
+      ``sign * expr`` summed per group, plus the implicit row count
+      ``dn`` that also drives empty-group drop-out.
+    - ``extrema``: ``(name, 'min'|'max', sql_expr, value_ddl_type)``
+      entries — the classic NON-delta-adjustable aggregates, maintained
+      through an auxiliary SUPPORT table per entry (``(group_cols, value)
+      -> live count``; values whose count nets zero drop out) and
+      re-derived at serve time, so deletes evicting the current extremum
+      stay exact. Support tables are bounded by distinct (group, value)
+      pairs.
+
+    Legacy single-dim fields (``dim_ddl``/``dim_key``/``dim_payload``/
+    ``fact_fk``) remain constructible and normalize into ``dims``.
+    Group columns may come from any dim payload or the fact payload
+    (each name must resolve to exactly ONE source). Dim and fact column
+    names MAY collide (the shipped revenue spec shares ``pid``): dim
+    sides are ``__d<i>_``-prefixed before every join, and measure /
+    extrema exprs see fact columns only.
     """
 
-    dim_ddl: str
-    dim_key: str
-    dim_payload: tuple[str, ...]
-    fact_ddl: str
-    fact_key: str
-    fact_fk: str
-    fact_payload: tuple[str, ...]
-    group_cols: tuple[str, ...]
-    measures: tuple[tuple[str, str], ...]
-
-    @staticmethod
-    def _ddl_names(ddl: str) -> list[str]:
-        """Top-level field names of a DDL string WITHOUT a SparkSession
-        (construction happens at import time, before any session exists):
-        split on commas outside parens/angle brackets, take each field's
-        first token."""
-        names: list[str] = []
-        depth, tok = 0, []
-        for ch in ddl + ",":
-            if ch in "(<":
-                depth += 1
-            elif ch in ")>":
-                depth -= 1
-            if ch == "," and depth == 0:
-                part = "".join(tok).strip()
-                tok = []
-                if part:
-                    names.append(part.split()[0].strip("`"))
-            else:
-                tok.append(ch)
-        return names
+    fact_ddl: str = ""
+    fact_key: str = ""
+    fact_payload: tuple[str, ...] = ()
+    group_cols: tuple[str, ...] = ()
+    measures: tuple[tuple[str, str], ...] = ()
+    dims: tuple[DimSpec, ...] = ()
+    extrema: tuple[tuple[str, str, str, str], ...] = ()
+    # legacy single-dimension spelling (r15 surface), normalized into
+    # ``dims`` at construction
+    dim_ddl: Optional[str] = None
+    dim_key: Optional[str] = None
+    dim_payload: tuple[str, ...] = ()
+    fact_fk: Optional[str] = None
 
     def __post_init__(self):
-        """Validate the real invariants at construction, so a malformed
-        spec fails loudly here instead of as an opaque KeyError in a DDL
-        property or an AnalysisException mid-batch (r15 review)."""
-        dim_fields = set(self._ddl_names(self.dim_ddl))
-        fact_fields = set(self._ddl_names(self.fact_ddl))
-        missing_d = ({self.dim_key, *self.dim_payload} | {"op", "lsn"}) - \
-            dim_fields
-        if missing_d:
-            raise ValueError(f"dim_ddl lacks columns {sorted(missing_d)}")
+        """Normalize the legacy single-dim spelling, then validate the
+        real invariants at construction, so a malformed spec fails loudly
+        here instead of as an opaque KeyError in a DDL property or an
+        AnalysisException mid-batch (r15 review)."""
+        if self.dim_ddl is not None:
+            if self.dims:
+                raise ValueError(
+                    "pass either dims=(...) or the legacy dim_ddl/dim_key/"
+                    "dim_payload/fact_fk fields, not both"
+                )
+            object.__setattr__(
+                self,
+                "dims",
+                (DimSpec(
+                    ddl=self.dim_ddl,
+                    key=self.dim_key,
+                    payload=tuple(self.dim_payload),
+                    fact_fk=self.fact_fk,
+                ),),
+            )
+        if not self.fact_ddl:
+            raise ValueError("fact_ddl is required")
+        fact_fields = set(_ddl_names(self.fact_ddl))
         missing_f = ({self.fact_key, *self.fact_payload} | {"op", "lsn"}) - \
             fact_fields
         if missing_f:
             raise ValueError(f"fact_ddl lacks columns {sorted(missing_f)}")
-        if self.fact_fk not in self.fact_payload:
+        if self.fact_key in self.fact_payload:
             raise ValueError(
-                f"fact_fk {self.fact_fk!r} must be in fact_payload "
-                f"{self.fact_payload} (the arrangement carries it)"
+                f"fact_key {self.fact_key!r} must not repeat in "
+                f"fact_payload (duplicate DDL columns — r16 advice)"
             )
-        bad_groups = set(self.group_cols) - set(self.dim_payload)
-        if bad_groups:
-            raise ValueError(
-                f"group_cols {sorted(bad_groups)} not in dim_payload "
-                f"{self.dim_payload}"
-            )
-        names = [n for n, _ in self.measures]
+        seen_names = set()
+        for d in self.dims:
+            if d.name in seen_names:
+                raise ValueError(f"duplicate dim name {d.name!r}")
+            seen_names.add(d.name)
+            if d.fact_fk not in self.fact_payload:
+                raise ValueError(
+                    f"dim {d.name!r}: fact_fk {d.fact_fk!r} must be in "
+                    f"fact_payload {self.fact_payload} (the arrangement "
+                    "carries it)"
+                )
+        for g in self.group_cols:
+            if len(self._group_sources(g)) != 1:
+                raise ValueError(
+                    f"group column {g!r} must resolve to exactly one "
+                    "source (one dim payload or the fact payload); found "
+                    f"{len(self._group_sources(g))}"
+                )
+        names = [n for n, _ in self.measures] + [e[0] for e in self.extrema]
         clash = ({*names} & {*self.group_cols, "dn"}) | (
             {n for n in names if names.count(n) > 1}
         )
@@ -202,6 +288,20 @@ class JoinViewSpec:
                 f"measure names {sorted(clash)} collide with group "
                 "columns, 'dn', or each other"
             )
+        for name, kind, _expr, _vtype in self.extrema:
+            if kind not in ("min", "max"):
+                raise ValueError(
+                    f"extrema {name!r}: kind must be 'min' or 'max', got "
+                    f"{kind!r}"
+                )
+
+    def _group_sources(self, g: str) -> list[int]:
+        """Indices of the sources defining group column ``g``: dim i for
+        its payload, -1 for the fact payload."""
+        out = [i for i, d in enumerate(self.dims) if g in d.payload]
+        if g in self.fact_payload:
+            out.append(-1)
+        return out
 
     def _types(self, ddl: str) -> dict[str, str]:
         return {
@@ -209,24 +309,63 @@ class JoinViewSpec:
             for f in StructType.fromDDL(ddl).fields
         }
 
+    def _group_type(self, g: str) -> str:
+        src = self._group_sources(g)[0]
+        ddl = self.fact_ddl if src == -1 else self.dims[src].ddl
+        return self._types(ddl)[g]
+
     @property
     def arr_ddl(self) -> str:
         t = self._types(self.fact_ddl)
         cols = [self.fact_key, *self.fact_payload]
         return ", ".join(f"{c} {t[c]}" for c in cols) + ", sign int"
 
-    @property
-    def dim_delta_ddl(self) -> str:
-        t = self._types(self.dim_ddl)
-        cols = [self.dim_key, *self.dim_payload]
+    def dim_delta_ddl(self, dim: DimSpec) -> str:
+        t = self._types(dim.ddl)
+        cols = [dim.key, *dim.payload]
         return "sign int, " + ", ".join(f"{c} {t[c]}" for c in cols)
 
     @property
     def sums_ddl(self) -> str:
-        t = self._types(self.dim_ddl)
-        groups = ", ".join(f"{g} {t[g]}" for g in self.group_cols)
+        groups = ", ".join(
+            f"{g} {self._group_type(g)}" for g in self.group_cols
+        )
         meas = "".join(f", {name} long" for name, _ in self.measures)
-        return f"{groups}, dn long{meas}"
+        return f"{groups}, dn long{meas}" if groups else f"dn long{meas}"
+
+    @property
+    def view_delta_ddl(self) -> str:
+        """Schema of one signed view-delta row: groups, dn, SUM-measure
+        contributions, extrema VALUES (unsigned — the support fold pairs
+        them with dn as the count adjustment)."""
+        parts = [f"{g} {self._group_type(g)}" for g in self.group_cols]
+        parts.append("dn long")
+        parts.extend(f"{name} long" for name, _ in self.measures)
+        parts.extend(f"{name} {vtype}" for name, _k, _e, vtype in self.extrema)
+        return ", ".join(parts)
+
+    def supp_ddl(self, vtype: str) -> str:
+        groups = "".join(
+            f"{g} {self._group_type(g)}, " for g in self.group_cols
+        )
+        return f"{groups}__v {vtype}, cnt long"
+
+    # --- state-directory layout (legacy names preserved for 1-dim views)
+
+    def dim_store(self, base: str, i: int) -> str:
+        if len(self.dims) == 1:
+            return os.path.join(base, "dim_kv")
+        return os.path.join(base, f"dim_{self.dims[i].name}_kv")
+
+    def arr_store(self, base: str, i: int) -> str:
+        if len(self.dims) == 1:
+            return os.path.join(base, "fact_by_did")
+        return os.path.join(base, f"fact_by_{self.dims[i].name}")
+
+    def dim_delta_prefix(self, i: int) -> str:
+        if len(self.dims) == 1:
+            return "dim_delta"
+        return f"dim_delta_{self.dims[i].name}"
 
 
 DEFAULT_SPEC = JoinViewSpec(
@@ -379,8 +518,24 @@ def fold_epoch_store(
     the zero-group drop-out of the full-aggregate layout applies at SERVE
     time, not in the fold. Replay contract: the deltas are deterministic
     given the committed prefix (``ingest_and_delta``), so a replayed
-    epoch's dynamic overwrite replaces its crashed attempt wholesale."""
+    epoch's dynamic overwrite replaces its crashed attempt wholesale.
+
+    Raises when ``epoch`` lands below the store's compacted base horizon:
+    the partition would be written where every manifest-aware read
+    (``read_folded_groups`` / ``read_epoch_store``) filters it out, so
+    the replayed deltas would VANISH silently — the same misuse class
+    ``fold_versioned`` raises on for the versioned layout and
+    ``epochs_before_compacted`` rejects for reads (r15 advice, extended
+    to the write side here per r16 advice)."""
     epoch = int(epoch)
+    floor = base_upto(store)
+    if epoch < floor:
+        raise ValueError(
+            f"epoch-store sums table at {store!r}: batch {epoch} replayed "
+            f"below the compacted base horizon {floor}; its partition "
+            "would be invisible to every manifest-aware read — a "
+            "committed micro-batch must never re-run"
+        )
     st = StructType.fromDDL(ddl)
     measure_cols = [f for f in st.fields if f.name not in group_cols]
 
@@ -437,6 +592,16 @@ _PROBE_MAX_RANGES = 64   # OR-of-BETWEEN disjuncts: keeps the plan small
 _PROBE_MAX_IN = 4096     # above this, exactness moves to a semi-join
 
 
+def _str_surrogate(k: str) -> int:
+    """Order-preserving integer surrogate of a string key: its first 8
+    UTF-8 bytes, big-endian, zero-padded — surrogate order equals
+    bytewise order on the prefix, so surrogate GAPS measure how far apart
+    two keys sit in the lexicographic key domain (ties beyond 8 bytes
+    collapse to gap 0, which only merges runs, never splits them
+    wrongly)."""
+    return int.from_bytes(k.encode("utf-8")[:8].ljust(8, b"\0"), "big")
+
+
 def _key_ranges(ks: list) -> list[tuple]:
     """Gap-merged sorted runs covering ``ks``, at most ``_PROBE_MAX_RANGES``
     of them: keep the R-1 LARGEST gaps as run boundaries so the runs hug
@@ -444,15 +609,23 @@ def _key_ranges(ks: list) -> list[tuple]:
     pure comparisons on the key column — pushed to the parquet scan, it
     skips every file and row group whose [min, max] envelope intersects no
     run (exactly what the key-clustered base fold's envelopes are tight
-    for). Non-numeric keys fall back to one [min, max] run (no gap
-    arithmetic), which still prunes a sorted lexicographic layout."""
+    for). STRING keys (natural keys, UUIDs) get the same treatment through
+    an order-preserving byte surrogate (first 8 bytes as an integer), so a
+    string-keyed kv store prunes as tightly as a numeric one instead of
+    degrading to one whole-domain envelope (r15 verdict's 'what's wrong'
+    #1); other non-numeric types keep the single [min, max] run fallback,
+    which still prunes a sorted lexicographic layout."""
     ks = sorted(ks)
     if len(ks) <= _PROBE_MAX_RANGES:
         return [(k, k) for k in ks]
+    if all(isinstance(k, str) for k in ks):
+        surr = [_str_surrogate(k) for k in ks]
+        gap = lambda i: surr[i] - surr[i - 1]  # noqa: E731
+    else:
+        gap = lambda i: ks[i] - ks[i - 1]  # noqa: E731
     try:
         splits = sorted(
-            sorted(range(1, len(ks)), key=lambda i: ks[i] - ks[i - 1])
-            [-(_PROBE_MAX_RANGES - 1):]
+            sorted(range(1, len(ks)), key=gap)[-(_PROBE_MAX_RANGES - 1):]
         )
     except TypeError:
         return [(ks[0], ks[-1])]
@@ -616,6 +789,27 @@ def key_state(
     return _resolve(_history(spark, store, ddl, before), key)
 
 
+def probe_key_state(
+    spark: SparkSession,
+    store: str,
+    ddl: str,
+    key: str,
+    keys_df: DataFrame,
+    before: Optional[int] = None,
+) -> DataFrame:
+    """:func:`key_state` restricted to the keys in ``keys_df``, with the
+    key set PUSHED into the store scan (:func:`probe_by_keys`) so the
+    clustered base fold prunes — the serve-side composition the
+    factorized outer-join views need: a LEFT-join serve only cares about
+    dims referenced by the maintained fact aggregate M1, so reading
+    through M1's distinct FKs keeps serve cost tracking |M1| instead of
+    |dim| (r15 verdict 'what's wrong' #2)."""
+    return _resolve(
+        probe_by_keys(_history(spark, store, ddl, before), key, keys_df),
+        key,
+    )
+
+
 def ingest_and_delta(
     spark: SparkSession,
     store: str,
@@ -698,169 +892,352 @@ def ingest_and_delta(
 
 # --- the join-view step -------------------------------------------------------
 
+def _as_dim_batches(d_batch, n_dims: int) -> list:
+    """Normalize apply_batch's dim-batch argument: None (no dims), one
+    DataFrame (the classic 1-dim view), or a sequence aligned with
+    ``spec.dims``."""
+    if d_batch is None:
+        batches = []
+    elif isinstance(d_batch, DataFrame):
+        batches = [d_batch]
+    else:
+        batches = list(d_batch)
+    if len(batches) != n_dims:
+        raise ValueError(
+            f"got {len(batches)} dim batches for {n_dims} spec dims"
+        )
+    return batches
+
+
 def apply_batch(
     spark: SparkSession,
     base: str,
     batch_id: int,
-    d_batch: DataFrame,
+    d_batch,
     f_batch: DataFrame,
     max_live_partials: int = 8,
     target_file_bytes: int = 128 * 1024 * 1024,
     spec: JoinViewSpec = DEFAULT_SPEC,
 ) -> None:
-    """One foreachBatch step of the join-view maintenance (see the module
-    docstring's dataflow), for any :class:`JoinViewSpec`-shaped view.
-    Every prior-state read resolves strictly below ``batch_id``; every
-    store is size-tiered-compacted at the top of the epoch (base folds
-    key-clustered into ``target_file_bytes``-sized files so the probes
-    prune); sums versions behind the previous generation are swept — so
-    per-batch cost is O(|batch|) and disk objects stay bounded at any
-    stream age."""
+    """One foreachBatch step of the view maintenance (see the module
+    docstring's dataflow), for any :class:`JoinViewSpec`-shaped view —
+    zero dims (single-table grouped view), one (the classic join view),
+    or several (star/snowflake). ``d_batch`` is None, one DataFrame, or a
+    sequence aligned with ``spec.dims``. Every prior-state read resolves
+    strictly below ``batch_id``; every store is size-tiered-compacted at
+    the top of the epoch (base folds key-clustered into
+    ``target_file_bytes``-sized files so the probes prune); versions
+    behind the previous generation are swept — so per-batch cost is
+    O(|batch| + dim-delta fan-out) and disk objects stay bounded at any
+    stream age. SUM-measures fold into the versioned sums table; extrema
+    measures additionally fold their (group, value) SUPPORT tables, from
+    the same materialized view-delta rows."""
     bid = int(batch_id)
-    dim_store = os.path.join(base, "dim_kv")
     fact_store = os.path.join(base, "fact_kv")
-    arr_store = os.path.join(base, "fact_by_did")
+    d_batches = _as_dim_batches(d_batch, len(spec.dims))
     arr_cols = (spec.fact_key, *spec.fact_payload)
 
-    d_delta = ingest_and_delta(
-        spark, dim_store, spec.dim_ddl, spec.dim_key,
-        list(spec.dim_payload), bid, d_batch,
-        max_live_partials, target_file_bytes,
-    )
     f_delta = ingest_and_delta(
         spark, fact_store, spec.fact_ddl, spec.fact_key,
         list(spec.fact_payload), bid, f_batch,
         max_live_partials, target_file_bytes,
     )
 
-    # persist the fact delta as the by-FK arrangement's epoch (signed rows;
-    # compaction consolidates, clustered by the FK the c2 leg probes), then
-    # read the committed partition back so both join legs reuse one
-    # materialization instead of recomputing
-    maybe_compact(
-        spark, arr_store, bid, max_live_partials,
-        merge=lambda df: _consolidate(df, arr_cols),
-        cluster_by=[spec.fact_fk], target_file_bytes=target_file_bytes,
-    )
-    epoch_overwrite(
-        f_delta.select(
-            *arr_cols, F.col("sign").cast("int").alias("sign")
-        ),
-        arr_store,
-        bid,
-    )
-    f_delta_w = _read_epoch(spark, arr_store, spec.arr_ddl, bid)
+    # persist the fact delta as each dimension's by-FK arrangement epoch
+    # (signed rows; compaction consolidates, clustered by the FK that
+    # dimension's cross term probes). The FIRST write materializes the
+    # delta; later arrangements copy the committed partition (a cheap
+    # O(|batch|) read) instead of recomputing the diff per dimension.
+    f_delta_w = f_delta
+    if spec.dims:
+        for i in range(len(spec.dims)):
+            arr_store = spec.arr_store(base, i)
+            maybe_compact(
+                spark, arr_store, bid, max_live_partials,
+                merge=lambda df: _consolidate(df, arr_cols),
+                cluster_by=[spec.dims[i].fact_fk],
+                target_file_bytes=target_file_bytes,
+            )
+            epoch_overwrite(
+                f_delta_w.select(
+                    *arr_cols, F.col("sign").cast("int").alias("sign")
+                ),
+                arr_store,
+                bid,
+            )
+            f_delta_w = _read_epoch(spark, arr_store, spec.arr_ddl, bid)
 
-    # materialize the dim delta the same way: join_deltas consumes it
-    # twice (the probe key set + the broadcast join side), and without
-    # this the whole dim-diff subtree would execute twice per batch (r14
-    # review). The write is deterministic per batch id, so a replay
-    # overwrites it; only the current batch ever reads it, so everything
-    # older sweeps now.
-    d_delta.write.mode("overwrite").parquet(
-        version_dir(base, "dim_delta", bid)
-    )
-    d_delta_w = spark.read.schema(spec.dim_delta_ddl).parquet(
-        version_dir(base, "dim_delta", bid)
-    )
-    sweep_versions(base, "dim_delta", keep_from=bid)
+    # materialize each dim delta the same way: join_deltas consumes it
+    # twice or more (the probe key set + the broadcast join side), and
+    # without this the whole dim-diff subtree would execute twice per
+    # batch (r14 review). The write is deterministic per batch id, so a
+    # replay overwrites it; only the current batch ever reads it, so
+    # everything older sweeps now.
+    d_deltas = []
+    for i, dim in enumerate(spec.dims):
+        d_delta = ingest_and_delta(
+            spark, spec.dim_store(base, i), dim.ddl, dim.key,
+            list(dim.payload), bid, d_batches[i],
+            max_live_partials, target_file_bytes,
+        )
+        prefix = spec.dim_delta_prefix(i)
+        d_delta.write.mode("overwrite").parquet(
+            version_dir(base, prefix, bid)
+        )
+        d_deltas.append(
+            spark.read.schema(spec.dim_delta_ddl(dim)).parquet(
+                version_dir(base, prefix, bid)
+            )
+        )
+        sweep_versions(base, prefix, keep_from=bid)
+
+    view_delta = join_deltas(spark, base, bid, d_deltas, f_delta_w,
+                             spec=spec)
+    if spec.extrema:
+        # the delta rows feed the sums fold AND one support fold per
+        # extrema measure — materialize once (deterministic per batch id;
+        # replay overwrites; older versions sweep now)
+        view_delta.write.mode("overwrite").parquet(
+            version_dir(base, "view_delta", bid)
+        )
+        view_delta = spark.read.schema(spec.view_delta_ddl).parquet(
+            version_dir(base, "view_delta", bid)
+        )
+        sweep_versions(base, "view_delta", keep_from=bid)
 
     fold_versioned(
         spark, base, "sums", spec.sums_ddl, list(spec.group_cols), bid,
-        join_deltas(spark, base, bid, d_delta_w, f_delta_w, spec=spec),
+        view_delta.select(
+            *spec.group_cols, "dn", *[n for n, _ in spec.measures]
+        ),
         drop_when_zero="dn",
     )
+    for name, _kind, _expr, vtype in spec.extrema:
+        fold_versioned(
+            spark, base, f"supp_{name}", spec.supp_ddl(vtype),
+            [*spec.group_cols, "__v"], bid,
+            view_delta.select(
+                *spec.group_cols,
+                F.col(name).alias("__v"),
+                F.col("dn").alias("cnt"),
+            ).where(F.col(name).isNotNull()),
+            drop_when_zero="cnt",
+        )
 
 
 def join_deltas(
     spark: SparkSession,
     base: str,
     batch_id: int,
-    d_delta: DataFrame,
+    d_delta,
     f_delta_w: DataFrame,
     spec: JoinViewSpec = DEFAULT_SPEC,
 ) -> DataFrame:
-    """The batch's signed (group_cols, dn, *measures) view deltas from the
-    two delta-rule legs; ``f_delta_w`` must already be the committed
-    arrangement epoch. Split from :func:`apply_batch` so plan-shape tests
-    can assert the join strategies directly. The dim side is prefixed
-    ``__d_`` before each join (its columns already appear in the fact
-    side's lineage via the probe key set, and spec column names need not
-    be disjoint from internals)."""
+    """The batch's signed (group_cols, dn, *measures, *extrema-values)
+    view deltas from the N-ary delta rule's terms; ``f_delta_w`` must
+    already be the committed arrangement epoch and ``d_delta`` the
+    MATERIALIZED dim delta(s) (one DataFrame or a sequence aligned with
+    ``spec.dims``). Split from :func:`apply_batch` so plan-shape tests can
+    assert the join strategies directly.
+
+    With relations ordered fact-first, the counting-IVM rule expands to
+    one term per relation (Koch's algebra; the 2-relation case is the
+    classic ``dF JOIN D_old UNION F_new JOIN dD``):
+
+    - term 0 (carrier dF): the fact delta joined to every dimension's
+      OLD state (strictly below the batch);
+    - term i (carrier dD_i): the integrated by-FK_i arrangement
+      restricted to dD_i's keys (= F_new on those keys) joined to
+      dD_i, to every EARLIER dimension's NEW state and every LATER
+      dimension's OLD state — so same-batch changes on any subset of
+      relations apply exactly once.
+
+    Every dimension-state read is a ``probe_by_keys`` pushed scan keyed
+    by the carrier's FK values; every dim side joins as a BROADCAST (term
+    carriers are never exchanged, so a hot dimension key never induces a
+    skewed shuffle). Dim sides are prefixed ``__d<i>_`` before each join
+    (spec column names need not be disjoint from internals). Cross-term
+    carriers with secondary dimensions are materialized to a versioned
+    scratch dir so the secondary probes' key collection does not
+    re-execute the arrangement probe subtree."""
     bid = int(batch_id)
-    dim_store = os.path.join(base, "dim_kv")
-    arr_store = os.path.join(base, "fact_by_did")
-    fk = spec.fact_fk
+    d_deltas = (
+        [d_delta] if isinstance(d_delta, DataFrame) else list(d_delta)
+    )
+    if len(d_deltas) != len(spec.dims):
+        raise ValueError(
+            f"got {len(d_deltas)} dim deltas for {len(spec.dims)} spec dims"
+        )
 
-    def _signed_measures(sign_expr):
-        out = [sign_expr.cast("long").alias("dn")]
+    def _out(carrier: DataFrame, sign_expr, dim_resolved: set[int]):
+        """Project one term's carrier to view-delta rows. ``dim_resolved``
+        names the dims whose payload is joined in as __d<i>_ columns."""
+        cols = []
+        for g in spec.group_cols:
+            src = spec._group_sources(g)[0]
+            if src == -1:
+                cols.append(F.col(g).alias(g))
+            else:
+                assert src in dim_resolved
+                cols.append(F.col(f"__d{src}_{g}").alias(g))
+        cols.append(sign_expr.cast("long").alias("dn"))
         for name, expr in spec.measures:
-            out.append((sign_expr * F.expr(expr)).cast("long").alias(name))
-        return out
+            cols.append((sign_expr * F.expr(expr)).cast("long").alias(name))
+        for name, _kind, expr, vtype in spec.extrema:
+            cols.append(F.expr(expr).cast(vtype).alias(name))
+        return carrier.select(*cols)
 
-    # c1 = dF JOIN D_old: probe the dim state with the fact delta's FK
-    # values, pushed into the dim store's scan (probe_by_keys — the
-    # clustered base prunes). The broadcast JOIN side is batch-bounded
-    # (<= 2|batch| rows), and broadcasting the DIM side means a hot
-    # dimension key never induces a skewed shuffle — the fact delta is
-    # not exchanged at all.
-    dsub = _resolve(
-        probe_by_keys(
-            _history(spark, dim_store, spec.dim_ddl, bid), spec.dim_key,
-            f_delta_w.select(F.col(fk).alias(spec.dim_key)),
-        ),
-        spec.dim_key,
-    ).select(
-        F.col(spec.dim_key).alias("__d_key"),
-        *[F.col(c).alias(f"__d_{c}") for c in spec.dim_payload],
-    )
-    c1 = f_delta_w.join(
-        F.broadcast(dsub), F.col(fk) == F.col("__d_key")
-    ).select(
-        *[F.col(f"__d_{g}").alias(g) for g in spec.group_cols],
-        *_signed_measures(F.col("sign")),
-    )
+    def _dim_side(i: int, rows: DataFrame, extra=()):
+        dim = spec.dims[i]
+        return rows.select(
+            F.col(dim.key).alias(f"__d{i}_key"),
+            *[F.col(c).alias(f"__d{i}_{c}") for c in dim.payload],
+            *extra,
+        )
 
-    # c2 = F_new JOIN dD: integrate the arrangement (strictly-before epochs
-    # + this batch's delta) restricted to the dim delta's keys — the FK
-    # restriction commutes with consolidation because signed rows group by
-    # the full row tuple, and the pushed key predicate prunes the
-    # FK-clustered base fold's scan (Catalyst pushes the filter through
-    # the union into both branches). The consolidated sign is the row's
-    # multiplicity (1 for live facts), carried through.
-    arr = _history(spark, arr_store, spec.arr_ddl, bid).unionByName(
-        f_delta_w
-    )
-    f_new_sub = _consolidate(
-        probe_by_keys(arr, fk, d_delta.select(F.col(spec.dim_key).alias(fk))),
-        (spec.fact_key, *spec.fact_payload),
-    ).where(F.col("sign") > 0)
-    dd = d_delta.select(
-        F.col(spec.dim_key).alias("__d_key"),
-        *[F.col(c).alias(f"__d_{c}") for c in spec.dim_payload],
-        F.col("sign").alias("__d_sign"),
-    )
-    c2 = f_new_sub.join(
-        F.broadcast(dd), F.col(fk) == F.col("__d_key")
-    ).select(
-        *[F.col(f"__d_{g}").alias(g) for g in spec.group_cols],
-        *_signed_measures(F.col("__d_sign") * F.col("sign")),
-    )
+    def _join_dim_state(
+        carrier: DataFrame, keys_src: DataFrame, i: int, before
+    ) -> DataFrame:
+        """Join dim i's resolved kv state — OLD (before=bid) or NEW
+        (before=None, i.e. including this batch's committed epoch) —
+        restricted to ``keys_src``'s FK values (pushed probe; the
+        clustered base prunes) as a broadcast side. ``keys_src`` is a
+        MATERIALIZED superset of the carrier's FK values (the fact delta
+        / the scratch carrier), so the probe's driver-side key collect
+        executes a cheap parquet read, never a join subtree."""
+        dim = spec.dims[i]
+        resolved = _resolve(
+            probe_by_keys(
+                _history(spark, spec.dim_store(base, i), dim.ddl, before),
+                dim.key,
+                keys_src.select(F.col(dim.fact_fk).alias(dim.key)),
+            ),
+            dim.key,
+        )
+        return carrier.join(
+            F.broadcast(_dim_side(i, resolved)),
+            F.col(dim.fact_fk) == F.col(f"__d{i}_key"),
+        )
 
-    return c1.unionByName(c2)
+    def _carrier_ddl(i: int) -> str:
+        """Explicit schema for term i's scratch carrier read — a batch
+        with no dim-i changes writes an EMPTY carrier, which must read
+        back as empty rather than fail schema inference."""
+        dim = spec.dims[i]
+        t = spec._types(dim.ddl)
+        return (
+            spec.arr_ddl
+            + f", __d{i}_key {t[dim.key]}"
+            + "".join(f", __d{i}_{c} {t[c]}" for c in dim.payload)
+            + ", __d_sign int"
+        )
+
+    terms = []
+
+    # term 0: dF joined to every dimension's old state
+    c = f_delta_w
+    for i in range(len(spec.dims)):
+        c = _join_dim_state(c, f_delta_w, i, before=bid)
+    terms.append(_out(c, F.col("sign"), set(range(len(spec.dims)))))
+
+    # term i per dimension delta
+    for i, dim in enumerate(spec.dims):
+        arr = _history(
+            spark, spec.arr_store(base, i), spec.arr_ddl, bid
+        ).unionByName(f_delta_w)
+        f_new_sub = _consolidate(
+            probe_by_keys(
+                arr, dim.fact_fk,
+                d_deltas[i].select(F.col(dim.key).alias(dim.fact_fk)),
+            ),
+            (spec.fact_key, *spec.fact_payload),
+        ).where(F.col("sign") > 0)
+        dd = _dim_side(i, d_deltas[i], extra=(F.col("sign").alias("__d_sign"),))
+        carrier = f_new_sub.join(
+            F.broadcast(dd), F.col(dim.fact_fk) == F.col(f"__d{i}_key")
+        )
+        others = [j for j in range(len(spec.dims)) if j != i]
+        if others:
+            # the secondary probes collect this carrier's FK key sets;
+            # materialize it once so the arrangement-probe subtree does
+            # not re-execute per collection (the r14-review shape, one
+            # level up). Scratch is versioned per (batch, dim): replay
+            # overwrites, older sweeps now.
+            prefix = f"xterm_{dim.name}"
+            carrier.write.mode("overwrite").parquet(
+                version_dir(base, prefix, bid)
+            )
+            carrier = spark.read.schema(_carrier_ddl(i)).parquet(
+                version_dir(base, prefix, bid)
+            )
+            sweep_versions(base, prefix, keep_from=bid)
+        scratch = carrier  # materialized key source for every secondary probe
+        for j in others:
+            # j < i: NEW state (this batch applied); j > i: OLD state —
+            # the triangular split that makes same-batch multi-relation
+            # changes count exactly once
+            carrier = _join_dim_state(
+                carrier, scratch, j, before=(None if j < i else bid)
+            )
+        terms.append(_out(
+            carrier, F.col("__d_sign") * F.col("sign"),
+            set(range(len(spec.dims))),
+        ))
+
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _null_safe_group_join(left: DataFrame, right: DataFrame,
+                          group_cols, how: str) -> DataFrame:
+    """Equi-join on the group columns with NULL-safe equality (a group
+    key from a nullable dim payload may BE null; plain equality would
+    silently drop that group's extrema)."""
+    if not group_cols:
+        return left.crossJoin(right)  # both sides are single global rows
+    cond = None
+    for g in group_cols:
+        arm = left[g].eqNullSafe(right[g])
+        cond = arm if cond is None else (cond & arm)
+    joined = left.join(right, cond, how)
+    return joined.select(
+        *[left[g] for g in group_cols],
+        *[c for c in left.columns if c not in group_cols],
+        *[c for c in right.columns if c not in group_cols],
+    )
 
 
 def latest_view(
     spark: SparkSession, base: str, spec: JoinViewSpec = DEFAULT_SPEC
 ) -> DataFrame:
     """The maintained view after the stream: the newest committed sums
-    version, with the spec's (group_cols, dn, *measures) columns."""
+    version — (group_cols, dn, *measures) — plus, for specs with extrema
+    measures, each extremum re-derived from its support table's newest
+    version (MIN/MAX over the live (group, value) multiset; a broadcast-
+    sized left join keyed null-safely on the group columns)."""
     sums = prev_version(base, "sums", None)
     if sums is None:
         raise RuntimeError(f"no batch reached the join-IVM sink at {base!r}")
-    return spark.read.schema(spec.sums_ddl).parquet(
+    out = spark.read.schema(spec.sums_ddl).parquet(
         version_dir(base, "sums", sums)
     )
+    for name, kind, _expr, vtype in spec.extrema:
+        sv = prev_version(base, f"supp_{name}", None)
+        if sv is None:
+            raise RuntimeError(
+                f"no support versions for extrema {name!r} at {base!r}"
+            )
+        supp = (
+            spark.read.schema(spec.supp_ddl(vtype)).parquet(
+                version_dir(base, f"supp_{name}", sv)
+            )
+            .groupBy(*spec.group_cols)
+            .agg(getattr(F, kind)("__v").alias(name))
+        )
+        out = _null_safe_group_join(out, supp, list(spec.group_cols), "left")
+    return out
 
 
 def latest_sums(spark: SparkSession, base: str) -> DataFrame:

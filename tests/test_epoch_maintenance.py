@@ -575,24 +575,43 @@ class TestFsyncFailureDiscrimination:
         condition (ACL-restricted or FUSE mounts where the driver cannot
         re-open executor-written files), NOT lost writeback — compaction
         must proceed (durability narrows to what the mount grants) instead
-        of crash-looping with no data at risk."""
+        of crash-looping with no data at risk. r16 advice: the narrowing
+        must NOT be silent — a one-per-path RuntimeWarning names the entry
+        and errno so operators can tell 'durability narrowed by mount
+        ACLs' from a healthy fsync walk."""
         import errno
+        import warnings
+
+        from postgresql_cdc_spark.streaming import epoch_maintenance as em
 
         p = str(tmp_path / "store")
         _seed(spark, p, 4)
         before = _store(spark, p)
         real_open = os.open
+        em._PERM_TOLERATED_WARNED.clear()
 
         def denying_open(path, flags, *a, **kw):
             raise OSError(errno.EACCES, "mount denies re-open")
 
         monkeypatch.setattr(os, "open", denying_open)
         try:
-            stats = compact_epochs(spark, p, upto=3)
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                stats = compact_epochs(spark, p, upto=3)
         finally:
             monkeypatch.setattr(os, "open", real_open)
         assert stats["base_upto_after"] == 3 and base_upto(p) == 3
         assert _store(spark, p) == before
+        perm_warns = [
+            w for w in caught
+            if issubclass(w.category, RuntimeWarning)
+            and "durability" in str(w.message)
+        ]
+        assert perm_warns, "permission-tolerance branch fired silently"
+        assert "errno 13" in str(perm_warns[0].message)
+        # one warning per distinct path, not one per walk visit
+        paths = [str(w.message).split("'")[1] for w in perm_warns]
+        assert len(paths) == len(set(paths)), paths
 
     def test_eio_at_open_still_aborts(self, spark, tmp_path, monkeypatch):
         """The discrimination's other arm: EIO at open IS the kernel

@@ -16,6 +16,7 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from postgresql_cdc_spark.streaming.join_ivm import (
+    DimSpec,
     JoinViewSpec,
     apply_batch,
     latest_sums,
@@ -183,6 +184,229 @@ def test_parameterized_spec_schedules_stay_exact(
     got = sorted(
         (r.cat, r.tier, r.dn, r.revenue, r.units)
         for r in latest_view(spark, state, _REV_SPEC).collect()
+    )
+    assert got == want, (got, want, rows, sorted(cuts))
+
+
+# --- the r16 generalizations under the SAME fuzz style ------------------------
+
+# two-dimension STAR spec (fact x customer x part) with an extrema
+# measure: the N-ary delta rule's cross terms (F_new x dD_i x D_j) and
+# the support-counted MIN/MAX maintenance must keep ANY schedule exact
+_STAR_SPEC = JoinViewSpec(
+    fact_ddl="iid long, cid long, pid long, price int, qty int, "
+             "op string, lsn long",
+    fact_key="iid",
+    fact_payload=("cid", "pid", "price", "qty"),
+    group_cols=("seg", "brand"),
+    measures=(("revenue", "price * qty"),),
+    extrema=(("max_price", "max", "price", "int"),),
+    dims=(
+        DimSpec(ddl="cid long, seg int, op string, lsn long",
+                key="cid", payload=("seg",), fact_fk="cid"),
+        DimSpec(ddl="pid long, brand int, op string, lsn long",
+                key="pid", payload=("brand",), fact_fk="pid"),
+    ),
+)
+
+N_CUST = 3
+N_PART = 3
+
+_CUST_OP = st.tuples(
+    st.just("c"),
+    st.integers(0, N_CUST - 1),
+    st.integers(0, 1),                      # seg
+    st.sampled_from(["I", "U", "D"]),
+)
+_PART_OP = st.tuples(
+    st.just("p"),
+    st.integers(0, N_PART - 1),
+    st.integers(0, 1),                      # brand
+    st.sampled_from(["I", "U", "D"]),
+)
+_SFACT_OP = st.tuples(
+    st.just("f"),
+    st.integers(0, N_FACT - 1),
+    st.integers(0, N_CUST),                 # cid (N_CUST = dangling)
+    st.integers(0, N_PART),                 # pid (N_PART = dangling)
+    st.sampled_from(["I", "U", "D"]),
+)
+_STAR_SCHEDULE = st.lists(
+    st.one_of(_CUST_OP, _PART_OP, _SFACT_OP), min_size=3, max_size=14
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_STAR_SCHEDULE, cuts=_CUTS)
+def test_star_two_dim_schedules_stay_exact(
+    spark, tmp_path_factory, ops, cuts
+):
+    """The snowflake kernel under fuzz: arbitrary interleavings of
+    customer regroups, part rebrands, fact FK re-points on EITHER
+    dimension, and deletes — including same-batch changes on all three
+    relations — maintained through the two-dim spec and checked against a
+    one-shot model recompute of SUM/COUNT/MAX per (seg, brand)."""
+    state = str(tmp_path_factory.mktemp("jivm_fuzz_star") / "state")
+
+    rows = []
+    custs: dict[int, int] = {}
+    parts: dict[int, int] = {}
+    facts: dict[int, tuple[int, int, int, int]] = {}
+    for i, op_t in enumerate(ops):
+        lsn = 100 + i
+        if op_t[0] == "c":
+            _, key, seg, op = op_t
+            rows.append(("c", key, seg, None, None, op, lsn))
+            if op == "D":
+                custs.pop(key, None)
+            else:
+                custs[key] = seg
+        elif op_t[0] == "p":
+            _, key, brand, op = op_t
+            rows.append(("p", key, brand, None, None, op, lsn))
+            if op == "D":
+                parts.pop(key, None)
+            else:
+                parts[key] = brand
+        else:
+            _, key, cid, pid, op = op_t
+            price = (key * 7 + cid * 3 + pid) % 11 + 1
+            qty = (key + cid + pid) % 3 + 1
+            rows.append(("f", key, cid, pid, price, op, lsn, qty))
+            if op == "D":
+                facts.pop(key, None)
+            else:
+                facts[key] = (cid, pid, price, qty)
+
+    agg: dict[tuple[int, int], list[int]] = {}
+    for cid, pid, price, qty in facts.values():
+        if cid in custs and pid in parts:
+            g = (custs[cid], parts[pid])
+            agg.setdefault(g, [0, 0, 0])
+            agg[g][0] += 1
+            agg[g][1] += price * qty
+            agg[g][2] = max(agg[g][2], price)
+    want = sorted(
+        (s, b, n, rev, mx) for (s, b), (n, rev, mx) in agg.items()
+    )
+
+    from pyspark.sql import functions as F
+
+    # one wide row type covers all three tables (nulls where unused)
+    DDL = ("tab string, k long, a long, b long, p long, op string, "
+           "lsn long, q long")
+    norm = [r + (None,) * (8 - len(r)) for r in rows]
+    bounds = [0] + sorted(c for c in cuts if c < len(norm)) + [len(norm)]
+    bid = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo >= hi:
+            continue
+        batch = spark.createDataFrame(norm[lo:hi], DDL)
+        c_batch = batch.where(F.col("tab") == "c").select(
+            F.col("k").alias("cid"),
+            F.col("a").cast("int").alias("seg"),
+            "op", "lsn",
+        )
+        p_batch = batch.where(F.col("tab") == "p").select(
+            F.col("k").alias("pid"),
+            F.col("a").cast("int").alias("brand"),
+            "op", "lsn",
+        )
+        f_batch = batch.where(F.col("tab") == "f").select(
+            F.col("k").alias("iid"),
+            F.col("a").alias("cid"),
+            F.col("b").alias("pid"),
+            F.col("p").cast("int").alias("price"),
+            F.col("q").cast("int").alias("qty"),
+            "op", "lsn",
+        )
+        apply_batch(
+            spark, state, bid, [c_batch, p_batch], f_batch,
+            max_live_partials=2, spec=_STAR_SPEC,
+        )
+        bid += 1
+
+    got = sorted(
+        (r.seg, r.brand, r.dn, r.revenue, r.max_price)
+        for r in latest_view(spark, state, _STAR_SPEC).collect()
+    )
+    assert got == want, (got, want, rows, sorted(cuts))
+
+
+# dimensionless (single-table) spec with support-counted MIN/MAX — the
+# degenerate end of the kernel's view class
+_MM_SPEC = JoinViewSpec(
+    fact_ddl="id long, grp int, v int, op string, lsn long",
+    fact_key="id",
+    fact_payload=("grp", "v"),
+    group_cols=("grp",),
+    measures=(("dq", "v"),),
+    extrema=(("min_v", "min", "v", "int"), ("max_v", "max", "v", "int")),
+)
+
+_MM_OP = st.tuples(
+    st.integers(0, N_FACT - 1),             # id
+    st.integers(0, 2),                      # grp
+    st.integers(0, 5),                      # v
+    st.sampled_from(["I", "U", "D"]),
+)
+_MM_SCHEDULE = st.lists(_MM_OP, min_size=3, max_size=14)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MM_SCHEDULE, cuts=_CUTS)
+def test_single_table_extrema_schedules_stay_exact(
+    spark, tmp_path_factory, ops, cuts
+):
+    """Zero-dim spec: updates that move a key ACROSS groups and deletes
+    that evict the current extremum — the support multiset must converge
+    to the one-shot MIN/MAX/SUM/COUNT on any batch partitioning."""
+    state = str(tmp_path_factory.mktemp("jivm_fuzz_mm") / "state")
+
+    rows = []
+    live: dict[int, tuple[int, int]] = {}
+    for i, (key, grp, v, op) in enumerate(ops):
+        rows.append((key, grp, v, op, 100 + i))
+        if op == "D":
+            live.pop(key, None)
+        else:
+            live[key] = (grp, v)
+
+    agg: dict[int, list[int]] = {}
+    for grp, v in live.values():
+        a = agg.setdefault(grp, [0, 0, None, None])
+        a[0] += 1
+        a[1] += v
+        a[2] = v if a[2] is None else min(a[2], v)
+        a[3] = v if a[3] is None else max(a[3], v)
+    want = sorted((g, n, q, lo, hi) for g, (n, q, lo, hi) in agg.items())
+
+    DDL = "id long, grp int, v int, op string, lsn long"
+    bounds = [0] + sorted(c for c in cuts if c < len(rows)) + [len(rows)]
+    bid = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo >= hi:
+            continue
+        apply_batch(
+            spark, state, bid, None,
+            spark.createDataFrame(rows[lo:hi], DDL),
+            max_live_partials=2, spec=_MM_SPEC,
+        )
+        bid += 1
+
+    got = sorted(
+        (r.grp, r.dn, r.dq, r.min_v, r.max_v)
+        for r in latest_view(spark, state, _MM_SPEC).collect()
     )
     assert got == want, (got, want, rows, sorted(cuts))
 

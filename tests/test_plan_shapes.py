@@ -429,16 +429,18 @@ BROADCAST_HINT_SITES = {
     "plans/relational4.py": {"T", "bad", "mx", "p", "s", "top", "total"},
     "plans/scale_patterns.py": {"buckets"},                  # (d) sampled bucket list
     "plans/streaming_gate.py": {"nation"},                   # (b) 25-row dim
-    # (c)-style batch-bounded probe/delta sides of the join-IVM delta rule:
-    # every one is <= 2|micro-batch| rows by construction (maxRecordsPerBatch
-    # caps the batch; the deltas/keys derive from the batch, never the
-    # corpus). Broadcasting them is ALSO the skew fix — a hot FK value then
-    # never induces a skewed shuffle because the big side isn't exchanged.
-    # (r15: the key-set PROBES moved to pushed scan predicates —
-    # probe_by_keys — leaving the two delta-rule JOIN sides plus the
-    # exactness semi-join of probe_by_keys' large-batch fallback, which is
-    # the same batch-bounded key set.)
-    "streaming/join_ivm.py": {"dsub", "dd", "keys_local"},
+    # (c)-style bounded probe/delta sides of the join-IVM delta rule.
+    # ``dd`` (a dim delta) is <= 2|micro-batch| rows by construction
+    # (maxRecordsPerBatch caps the batch); ``keys_local`` (probe_by_keys'
+    # large-batch exactness fallback) is the same batch-bounded key set.
+    # ``_dim_side`` wraps every resolved dim-state join side in the N-ary
+    # rule (r16): each is a probe_by_keys restriction to the CARRIER's
+    # distinct FK values — batch-bounded on the dF term, dim-delta-fan-out-
+    # bounded on the cross terms (the same mass the term's view delta must
+    # carry anyway). Broadcasting them is ALSO the skew fix — a hot FK
+    # value then never induces a skewed shuffle because the carrier side
+    # isn't exchanged.
+    "streaming/join_ivm.py": {"_dim_side", "dd", "keys_local"},
 }
 
 

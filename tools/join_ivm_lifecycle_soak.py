@@ -471,6 +471,197 @@ def batch_compare() -> int:
     return 0
 
 
+# --- two-dimension (star) kernel scale comparison (--star-compare) ------------
+# Pins r16's snowflake claim: the N-ary delta rule's per-batch cost must
+# not pick up an O(|state|) term — same axes as --scale-compare, driven
+# through a TWO-dim spec with an extrema measure (so the cross terms, the
+# per-dim arrangements, and the support fold are all hot).
+
+_STAR_DDL = ("tab string, k long, a long, b long, p long, q long, "
+             "op string, lsn long")
+
+
+def _star_spec():
+    from postgresql_cdc_spark.streaming.join_ivm import DimSpec, JoinViewSpec
+
+    return JoinViewSpec(
+        fact_ddl="iid long, cid long, pid long, price int, qty int, "
+                 "op string, lsn long",
+        fact_key="iid",
+        fact_payload=("cid", "pid", "price", "qty"),
+        group_cols=("seg", "brand"),
+        measures=(("revenue", "price * qty"),),
+        extrema=(("max_price", "max", "price", "int"),),
+        dims=(
+            DimSpec(ddl="cid long, seg int, op string, lsn long",
+                    key="cid", payload=("seg",), fact_fk="cid"),
+            DimSpec(ddl="pid long, brand int, op string, lsn long",
+                    key="pid", payload=("brand",), fact_fk="pid"),
+        ),
+    )
+
+
+def _star_run(spark, n_fact: int, n_small: int = 40) -> dict:
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        apply_batch,
+        latest_view,
+        probe_by_keys,
+    )
+    from postgresql_cdc_spark.operators.layout import scan_output_rows
+    from postgresql_cdc_spark.streaming.epoch_maintenance import (
+        read_epoch_store,
+    )
+
+    spec = _star_spec()
+    n_cust = max(12, n_fact // 10)
+    n_part = max(10, n_fact // 20)
+    base = _tf.mkdtemp(prefix=f"jivm_star_{uuid.uuid4().hex[:8]}_")
+    state = os.path.join(base, "state")
+    os.makedirs(state)
+    custs: dict = {}
+    parts: dict = {}
+    facts: dict = {}
+
+    def route(rows):
+        df = spark.createDataFrame(rows, _STAR_DDL)
+        c = df.where(F.col("tab") == "c").select(
+            F.col("k").alias("cid"), F.col("a").cast("int").alias("seg"),
+            "op", "lsn")
+        p = df.where(F.col("tab") == "p").select(
+            F.col("k").alias("pid"), F.col("a").cast("int").alias("brand"),
+            "op", "lsn")
+        f = df.where(F.col("tab") == "f").select(
+            F.col("k").alias("iid"), F.col("a").alias("cid"),
+            F.col("b").alias("pid"), F.col("p").cast("int").alias("price"),
+            F.col("q").cast("int").alias("qty"), "op", "lsn")
+        return [c, p], f
+
+    def model_apply(rows):
+        for r in rows:
+            tab, k, a, b, p, q, op, _ = r
+            if tab == "c":
+                custs.pop(k, None) if op == "D" else custs.update({k: a})
+            elif tab == "p":
+                parts.pop(k, None) if op == "D" else parts.update({k: a})
+            else:
+                if op == "D":
+                    facts.pop(k, None)
+                else:
+                    facts[k] = (a, b, p, q)
+
+    try:
+        lsn = 10
+        seed = []
+        for i in range(n_cust):
+            seed.append(("c", i, i % N_GRP, None, None, None, "I", lsn))
+            lsn += 1
+        for i in range(n_part):
+            seed.append(("p", i, i % 5, None, None, None, "I", lsn))
+            lsn += 1
+        for i in range(n_fact):
+            seed.append(("f", i, i % n_cust, (i * 3) % n_part,
+                         (i * 7) % 50 + 1, i % 5 + 1, "I", lsn))
+            lsn += 1
+        model_apply(seed)
+        dims_b, fact_b = route(seed)
+        apply_batch(spark, state, 0, dims_b, fact_b,
+                    max_live_partials=CAP,
+                    target_file_bytes=_SOAK_FILE_BYTES, spec=spec)
+
+        times = []
+        for ep in range(1, n_small + 1):
+            rows = []
+            rows.append(("c", (ep * 7) % n_cust,
+                         (ep + 1) % N_GRP, None, None, None, "U", lsn))
+            lsn += 1
+            rows.append(("p", (ep * 11) % n_part,
+                         (ep + 2) % 5, None, None, None, "U", lsn))
+            lsn += 1
+            seen: set = set()
+            for j in range(6):
+                fid = (ep * 13 + j * 5) % n_fact
+                if fid in seen:
+                    continue
+                seen.add(fid)
+                if (ep + j) % 6 == 5:
+                    rows.append(("f", fid, None, None, None, None, "D", lsn))
+                else:
+                    rows.append(("f", fid, (fid + ep) % n_cust,
+                                 (fid * 3 + ep) % n_part,
+                                 (fid * 7 + ep * 3) % 50 + 1,
+                                 fid % 5 + 1, "U", lsn))
+                lsn += 1
+            model_apply(rows)
+            dims_b, fact_b = route(rows)
+            t0 = time.monotonic()
+            apply_batch(spark, state, ep, dims_b, fact_b,
+                        max_live_partials=CAP,
+                        target_file_bytes=_SOAK_FILE_BYTES, spec=spec)
+            times.append(time.monotonic() - t0)
+
+        agg: dict = {}
+        for cid, pid, price, qty in facts.values():
+            if cid in custs and pid in parts:
+                g = (custs[cid], parts[pid])
+                a = agg.setdefault(g, [0, 0, 0])
+                a[0] += 1
+                a[1] += price * qty
+                a[2] = max(a[2], price)
+        want = sorted((s, b, n, rev, mx)
+                      for (s, b), (n, rev, mx) in agg.items())
+        got = sorted(
+            (r.seg, r.brand, r.dn, r.revenue, r.max_price)
+            for r in latest_view(spark, state, spec).collect()
+        )
+        assert got == want, (n_fact, got[:5], want[:5])
+
+        kdf = spark.createDataFrame(
+            [(k,) for k in (1, 2, n_fact - 7)], "iid long"
+        )
+        probe = probe_by_keys(
+            read_epoch_store(spark, os.path.join(state, "fact_kv"),
+                             schema=spec.fact_ddl),
+            "iid", kdf,
+        )
+        scan = scan_output_rows(probe)
+        mid = sorted(times)
+        return {
+            "state_fact_rows": n_fact,
+            "n_small_batches": n_small,
+            "batch_s_median": round(mid[len(mid) // 2], 3),
+            "batch_s_p90": round(mid[int(len(mid) * 0.9)], 3),
+            "probe_scan_rows_3keys": scan,
+            "answers_match_recompute": True,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def star_compare() -> int:
+    from postgresql_cdc_spark.session import get_spark
+
+    spark = get_spark("join-ivm-star-compare")
+    out = {}
+    for n in (5_000, 50_000):
+        print(f"  star: seeding {n} fact rows + 40 small batches ...",
+              file=sys.stderr, flush=True)
+        out[n] = _star_run(spark, n)
+    small, big = out[5_000], out[50_000]
+    out["median_ratio_10x_state"] = round(
+        big["batch_s_median"] / small["batch_s_median"], 2
+    )
+    out["probe_scan_ratio_10x_state"] = round(
+        big["probe_scan_rows_3keys"] / max(1, small["probe_scan_rows_3keys"]),
+        2,
+    )
+    print(json.dumps({"join_ivm_star_compare": out}, indent=2))
+    return 0
+
+
 def hicard_compare() -> int:
     from postgresql_cdc_spark.session import get_spark
 
@@ -503,4 +694,6 @@ if __name__ == "__main__":
         raise SystemExit(hicard_compare())
     if "--batch-compare" in sys.argv:
         raise SystemExit(batch_compare())
+    if "--star-compare" in sys.argv:
+        raise SystemExit(star_compare())
     raise SystemExit(main())
