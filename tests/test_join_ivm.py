@@ -671,6 +671,94 @@ class TestJoinIvmReplay:
         assert "PushedFilters: [Or(" in plan or \
             "PushedFilters: [GreaterThanOrEqual" in plan, plan[:1500]
 
+    def test_star_spec_double_application_converges(self, spark, tmp_path):
+        """At-least-once through the MULTI-DIM kernel: replaying the last
+        batch of a two-dim star view with extrema must converge — the
+        per-dim arrangements, the cross-term scratch carriers, the sums
+        AND the support tables all overwrite deterministically."""
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            DimSpec,
+            JoinViewSpec,
+            latest_view,
+        )
+
+        spec = JoinViewSpec(
+            fact_ddl="iid long, cid long, pid long, amount int, "
+                     "op string, lsn long",
+            fact_key="iid",
+            fact_payload=("cid", "pid", "amount"),
+            group_cols=("seg", "brand"),
+            measures=(("total", "amount"),),
+            extrema=(("max_amt", "max", "amount", "int"),),
+            dims=(
+                DimSpec(ddl="cid long, seg int, op string, lsn long",
+                        key="cid", payload=("seg",), fact_fk="cid"),
+                DimSpec(ddl="pid long, brand int, op string, lsn long",
+                        key="pid", payload=("brand",), fact_fk="pid"),
+            ),
+        )
+        state = str(tmp_path / "state")
+        os.makedirs(state)
+        C_DDL = "cid long, seg int, op string, lsn long"
+        P_DDL = "pid long, brand int, op string, lsn long"
+        F_DDL = "iid long, cid long, pid long, amount int, op string, lsn long"
+
+        def apply(bid, c_rows, p_rows, f_rows):
+            from postgresql_cdc_spark.streaming.join_ivm import apply_batch
+
+            apply_batch(
+                spark, state, bid,
+                [spark.createDataFrame(c_rows, C_DDL),
+                 spark.createDataFrame(p_rows, P_DDL)],
+                spark.createDataFrame(f_rows, F_DDL),
+                max_live_partials=2, spec=spec,
+            )
+
+        apply(
+            0,
+            [(i, i % 2, "I", 10 + i) for i in range(4)],
+            [(i, i % 3, "I", 20 + i) for i in range(3)],
+            [(i, i % 4, i % 3, 10 * i, "I", 30 + i) for i in range(12)],
+        )
+        # batch 1 touches all three relations: a customer re-segment, a
+        # part delete (dangles its facts), a fact amount update evicting
+        # a group maximum, and a fact delete
+        w1 = (
+            [(0, 1, "U", 50)],
+            [(2, None, "D", 51)],
+            [(11, 3, 2, 5, "U", 52), (4, None, None, None, "D", 53)],
+        )
+        apply(1, *w1)
+        once = sorted(
+            (r.seg, r.brand, r.dn, r.total, r.max_amt)
+            for r in latest_view(spark, state, spec).collect()
+        )
+        apply(1, *w1)  # at-least-once replay
+        twice = sorted(
+            (r.seg, r.brand, r.dn, r.total, r.max_amt)
+            for r in latest_view(spark, state, spec).collect()
+        )
+        assert once == twice, (once, twice)
+
+        # model recompute of the final state
+        custs = {0: 1, 1: 1, 2: 0, 3: 1}
+        parts = {0: 0, 1: 1}
+        facts = {
+            i: (i % 4, i % 3, 10 * i)
+            for i in range(12) if i not in (4, 11)
+        }
+        facts[11] = (3, 2, 5)
+        agg: dict = {}
+        for cid, pid, amt in facts.values():
+            if cid in custs and pid in parts:
+                g = (custs[cid], parts[pid])
+                a = agg.setdefault(g, [0, 0, None])
+                a[0] += 1
+                a[1] += amt
+                a[2] = amt if a[2] is None else max(a[2], amt)
+        want = sorted((s, b, n, t, m) for (s, b), (n, t, m) in agg.items())
+        assert once == want, (once, want)
+
     def test_double_application_converges(self, spark, tmp_path):
         """Applying the same batch twice (at-least-once) yields the same
         sums as applying it once."""
