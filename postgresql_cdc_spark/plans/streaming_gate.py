@@ -2845,10 +2845,16 @@ def cdc_stream_ivm_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_folded_groups,
     )
 
-    m1 = read_folded_groups(
+    # Materialize M1 on the driver ONCE: probe_key_state collects its
+    # distinct FKs anyway (probe_by_keys' contract — M1 is the small
+    # maintained side), and feeding it the lazy fold plan would execute
+    # the whole by_did scan+groupBy twice per serve, once for the key
+    # collect and once in the join (r16 review).
+    m1_rows = read_folded_groups(
         spark, os.path.join(base, "by_did"), M1_DDL, ["did"],
         drop_when_zero="dn",
-    )
+    ).collect()
+    m1 = spark.createDataFrame(m1_rows, M1_DDL)
     # a LEFT-join serve only needs dims referenced by M1: push M1's
     # distinct FKs into the dim-kv scan so serve cost tracks |M1|, not
     # |dim| (r15 verdict 'what's wrong' #2; pruning pinned by

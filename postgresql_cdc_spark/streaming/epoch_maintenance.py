@@ -251,26 +251,31 @@ _OPEN_PERMISSION_ERRNOS = frozenset(
     if e is not None
 )
 
-# Paths the permission-tolerance branch already warned for: tolerating
-# EACCES/EPERM at the fsync walk's open narrows durability to what the
-# mount grants, and doing so SILENTLY would make 'compaction proceeded
-# without fsyncing the fold' indistinguishable from a healthy walk (r16
-# advice). One warning per distinct path per process — the walk re-visits
-# the same files every compaction, so warning every time would flood.
-_PERM_TOLERATED_WARNED: set[str] = set()
+# (directory, errno) pairs the permission-tolerance branch already warned
+# for: tolerating EACCES/EPERM at the fsync walk's open narrows durability
+# to what the mount grants, and doing so SILENTLY would make 'compaction
+# proceeded without fsyncing the fold' indistinguishable from a healthy
+# walk (r16 advice). Deduplication is per DIRECTORY, not per file — every
+# compaction rewrites the folded base under fresh part-file names, so
+# per-file dedup would both flood the log each compaction AND grow the set
+# without bound over a stream's life (r16 review); store directories are
+# bounded by the pipeline's store count.
+_PERM_TOLERATED_WARNED: set[tuple[str, int]] = set()
 
 
 def _warn_perm_tolerated(path: str, exc: OSError) -> None:
-    if path in _PERM_TOLERATED_WARNED:
+    key = (os.path.dirname(path) or path, exc.errno or 0)
+    if key in _PERM_TOLERATED_WARNED:
         return
-    _PERM_TOLERATED_WARNED.add(path)
+    _PERM_TOLERATED_WARNED.add(key)
     import warnings
 
     warnings.warn(
         f"fsync walk could not re-open {path!r} "
-        f"(errno {exc.errno}: {exc.strerror}); durability for this entry "
-        "narrows to what the mount grants — compaction proceeds, but the "
-        "folded base may not be fsynced here",
+        f"(errno {exc.errno}: {exc.strerror}); durability under "
+        f"{key[0]!r} narrows to what the mount grants — compaction "
+        "proceeds, but folded bases may not be fsynced here (warned once "
+        "per directory)",
         RuntimeWarning,
         stacklevel=3,
     )

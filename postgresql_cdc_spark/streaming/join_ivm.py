@@ -239,6 +239,10 @@ class JoinViewSpec:
                     "pass either dims=(...) or the legacy dim_ddl/dim_key/"
                     "dim_payload/fact_fk fields, not both"
                 )
+            if self.dim_key is None or self.fact_fk is None:
+                raise ValueError(
+                    "legacy dim_ddl spelling requires dim_key and fact_fk"
+                )
             object.__setattr__(
                 self,
                 "dims",
@@ -288,6 +292,11 @@ class JoinViewSpec:
                 f"measure names {sorted(clash)} collide with group "
                 "columns, 'dn', or each other"
             )
+        bad = [n for n in names if n.startswith("__")]
+        if bad:
+            raise ValueError(
+                f"measure names {bad} use the kernel-internal '__' prefix"
+            )
         for name, kind, _expr, _vtype in self.extrema:
             if kind not in ("min", "max"):
                 raise ValueError(
@@ -334,14 +343,33 @@ class JoinViewSpec:
         return f"{groups}, dn long{meas}" if groups else f"dn long{meas}"
 
     @property
+    def supp_tables(self) -> tuple:
+        """One SUPPORT table per distinct extrema ``(expr, vtype)`` —
+        ``(table_prefix, expr, vtype, ((name, kind), ...))`` tuples. MIN
+        and MAX over the same expression share one (group, value) -> count
+        multiset (r16 review: per-NAME tables maintained byte-identical
+        twins), and every extremum over it derives at serve time."""
+        out: list = []
+        seen: dict = {}
+        for name, kind, expr, vtype in self.extrema:
+            key = (expr, vtype)
+            if key not in seen:
+                seen[key] = len(out)
+                out.append([f"supp_{len(out)}", expr, vtype, []])
+            out[seen[key]][3].append((name, kind))
+        return tuple((p, e, v, tuple(nk)) for p, e, v, nk in out)
+
+    @property
     def view_delta_ddl(self) -> str:
         """Schema of one signed view-delta row: groups, dn, SUM-measure
-        contributions, extrema VALUES (unsigned — the support fold pairs
-        them with dn as the count adjustment)."""
+        contributions, then one VALUE column per support table (unsigned
+        — the support fold pairs it with dn as the count adjustment)."""
         parts = [f"{g} {self._group_type(g)}" for g in self.group_cols]
         parts.append("dn long")
         parts.extend(f"{name} long" for name, _ in self.measures)
-        parts.extend(f"{name} {vtype}" for name, _k, _e, vtype in self.extrema)
+        parts.extend(
+            f"{prefix} {vtype}" for prefix, _e, vtype, _nk in self.supp_tables
+        )
         return ", ".join(parts)
 
     def supp_ddl(self, vtype: str) -> str:
@@ -892,6 +920,24 @@ def ingest_and_delta(
 
 # --- the join-view step -------------------------------------------------------
 
+def _materialize_versioned(
+    df: DataFrame, base: str, prefix: str, bid: int, ddl: str
+) -> DataFrame:
+    """Write ``df`` to ``<prefix>_v<bid>``, read it back with an explicit
+    schema, sweep older versions — the per-batch scratch-materialization
+    move (the write is deterministic per batch id, so a replay overwrites
+    it; only the current batch ever reads it; the explicit schema makes an
+    EMPTY frame read back empty instead of failing inference). One helper
+    so the replay-overwrite/sweep invariants live in one place (r16
+    review: three hand-rolled copies)."""
+    df.write.mode("overwrite").parquet(version_dir(base, prefix, bid))
+    out = df.sparkSession.read.schema(ddl).parquet(
+        version_dir(base, prefix, bid)
+    )
+    sweep_versions(base, prefix, keep_from=bid)
+    return out
+
+
 def _as_dim_batches(d_batch, n_dims: int) -> list:
     """Normalize apply_batch's dim-batch argument: None (no dims), one
     DataFrame (the classic 1-dim view), or a sequence aligned with
@@ -980,31 +1026,35 @@ def apply_batch(
             list(dim.payload), bid, d_batches[i],
             max_live_partials, target_file_bytes,
         )
-        prefix = spec.dim_delta_prefix(i)
-        d_delta.write.mode("overwrite").parquet(
-            version_dir(base, prefix, bid)
-        )
-        d_deltas.append(
-            spark.read.schema(spec.dim_delta_ddl(dim)).parquet(
-                version_dir(base, prefix, bid)
-            )
-        )
-        sweep_versions(base, prefix, keep_from=bid)
+        d_deltas.append(_materialize_versioned(
+            d_delta, base, spec.dim_delta_prefix(i), bid,
+            spec.dim_delta_ddl(dim),
+        ))
 
     view_delta = join_deltas(spark, base, bid, d_deltas, f_delta_w,
                              spec=spec)
     if spec.extrema:
         # the delta rows feed the sums fold AND one support fold per
-        # extrema measure — materialize once (deterministic per batch id;
-        # replay overwrites; older versions sweep now)
-        view_delta.write.mode("overwrite").parquet(
-            version_dir(base, "view_delta", bid)
+        # table — materialize once
+        view_delta = _materialize_versioned(
+            view_delta, base, "view_delta", bid, spec.view_delta_ddl
         )
-        view_delta = spark.read.schema(spec.view_delta_ddl).parquet(
-            version_dir(base, "view_delta", bid)
-        )
-        sweep_versions(base, "view_delta", keep_from=bid)
 
+    # supports fold BEFORE sums: latest_view keys every support read off
+    # the newest committed SUMS version, so 'sums_v<bid> exists' implies
+    # 'supports at <bid> exist' and a crash between folds can never serve
+    # batch-N counts next to batch-(N-1) extrema (r16 review)
+    for prefix, _expr, vtype, _named in spec.supp_tables:
+        fold_versioned(
+            spark, base, prefix, spec.supp_ddl(vtype),
+            [*spec.group_cols, "__v"], bid,
+            view_delta.select(
+                *spec.group_cols,
+                F.col(prefix).alias("__v"),
+                F.col("dn").alias("cnt"),
+            ).where(F.col(prefix).isNotNull()),
+            drop_when_zero="cnt",
+        )
     fold_versioned(
         spark, base, "sums", spec.sums_ddl, list(spec.group_cols), bid,
         view_delta.select(
@@ -1012,17 +1062,6 @@ def apply_batch(
         ),
         drop_when_zero="dn",
     )
-    for name, _kind, _expr, vtype in spec.extrema:
-        fold_versioned(
-            spark, base, f"supp_{name}", spec.supp_ddl(vtype),
-            [*spec.group_cols, "__v"], bid,
-            view_delta.select(
-                *spec.group_cols,
-                F.col(name).alias("__v"),
-                F.col("dn").alias("cnt"),
-            ).where(F.col(name).isNotNull()),
-            drop_when_zero="cnt",
-        )
 
 
 def join_deltas(
@@ -1083,8 +1122,8 @@ def join_deltas(
         cols.append(sign_expr.cast("long").alias("dn"))
         for name, expr in spec.measures:
             cols.append((sign_expr * F.expr(expr)).cast("long").alias(name))
-        for name, _kind, expr, vtype in spec.extrema:
-            cols.append(F.expr(expr).cast(vtype).alias(name))
+        for prefix, expr, vtype, _named in spec.supp_tables:
+            cols.append(F.expr(expr).cast(vtype).alias(prefix))
         return carrier.select(*cols)
 
     def _dim_side(i: int, rows: DataFrame, extra=()):
@@ -1163,14 +1202,9 @@ def join_deltas(
             # not re-execute per collection (the r14-review shape, one
             # level up). Scratch is versioned per (batch, dim): replay
             # overwrites, older sweeps now.
-            prefix = f"xterm_{dim.name}"
-            carrier.write.mode("overwrite").parquet(
-                version_dir(base, prefix, bid)
+            carrier = _materialize_versioned(
+                carrier, base, f"xterm_{dim.name}", bid, _carrier_ddl(i)
             )
-            carrier = spark.read.schema(_carrier_ddl(i)).parquet(
-                version_dir(base, prefix, bid)
-            )
-            sweep_versions(base, prefix, keep_from=bid)
         scratch = carrier  # materialized key source for every secondary probe
         for j in others:
             # j < i: NEW state (this batch applied); j > i: OLD state —
@@ -1214,29 +1248,44 @@ def latest_view(
 ) -> DataFrame:
     """The maintained view after the stream: the newest committed sums
     version — (group_cols, dn, *measures) — plus, for specs with extrema
-    measures, each extremum re-derived from its support table's newest
-    version (MIN/MAX over the live (group, value) multiset; a broadcast-
-    sized left join keyed null-safely on the group columns)."""
+    measures, every extremum re-derived from its support table (MIN/MAX
+    over the live (group, value) multiset; one small left join per
+    DISTINCT support expression, keyed null-safely on the group columns).
+
+    Version consistency: every support read resolves the newest support
+    version AT OR BELOW the sums version. ``apply_batch`` folds supports
+    BEFORE sums, so a committed ``sums_v<N>`` implies supports at N exist
+    — a crash between folds leaves sums at N-1 and this serve reads the
+    matching N-1 supports, never batch-N counts next to stale extrema
+    (r16 review). Output columns keep the spec's declaration order."""
     sums = prev_version(base, "sums", None)
     if sums is None:
         raise RuntimeError(f"no batch reached the join-IVM sink at {base!r}")
     out = spark.read.schema(spec.sums_ddl).parquet(
         version_dir(base, "sums", sums)
     )
-    for name, kind, _expr, vtype in spec.extrema:
-        sv = prev_version(base, f"supp_{name}", None)
+    for prefix, _expr, vtype, named in spec.supp_tables:
+        sv = prev_version(base, prefix, sums + 1)
         if sv is None:
             raise RuntimeError(
-                f"no support versions for extrema {name!r} at {base!r}"
+                f"no support versions at or below sums_v{sums} for "
+                f"{prefix!r} at {base!r}"
             )
         supp = (
             spark.read.schema(spec.supp_ddl(vtype)).parquet(
-                version_dir(base, f"supp_{name}", sv)
+                version_dir(base, prefix, sv)
             )
             .groupBy(*spec.group_cols)
-            .agg(getattr(F, kind)("__v").alias(name))
+            .agg(*[
+                getattr(F, kind)("__v").alias(name) for name, kind in named
+            ])
         )
         out = _null_safe_group_join(out, supp, list(spec.group_cols), "left")
+    if spec.extrema:
+        out = out.select(
+            *spec.group_cols, "dn", *[n for n, _ in spec.measures],
+            *[e[0] for e in spec.extrema],
+        )
     return out
 
 
