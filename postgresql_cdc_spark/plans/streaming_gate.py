@@ -3245,3 +3245,134 @@ def cdc_stream_ivm_full_outer_join(
         )
         .select("grp", "n_rows", "total")
     )
+
+
+# --- RIGHT-OUTER-join IVM: the symmetric factorized case (r16) ----------------
+
+@register(
+    "cdc_stream_ivm_right_outer_join",
+    f"""
+    WITH dim AS (
+        SELECT i AS id,
+               CASE WHEN i % 4 = 0 THEN (i + 1) % 3 ELSE i % 3 END AS grp
+        FROM range({_N_DIM}) t(i) WHERE i % 7 <> 0),
+    fact AS (
+        SELECT i AS fid,
+               CASE WHEN i % 10 = 0 THEN (i + 1) % {_N_DIM}
+                    ELSE i % {_N_DIM} END AS did,
+               (i * 11) % 29 + CASE WHEN i % 5 = 0 THEN 50 ELSE 0 END
+                 AS amount
+        FROM range({_N_FACT}) t(i) WHERE i % 9 <> 0)
+    SELECT CAST(dim.grp AS INT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(amount) AS BIGINT) AS total
+    FROM fact RIGHT JOIN dim ON fact.did = dim.id
+    GROUP BY 1
+    """,
+    doc="STREAMING maintenance of a RIGHT OUTER join view — the "
+        "symmetric case completing the factorized outer-join family "
+        "(inner: cdc_stream_ivm_join_sums; left: ..._left_join; full: "
+        "..._full_outer_join; all four share ONE WAL changelog so their "
+        "answers differ exactly by the dangling masses). RIGHT outer "
+        "preserves every dim: factless dims surface as one counted row "
+        "with a NULL amount contribution, while facts whose dim was "
+        "deleted drop out (no NULL group — the left gate's case "
+        "reversed). Maintained from the same two single-table views — "
+        "the per-FK fact aggregate M1(did -> count, sum) on the "
+        "epoch-backed high-cardinality fold and the dim kv state — "
+        "joined dim-preserving at serve time: n_rows = "
+        "SUM(coalesce(dn, 1)) over dims' rows, total = SUM(dq) with "
+        "NULL-skipping semantics. Serve reads the full dim state "
+        "because every dim is part of the answer (the view's own output "
+        "bound, O(|M1| + |dim|)); M1 is collected once (it is the "
+        "probe-sized maintained side). Replay contract unchanged: both "
+        "maintained tables resolve strictly below the batch id and "
+        "replay via dynamic epoch overwrite.",
+)
+def cdc_stream_ivm_right_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ivmro_{run}_")
+    arch = os.path.join(base, "wal")
+    write_wal_archive(arch, _ivm_join_frames())
+    DIM_DDL = "id long, grp int, op string, lsn long"
+    FACT_DDL = "fid long, did long, amount int, op string, lsn long"
+    M1_DDL = "did long, dn long, dq long"
+
+    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            fold_epoch_store,
+            ingest_and_delta,
+            ingest_kv_batch,
+        )
+
+        ss = batch_df.sparkSession
+        bid = int(batch_id)
+        d_batch = batch_df.where(F.col("table") == "dim_grp").select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "grp").cast("int").alias("grp"),
+            "op", "lsn",
+        )
+        f_batch = batch_df.where(F.col("table") == "fact_amt").select(
+            F.element_at("columns", "fid").cast("long").alias("fid"),
+            F.element_at("columns", "did").cast("long").alias("did"),
+            F.element_at("columns", "amount").cast("int").alias("amount"),
+            "op", "lsn",
+        )
+        ingest_kv_batch(ss, os.path.join(base, "dim_kv"), "id", bid, d_batch)
+        f_delta = ingest_and_delta(
+            ss, os.path.join(base, "fact_kv"), FACT_DDL,
+            "fid", ["did", "amount"], bid, f_batch,
+        ).select(
+            "did",
+            F.col("sign").cast("long").alias("dn"),
+            (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
+        )
+        fold_epoch_store(
+            ss, os.path.join(base, "by_did"), M1_DDL, ["did"], bid, f_delta,
+        )
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivm_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        key_state,
+        read_folded_groups,
+    )
+
+    m1_rows = read_folded_groups(
+        spark, os.path.join(base, "by_did"), M1_DDL, ["did"],
+        drop_when_zero="dn",
+    ).collect()
+    m1 = spark.createDataFrame(m1_rows, M1_DDL)
+    dims = key_state(
+        spark, os.path.join(base, "dim_kv"), DIM_DDL, "id"
+    ).select(F.col("id").alias("did"), "grp")
+    # dim-preserving: RIGHT join from M1's perspective — every dim row
+    # survives; M1 rows whose dim is gone (dangling facts) drop out
+    return (
+        m1.join(dims, "did", "right_outer")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.coalesce(F.col("dn"), F.lit(1)))
+            .cast("long").alias("n_rows"),
+            F.sum("dq").cast("long").alias("total"),
+        )
+        .select("grp", "n_rows", "total")
+    )
