@@ -2895,6 +2895,7 @@ _SNOW_PART_REL = Relation(
     columns=(
         ColumnMeta("pid", 20, flags=1),
         ColumnMeta("brand", 23),
+        ColumnMeta("rate", 23),
     ),
 )
 
@@ -2939,7 +2940,8 @@ def _snow_frames() -> list:
         for i in range(_N_SC)
     ])
     txn([
-        encode_insert(_SNOW_PART_REL.relation_id, [str(i), str(i % 4)])
+        encode_insert(_SNOW_PART_REL.relation_id,
+                      [str(i), str(i % 4), str(i % 3 + 1)])
         for i in range(_N_SP)
     ])
     txn([
@@ -2958,7 +2960,7 @@ def _snow_frames() -> list:
         for i in range(0, _N_SC, 4)
     ] + [
         encode_update(_SNOW_PART_REL.relation_id,
-                      [str(i), str((i + 2) % 4)])
+                      [str(i), str((i + 2) % 4), str(i % 3 + 1)])
         for i in range(0, _N_SP, 3)
     ] + [
         encode_update(
@@ -2977,7 +2979,7 @@ def _snow_frames() -> list:
         encode_delete(_SNOW_CUST_REL.relation_id, [str(i), None])
         for i in range(0, _N_SC, 5)
     ] + [
-        encode_delete(_SNOW_PART_REL.relation_id, [str(i), None])
+        encode_delete(_SNOW_PART_REL.relation_id, [str(i), None, None])
         for i in range(0, _N_SP, 7)
     ] + [
         encode_delete(_SNOW_ITEM_REL.relation_id,
@@ -2996,7 +2998,8 @@ def _snow_frames() -> list:
         FROM range({_N_SC}) t(i) WHERE i % 5 <> 0),
     part AS (
         SELECT i AS pid,
-               CASE WHEN i % 3 = 0 THEN (i + 2) % 4 ELSE i % 4 END AS brand
+               CASE WHEN i % 3 = 0 THEN (i + 2) % 4 ELSE i % 4 END AS brand,
+               i % 3 + 1 AS rate
         FROM range({_N_SP}) t(i) WHERE i % 7 <> 0),
     fact AS (
         SELECT i AS iid,
@@ -3012,6 +3015,7 @@ def _snow_frames() -> list:
            CAST(brand AS INT) AS brand,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(SUM(price * qty) AS BIGINT) AS revenue,
+           CAST(SUM(qty * rate) AS BIGINT) AS units_w,
            CAST(MAX(price) AS INT) AS max_price
     FROM fact JOIN cust USING (cid) JOIN part USING (pid)
     GROUP BY 1, 2
@@ -3062,7 +3066,13 @@ def cdc_stream_ivm_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact_key="iid",
         fact_payload=("cid", "pid", "price", "qty"),
         group_cols=("seg", "brand"),
-        measures=(("revenue", "price * qty"),),
+        measures=(("revenue", "price * qty"),
+                  # q9-profit shape: a measure MIXING fact and dim
+                  # attributes (rate varies WITHIN a (seg, brand) group,
+                  # so this is not derivable from the group key) — each
+                  # delta-rule term evaluates it on ITS version of the
+                  # joined row (exposed_dim_cols)
+                  ("units_w", "qty * rate")),
         extrema=(("max_price", "max", "price", "int"),),
         dims=(
             join_ivm.DimSpec(
@@ -3070,8 +3080,8 @@ def cdc_stream_ivm_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key="cid", payload=("seg",), fact_fk="cid",
             ),
             join_ivm.DimSpec(
-                ddl="pid long, brand int, op string, lsn long",
-                key="pid", payload=("brand",), fact_fk="pid",
+                ddl="pid long, brand int, rate int, op string, lsn long",
+                key="pid", payload=("brand", "rate"), fact_fk="pid",
             ),
         ),
     )
@@ -3085,6 +3095,7 @@ def cdc_stream_ivm_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_batch = batch_df.where(F.col("table") == "part_brand").select(
             F.element_at("columns", "pid").cast("long").alias("pid"),
             F.element_at("columns", "brand").cast("int").alias("brand"),
+            F.element_at("columns", "rate").cast("int").alias("rate"),
             "op", "lsn",
         )
         f_batch = batch_df.where(F.col("table") == "sale_items").select(
@@ -3115,7 +3126,7 @@ def cdc_stream_ivm_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_ivm.latest_view(spark, state, spec).select(
         "seg", "brand",
         F.col("dn").alias("n_items"),
-        "revenue", "max_price",
+        "revenue", "units_w", "max_price",
     )
 
 

@@ -194,7 +194,11 @@ class JoinViewSpec:
       dD_i .. D_j_old(j>i)`` — each term's carrier is bounded by the
       batch (dF) or the batch's dimension-delta fan-out (dD_i).
     - ``measures``: ``(name, sql_expr)`` pairs — abelian SUMs of a Spark
-      SQL expression over FACT payload columns; the kernel emits
+      SQL expression over the JOINED row: fact payload columns plus any
+      UNAMBIGUOUS dim payload column (named by exactly one dim and not
+      colliding with a fact column — :meth:`exposed_dim_cols`), so
+      q9-profit-style measures mixing fact and dimension attributes
+      (``amount * rate``) maintain incrementally; the kernel emits
       ``sign * expr`` summed per group, plus the implicit row count
       ``dn`` that also drives empty-group drop-out.
     - ``extrema``: ``(name, 'min'|'max', sql_expr, value_ddl_type)``
@@ -311,6 +315,25 @@ class JoinViewSpec:
         if g in self.fact_payload:
             out.append(-1)
         return out
+
+    @property
+    def exposed_dim_cols(self) -> dict:
+        """Dim payload columns measure/extrema exprs may reference by
+        bare name -> owning dim index: named by exactly ONE dim and not
+        shadowing a fact column or a kernel-internal name. A colliding
+        name stays fact-owned (the revenue spec's shared ``pid``)."""
+        reserved = {self.fact_key, *self.fact_payload, "sign", "op",
+                    "lsn", "dn"}
+        counts: dict = {}
+        for d in self.dims:
+            for c in d.payload:
+                counts[c] = counts.get(c, 0) + 1
+        return {
+            c: i
+            for i, d in enumerate(self.dims)
+            for c in d.payload
+            if counts[c] == 1 and c not in reserved
+        }
 
     def _types(self, ddl: str) -> dict[str, str]:
         return {
@@ -1110,7 +1133,13 @@ def join_deltas(
 
     def _out(carrier: DataFrame, sign_expr, dim_resolved: set[int]):
         """Project one term's carrier to view-delta rows. ``dim_resolved``
-        names the dims whose payload is joined in as __d<i>_ columns."""
+        names the dims whose payload is joined in as __d<i>_ columns.
+        Unambiguous dim payload columns are exposed under their bare
+        names first, so measure/extrema exprs may mix fact and dimension
+        attributes (each term evaluates them on ITS version of the dim
+        row — exactly the joined-row multiset the delta rule adjusts)."""
+        for c, i in spec.exposed_dim_cols.items():
+            carrier = carrier.withColumn(c, F.col(f"__d{i}_{c}"))
         cols = []
         for g in spec.group_cols:
             src = spec._group_sources(g)[0]

@@ -199,7 +199,9 @@ _STAR_SPEC = JoinViewSpec(
     fact_key="iid",
     fact_payload=("cid", "pid", "price", "qty"),
     group_cols=("seg", "brand"),
-    measures=(("revenue", "price * qty"),),
+    # wunits mixes fact and dim attributes (exposed_dim_cols): every
+    # delta-rule term must evaluate it on ITS version of the dim row
+    measures=(("revenue", "price * qty"), ("wunits", "qty * (seg + 1)")),
     extrema=(("max_price", "max", "price", "int"),),
     dims=(
         DimSpec(ddl="cid long, seg int, op string, lsn long",
@@ -287,12 +289,14 @@ def test_star_two_dim_schedules_stay_exact(
     for cid, pid, price, qty in facts.values():
         if cid in custs and pid in parts:
             g = (custs[cid], parts[pid])
-            agg.setdefault(g, [0, 0, 0])
+            agg.setdefault(g, [0, 0, 0, 0])
             agg[g][0] += 1
             agg[g][1] += price * qty
-            agg[g][2] = max(agg[g][2], price)
+            agg[g][2] += qty * (custs[cid] + 1)
+            agg[g][3] = max(agg[g][3], price)
     want = sorted(
-        (s, b, n, rev, mx) for (s, b), (n, rev, mx) in agg.items()
+        (s, b, n, rev, wu, mx)
+        for (s, b), (n, rev, wu, mx) in agg.items()
     )
 
     from pyspark.sql import functions as F
@@ -332,7 +336,7 @@ def test_star_two_dim_schedules_stay_exact(
         bid += 1
 
     got = sorted(
-        (r.seg, r.brand, r.dn, r.revenue, r.max_price)
+        (r.seg, r.brand, r.dn, r.revenue, r.wunits, r.max_price)
         for r in latest_view(spark, state, _STAR_SPEC).collect()
     )
     assert got == want, (got, want, rows, sorted(cuts))
