@@ -3295,8 +3295,10 @@ def cdc_stream_ivm_full_outer_join(
         "SUM(coalesce(dn, 1)) over dims' rows, total = SUM(dq) with "
         "NULL-skipping semantics. Serve reads the full dim state "
         "because every dim is part of the answer (the view's own output "
-        "bound, O(|M1| + |dim|)); M1 is collected once (it is the "
-        "probe-sized maintained side). Replay contract unchanged: both "
+        "bound, O(|M1| + |dim|)); M1 joins as the lazy folded read — "
+        "this serve never probes off M1's keys, so there is nothing to "
+        "collect (unlike the left gate, where probe_key_state collects "
+        "the key set anyway). Replay contract unchanged: both "
         "maintained tables resolve strictly below the batch id and "
         "replay via dynamic epoch overwrite.",
 )
@@ -3367,16 +3369,18 @@ def cdc_stream_ivm_right_outer_join(
         read_folded_groups,
     )
 
-    m1_rows = read_folded_groups(
+    m1 = read_folded_groups(
         spark, os.path.join(base, "by_did"), M1_DDL, ["did"],
         drop_when_zero="dn",
-    ).collect()
-    m1 = spark.createDataFrame(m1_rows, M1_DDL)
+    )
     dims = key_state(
         spark, os.path.join(base, "dim_kv"), DIM_DDL, "id"
     ).select(F.col("id").alias("did"), "grp")
     # dim-preserving: RIGHT join from M1's perspective — every dim row
-    # survives; M1 rows whose dim is gone (dangling facts) drop out
+    # survives; M1 rows whose dim is gone (dangling facts) drop out.
+    # M1 stays the lazy folded read: this serve consumes it exactly once
+    # (no key probe), so collecting it would only add a driver round-trip
+    # (r16 review; contrast the left gate, which probes off M1's keys).
     return (
         m1.join(dims, "did", "right_outer")
         .groupBy("grp")

@@ -214,8 +214,9 @@ class JoinViewSpec:
     Group columns may come from any dim payload or the fact payload
     (each name must resolve to exactly ONE source). Dim and fact column
     names MAY collide (the shipped revenue spec shares ``pid``): dim
-    sides are ``__d<i>_``-prefixed before every join, and measure /
-    extrema exprs see fact columns only.
+    sides are ``__d<i>_``-prefixed before every join, and a COLLIDING
+    bare name inside a measure/extrema expr resolves to the FACT column
+    (only unambiguous dim names are exposed — :meth:`exposed_dim_cols`).
     """
 
     fact_ddl: str = ""
@@ -322,17 +323,24 @@ class JoinViewSpec:
         bare name -> owning dim index: named by exactly ONE dim and not
         shadowing a fact column or a kernel-internal name. A colliding
         name stays fact-owned (the revenue spec's shared ``pid``)."""
-        reserved = {self.fact_key, *self.fact_payload, "sign", "op",
-                    "lsn", "dn"}
+        # Comparisons are case-INSENSITIVE to match Spark's default column
+        # resolution: a dim column differing from a fact column only in
+        # case would otherwise pass this check and withColumn would
+        # silently REPLACE the fact column (r16 review).
+        reserved = {
+            s.lower()
+            for s in (self.fact_key, *self.fact_payload, "sign", "op",
+                      "lsn", "dn")
+        }
         counts: dict = {}
         for d in self.dims:
             for c in d.payload:
-                counts[c] = counts.get(c, 0) + 1
+                counts[c.lower()] = counts.get(c.lower(), 0) + 1
         return {
             c: i
             for i, d in enumerate(self.dims)
             for c in d.payload
-            if counts[c] == 1 and c not in reserved
+            if counts[c.lower()] == 1 and c.lower() not in reserved
         }
 
     def _types(self, ddl: str) -> dict[str, str]:

@@ -200,14 +200,17 @@ _STAR_SPEC = JoinViewSpec(
     fact_payload=("cid", "pid", "price", "qty"),
     group_cols=("seg", "brand"),
     # wunits mixes fact and dim attributes (exposed_dim_cols): every
-    # delta-rule term must evaluate it on ITS version of the dim row
-    measures=(("revenue", "price * qty"), ("wunits", "qty * (seg + 1)")),
+    # delta-rule term must evaluate it on ITS version of the dim row.
+    # rate is a NON-group dim payload (varies within a (seg, brand)
+    # group — the q9-profit property), so a kernel that derived dim
+    # attributes from the group key would fail these schedules.
+    measures=(("revenue", "price * qty"), ("wunits", "qty * rate")),
     extrema=(("max_price", "max", "price", "int"),),
     dims=(
         DimSpec(ddl="cid long, seg int, op string, lsn long",
                 key="cid", payload=("seg",), fact_fk="cid"),
-        DimSpec(ddl="pid long, brand int, op string, lsn long",
-                key="pid", payload=("brand",), fact_fk="pid"),
+        DimSpec(ddl="pid long, brand int, rate int, op string, lsn long",
+                key="pid", payload=("brand", "rate"), fact_fk="pid"),
     ),
 )
 
@@ -270,11 +273,14 @@ def test_star_two_dim_schedules_stay_exact(
                 custs[key] = seg
         elif op_t[0] == "p":
             _, key, brand, op = op_t
-            rows.append(("p", key, brand, None, None, op, lsn))
+            # rate varies with the op index too, so an update can change
+            # it without changing the group (brand)
+            rate = (key + brand) % 2 + 1
+            rows.append(("p", key, brand, rate, None, op, lsn))
             if op == "D":
                 parts.pop(key, None)
             else:
-                parts[key] = brand
+                parts[key] = (brand, rate)
         else:
             _, key, cid, pid, op = op_t
             price = (key * 7 + cid * 3 + pid) % 11 + 1
@@ -288,11 +294,12 @@ def test_star_two_dim_schedules_stay_exact(
     agg: dict[tuple[int, int], list[int]] = {}
     for cid, pid, price, qty in facts.values():
         if cid in custs and pid in parts:
-            g = (custs[cid], parts[pid])
+            brand, rate = parts[pid]
+            g = (custs[cid], brand)
             agg.setdefault(g, [0, 0, 0, 0])
             agg[g][0] += 1
             agg[g][1] += price * qty
-            agg[g][2] += qty * (custs[cid] + 1)
+            agg[g][2] += qty * rate
             agg[g][3] = max(agg[g][3], price)
     want = sorted(
         (s, b, n, rev, wu, mx)
@@ -319,6 +326,7 @@ def test_star_two_dim_schedules_stay_exact(
         p_batch = batch.where(F.col("tab") == "p").select(
             F.col("k").alias("pid"),
             F.col("a").cast("int").alias("brand"),
+            F.col("b").cast("int").alias("rate"),
             "op", "lsn",
         )
         f_batch = batch.where(F.col("tab") == "f").select(
