@@ -3391,3 +3391,125 @@ def cdc_stream_ivm_right_outer_join(
         )
         .select("grp", "n_rows", "total")
     )
+
+
+# --- COUNT(DISTINCT) through the kernel's support construction (r16) ----------
+
+@register(
+    "cdc_stream_ivm_count_distinct",
+    f"""
+    WITH dim AS (
+        SELECT i AS pid,
+               CASE WHEN i % 3 = 0 THEN (i + 2) % 4 ELSE i % 4 END AS cat,
+               i % 2 AS tier
+        FROM range({_N_PD}) t(i) WHERE i % 11 <> 0),
+    fact AS (
+        SELECT i AS iid,
+               CASE WHEN i % 12 = 0 THEN (i + 1) % {_N_PD}
+                    ELSE i % {_N_PD} END AS pid,
+               (i * 7) % 23 + 1 + CASE WHEN i % 4 = 0 THEN 30 ELSE 0 END
+                 AS price,
+               i % 5 + 1 AS qty
+        FROM range({_N_IT}) t(i) WHERE i % 10 <> 0)
+    SELECT CAST(cat AS INT) AS cat,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(price * qty) AS BIGINT) AS revenue,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT price) AS BIGINT) AS n_prices,
+           CAST(MAX(price) AS INT) AS max_price
+    FROM fact JOIN dim USING (pid)
+    GROUP BY 1
+    """,
+    doc="STREAMING maintenance of COUNT(DISTINCT) over a JOIN view — the "
+        "other classic non-delta-adjustable aggregate (with MIN/MAX), "
+        "completing the kernel's practical aggregate class: abelian SUMs "
+        "adjust from deltas alone; extrema and distinct counts both need "
+        "the surviving value multiset, and both ride the SAME support "
+        "construction ((group, value) -> live count folded from the "
+        "signed view deltas). The distinct count is exactly the number "
+        "of values with positive support, so serve is F.count over the "
+        "multiset the extrema already re-derive from — and a distinct "
+        "and an extremum over the same expression share ONE physical "
+        "support table: this view's three support-derived aggregates "
+        "(COUNT(DISTINCT pid), COUNT(DISTINCT price), MAX(price)) cost "
+        "two support folds, since n_prices and max_price share the "
+        "price-valued multiset. The changelog is the revenue gate's "
+        "(part regroups, item reprices, FK re-points, double-sided "
+        "deletes across maxRecordsPerBatch=25 boundaries), so FK "
+        "re-points move a part's item-set between categories and "
+        "deletes shrink value multisets — the schedules where a "
+        "sketch-style or max-only maintenance goes wrong; the kernel's "
+        "fuzz drives distinct measures through arbitrary two-dim "
+        "schedules too. NULL semantics match SQL: NULL values never "
+        "enter the supports and an all-NULL group serves 0. Scale: "
+        "support tables are bounded by distinct (group, value) pairs "
+        "and fold with |delta| + |supports| rows per batch — same "
+        "lifecycle (epoch-store kv state, pruned probes, swept "
+        "versions, strictly-below replay) as every kernel gate.",
+)
+def cdc_stream_ivm_count_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming import join_ivm
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ivmcd_{run}_")
+    arch = os.path.join(base, "wal")
+    write_wal_archive(arch, _rev_frames())
+    state = os.path.join(base, "state")
+    os.makedirs(state)
+
+    spec = join_ivm.JoinViewSpec(
+        dim_ddl="pid long, cat int, tier int, op string, lsn long",
+        dim_key="pid",
+        dim_payload=("cat", "tier"),
+        fact_ddl="iid long, pid long, price int, qty int, op string, lsn long",
+        fact_key="iid",
+        fact_fk="pid",
+        fact_payload=("pid", "price", "qty"),
+        group_cols=("cat",),
+        measures=(("revenue", "price * qty"),),
+        extrema=(("max_price", "max", "price", "int"),),
+        distincts=(("n_parts", "pid", "long"), ("n_prices", "price", "int")),
+    )
+
+    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        d_batch = batch_df.where(F.col("table") == "part_cat").select(
+            F.element_at("columns", "pid").cast("long").alias("pid"),
+            F.element_at("columns", "cat").cast("int").alias("cat"),
+            F.element_at("columns", "tier").cast("int").alias("tier"),
+            "op", "lsn",
+        )
+        f_batch = batch_df.where(F.col("table") == "order_items").select(
+            F.element_at("columns", "iid").cast("long").alias("iid"),
+            F.element_at("columns", "pid").cast("long").alias("pid"),
+            F.element_at("columns", "price").cast("int").alias("price"),
+            F.element_at("columns", "qty").cast("int").alias("qty"),
+            "op", "lsn",
+        )
+        join_ivm.apply_batch(
+            batch_df.sparkSession, state, batch_id, d_batch, f_batch,
+            spec=spec,
+        )
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivm_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+    return join_ivm.latest_view(spark, state, spec).select(
+        "cat",
+        F.col("dn").alias("n_items"),
+        "revenue", "n_parts", "n_prices", "max_price",
+    )

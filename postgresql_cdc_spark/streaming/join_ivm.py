@@ -19,10 +19,12 @@ rule contributes one term per relation with the triangular new/old split
 (every relation before the delta position is NEW, every one after is
 OLD). The running aggregate is only ever ADJUSTED (|groups| + |delta|
 rows per batch); history is never recomputed. Measures are abelian SUMs
-plus an implicit COUNT; MIN/MAX-style extrema — not delta-adjustable —
-are maintained through per-measure SUPPORT tables ((group, value) ->
-live count; the textbook eviction-safe construction) folded from the
-same signed view deltas and re-derived at serve time.
+plus an implicit COUNT; the non-delta-adjustable aggregates — MIN/MAX
+extrema and COUNT(DISTINCT) — are maintained through per-expression
+SUPPORT tables ((group, value) -> live count; the textbook
+eviction-safe construction) folded from the same signed view deltas and
+re-derived at serve time (extrema as MIN/MAX over the live values,
+distinct counts as the number of live values).
 
 State layout (all under one base directory; multi-dim specs keep one
 ``dim_<name>_kv`` and one ``fact_by_<name>`` arrangement PER dimension,
@@ -208,6 +210,15 @@ class JoinViewSpec:
       re-derived at serve time, so deletes evicting the current extremum
       stay exact. Support tables are bounded by distinct (group, value)
       pairs.
+    - ``distincts``: ``(name, sql_expr, value_ddl_type)`` entries —
+      COUNT(DISTINCT expr), the other classic non-delta-adjustable
+      aggregate, maintained through the SAME support construction: the
+      distinct count is exactly the number of values with positive live
+      count, so serve is ``F.count`` over the multiset the extrema
+      already re-derive from (a distinct and an extremum over the same
+      expression SHARE one physical support table). NULL expr values
+      never enter the supports, matching SQL's NULL-skipping
+      COUNT(DISTINCT); a group whose values are all NULL serves 0.
 
     Legacy single-dim fields (``dim_ddl``/``dim_key``/``dim_payload``/
     ``fact_fk``) remain constructible and normalize into ``dims``.
@@ -226,6 +237,7 @@ class JoinViewSpec:
     measures: tuple[tuple[str, str], ...] = ()
     dims: tuple[DimSpec, ...] = ()
     extrema: tuple[tuple[str, str, str, str], ...] = ()
+    distincts: tuple[tuple[str, str, str], ...] = ()
     # legacy single-dimension spelling (r15 surface), normalized into
     # ``dims`` at construction
     dim_ddl: Optional[str] = None
@@ -288,7 +300,11 @@ class JoinViewSpec:
                     "source (one dim payload or the fact payload); found "
                     f"{len(self._group_sources(g))}"
                 )
-        names = [n for n, _ in self.measures] + [e[0] for e in self.extrema]
+        names = (
+            [n for n, _ in self.measures]
+            + [e[0] for e in self.extrema]
+            + [d[0] for d in self.distincts]
+        )
         clash = ({*names} & {*self.group_cols, "dn"}) | (
             {n for n in names if names.count(n) > 1}
         )
@@ -375,19 +391,28 @@ class JoinViewSpec:
 
     @property
     def supp_tables(self) -> tuple:
-        """One SUPPORT table per distinct extrema ``(expr, vtype)`` —
-        ``(table_prefix, expr, vtype, ((name, kind), ...))`` tuples. MIN
-        and MAX over the same expression share one (group, value) -> count
-        multiset (r16 review: per-NAME tables maintained byte-identical
-        twins), and every extremum over it derives at serve time."""
+        """One SUPPORT table per distinct support ``(expr, vtype)`` —
+        ``(table_prefix, expr, vtype, ((name, kind), ...))`` tuples, where
+        kind is ``'min'``/``'max'`` (extrema) or ``'count'`` (distinct
+        counts). Aggregates over the same expression share one
+        (group, value) -> count multiset (r16 review: per-NAME tables
+        maintained byte-identical twins) — MIN, MAX and COUNT DISTINCT of
+        one column cost ONE support fold — and every serve-time aggregate
+        derives from it."""
         out: list = []
         seen: dict = {}
-        for name, kind, expr, vtype in self.extrema:
+
+        def slot(expr: str, vtype: str) -> list:
             key = (expr, vtype)
             if key not in seen:
                 seen[key] = len(out)
                 out.append([f"supp_{len(out)}", expr, vtype, []])
-            out[seen[key]][3].append((name, kind))
+            return out[seen[key]]
+
+        for name, kind, expr, vtype in self.extrema:
+            slot(expr, vtype)[3].append((name, kind))
+        for name, expr, vtype in self.distincts:
+            slot(expr, vtype)[3].append((name, "count"))
         return tuple((p, e, v, tuple(nk)) for p, e, v, nk in out)
 
     @property
@@ -1064,7 +1089,7 @@ def apply_batch(
 
     view_delta = join_deltas(spark, base, bid, d_deltas, f_delta_w,
                              spec=spec)
-    if spec.extrema:
+    if spec.supp_tables:
         # the delta rows feed the sums fold AND one support fold per
         # table — materialize once
         view_delta = _materialize_versioned(
@@ -1285,9 +1310,10 @@ def latest_view(
 ) -> DataFrame:
     """The maintained view after the stream: the newest committed sums
     version — (group_cols, dn, *measures) — plus, for specs with extrema
-    measures, every extremum re-derived from its support table (MIN/MAX
-    over the live (group, value) multiset; one small left join per
-    DISTINCT support expression, keyed null-safely on the group columns).
+    or distinct-count measures, every such aggregate re-derived from its
+    support table (MIN/MAX over the live (group, value) multiset; COUNT
+    of its live values for distincts; one small left join per DISTINCT
+    support expression, keyed null-safely on the group columns).
 
     Version consistency: every support read resolves the newest support
     version AT OR BELOW the sums version. ``apply_batch`` folds supports
@@ -1318,10 +1344,21 @@ def latest_view(
             ])
         )
         out = _null_safe_group_join(out, supp, list(spec.group_cols), "left")
-    if spec.extrema:
+    # COUNT(DISTINCT) of an all-NULL group is 0, not NULL: such a group
+    # has NO support rows (NULL values never enter the fold), so the left
+    # join above leaves its count column NULL — unlike MIN/MAX, where
+    # NULL is the correct SQL answer
+    for _p, _e, _v, named in spec.supp_tables:
+        for name, kind in named:
+            if kind == "count":
+                out = out.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0).cast("long"))
+                )
+    if spec.supp_tables:
         out = out.select(
             *spec.group_cols, "dn", *[n for n, _ in spec.measures],
             *[e[0] for e in spec.extrema],
+            *[d[0] for d in spec.distincts],
         )
     return out
 

@@ -759,6 +759,69 @@ class TestJoinIvmReplay:
         want = sorted((s, b, n, t, m) for (s, b), (n, t, m) in agg.items())
         assert once == want, (once, want)
 
+    def test_distinct_count_maintains_under_evictions(self, spark, tmp_path):
+        """COUNT(DISTINCT v) through the support construction: removing
+        ONE of two rows carrying a value leaves the count unchanged,
+        removing the LAST row carrying a value drops it, an update that
+        collapses two values to one shrinks it, and an all-NULL group
+        serves 0 (SQL's NULL-skipping COUNT DISTINCT) while its MAX —
+        sharing the same physical support table — stays NULL. Replay of
+        the last batch converges."""
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            JoinViewSpec,
+            apply_batch,
+            latest_view,
+        )
+
+        spec = JoinViewSpec(
+            fact_ddl="id long, grp int, v int, op string, lsn long",
+            fact_key="id",
+            fact_payload=("grp", "v"),
+            group_cols=("grp",),
+            extrema=(("max_v", "max", "v", "int"),),
+            distincts=(("n_v", "v", "int"),),
+        )
+        assert len(spec.supp_tables) == 1  # max + distinct share one fold
+        state = str(tmp_path / "state")
+        os.makedirs(state)
+        DDL = "id long, grp int, v int, op string, lsn long"
+
+        def apply(bid, rows):
+            apply_batch(
+                spark, state, bid, None,
+                spark.createDataFrame(rows, DDL),
+                max_live_partials=2, spec=spec,
+            )
+
+        apply(0, [
+            (0, 0, 5, "I", 10), (1, 0, 5, "I", 11), (2, 0, 7, "I", 12),
+            (3, 1, 9, "I", 13), (4, 1, 11, "I", 14),
+            (5, 2, None, "I", 15), (6, 2, None, "I", 16),
+        ])
+        got0 = {
+            r.grp: (r.dn, r.max_v, r.n_v)
+            for r in latest_view(spark, state, spec).collect()
+        }
+        assert got0 == {0: (3, 7, 2), 1: (2, 11, 2), 2: (2, None, 0)}
+
+        w1 = [
+            (0, None, None, "D", 20),   # one of two 5s: distinct holds
+            (2, None, None, "D", 21),   # last 7: distinct drops, max evicts
+            (4, 1, 9, "U", 22),         # 11 -> 9 collapses grp 1 to one value
+        ]
+        apply(1, w1)
+        once = {
+            r.grp: (r.dn, r.max_v, r.n_v)
+            for r in latest_view(spark, state, spec).collect()
+        }
+        assert once == {0: (1, 5, 1), 1: (2, 9, 1), 2: (2, None, 0)}
+        apply(1, w1)  # at-least-once replay
+        twice = {
+            r.grp: (r.dn, r.max_v, r.n_v)
+            for r in latest_view(spark, state, spec).collect()
+        }
+        assert once == twice
+
     def test_double_application_converges(self, spark, tmp_path):
         """Applying the same batch twice (at-least-once) yields the same
         sums as applying it once."""

@@ -206,6 +206,9 @@ _STAR_SPEC = JoinViewSpec(
     # attributes from the group key would fail these schedules.
     measures=(("revenue", "price * qty"), ("wunits", "qty * rate")),
     extrema=(("max_price", "max", "price", "int"),),
+    # COUNT(DISTINCT price) shares max_price's physical support table
+    # (same expr/vtype) — the sharing path rides every schedule too
+    distincts=(("n_prices", "price", "int"),),
     dims=(
         DimSpec(ddl="cid long, seg int, op string, lsn long",
                 key="cid", payload=("seg",), fact_fk="cid"),
@@ -291,19 +294,20 @@ def test_star_two_dim_schedules_stay_exact(
             else:
                 facts[key] = (cid, pid, price, qty)
 
-    agg: dict[tuple[int, int], list[int]] = {}
+    agg: dict[tuple[int, int], list] = {}
     for cid, pid, price, qty in facts.values():
         if cid in custs and pid in parts:
             brand, rate = parts[pid]
             g = (custs[cid], brand)
-            agg.setdefault(g, [0, 0, 0, 0])
+            agg.setdefault(g, [0, 0, 0, 0, set()])
             agg[g][0] += 1
             agg[g][1] += price * qty
             agg[g][2] += qty * rate
             agg[g][3] = max(agg[g][3], price)
+            agg[g][4].add(price)
     want = sorted(
-        (s, b, n, rev, wu, mx)
-        for (s, b), (n, rev, wu, mx) in agg.items()
+        (s, b, n, rev, wu, mx, len(pr))
+        for (s, b), (n, rev, wu, mx, pr) in agg.items()
     )
 
     from pyspark.sql import functions as F
@@ -344,7 +348,8 @@ def test_star_two_dim_schedules_stay_exact(
         bid += 1
 
     got = sorted(
-        (r.seg, r.brand, r.dn, r.revenue, r.wunits, r.max_price)
+        (r.seg, r.brand, r.dn, r.revenue, r.wunits, r.max_price,
+         r.n_prices)
         for r in latest_view(spark, state, _STAR_SPEC).collect()
     )
     assert got == want, (got, want, rows, sorted(cuts))
