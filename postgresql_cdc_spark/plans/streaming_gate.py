@@ -2656,12 +2656,15 @@ def _hc_frames() -> list:
         "fold_versioned's full-version rewrite would be O(|groups|) per "
         "trigger and a customer-grained view at 100x would rewrite "
         "millions of rows per micro-batch). The sums are instead backed "
-        "by the EPOCH STORE (join_ivm.fold_epoch_store): each batch "
-        "writes only its own grouped signed deltas as the store's epoch "
-        "— O(|batch groups|) rows — and maybe_compact SUM-merges old "
-        "epochs behind the manifest-committed base, clustered by the "
-        "group column; serving re-groups base + bounded partials "
-        "(read_folded_groups), dropping groups whose count nets zero. "
+        "by the EPOCH STORE — since r16 selected INSIDE the kernel via "
+        "JoinViewSpec(sums_backend='epoch'), so the gate is a "
+        "dimensionless spec driven by the same apply_batch as every "
+        "join/star view: each batch writes only its own grouped signed "
+        "deltas as the store's epoch — O(|batch groups|) rows — and "
+        "maybe_compact SUM-merges old epochs behind the "
+        "manifest-committed base, clustered by the group column; serving "
+        "re-groups base + bounded partials (read_folded_groups), "
+        "dropping groups whose count nets zero. "
         "The fold's merge keeps rows any measure of which is nonzero "
         "(a transient partial can net dn=0 with dq!=0 after an "
         "amount-only update), so zero-drop-out applies at serve time "
@@ -2684,34 +2687,35 @@ def cdc_stream_ivm_sums_hicard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgresql_cdc_spark.streaming.source import write_wal_archive
 
     write_wal_archive(arch, _hc_frames())
-    STATE_DDL = "id long, cust long, v int, op string, lsn long"
-    SUMS_DDL = "cust long, dn long, dq long"
+    state = os.path.join(base, "state")
+    os.makedirs(state)
+
+    from postgresql_cdc_spark.streaming import join_ivm
+
+    # since r16 this runs THROUGH the kernel's spec: sums_backend='epoch'
+    # selects the epoch-store fold inside apply_batch, so the gate is a
+    # dimensionless spec with a per-customer group domain — no bespoke
+    # maintenance code left (the min gate's r16 rewire, repeated for the
+    # high-cardinality backend)
+    spec = join_ivm.JoinViewSpec(
+        fact_ddl="id long, cust long, v int, op string, lsn long",
+        fact_key="id",
+        fact_payload=("cust", "v"),
+        group_cols=("cust",),
+        measures=(("dq", "v"),),
+        sums_backend="epoch",
+    )
 
     def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from postgresql_cdc_spark.streaming.join_ivm import (
-            fold_epoch_store,
-            ingest_and_delta,
-        )
-
-        ss = batch_df.sparkSession
-        bid = int(batch_id)
         decoded = batch_df.select(
             F.element_at("columns", "id").cast("long").alias("id"),
             F.element_at("columns", "cust").cast("long").alias("cust"),
             F.element_at("columns", "v").cast("int").alias("v"),
             "op", "lsn",
         )
-        delta = ingest_and_delta(
-            ss, os.path.join(base, "state_kv"), STATE_DDL,
-            "id", ["cust", "v"], bid, decoded,
-        ).select(
-            "cust",
-            F.col("sign").cast("long").alias("dn"),
-            (F.col("sign") * F.col("v")).cast("long").alias("dq"),
-        )
-        fold_epoch_store(
-            ss, os.path.join(base, "sums_store"), SUMS_DDL, ["cust"],
-            bid, delta,
+        join_ivm.apply_batch(
+            batch_df.sparkSession, state, batch_id, None, decoded,
+            spec=spec,
         )
 
     stream = (
@@ -2727,12 +2731,7 @@ def cdc_stream_ivm_sums_hicard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_bounded(q)
 
-    from postgresql_cdc_spark.streaming.join_ivm import read_folded_groups
-
-    return read_folded_groups(
-        spark, os.path.join(base, "sums_store"), SUMS_DDL, ["cust"],
-        drop_when_zero="dn",
-    ).select(
+    return join_ivm.latest_view(spark, state, spec).select(
         "cust", F.col("dn").alias("n_rows"), F.col("dq").alias("total")
     )
 

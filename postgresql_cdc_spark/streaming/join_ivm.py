@@ -238,6 +238,12 @@ class JoinViewSpec:
     dims: tuple[DimSpec, ...] = ()
     extrema: tuple[tuple[str, str, str, str], ...] = ()
     distincts: tuple[tuple[str, str, str], ...] = ()
+    # 'versioned' (default): full-rewrite sums versions — right when
+    # |groups| << |keys|. 'epoch': the epoch-store fold
+    # (:func:`fold_epoch_store`) — O(|batch groups|) writes per trigger,
+    # for HIGH-CARDINALITY group domains (per-customer views, keyed
+    # join-table views) where a full rewrite is O(|groups|) every batch.
+    sums_backend: str = "versioned"
     # legacy single-dimension spelling (r15 surface), normalized into
     # ``dims`` at construction
     dim_ddl: Optional[str] = None
@@ -324,6 +330,19 @@ class JoinViewSpec:
                     f"extrema {name!r}: kind must be 'min' or 'max', got "
                     f"{kind!r}"
                 )
+        if self.sums_backend not in ("versioned", "epoch"):
+            raise ValueError(
+                f"sums_backend must be 'versioned' or 'epoch', got "
+                f"{self.sums_backend!r}"
+            )
+        if self.sums_backend == "epoch" and self.supp_tables:
+            raise ValueError(
+                "sums_backend='epoch' does not support extrema/distincts: "
+                "support reads anchor to the newest committed SUMS VERSION "
+                "(the crash-consistency contract), and the epoch-store fold "
+                "has no version to anchor to — use the versioned backend "
+                "(support-bearing views have small group domains anyway)"
+            )
 
     def _group_sources(self, g: str) -> list[int]:
         """Indices of the sources defining group column ``g``: dim i for
@@ -1111,13 +1130,26 @@ def apply_batch(
             ).where(F.col(prefix).isNotNull()),
             drop_when_zero="cnt",
         )
-    fold_versioned(
-        spark, base, "sums", spec.sums_ddl, list(spec.group_cols), bid,
-        view_delta.select(
-            *spec.group_cols, "dn", *[n for n, _ in spec.measures]
-        ),
-        drop_when_zero="dn",
+    sums_delta = view_delta.select(
+        *spec.group_cols, "dn", *[n for n, _ in spec.measures]
     )
+    if spec.sums_backend == "epoch":
+        # high-cardinality group domains: each batch writes only its own
+        # grouped signed deltas as the store's epoch (O(|batch groups|)),
+        # maybe_compact SUM-merges behind the clustered base — never a
+        # full |groups| rewrite per trigger
+        fold_epoch_store(
+            spark, os.path.join(base, "sums_es"), spec.sums_ddl,
+            list(spec.group_cols), bid, sums_delta,
+            max_live_partials=max_live_partials,
+            target_file_bytes=target_file_bytes,
+        )
+    else:
+        fold_versioned(
+            spark, base, "sums", spec.sums_ddl, list(spec.group_cols), bid,
+            sums_delta,
+            drop_when_zero="dn",
+        )
 
 
 def join_deltas(
@@ -1321,6 +1353,19 @@ def latest_view(
     — a crash between folds leaves sums at N-1 and this serve reads the
     matching N-1 supports, never batch-N counts next to stale extrema
     (r16 review). Output columns keep the spec's declaration order."""
+    if spec.sums_backend == "epoch":
+        store = os.path.join(base, "sums_es")
+        if not os.path.isdir(store):
+            raise RuntimeError(
+                f"no batch reached the join-IVM sink at {base!r}"
+            )
+        # no supports to anchor (the spec validation guarantees it):
+        # base + live partials re-grouped, zero-count groups dropped at
+        # serve time — the epoch-backed fold's contract
+        return read_folded_groups(
+            spark, store, spec.sums_ddl, list(spec.group_cols),
+            drop_when_zero="dn",
+        )
     sums = prev_version(base, "sums", None)
     if sums is None:
         raise RuntimeError(f"no batch reached the join-IVM sink at {base!r}")

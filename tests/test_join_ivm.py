@@ -822,6 +822,55 @@ class TestJoinIvmReplay:
         }
         assert once == twice
 
+    def test_epoch_sums_backend_through_kernel(self, spark, tmp_path):
+        """sums_backend='epoch' inside apply_batch: a per-key-grained
+        group domain folds through the epoch store (O(|batch groups|)
+        writes, compaction-bounded partials) and serves the same answers
+        as the versioned backend, including under key re-points, deletes
+        and an at-least-once replay of the last batch."""
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            JoinViewSpec,
+            apply_batch,
+            latest_view,
+        )
+
+        def build(backend, state):
+            spec = JoinViewSpec(
+                fact_ddl="id long, cust long, v int, op string, lsn long",
+                fact_key="id",
+                fact_payload=("cust", "v"),
+                group_cols=("cust",),
+                measures=(("total", "v"),),
+                sums_backend=backend,
+            )
+            os.makedirs(state)
+            DDL = "id long, cust long, v int, op string, lsn long"
+            waves = [
+                [(i, i % 7, 10 + i, "I", 10 + i) for i in range(12)],
+                [(3, 5, 99, "U", 30), (6, None, None, "D", 31)],
+                [(0, 0, 1, "U", 40), (9, None, None, "D", 41)],
+            ]
+            for bid, w in enumerate(waves):
+                apply_batch(
+                    spark, state, bid, None,
+                    spark.createDataFrame(w, DDL),
+                    max_live_partials=2, spec=spec,
+                )
+            # at-least-once: replay the final batch
+            apply_batch(
+                spark, state, 2, None,
+                spark.createDataFrame(waves[2], DDL),
+                max_live_partials=2, spec=spec,
+            )
+            return sorted(
+                (r.cust, r.dn, r.total)
+                for r in latest_view(spark, state, spec).collect()
+            )
+
+        got = build("epoch", str(tmp_path / "es"))
+        want = build("versioned", str(tmp_path / "vs"))
+        assert got == want, (got, want)
+
     def test_double_application_converges(self, spark, tmp_path):
         """Applying the same batch twice (at-least-once) yields the same
         sums as applying it once."""
