@@ -3512,3 +3512,266 @@ def cdc_stream_ivm_count_distinct(
         F.col("dn").alias("n_items"),
         "revenue", "n_parts", "n_prices", "max_price",
     )
+
+
+# --- CHAINED snowflake (fact -> dim -> dim) via view composition (r16) --------
+
+_CHAIN_NAT_REL = Relation(
+    relation_id=16404,
+    schema="public",
+    name="nations",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("nk", 20, flags=1),
+        ColumnMeta("region", 23),
+    ),
+)
+
+_CHAIN_CUS_REL = Relation(
+    relation_id=16405,
+    schema="public",
+    name="customers",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("cid", 20, flags=1),
+        ColumnMeta("nk", 20),
+        ColumnMeta("seg", 23),
+    ),
+)
+
+_CHAIN_ORD_REL = Relation(
+    relation_id=16406,
+    schema="public",
+    name="orders_amt",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("oid", 20, flags=1),
+        ColumnMeta("cid", 20),
+        ColumnMeta("amount", 23),
+    ),
+)
+
+_N_NAT = 5
+_N_CUS = 18
+_N_ORD = 140
+
+
+def _chain_frames() -> list:
+    """Deterministic three-level changelog for the CHAINED snowflake
+    (orders -> customers -> nations): all three levels insert, a mixed
+    update txn re-regions nations (nk%3==1 — the cascade case: every
+    customer of that nation regroups transitively), re-nations customers
+    (cid%4==0) and reprices/re-points orders (oid%6==0 / oid%18==0), then
+    a mixed delete txn removes a nation (nk==2 — its customers' orders
+    dangle TRANSITIVELY), customers (cid%9==4) and orders (oid%11==0)."""
+    frames = [
+        (1, encode_relation(_CHAIN_NAT_REL)),
+        (2, encode_relation(_CHAIN_CUS_REL)),
+        (3, encode_relation(_CHAIN_ORD_REL)),
+    ]
+    lsn, xid = 10, 1800
+
+    def txn(rows):
+        nonlocal lsn, xid
+        lsn, xid = _append_txn(frames, rows, lsn, xid)
+
+    txn([
+        encode_insert(_CHAIN_NAT_REL.relation_id, [str(i), str(i % 2)])
+        for i in range(_N_NAT)
+    ])
+    txn([
+        encode_insert(
+            _CHAIN_CUS_REL.relation_id,
+            [str(i), str(i % _N_NAT), str(i % 3)],
+        )
+        for i in range(_N_CUS)
+    ])
+    for start in range(0, _N_ORD, 70):
+        txn([
+            encode_insert(
+                _CHAIN_ORD_REL.relation_id,
+                [str(i), str(i % _N_CUS), str((i * 13) % 37 + 1)],
+            )
+            for i in range(start, min(start + 70, _N_ORD))
+        ])
+    txn([
+        encode_update(
+            _CHAIN_NAT_REL.relation_id, [str(i), str(i % 2 + 2)]
+        )
+        for i in range(_N_NAT) if i % 3 == 1
+    ] + [
+        encode_update(
+            _CHAIN_CUS_REL.relation_id,
+            [str(i), str((i + 1) % _N_NAT), str(i % 3)],
+        )
+        for i in range(0, _N_CUS, 4)
+    ] + [
+        encode_update(
+            _CHAIN_ORD_REL.relation_id,
+            [
+                str(i),
+                str((i + 1) % _N_CUS if i % 18 == 0 else i % _N_CUS),
+                str((i * 13) % 37 + 51),
+            ],
+        )
+        for i in range(0, _N_ORD, 6)
+    ])
+    txn([
+        encode_delete(_CHAIN_NAT_REL.relation_id, [str(2), None])
+    ] + [
+        encode_delete(_CHAIN_CUS_REL.relation_id, [str(i), None, None])
+        for i in range(_N_CUS) if i % 9 == 4
+    ] + [
+        encode_delete(_CHAIN_ORD_REL.relation_id, [str(i), None, None])
+        for i in range(0, _N_ORD, 11)
+    ])
+    return frames
+
+
+@register(
+    "cdc_stream_ivm_dim_chain",
+    f"""
+    WITH nat AS (
+        SELECT i AS nk,
+               CASE WHEN i % 3 = 1 THEN i % 2 + 2 ELSE i % 2 END AS region
+        FROM range({_N_NAT}) t(i) WHERE i <> 2),
+    cus AS (
+        SELECT i AS cid,
+               CASE WHEN i % 4 = 0 THEN (i + 1) % {_N_NAT}
+                    ELSE i % {_N_NAT} END AS nk,
+               i % 3 AS seg
+        FROM range({_N_CUS}) t(i) WHERE i % 9 <> 4),
+    ord AS (
+        SELECT i AS oid,
+               CASE WHEN i % 18 = 0 THEN (i + 1) % {_N_CUS}
+                    ELSE i % {_N_CUS} END AS cid,
+               (i * 13) % 37 + 1 + CASE WHEN i % 6 = 0 THEN 50 ELSE 0 END
+                 AS amount
+        FROM range({_N_ORD}) t(i) WHERE i % 11 <> 0)
+    SELECT CAST(seg AS INT) AS seg,
+           CAST(region AS INT) AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(amount) AS BIGINT) AS total
+    FROM ord JOIN cus USING (cid) JOIN nat USING (nk)
+    GROUP BY 1, 2
+    """,
+    doc="STREAMING maintenance of a CHAINED snowflake — orders join "
+        "customers join nations, where the second dimension hangs off "
+        "the FIRST (cus.nk -> nat.nk), not off the fact: the star "
+        "kernel's fact-FK joins cannot express it directly. Maintained "
+        "by VIEW COMPOSITION, the algebra IVM engines stack on: the "
+        "composite dimension customers x nations is itself a maintained "
+        "KEYED view (JoinViewSpec grouped by the customer key with the "
+        "chained attributes as group columns; sums_backend='epoch', "
+        "since its group domain IS the key domain), its per-batch signed "
+        "deltas (apply_batch(..., return_delta=True)) adapt into a "
+        "latest-wins changelog (changelog_from_view_deltas), and that "
+        "changelog is the dim STREAM of the ordinary fact-x-dim view "
+        "downstream. A nation's re-region fans out through the "
+        "composite's delta rule into per-customer dim updates downstream "
+        "— exactly the transitive cascade a monolithic chain rule would "
+        "compute, factored into two bounded single-hop steps; a nation "
+        "DELETE transitively dangles its customers' orders out of the "
+        "inner-join view. The changelog exercises all three levels "
+        "(nation re-regions + delete, customer re-nations + deletes, "
+        "order reprices/re-points/deletes) across micro-batch boundaries "
+        "(maxRecordsPerBatch=25), and the served view must equal the "
+        "closed-form three-way join aggregate. Scale: each hop keeps the "
+        "kernel's O(|batch| + delta fan-out) per-trigger contract; the "
+        "composite's per-batch output is bounded by its OWN delta rule "
+        "(|dC| + |dN| x affected customers), so a chain of k dims costs "
+        "k bounded single-hop maintenances — never a k-way join of "
+        "full states.",
+)
+def cdc_stream_ivm_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming import join_ivm
+    from postgresql_cdc_spark.streaming.join_ivm import DimSpec
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ivmch_{run}_")
+    arch = os.path.join(base, "wal")
+    write_wal_archive(arch, _chain_frames())
+    comp_state = os.path.join(base, "comp_state")
+    fact_state = os.path.join(base, "fact_state")
+    os.makedirs(comp_state)
+    os.makedirs(fact_state)
+
+    # upstream: the composite dimension customers x nations, grouped by
+    # the CUSTOMER KEY -> a maintained join table (dn is 1 per live,
+    # nation-resolved customer)
+    comp_spec = join_ivm.JoinViewSpec(
+        fact_ddl="cid long, nk long, seg int, op string, lsn long",
+        fact_key="cid",
+        fact_payload=("nk", "seg"),
+        group_cols=("cid", "seg", "region"),
+        measures=(),
+        dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
+                      key="nk", payload=("region",), fact_fk="nk"),),
+        sums_backend="epoch",
+    )
+    # downstream: the ordinary fact x dim view, whose dim stream is the
+    # composite's adapted changelog
+    fact_spec = join_ivm.JoinViewSpec(
+        fact_ddl="oid long, cid long, amount int, op string, lsn long",
+        fact_key="oid",
+        fact_payload=("cid", "amount"),
+        group_cols=("seg", "region"),
+        measures=(("total", "amount"),),
+        dims=(DimSpec(
+            ddl="cid long, seg int, region int, op string, lsn long",
+            key="cid", payload=("seg", "region"), fact_fk="cid",
+        ),),
+    )
+
+    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        bid = int(batch_id)
+        n_batch = batch_df.where(F.col("table") == "nations").select(
+            F.element_at("columns", "nk").cast("long").alias("nk"),
+            F.element_at("columns", "region").cast("int").alias("region"),
+            "op", "lsn",
+        )
+        c_batch = batch_df.where(F.col("table") == "customers").select(
+            F.element_at("columns", "cid").cast("long").alias("cid"),
+            F.element_at("columns", "nk").cast("long").alias("nk"),
+            F.element_at("columns", "seg").cast("int").alias("seg"),
+            "op", "lsn",
+        )
+        o_batch = batch_df.where(F.col("table") == "orders_amt").select(
+            F.element_at("columns", "oid").cast("long").alias("oid"),
+            F.element_at("columns", "cid").cast("long").alias("cid"),
+            F.element_at("columns", "amount").cast("int").alias("amount"),
+            "op", "lsn",
+        )
+        comp_delta = join_ivm.apply_batch(
+            ss, comp_state, bid, n_batch, c_batch,
+            spec=comp_spec, return_delta=True,
+        )
+        dim_batch = join_ivm.changelog_from_view_deltas(
+            comp_delta, ["cid"], ["seg", "region"], lsn=bid,
+        )
+        join_ivm.apply_batch(
+            ss, fact_state, bid, dim_batch, o_batch, spec=fact_spec,
+        )
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivm_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+    return join_ivm.latest_view(spark, fact_state, fact_spec).select(
+        "seg", "region",
+        F.col("dn").alias("n_orders"),
+        "total",
+    )

@@ -346,9 +346,11 @@ class JoinViewSpec:
 
     def _group_sources(self, g: str) -> list[int]:
         """Indices of the sources defining group column ``g``: dim i for
-        its payload, -1 for the fact payload."""
+        its payload, -1 for the fact payload OR the fact key (grouping by
+        the key makes the maintained aggregate a keyed JOIN TABLE — the
+        composite-dimension shape view composition stacks on)."""
         out = [i for i, d in enumerate(self.dims) if g in d.payload]
-        if g in self.fact_payload:
+        if g in self.fact_payload or g == self.fact_key:
             out.append(-1)
         return out
 
@@ -1039,7 +1041,8 @@ def apply_batch(
     max_live_partials: int = 8,
     target_file_bytes: int = 128 * 1024 * 1024,
     spec: JoinViewSpec = DEFAULT_SPEC,
-) -> None:
+    return_delta: bool = False,
+) -> Optional[DataFrame]:
     """One foreachBatch step of the view maintenance (see the module
     docstring's dataflow), for any :class:`JoinViewSpec`-shaped view —
     zero dims (single-table grouped view), one (the classic join view),
@@ -1052,7 +1055,15 @@ def apply_batch(
     O(|batch| + dim-delta fan-out) and disk objects stay bounded at any
     stream age. SUM-measures fold into the versioned sums table; extrema
     measures additionally fold their (group, value) SUPPORT tables, from
-    the same materialized view-delta rows."""
+    the same materialized view-delta rows.
+
+    With ``return_delta=True`` the batch's signed view deltas are
+    materialized (versioned per batch — replay overwrites, older sweeps)
+    and returned: the hook VIEW COMPOSITION stacks on. A downstream view
+    treats an upstream KEYED view's deltas — adapted through
+    :func:`changelog_from_view_deltas` — as one of its dimension
+    streams, so a chained snowflake (fact -> dim -> dim) maintains as
+    two stacked single-hop views."""
     bid = int(batch_id)
     fact_store = os.path.join(base, "fact_kv")
     d_batches = _as_dim_batches(d_batch, len(spec.dims))
@@ -1108,9 +1119,9 @@ def apply_batch(
 
     view_delta = join_deltas(spark, base, bid, d_deltas, f_delta_w,
                              spec=spec)
-    if spec.supp_tables:
+    if spec.supp_tables or return_delta:
         # the delta rows feed the sums fold AND one support fold per
-        # table — materialize once
+        # table (and/or a downstream composed view) — materialize once
         view_delta = _materialize_versioned(
             view_delta, base, "view_delta", bid, spec.view_delta_ddl
         )
@@ -1150,6 +1161,7 @@ def apply_batch(
             sums_delta,
             drop_when_zero="dn",
         )
+    return view_delta if return_delta else None
 
 
 def join_deltas(
@@ -1414,3 +1426,53 @@ def latest_sums(spark: SparkSession, base: str) -> DataFrame:
     return latest_view(spark, base).select(
         "grp", F.col("dn").alias("n_rows"), F.col("dq").alias("total")
     )
+
+
+def changelog_from_view_deltas(
+    delta: DataFrame,
+    key_cols,
+    payload_cols,
+    lsn: int,
+) -> DataFrame:
+    """Adapt a KEYED view's signed batch deltas into latest-wins change
+    rows ``(*key_cols, *payload_cols, op, lsn)`` — the composition hook:
+    an upstream view whose group columns include its key maintains a
+    JOIN TABLE (one live row per key), and this turns its per-batch
+    deltas into the changelog a DOWNSTREAM view ingests as a dimension
+    stream. A chained snowflake ``F -> C -> N`` then maintains as two
+    stacked single-hop views: the composite dimension ``C x N`` (keyed
+    by C's key) feeds the fact view, and a NATION-level change fans out
+    through the composite's delta rule into per-customer dim updates
+    downstream — exactly the cascade a monolithic chain rule would
+    compute, factored into bounded single-hop steps.
+
+    Rules (after netting dn per full row and dropping zeros): a key with
+    a positive row asserts its new image (op U — latest-wins upserts
+    cover inserts); a key with only negative rows was deleted upstream
+    (op D). The upstream view being keyed guarantees at most one
+    positive row per key per batch. ``lsn`` must be monotone across
+    batches — the caller's batch id is the natural choice (the adapter's
+    output is the only writer of the downstream store, so WAL LSNs and
+    batch ids never mix). Deterministic given the materialized upstream
+    delta (``apply_batch(..., return_delta=True)``), so replays adapt to
+    byte-identical changelogs."""
+    key_cols, payload_cols = list(key_cols), list(payload_cols)
+    net = (
+        delta.groupBy(*key_cols, *payload_cols)
+        .agg(F.sum("dn").alias("__net"))
+        .where(F.col("__net") != 0)
+    )
+    tag = [
+        F.lit("U").alias("op"),
+        F.lit(int(lsn)).cast("long").alias("lsn"),
+    ]
+    asserts = net.where(F.col("__net") > 0).select(
+        *key_cols, *payload_cols, *tag
+    )
+    deletes = (
+        net.where(F.col("__net") < 0)
+        .join(asserts.select(*key_cols), key_cols, "left_anti")
+        .select(*key_cols, *payload_cols, *tag)
+        .withColumn("op", F.lit("D"))
+    )
+    return asserts.unionByName(deletes)

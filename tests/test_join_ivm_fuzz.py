@@ -492,3 +492,177 @@ def _run_schedule(spark, tmp_path_factory, ops, cuts):
         (r.grp, r.n_rows, r.total) for r in latest_sums(spark, state).collect()
     )
     assert got == want, (got, want, rows, sorted(cuts))
+
+
+# --- view COMPOSITION: chained snowflake via two stacked views (r16) ----------
+
+# fact -> customer -> nation: the composite dim (C x N keyed by cid)
+# maintains as a view whose deltas — adapted through
+# changelog_from_view_deltas — are the dim STREAM of the fact view
+_CHAIN_COMP_SPEC = JoinViewSpec(
+    fact_ddl="cid long, nk long, seg int, op string, lsn long",
+    fact_key="cid",
+    fact_payload=("nk", "seg"),
+    group_cols=("cid", "seg", "region"),
+    measures=(),
+    dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
+                  key="nk", payload=("region",), fact_fk="nk"),),
+    sums_backend="epoch",
+)
+_CHAIN_FACT_SPEC = JoinViewSpec(
+    fact_ddl="oid long, cid long, amount int, op string, lsn long",
+    fact_key="oid",
+    fact_payload=("cid", "amount"),
+    group_cols=("seg", "region"),
+    measures=(("total", "amount"),),
+    dims=(DimSpec(
+        ddl="cid long, seg int, region int, op string, lsn long",
+        key="cid", payload=("seg", "region"), fact_fk="cid",
+    ),),
+)
+
+N_NAT = 2
+N_CCUS = 3
+
+_NAT_OP = st.tuples(
+    st.just("n"),
+    st.integers(0, N_NAT - 1),              # nk
+    st.integers(0, 1),                      # region
+    st.sampled_from(["I", "U", "D"]),
+)
+_CCUS_OP = st.tuples(
+    st.just("c"),
+    st.integers(0, N_CCUS - 1),             # cid
+    st.integers(0, N_NAT),                  # nk (N_NAT = dangling)
+    st.integers(0, 1),                      # seg
+    st.sampled_from(["I", "U", "D"]),
+)
+_CORD_OP = st.tuples(
+    st.just("f"),
+    st.integers(0, N_FACT - 1),             # oid
+    st.integers(0, N_CCUS),                 # cid (N_CCUS = dangling)
+    st.sampled_from(["I", "U", "D"]),
+)
+_CHAIN_SCHEDULE = st.lists(
+    st.one_of(_NAT_OP, _CCUS_OP, _CORD_OP), min_size=3, max_size=14
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_CHAIN_SCHEDULE, cuts=_CUTS)
+def test_chain_composition_schedules_stay_exact(
+    spark, tmp_path_factory, ops, cuts
+):
+    """The stacked-view chain under fuzz: arbitrary interleavings of
+    nation re-regions/deletes (the transitive-cascade case), customer
+    re-nations, order FK re-points and deletes on every level — split at
+    arbitrary batch boundaries, INCLUDING same-batch changes on all
+    three levels — must leave the downstream view equal to a one-shot
+    recompute of SUM/COUNT per (seg, region) over the three-way join.
+    The last batch is applied twice (at-least-once): both hops' state
+    and the adapter must replay deterministically."""
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        changelog_from_view_deltas,
+    )
+
+    root = tmp_path_factory.mktemp("jivm_fuzz_chain")
+    comp_state = str(root / "comp")
+    fact_state = str(root / "fact")
+
+    rows = []
+    nats: dict[int, int] = {}
+    custs: dict[int, tuple[int, int]] = {}
+    facts: dict[int, tuple[int, int]] = {}
+    for i, op_t in enumerate(ops):
+        lsn = 100 + i
+        if op_t[0] == "n":
+            _, nk, region, op = op_t
+            rows.append(("n", nk, region, None, op, lsn))
+            if op == "D":
+                nats.pop(nk, None)
+            else:
+                nats[nk] = region
+        elif op_t[0] == "c":
+            _, cid, nk, seg, op = op_t
+            rows.append(("c", cid, nk, seg, op, lsn))
+            if op == "D":
+                custs.pop(cid, None)
+            else:
+                custs[cid] = (nk, seg)
+        else:
+            _, oid, cid, op = op_t
+            amount = (oid * 7 + cid) % 11 + 1
+            rows.append(("f", oid, cid, amount, op, lsn))
+            if op == "D":
+                facts.pop(oid, None)
+            else:
+                facts[oid] = (cid, amount)
+
+    agg: dict[tuple[int, int], list[int]] = {}
+    for cid, amount in facts.values():
+        if cid in custs and custs[cid][0] in nats:
+            g = (custs[cid][1], nats[custs[cid][0]])
+            agg.setdefault(g, [0, 0])
+            agg[g][0] += 1
+            agg[g][1] += amount
+    want = sorted(
+        (s, r, n, t) for (s, r), (n, t) in agg.items()
+    )
+
+    DDL = "tab string, k long, a long, b long, op string, lsn long"
+    norm = [r for r in rows]
+    bounds = [0] + sorted(c for c in cuts if c < len(norm)) + [len(norm)]
+
+    def apply(bid, lo, hi):
+        batch = spark.createDataFrame(norm[lo:hi], DDL)
+        n_batch = batch.where(F.col("tab") == "n").select(
+            F.col("k").alias("nk"),
+            F.col("a").cast("int").alias("region"),
+            "op", "lsn",
+        )
+        c_batch = batch.where(F.col("tab") == "c").select(
+            F.col("k").alias("cid"),
+            F.col("a").alias("nk"),
+            F.col("b").cast("int").alias("seg"),
+            "op", "lsn",
+        )
+        f_batch = batch.where(F.col("tab") == "f").select(
+            F.col("k").alias("oid"),
+            F.col("a").alias("cid"),
+            F.col("b").cast("int").alias("amount"),
+            "op", "lsn",
+        )
+        comp_delta = apply_batch(
+            spark, comp_state, bid, n_batch, c_batch,
+            max_live_partials=2, spec=_CHAIN_COMP_SPEC, return_delta=True,
+        )
+        dim_batch = changelog_from_view_deltas(
+            comp_delta, ["cid"], ["seg", "region"], lsn=bid,
+        )
+        apply_batch(
+            spark, fact_state, bid, dim_batch, f_batch,
+            max_live_partials=2, spec=_CHAIN_FACT_SPEC,
+        )
+
+    bid = 0
+    spans = [
+        (lo, hi) for lo, hi in zip(bounds, bounds[1:]) if lo < hi
+    ]
+    for lo, hi in spans:
+        apply(bid, lo, hi)
+        bid += 1
+    if spans:
+        apply(bid - 1, *spans[-1])  # at-least-once replay of the last batch
+
+    got = sorted(
+        (r.seg, r.region, r.dn, r.total)
+        for r in latest_view(spark, fact_state, _CHAIN_FACT_SPEC).collect()
+    )
+    assert got == want, (got, want, rows, sorted(cuts))
