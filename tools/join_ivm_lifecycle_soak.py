@@ -662,6 +662,187 @@ def star_compare() -> int:
     return 0
 
 
+# --- chained-snowflake (view composition) scale comparison (--chain-compare) --
+# Pins r16's stacked-view claim: the per-batch cost of BOTH hops (the
+# composite dim view C x N, its delta->changelog adaptation, and the
+# downstream fact view) must not pick up an O(|state|) term.
+
+_CHAIN_DDL = "tab string, k long, a long, b long, op string, lsn long"
+
+
+def _chain_specs():
+    from postgresql_cdc_spark.streaming.join_ivm import DimSpec, JoinViewSpec
+
+    comp = JoinViewSpec(
+        fact_ddl="cid long, nk long, seg int, op string, lsn long",
+        fact_key="cid",
+        fact_payload=("nk", "seg"),
+        group_cols=("cid", "seg", "region"),
+        measures=(),
+        dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
+                      key="nk", payload=("region",), fact_fk="nk"),),
+        sums_backend="epoch",
+    )
+    fact = JoinViewSpec(
+        fact_ddl="oid long, cid long, amount int, op string, lsn long",
+        fact_key="oid",
+        fact_payload=("cid", "amount"),
+        group_cols=("seg", "region"),
+        measures=(("total", "amount"),),
+        dims=(DimSpec(
+            ddl="cid long, seg int, region int, op string, lsn long",
+            key="cid", payload=("seg", "region"), fact_fk="cid",
+        ),),
+    )
+    return comp, fact
+
+
+def _chain_run(spark, n_ord: int, n_small: int = 40) -> dict:
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        apply_batch,
+        changelog_from_view_deltas,
+        latest_view,
+    )
+
+    comp_spec, fact_spec = _chain_specs()
+    n_cus = max(12, n_ord // 10)
+    n_nat = 8
+    base = _tf.mkdtemp(prefix=f"jivm_chain_{uuid.uuid4().hex[:8]}_")
+    comp_state = os.path.join(base, "comp")
+    fact_state = os.path.join(base, "fact")
+    os.makedirs(comp_state)
+    os.makedirs(fact_state)
+    nats: dict = {}
+    custs: dict = {}
+    facts: dict = {}
+
+    def route(rows):
+        df = spark.createDataFrame(rows, _CHAIN_DDL)
+        n = df.where(F.col("tab") == "n").select(
+            F.col("k").alias("nk"), F.col("a").cast("int").alias("region"),
+            "op", "lsn")
+        c = df.where(F.col("tab") == "c").select(
+            F.col("k").alias("cid"), F.col("a").alias("nk"),
+            F.col("b").cast("int").alias("seg"), "op", "lsn")
+        f = df.where(F.col("tab") == "f").select(
+            F.col("k").alias("oid"), F.col("a").alias("cid"),
+            F.col("b").cast("int").alias("amount"), "op", "lsn")
+        return n, c, f
+
+    def model_apply(rows):
+        for tab, k, a, b, op, _ in rows:
+            d = {"n": nats, "c": custs, "f": facts}[tab]
+            if op == "D":
+                d.pop(k, None)
+            else:
+                d[k] = a if tab == "n" else (a, b)
+
+    def stacked_apply(bid, rows):
+        n_b, c_b, f_b = route(rows)
+        comp_delta = apply_batch(
+            spark, comp_state, bid, n_b, c_b,
+            max_live_partials=CAP, target_file_bytes=_SOAK_FILE_BYTES,
+            spec=comp_spec, return_delta=True,
+        )
+        dim_batch = changelog_from_view_deltas(
+            comp_delta, ["cid"], ["seg", "region"], lsn=bid,
+        )
+        apply_batch(
+            spark, fact_state, bid, dim_batch, f_b,
+            max_live_partials=CAP, target_file_bytes=_SOAK_FILE_BYTES,
+            spec=fact_spec,
+        )
+
+    try:
+        lsn = 10
+        seed = []
+        for i in range(n_nat):
+            seed.append(("n", i, i % 3, None, "I", lsn))
+            lsn += 1
+        for i in range(n_cus):
+            seed.append(("c", i, i % n_nat, i % N_GRP, "I", lsn))
+            lsn += 1
+        for i in range(n_ord):
+            seed.append(("f", i, i % n_cus, (i * 7) % 50 + 1, "I", lsn))
+            lsn += 1
+        model_apply(seed)
+        stacked_apply(0, seed)
+
+        times = []
+        for ep in range(1, n_small + 1):
+            rows = []
+            # one nation re-region (the cascade case: every customer of
+            # that nation regroups downstream), one customer re-nation,
+            # six order touches — constant size per batch
+            rows.append(("n", (ep * 3) % n_nat, (ep + 1) % 3, None,
+                         "U", lsn))
+            lsn += 1
+            rows.append(("c", (ep * 7) % n_cus, (ep + 1) % n_nat,
+                         (ep + 1) % N_GRP, "U", lsn))
+            lsn += 1
+            seen: set = set()
+            for j in range(6):
+                oid = (ep * 13 + j * 5) % n_ord
+                if oid in seen:
+                    continue
+                seen.add(oid)
+                if (ep + j) % 6 == 5:
+                    rows.append(("f", oid, None, None, "D", lsn))
+                else:
+                    rows.append(("f", oid, (oid + ep) % n_cus,
+                                 (oid * 7 + ep * 3) % 50 + 1, "U", lsn))
+                lsn += 1
+            model_apply(rows)
+            t0 = time.monotonic()
+            stacked_apply(ep, rows)
+            times.append(time.monotonic() - t0)
+
+        agg: dict = {}
+        for cid, amount in facts.values():
+            if cid in custs and custs[cid][0] in nats:
+                g = (custs[cid][1], nats[custs[cid][0]])
+                a = agg.setdefault(g, [0, 0])
+                a[0] += 1
+                a[1] += amount
+        want = sorted((s, r, n, t) for (s, r), (n, t) in agg.items())
+        got = sorted(
+            (r.seg, r.region, r.dn, r.total)
+            for r in latest_view(spark, fact_state, fact_spec).collect()
+        )
+        assert got == want, (n_ord, got[:5], want[:5])
+
+        mid = sorted(times)
+        return {
+            "state_order_rows": n_ord,
+            "n_small_batches": n_small,
+            "batch_s_median": round(mid[len(mid) // 2], 3),
+            "batch_s_p90": round(mid[int(len(mid) * 0.9)], 3),
+            "answers_match_recompute": True,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def chain_compare() -> int:
+    from postgresql_cdc_spark.session import get_spark
+
+    spark = get_spark("join-ivm-chain-compare")
+    out = {}
+    for n in (5_000, 50_000):
+        print(f"  chain: seeding {n} order rows + 40 small batches ...",
+              file=sys.stderr, flush=True)
+        out[n] = _chain_run(spark, n)
+    out["median_ratio_10x_state"] = round(
+        out[50_000]["batch_s_median"] / out[5_000]["batch_s_median"], 2
+    )
+    print(json.dumps({"join_ivm_chain_compare": out}, indent=2))
+    return 0
+
+
 def hicard_compare() -> int:
     from postgresql_cdc_spark.session import get_spark
 
@@ -696,4 +877,6 @@ if __name__ == "__main__":
         raise SystemExit(batch_compare())
     if "--star-compare" in sys.argv:
         raise SystemExit(star_compare())
+    if "--chain-compare" in sys.argv:
+        raise SystemExit(chain_compare())
     raise SystemExit(main())
