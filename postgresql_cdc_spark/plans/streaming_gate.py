@@ -3556,6 +3556,40 @@ _N_CUS = 18
 _N_ORD = 140
 
 
+def chain_spec_pair():
+    """The chain gate's spec pair — ALSO driven by the kernel fuzz's
+    composition schedules and the soak's --chain-compare (one source for
+    the shape all three pin — r16 review). Upstream: the composite
+    dimension customers x nations, grouped by the CUSTOMER KEY -> a
+    maintained join table (dn is 1 per live, nation-resolved customer),
+    consumed only through its deltas (apply_stacked_batch skips its sums
+    fold). Downstream: the ordinary fact x dim view whose dim stream is
+    the composite's adapted changelog."""
+    from postgresql_cdc_spark.streaming.join_ivm import DimSpec, JoinViewSpec
+
+    comp = JoinViewSpec(
+        fact_ddl="cid long, nk long, seg int, op string, lsn long",
+        fact_key="cid",
+        fact_payload=("nk", "seg"),
+        group_cols=("cid", "seg", "region"),
+        measures=(),
+        dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
+                      key="nk", payload=("region",), fact_fk="nk"),),
+    )
+    fact = JoinViewSpec(
+        fact_ddl="oid long, cid long, amount int, op string, lsn long",
+        fact_key="oid",
+        fact_payload=("cid", "amount"),
+        group_cols=("seg", "region"),
+        measures=(("total", "amount"),),
+        dims=(DimSpec(
+            ddl="cid long, seg int, region int, op string, lsn long",
+            key="cid", payload=("seg", "region"), fact_fk="cid",
+        ),),
+    )
+    return comp, fact
+
+
 def _chain_frames() -> list:
     """Deterministic three-level changelog for the CHAINED snowflake
     (orders -> customers -> nations): all three levels insert, a mixed
@@ -3659,13 +3693,16 @@ def _chain_frames() -> list:
         "customers join nations, where the second dimension hangs off "
         "the FIRST (cus.nk -> nat.nk), not off the fact: the star "
         "kernel's fact-FK joins cannot express it directly. Maintained "
-        "by VIEW COMPOSITION, the algebra IVM engines stack on: the "
-        "composite dimension customers x nations is itself a maintained "
-        "KEYED view (JoinViewSpec grouped by the customer key with the "
-        "chained attributes as group columns; sums_backend='epoch', "
-        "since its group domain IS the key domain), its per-batch signed "
-        "deltas (apply_batch(..., return_delta=True)) adapt into a "
-        "latest-wins changelog (changelog_from_view_deltas), and that "
+        "by VIEW COMPOSITION, the algebra IVM engines stack on "
+        "(join_ivm.apply_stacked_batch — the one recipe this gate, the "
+        "kernel fuzz and the scale soak all drive): the composite "
+        "dimension customers x nations is itself a maintained KEYED "
+        "view (JoinViewSpec grouped by the customer key with the "
+        "chained attributes as group columns; its sums fold is SKIPPED "
+        "— fold_sums=False — since only its deltas are consumed), its "
+        "per-batch signed deltas (apply_batch(..., return_delta=True)) "
+        "adapt into a latest-wins changelog (changelog_from_view_deltas "
+        "— which raises loudly on a non-keyed upstream), and that "
         "changelog is the dim STREAM of the ordinary fact-x-dim view "
         "downstream. A nation's re-region fans out through the "
         "composite's delta rule into per-customer dim updates downstream "
@@ -3687,7 +3724,6 @@ def cdc_stream_ivm_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from postgresql_cdc_spark.streaming import join_ivm
-    from postgresql_cdc_spark.streaming.join_ivm import DimSpec
     from postgresql_cdc_spark.streaming.source import write_wal_archive
 
     _register_source(spark)
@@ -3700,36 +3736,10 @@ def cdc_stream_ivm_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(comp_state)
     os.makedirs(fact_state)
 
-    # upstream: the composite dimension customers x nations, grouped by
-    # the CUSTOMER KEY -> a maintained join table (dn is 1 per live,
-    # nation-resolved customer)
-    comp_spec = join_ivm.JoinViewSpec(
-        fact_ddl="cid long, nk long, seg int, op string, lsn long",
-        fact_key="cid",
-        fact_payload=("nk", "seg"),
-        group_cols=("cid", "seg", "region"),
-        measures=(),
-        dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
-                      key="nk", payload=("region",), fact_fk="nk"),),
-        sums_backend="epoch",
-    )
-    # downstream: the ordinary fact x dim view, whose dim stream is the
-    # composite's adapted changelog
-    fact_spec = join_ivm.JoinViewSpec(
-        fact_ddl="oid long, cid long, amount int, op string, lsn long",
-        fact_key="oid",
-        fact_payload=("cid", "amount"),
-        group_cols=("seg", "region"),
-        measures=(("total", "amount"),),
-        dims=(DimSpec(
-            ddl="cid long, seg int, region int, op string, lsn long",
-            key="cid", payload=("seg", "region"), fact_fk="cid",
-        ),),
-    )
+    comp_spec, fact_spec = chain_spec_pair()
 
     def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
-        bid = int(batch_id)
         n_batch = batch_df.where(F.col("table") == "nations").select(
             F.element_at("columns", "nk").cast("long").alias("nk"),
             F.element_at("columns", "region").cast("int").alias("region"),
@@ -3747,15 +3757,9 @@ def cdc_stream_ivm_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("columns", "amount").cast("int").alias("amount"),
             "op", "lsn",
         )
-        comp_delta = join_ivm.apply_batch(
-            ss, comp_state, bid, n_batch, c_batch,
-            spec=comp_spec, return_delta=True,
-        )
-        dim_batch = join_ivm.changelog_from_view_deltas(
-            comp_delta, ["cid"], ["seg", "region"], lsn=bid,
-        )
-        join_ivm.apply_batch(
-            ss, fact_state, bid, dim_batch, o_batch, spec=fact_spec,
+        join_ivm.apply_stacked_batch(
+            ss, comp_state, fact_state, batch_id,
+            n_batch, c_batch, o_batch, comp_spec, fact_spec,
         )
 
     stream = (

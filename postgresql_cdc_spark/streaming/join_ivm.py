@@ -311,13 +311,19 @@ class JoinViewSpec:
             + [e[0] for e in self.extrema]
             + [d[0] for d in self.distincts]
         )
-        clash = ({*names} & {*self.group_cols, "dn"}) | (
-            {n for n in names if names.count(n) > 1}
-        )
+        # case-INSENSITIVE, matching Spark's default column resolution: a
+        # measure named 'DN' or 'GRP' would otherwise pass here and fail
+        # as an AMBIGUOUS_REFERENCE at serve time (the exposed_dim_cols
+        # rationale, applied to the clash check too — r16 review)
+        lower = [n.lower() for n in names]
+        reserved = {g.lower() for g in self.group_cols} | {"dn"}
+        clash = {n for n in names if n.lower() in reserved} | {
+            n for n in names if lower.count(n.lower()) > 1
+        }
         if clash:
             raise ValueError(
                 f"measure names {sorted(clash)} collide with group "
-                "columns, 'dn', or each other"
+                "columns, 'dn', or each other (case-insensitively)"
             )
         bad = [n for n in names if n.startswith("__")]
         if bad:
@@ -1042,6 +1048,7 @@ def apply_batch(
     target_file_bytes: int = 128 * 1024 * 1024,
     spec: JoinViewSpec = DEFAULT_SPEC,
     return_delta: bool = False,
+    fold_sums: bool = True,
 ) -> Optional[DataFrame]:
     """One foreachBatch step of the view maintenance (see the module
     docstring's dataflow), for any :class:`JoinViewSpec`-shaped view —
@@ -1063,7 +1070,14 @@ def apply_batch(
     treats an upstream KEYED view's deltas — adapted through
     :func:`changelog_from_view_deltas` — as one of its dimension
     streams, so a chained snowflake (fact -> dim -> dim) maintains as
-    two stacked single-hop views."""
+    two stacked single-hop views. An upstream consumed ONLY through its
+    deltas may pass ``fold_sums=False`` to skip the (never-read) sums
+    fold — ``latest_view`` on such state raises, by design."""
+    if not fold_sums and not return_delta:
+        raise ValueError(
+            "fold_sums=False without return_delta=True maintains a view "
+            "nobody can read — the deltas are the only remaining output"
+        )
     bid = int(batch_id)
     fact_store = os.path.join(base, "fact_kv")
     d_batches = _as_dim_batches(d_batch, len(spec.dims))
@@ -1126,6 +1140,10 @@ def apply_batch(
             view_delta, base, "view_delta", bid, spec.view_delta_ddl
         )
 
+    if not fold_sums:
+        # composition-only upstream: the deltas are the whole output, so
+        # neither the sums nor any support table would ever be read
+        return view_delta
     # supports fold BEFORE sums: latest_view keys every support read off
     # the newest committed SUMS version, so 'sums_v<bid> exists' implies
     # 'supports at <bid> exist' and a crash between folds can never serve
@@ -1469,6 +1487,24 @@ def changelog_from_view_deltas(
     asserts = net.where(F.col("__net") > 0).select(
         *key_cols, *payload_cols, *tag
     )
+    # guard the load-bearing invariant instead of diverging silently: a
+    # NON-keyed upstream (its group columns missing the key) can net two
+    # positive images for one key; both would carry the same (key, lsn)
+    # and the downstream latest-wins tie-break would pick one
+    # NONDETERMINISTICALLY across replays. One extra O(|batch|) count on
+    # the (materialized, batch-bounded) delta buys the loud failure.
+    dup = (
+        asserts.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+    )
+    if dup.limit(1).count():
+        raise ValueError(
+            "changelog_from_view_deltas: multiple positive images for one "
+            f"key in a single batch (key_cols={key_cols}) — the upstream "
+            "view is not KEYED by these columns; its spec's group_cols "
+            "must include the key"
+        )
     deletes = (
         net.where(F.col("__net") < 0)
         .join(asserts.select(*key_cols), key_cols, "left_anti")
@@ -1476,3 +1512,50 @@ def changelog_from_view_deltas(
         .withColumn("op", F.lit("D"))
     )
     return asserts.unionByName(deletes)
+
+
+def apply_stacked_batch(
+    spark: SparkSession,
+    comp_state: str,
+    fact_state: str,
+    batch_id: int,
+    comp_d_batch,
+    comp_f_batch: DataFrame,
+    fact_batch: DataFrame,
+    comp_spec: JoinViewSpec,
+    fact_spec: JoinViewSpec,
+    max_live_partials: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """One foreachBatch step of a CHAINED snowflake maintained as two
+    stacked views: the upstream composite dimension (``comp_spec``, a
+    KEYED view — its group columns include its fact key) maintains from
+    its own dim/fact batches with the sums fold SKIPPED (only its deltas
+    are consumed), the deltas adapt into a latest-wins changelog, and
+    the downstream fact view ingests that changelog as its dimension
+    stream. The one composition recipe the chain gate, the fuzz
+    schedules, and the scale soak all drive (single source — r16
+    review)."""
+    if comp_spec.fact_key not in comp_spec.group_cols:
+        raise ValueError(
+            "apply_stacked_batch: comp_spec.group_cols must include "
+            f"comp_spec.fact_key ({comp_spec.fact_key!r}) — the upstream "
+            "must maintain a keyed join table"
+        )
+    bid = int(batch_id)
+    comp_delta = apply_batch(
+        spark, comp_state, bid, comp_d_batch, comp_f_batch,
+        max_live_partials=max_live_partials,
+        target_file_bytes=target_file_bytes,
+        spec=comp_spec, return_delta=True, fold_sums=False,
+    )
+    payload = [g for g in comp_spec.group_cols if g != comp_spec.fact_key]
+    dim_batch = changelog_from_view_deltas(
+        comp_delta, [comp_spec.fact_key], payload, lsn=bid,
+    )
+    apply_batch(
+        spark, fact_state, bid, dim_batch, fact_batch,
+        max_live_partials=max_live_partials,
+        target_file_bytes=target_file_bytes,
+        spec=fact_spec,
+    )

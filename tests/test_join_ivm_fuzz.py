@@ -276,9 +276,12 @@ def test_star_two_dim_schedules_stay_exact(
                 custs[key] = seg
         elif op_t[0] == "p":
             _, key, brand, op = op_t
-            # rate varies with the op index too, so an update can change
-            # it without changing the group (brand)
-            rate = (key + brand) % 2 + 1
+            # rate varies with the op INDEX (i), so an update genuinely
+            # can change it without changing the group (brand) — the
+            # dim-measure-attribute-only delta shape (r16 review: the
+            # previous (key + brand)-derived rate could never move
+            # independently of brand, leaving that shape ungenerated)
+            rate = (key + i) % 3 + 1
             rows.append(("p", key, brand, rate, None, op, lsn))
             if op == "D":
                 parts.pop(key, None)
@@ -498,28 +501,13 @@ def _run_schedule(spark, tmp_path_factory, ops, cuts):
 
 # fact -> customer -> nation: the composite dim (C x N keyed by cid)
 # maintains as a view whose deltas — adapted through
-# changelog_from_view_deltas — are the dim STREAM of the fact view
-_CHAIN_COMP_SPEC = JoinViewSpec(
-    fact_ddl="cid long, nk long, seg int, op string, lsn long",
-    fact_key="cid",
-    fact_payload=("nk", "seg"),
-    group_cols=("cid", "seg", "region"),
-    measures=(),
-    dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
-                  key="nk", payload=("region",), fact_fk="nk"),),
-    sums_backend="epoch",
-)
-_CHAIN_FACT_SPEC = JoinViewSpec(
-    fact_ddl="oid long, cid long, amount int, op string, lsn long",
-    fact_key="oid",
-    fact_payload=("cid", "amount"),
-    group_cols=("seg", "region"),
-    measures=(("total", "amount"),),
-    dims=(DimSpec(
-        ddl="cid long, seg int, region int, op string, lsn long",
-        key="cid", payload=("seg", "region"), fact_fk="cid",
-    ),),
-)
+# changelog_from_view_deltas — are the dim STREAM of the fact view.
+# The spec pair and the stacked recipe are the GATE's own
+# (chain_spec_pair / apply_stacked_batch), so the fuzz pins exactly the
+# shape that ships.
+from postgresql_cdc_spark.plans.streaming_gate import chain_spec_pair
+
+_CHAIN_COMP_SPEC, _CHAIN_FACT_SPEC = chain_spec_pair()
 
 N_NAT = 2
 N_CCUS = 3
@@ -568,9 +556,7 @@ def test_chain_composition_schedules_stay_exact(
     and the adapter must replay deterministically."""
     from pyspark.sql import functions as F
 
-    from postgresql_cdc_spark.streaming.join_ivm import (
-        changelog_from_view_deltas,
-    )
+    from postgresql_cdc_spark.streaming.join_ivm import apply_stacked_batch
 
     root = tmp_path_factory.mktemp("jivm_fuzz_chain")
     comp_state = str(root / "comp")
@@ -639,16 +625,9 @@ def test_chain_composition_schedules_stay_exact(
             F.col("b").cast("int").alias("amount"),
             "op", "lsn",
         )
-        comp_delta = apply_batch(
-            spark, comp_state, bid, n_batch, c_batch,
-            max_live_partials=2, spec=_CHAIN_COMP_SPEC, return_delta=True,
-        )
-        dim_batch = changelog_from_view_deltas(
-            comp_delta, ["cid"], ["seg", "region"], lsn=bid,
-        )
-        apply_batch(
-            spark, fact_state, bid, dim_batch, f_batch,
-            max_live_partials=2, spec=_CHAIN_FACT_SPEC,
+        apply_stacked_batch(
+            spark, comp_state, fact_state, bid, n_batch, c_batch, f_batch,
+            _CHAIN_COMP_SPEC, _CHAIN_FACT_SPEC, max_live_partials=2,
         )
 
     bid = 0

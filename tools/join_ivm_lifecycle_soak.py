@@ -671,30 +671,11 @@ _CHAIN_DDL = "tab string, k long, a long, b long, op string, lsn long"
 
 
 def _chain_specs():
-    from postgresql_cdc_spark.streaming.join_ivm import DimSpec, JoinViewSpec
+    # the GATE's own spec pair, so the soak measures exactly the shape
+    # that ships (r16 review: one source for gate/fuzz/soak)
+    from postgresql_cdc_spark.plans.streaming_gate import chain_spec_pair
 
-    comp = JoinViewSpec(
-        fact_ddl="cid long, nk long, seg int, op string, lsn long",
-        fact_key="cid",
-        fact_payload=("nk", "seg"),
-        group_cols=("cid", "seg", "region"),
-        measures=(),
-        dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
-                      key="nk", payload=("region",), fact_fk="nk"),),
-        sums_backend="epoch",
-    )
-    fact = JoinViewSpec(
-        fact_ddl="oid long, cid long, amount int, op string, lsn long",
-        fact_key="oid",
-        fact_payload=("cid", "amount"),
-        group_cols=("seg", "region"),
-        measures=(("total", "amount"),),
-        dims=(DimSpec(
-            ddl="cid long, seg int, region int, op string, lsn long",
-            key="cid", payload=("seg", "region"), fact_fk="cid",
-        ),),
-    )
-    return comp, fact
+    return chain_spec_pair()
 
 
 def _chain_run(spark, n_ord: int, n_small: int = 40) -> dict:
@@ -703,8 +684,7 @@ def _chain_run(spark, n_ord: int, n_small: int = 40) -> dict:
     from pyspark.sql import functions as F
 
     from postgresql_cdc_spark.streaming.join_ivm import (
-        apply_batch,
-        changelog_from_view_deltas,
+        apply_stacked_batch,
         latest_view,
     )
 
@@ -743,18 +723,10 @@ def _chain_run(spark, n_ord: int, n_small: int = 40) -> dict:
 
     def stacked_apply(bid, rows):
         n_b, c_b, f_b = route(rows)
-        comp_delta = apply_batch(
-            spark, comp_state, bid, n_b, c_b,
+        apply_stacked_batch(
+            spark, comp_state, fact_state, bid, n_b, c_b, f_b,
+            comp_spec, fact_spec,
             max_live_partials=CAP, target_file_bytes=_SOAK_FILE_BYTES,
-            spec=comp_spec, return_delta=True,
-        )
-        dim_batch = changelog_from_view_deltas(
-            comp_delta, ["cid"], ["seg", "region"], lsn=bid,
-        )
-        apply_batch(
-            spark, fact_state, bid, dim_batch, f_b,
-            max_live_partials=CAP, target_file_bytes=_SOAK_FILE_BYTES,
-            spec=fact_spec,
         )
 
     try:
