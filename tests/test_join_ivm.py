@@ -323,6 +323,76 @@ class TestJoinIvmReplay:
         # derivation has no join at all
         assert "SortMergeJoin" not in plan, plan[:2000]
 
+    def test_composition_guards_raise_loudly(self, spark, tmp_path):
+        """The r16 composition error paths: a non-keyed upstream's
+        adapter raises instead of replaying nondeterministically;
+        fold_sums=False without return_delta is rejected (a view nobody
+        can read); latest_view on composition-only state raises; and the
+        spec validations reject epoch-sums-with-supports and
+        case-colliding aggregate names."""
+        import pytest
+
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            JoinViewSpec,
+            apply_batch,
+            changelog_from_view_deltas,
+            latest_view,
+        )
+
+        # adapter: two positive images for one key -> the upstream was
+        # not keyed by key_cols
+        delta = spark.createDataFrame(
+            [(1, 10, 1), (1, 20, 1), (2, 30, 1)],
+            "k long, payload int, dn long",
+        )
+        with pytest.raises(ValueError, match="not KEYED"):
+            changelog_from_view_deltas(delta, ["k"], ["payload"], lsn=0)
+        # ... while one positive image plus retracts is the normal case
+        ok = changelog_from_view_deltas(
+            spark.createDataFrame(
+                [(1, 10, -1), (1, 20, 1), (2, 30, -1)],
+                "k long, payload int, dn long",
+            ),
+            ["k"], ["payload"], lsn=7,
+        )
+        got = {(r.k, r.payload, r.op, r.lsn) for r in ok.collect()}
+        assert got == {(1, 20, "U", 7), (2, 30, "D", 7)}
+
+        spec = JoinViewSpec(
+            fact_ddl="id long, grp int, v int, op string, lsn long",
+            fact_key="id", fact_payload=("grp", "v"),
+            group_cols=("grp",), measures=(("dq", "v"),),
+        )
+        state = str(tmp_path / "state")
+        os.makedirs(state)
+        rows = spark.createDataFrame(
+            [(0, 1, 5, "I", 10)], "id long, grp int, v int, op string, "
+            "lsn long",
+        )
+        with pytest.raises(ValueError, match="fold_sums"):
+            apply_batch(spark, state, 0, None, rows, spec=spec,
+                        fold_sums=False)
+        apply_batch(spark, state, 0, None, rows, spec=spec,
+                    return_delta=True, fold_sums=False)
+        with pytest.raises(RuntimeError, match="no batch reached"):
+            latest_view(spark, state, spec)
+
+        with pytest.raises(ValueError, match="epoch"):
+            JoinViewSpec(
+                fact_ddl="id long, grp int, v int, op string, lsn long",
+                fact_key="id", fact_payload=("grp", "v"),
+                group_cols=("grp",),
+                extrema=(("max_v", "max", "v", "int"),),
+                sums_backend="epoch",
+            )
+        with pytest.raises(ValueError, match="case-insensitively"):
+            JoinViewSpec(
+                fact_ddl="id long, grp int, v int, op string, lsn long",
+                fact_key="id", fact_payload=("grp", "v"),
+                group_cols=("grp",),
+                measures=(("GRP", "v"),),
+            )
+
     def test_fold_versioned_raises_when_replay_predates_retention(
         self, spark, tmp_path
     ):
