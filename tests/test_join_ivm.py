@@ -323,6 +323,133 @@ class TestJoinIvmReplay:
         # derivation has no join at all
         assert "SortMergeJoin" not in plan, plan[:2000]
 
+    def test_three_hop_chain_composes_transitively(self, spark, tmp_path):
+        """Composition is TRANSITIVE: a three-level dimension chain
+        (orders -> customers -> nations -> regions) maintains as three
+        stacked views — the nations x regions composite (keyed by nk)
+        feeds the customers x composite view (keyed by cid), whose
+        deltas feed the fact view. A REGION rename must cascade two hops
+        into every order of every customer of every nation in that
+        region; replaying the last batch converges."""
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            DimSpec,
+            JoinViewSpec,
+            apply_batch,
+            changelog_from_view_deltas,
+            latest_view,
+        )
+
+        nat_spec = JoinViewSpec(      # nations x regions, keyed by nk
+            fact_ddl="nk long, rk long, op string, lsn long",
+            fact_key="nk",
+            fact_payload=("rk",),
+            group_cols=("nk", "rname"),
+            measures=(),
+            dims=(DimSpec(ddl="rk long, rname int, op string, lsn long",
+                          key="rk", payload=("rname",), fact_fk="rk"),),
+        )
+        cus_spec = JoinViewSpec(      # customers x (nations x regions)
+            fact_ddl="cid long, nk long, seg int, op string, lsn long",
+            fact_key="cid",
+            fact_payload=("nk", "seg"),
+            group_cols=("cid", "seg", "rname"),
+            measures=(),
+            dims=(DimSpec(ddl="nk long, rname int, op string, lsn long",
+                          key="nk", payload=("rname",), fact_fk="nk"),),
+        )
+        fact_spec = JoinViewSpec(     # orders x composite customer
+            fact_ddl="oid long, cid long, amount int, op string, lsn long",
+            fact_key="oid",
+            fact_payload=("cid", "amount"),
+            group_cols=("seg", "rname"),
+            measures=(("total", "amount"),),
+            dims=(DimSpec(
+                ddl="cid long, seg int, rname int, op string, lsn long",
+                key="cid", payload=("seg", "rname"), fact_fk="cid",
+            ),),
+        )
+        s_nat = str(tmp_path / "nat")
+        s_cus = str(tmp_path / "cus")
+        s_fct = str(tmp_path / "fct")
+        for s in (s_nat, s_cus, s_fct):
+            os.makedirs(s)
+
+        R_DDL = "rk long, rname int, op string, lsn long"
+        N_DDL = "nk long, rk long, op string, lsn long"
+        C_DDL = "cid long, nk long, seg int, op string, lsn long"
+        O_DDL = "oid long, cid long, amount int, op string, lsn long"
+
+        def apply(bid, r_rows, n_rows, c_rows, o_rows):
+            nat_delta = apply_batch(
+                spark, s_nat, bid,
+                spark.createDataFrame(r_rows, R_DDL),
+                spark.createDataFrame(n_rows, N_DDL),
+                max_live_partials=2, spec=nat_spec,
+                return_delta=True, fold_sums=False,
+            )
+            n_changelog = changelog_from_view_deltas(
+                nat_delta, ["nk"], ["rname"], lsn=bid,
+            )
+            cus_delta = apply_batch(
+                spark, s_cus, bid, n_changelog,
+                spark.createDataFrame(c_rows, C_DDL),
+                max_live_partials=2, spec=cus_spec,
+                return_delta=True, fold_sums=False,
+            )
+            c_changelog = changelog_from_view_deltas(
+                cus_delta, ["cid"], ["seg", "rname"], lsn=bid,
+            )
+            apply_batch(
+                spark, s_fct, bid, c_changelog,
+                spark.createDataFrame(o_rows, O_DDL),
+                max_live_partials=2, spec=fact_spec,
+            )
+
+        # 2 regions, 3 nations, 4 customers, 10 orders
+        apply(
+            0,
+            [(r, r + 10, "I", 10 + r) for r in range(2)],
+            [(n, n % 2, "I", 20 + n) for n in range(3)],
+            [(c, c % 3, c % 2, "I", 30 + c) for c in range(4)],
+            [(o, o % 4, 100 + o, "I", 40 + o) for o in range(10)],
+        )
+        # batch 1: rename region 0 (cascades two hops), re-region nation
+        # 2, delete customer 3 (dangles its orders), touch one order
+        w1 = (
+            [(0, 99, "U", 50)],
+            [(2, 0, "U", 51)],
+            [(3, None, None, "D", 52)],
+            [(0, 1, 500, "U", 53)],
+        )
+        apply(1, *w1)
+        once = sorted(
+            (r.seg, r.rname, r.dn, r.total)
+            for r in latest_view(spark, s_fct, fact_spec).collect()
+        )
+        apply(1, *w1)  # at-least-once replay through all three hops
+        twice = sorted(
+            (r.seg, r.rname, r.dn, r.total)
+            for r in latest_view(spark, s_fct, fact_spec).collect()
+        )
+        assert once == twice, (once, twice)
+
+        # model recompute of the final state
+        regions = {0: 99, 1: 11}
+        nations = {0: 0, 1: 1, 2: 0}           # nk -> rk
+        custs = {0: (0, 0), 1: (1, 1), 2: (2, 0)}   # cid -> (nk, seg)
+        orders = {o: (o % 4, 100 + o) for o in range(10)}
+        orders[0] = (1, 500)
+        agg: dict = {}
+        for cid, amount in orders.values():
+            if cid in custs and custs[cid][0] in nations \
+                    and nations[custs[cid][0]] in regions:
+                g = (custs[cid][1], regions[nations[custs[cid][0]]])
+                a = agg.setdefault(g, [0, 0])
+                a[0] += 1
+                a[1] += amount
+        want = sorted((s, rn, n, t) for (s, rn), (n, t) in agg.items())
+        assert once == want, (once, want)
+
     def test_composition_guards_raise_loudly(self, spark, tmp_path):
         """The r16 composition error paths: a non-keyed upstream's
         adapter raises instead of replaying nondeterministically;
