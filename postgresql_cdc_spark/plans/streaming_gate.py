@@ -3556,40 +3556,6 @@ _N_CUS = 18
 _N_ORD = 140
 
 
-def chain_spec_pair():
-    """The chain gate's spec pair — ALSO driven by the kernel fuzz's
-    composition schedules and the soak's --chain-compare (one source for
-    the shape all three pin — r16 review). Upstream: the composite
-    dimension customers x nations, grouped by the CUSTOMER KEY -> a
-    maintained join table (dn is 1 per live, nation-resolved customer),
-    consumed only through its deltas (apply_stacked_batch skips its sums
-    fold). Downstream: the ordinary fact x dim view whose dim stream is
-    the composite's adapted changelog."""
-    from postgresql_cdc_spark.streaming.join_ivm import DimSpec, JoinViewSpec
-
-    comp = JoinViewSpec(
-        fact_ddl="cid long, nk long, seg int, op string, lsn long",
-        fact_key="cid",
-        fact_payload=("nk", "seg"),
-        group_cols=("cid", "seg", "region"),
-        measures=(),
-        dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
-                      key="nk", payload=("region",), fact_fk="nk"),),
-    )
-    fact = JoinViewSpec(
-        fact_ddl="oid long, cid long, amount int, op string, lsn long",
-        fact_key="oid",
-        fact_payload=("cid", "amount"),
-        group_cols=("seg", "region"),
-        measures=(("total", "amount"),),
-        dims=(DimSpec(
-            ddl="cid long, seg int, region int, op string, lsn long",
-            key="cid", payload=("seg", "region"), fact_fk="cid",
-        ),),
-    )
-    return comp, fact
-
-
 def _chain_frames() -> list:
     """Deterministic three-level changelog for the CHAINED snowflake
     (orders -> customers -> nations): all three levels insert, a mixed
@@ -3736,7 +3702,7 @@ def cdc_stream_ivm_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(comp_state)
     os.makedirs(fact_state)
 
-    comp_spec, fact_spec = chain_spec_pair()
+    comp_spec, fact_spec = join_ivm.chain_spec_pair()
 
     def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession

@@ -1142,7 +1142,13 @@ def apply_batch(
 
     if not fold_sums:
         # composition-only upstream: the deltas are the whole output, so
-        # neither the sums nor any support table would ever be read
+        # neither the sums nor any support table would ever be read. The
+        # marker makes latest_view raise even when the SAME directory
+        # previously folded sums (a caller migrating to the composition
+        # recipe mid-stream) — without it, a stale sums_v<N> would serve
+        # frozen batch-N aggregates silently (r16 review).
+        with open(os.path.join(base, "_sums_disabled"), "w") as fh:
+            fh.write(str(bid))
         return view_delta
     # supports fold BEFORE sums: latest_view keys every support read off
     # the newest committed SUMS version, so 'sums_v<bid> exists' implies
@@ -1179,6 +1185,11 @@ def apply_batch(
             sums_delta,
             drop_when_zero="dn",
         )
+    # a completed sums fold re-enables serving (the symmetric case of the
+    # marker above: a directory switching back to a served view)
+    marker = os.path.join(base, "_sums_disabled")
+    if os.path.exists(marker):
+        os.remove(marker)
     return view_delta if return_delta else None
 
 
@@ -1383,6 +1394,12 @@ def latest_view(
     — a crash between folds leaves sums at N-1 and this serve reads the
     matching N-1 supports, never batch-N counts next to stale extrema
     (r16 review). Output columns keep the spec's declaration order."""
+    if os.path.exists(os.path.join(base, "_sums_disabled")):
+        raise RuntimeError(
+            f"view at {base!r} runs composition-only (fold_sums=False): "
+            "its sums are not maintained — consume it through its deltas, "
+            "or re-enable the fold"
+        )
     if spec.sums_backend == "epoch":
         store = os.path.join(base, "sums_es")
         if not os.path.isdir(store):
@@ -1514,6 +1531,85 @@ def changelog_from_view_deltas(
     return asserts.unionByName(deletes)
 
 
+def apply_chain_batch(
+    spark: SparkSession,
+    hops,
+    batch_id: int,
+    top_d_batch=None,
+    max_live_partials: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """One foreachBatch step of an ARBITRARY-DEPTH dimension chain
+    maintained as stacked views. ``hops`` is a top-down sequence of
+    ``(state_dir, spec, fact_batch)``: every hop except the LAST is a
+    KEYED composite view (its group columns include its fact key) whose
+    sums fold is skipped and whose adapted, MATERIALIZED changelog
+    (versioned per batch under its own state dir — replay overwrites,
+    older sweeps; one write instead of re-evaluating the netting per
+    downstream consumer) becomes the NEXT hop's dimension stream; the
+    last hop is the serving view. ``top_d_batch`` feeds the topmost
+    hop's own dimension(s). A k-level chain (fact -> dim -> ... -> dim)
+    is k bounded single-hop maintenances — never a k-way join of full
+    states.
+
+    Validated at entry (the fail-loudly-at-construction contract): each
+    non-last hop must be keyed, and its adapted changelog's columns
+    (key + non-key group columns) must match the NEXT hop's first
+    dimension exactly — a mismatch would otherwise surface as an opaque
+    AnalysisException mid-batch after the upstream work already ran."""
+    hops = list(hops)
+    bid = int(batch_id)
+    for i, (_state, spec, _fb) in enumerate(hops[:-1]):
+        if spec.fact_key not in spec.group_cols:
+            raise ValueError(
+                f"apply_chain_batch: hop {i}'s group_cols must include "
+                f"its fact_key ({spec.fact_key!r}) — every non-last hop "
+                "maintains a keyed join table"
+            )
+        down = hops[i + 1][1]
+        if not down.dims:
+            raise ValueError(
+                f"apply_chain_batch: hop {i + 1} has no dims to receive "
+                f"hop {i}'s changelog"
+            )
+        payload = [g for g in spec.group_cols if g != spec.fact_key]
+        want = (down.dims[0].key, *down.dims[0].payload)
+        have = (spec.fact_key, *payload)
+        if want != have:
+            raise ValueError(
+                f"apply_chain_batch: hop {i}'s adapted changelog columns "
+                f"{have} do not match hop {i + 1}'s dims[0] "
+                f"({want}) — the downstream dim spec must mirror the "
+                "upstream key and group payload, in order"
+            )
+    dim_stream = top_d_batch
+    for i, (state, spec, f_batch) in enumerate(hops):
+        if i == len(hops) - 1:
+            apply_batch(
+                spark, state, bid, dim_stream, f_batch,
+                max_live_partials=max_live_partials,
+                target_file_bytes=target_file_bytes, spec=spec,
+            )
+            return
+        delta = apply_batch(
+            spark, state, bid, dim_stream, f_batch,
+            max_live_partials=max_live_partials,
+            target_file_bytes=target_file_bytes,
+            spec=spec, return_delta=True, fold_sums=False,
+        )
+        payload = [g for g in spec.group_cols if g != spec.fact_key]
+        changelog = changelog_from_view_deltas(
+            delta, [spec.fact_key], payload, lsn=bid,
+        )
+        t = {g: spec._group_type(g) for g in spec.group_cols}
+        ddl = ", ".join(
+            f"{c} {t[c]}" for c in (spec.fact_key, *payload)
+        ) + ", op string, lsn long"
+        dim_stream = _materialize_versioned(
+            changelog, state, "adapted_changelog", bid, ddl
+        )
+
+
 def apply_stacked_batch(
     spark: SparkSession,
     comp_state: str,
@@ -1527,35 +1623,48 @@ def apply_stacked_batch(
     max_live_partials: int = 8,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> None:
-    """One foreachBatch step of a CHAINED snowflake maintained as two
-    stacked views: the upstream composite dimension (``comp_spec``, a
-    KEYED view — its group columns include its fact key) maintains from
-    its own dim/fact batches with the sums fold SKIPPED (only its deltas
-    are consumed), the deltas adapt into a latest-wins changelog, and
-    the downstream fact view ingests that changelog as its dimension
-    stream. The one composition recipe the chain gate, the fuzz
-    schedules, and the scale soak all drive (single source — r16
-    review)."""
-    if comp_spec.fact_key not in comp_spec.group_cols:
-        raise ValueError(
-            "apply_stacked_batch: comp_spec.group_cols must include "
-            f"comp_spec.fact_key ({comp_spec.fact_key!r}) — the upstream "
-            "must maintain a keyed join table"
-        )
-    bid = int(batch_id)
-    comp_delta = apply_batch(
-        spark, comp_state, bid, comp_d_batch, comp_f_batch,
+    """The two-hop spelling of :func:`apply_chain_batch` — the one
+    composition recipe the chain gate, the fuzz schedules, and the scale
+    soak all drive (single source — r16 review)."""
+    apply_chain_batch(
+        spark,
+        [(comp_state, comp_spec, comp_f_batch),
+         (fact_state, fact_spec, fact_batch)],
+        batch_id,
+        top_d_batch=comp_d_batch,
         max_live_partials=max_live_partials,
         target_file_bytes=target_file_bytes,
-        spec=comp_spec, return_delta=True, fold_sums=False,
     )
-    payload = [g for g in comp_spec.group_cols if g != comp_spec.fact_key]
-    dim_batch = changelog_from_view_deltas(
-        comp_delta, [comp_spec.fact_key], payload, lsn=bid,
+
+
+def chain_spec_pair() -> tuple:
+    """The shipped two-hop chain spec pair (orders -> customers ->
+    nations) — the shape `cdc_stream_ivm_dim_chain`, the kernel fuzz's
+    composition schedules, and the soak's ``--chain-compare`` all drive
+    (one source, living kernel-side so tests and tools need not import
+    the plans registry — r16 review; the module already ships
+    ``DEFAULT_SPEC`` as the same kind of reference shape). Upstream: the
+    composite dimension customers x nations, KEYED by the customer key.
+    Downstream: the ordinary fact x dim view whose dim stream is the
+    composite's adapted changelog."""
+    comp = JoinViewSpec(
+        fact_ddl="cid long, nk long, seg int, op string, lsn long",
+        fact_key="cid",
+        fact_payload=("nk", "seg"),
+        group_cols=("cid", "seg", "region"),
+        measures=(),
+        dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
+                      key="nk", payload=("region",), fact_fk="nk"),),
     )
-    apply_batch(
-        spark, fact_state, bid, dim_batch, fact_batch,
-        max_live_partials=max_live_partials,
-        target_file_bytes=target_file_bytes,
-        spec=fact_spec,
+    fact = JoinViewSpec(
+        fact_ddl="oid long, cid long, amount int, op string, lsn long",
+        fact_key="oid",
+        fact_payload=("cid", "amount"),
+        group_cols=("seg", "region"),
+        measures=(("total", "amount"),),
+        dims=(DimSpec(
+            ddl="cid long, seg int, region int, op string, lsn long",
+            key="cid", payload=("seg", "region"), fact_fk="cid",
+        ),),
     )
+    return comp, fact

@@ -334,8 +334,7 @@ class TestJoinIvmReplay:
         from postgresql_cdc_spark.streaming.join_ivm import (
             DimSpec,
             JoinViewSpec,
-            apply_batch,
-            changelog_from_view_deltas,
+            apply_chain_batch,
             latest_view,
         )
 
@@ -380,29 +379,17 @@ class TestJoinIvmReplay:
         O_DDL = "oid long, cid long, amount int, op string, lsn long"
 
         def apply(bid, r_rows, n_rows, c_rows, o_rows):
-            nat_delta = apply_batch(
-                spark, s_nat, bid,
-                spark.createDataFrame(r_rows, R_DDL),
-                spark.createDataFrame(n_rows, N_DDL),
-                max_live_partials=2, spec=nat_spec,
-                return_delta=True, fold_sums=False,
-            )
-            n_changelog = changelog_from_view_deltas(
-                nat_delta, ["nk"], ["rname"], lsn=bid,
-            )
-            cus_delta = apply_batch(
-                spark, s_cus, bid, n_changelog,
-                spark.createDataFrame(c_rows, C_DDL),
-                max_live_partials=2, spec=cus_spec,
-                return_delta=True, fold_sums=False,
-            )
-            c_changelog = changelog_from_view_deltas(
-                cus_delta, ["cid"], ["seg", "rname"], lsn=bid,
-            )
-            apply_batch(
-                spark, s_fct, bid, c_changelog,
-                spark.createDataFrame(o_rows, O_DDL),
-                max_live_partials=2, spec=fact_spec,
+            # the SHIPPED N-hop recipe (r16 review: the transitivity pin
+            # must cover apply_chain_batch itself, not a hand-rolled
+            # re-spelling of it)
+            apply_chain_batch(
+                spark,
+                [(s_nat, nat_spec, spark.createDataFrame(n_rows, N_DDL)),
+                 (s_cus, cus_spec, spark.createDataFrame(c_rows, C_DDL)),
+                 (s_fct, fact_spec, spark.createDataFrame(o_rows, O_DDL))],
+                bid,
+                top_d_batch=spark.createDataFrame(r_rows, R_DDL),
+                max_live_partials=2,
             )
 
         # 2 regions, 3 nations, 4 customers, 10 orders
@@ -501,7 +488,20 @@ class TestJoinIvmReplay:
                         fold_sums=False)
         apply_batch(spark, state, 0, None, rows, spec=spec,
                     return_delta=True, fold_sums=False)
-        with pytest.raises(RuntimeError, match="no batch reached"):
+        with pytest.raises(RuntimeError, match="composition-only"):
+            latest_view(spark, state, spec)
+        # mixed history: a directory that previously FOLDED sums and then
+        # went composition-only must not serve the stale version (r16
+        # review); re-enabling the fold clears the marker again
+        apply_batch(spark, state, 1, None, spark.createDataFrame(
+            [(1, 2, 7, "I", 20)],
+            "id long, grp int, v int, op string, lsn long"), spec=spec)
+        assert latest_view(spark, state, spec).count() > 0
+        apply_batch(spark, state, 2, None, spark.createDataFrame(
+            [(2, 1, 9, "I", 30)],
+            "id long, grp int, v int, op string, lsn long"), spec=spec,
+            return_delta=True, fold_sums=False)
+        with pytest.raises(RuntimeError, match="composition-only"):
             latest_view(spark, state, spec)
 
         with pytest.raises(ValueError, match="epoch"):

@@ -502,10 +502,11 @@ def _run_schedule(spark, tmp_path_factory, ops, cuts):
 # fact -> customer -> nation: the composite dim (C x N keyed by cid)
 # maintains as a view whose deltas — adapted through
 # changelog_from_view_deltas — are the dim STREAM of the fact view.
-# The spec pair and the stacked recipe are the GATE's own
-# (chain_spec_pair / apply_stacked_batch), so the fuzz pins exactly the
-# shape that ships.
-from postgresql_cdc_spark.plans.streaming_gate import chain_spec_pair
+# The spec pair and the stacked recipe are the SHIPPED ones
+# (join_ivm.chain_spec_pair / apply_stacked_batch — kernel-side, so
+# this suite does not import the plans registry), pinning exactly the
+# shape the gate drives.
+from postgresql_cdc_spark.streaming.join_ivm import chain_spec_pair
 
 _CHAIN_COMP_SPEC, _CHAIN_FACT_SPEC = chain_spec_pair()
 

@@ -671,9 +671,10 @@ _CHAIN_DDL = "tab string, k long, a long, b long, op string, lsn long"
 
 
 def _chain_specs():
-    # the GATE's own spec pair, so the soak measures exactly the shape
-    # that ships (r16 review: one source for gate/fuzz/soak)
-    from postgresql_cdc_spark.plans.streaming_gate import chain_spec_pair
+    # the SHIPPED spec pair (kernel-side since the r16 review moved it
+    # out of the plans registry), so the soak measures exactly the shape
+    # the gate drives
+    from postgresql_cdc_spark.streaming.join_ivm import chain_spec_pair
 
     return chain_spec_pair()
 
