@@ -504,14 +504,6 @@ class TestJoinIvmReplay:
         with pytest.raises(RuntimeError, match="composition-only"):
             latest_view(spark, state, spec)
 
-        with pytest.raises(ValueError, match="epoch"):
-            JoinViewSpec(
-                fact_ddl="id long, grp int, v int, op string, lsn long",
-                fact_key="id", fact_payload=("grp", "v"),
-                group_cols=("grp",),
-                extrema=(("max_v", "max", "v", "int"),),
-                sums_backend="epoch",
-            )
         with pytest.raises(ValueError, match="case-insensitively"):
             JoinViewSpec(
                 fact_ddl="id long, grp int, v int, op string, lsn long",
@@ -519,6 +511,60 @@ class TestJoinIvmReplay:
                 group_cols=("grp",),
                 measures=(("GRP", "v"),),
             )
+        # r17 advice: a user measure literally named like a generated
+        # support column must fail at construction, not as a duplicate
+        # DDL column mid-batch
+        with pytest.raises(ValueError, match="supp"):
+            JoinViewSpec(
+                fact_ddl="id long, grp int, v int, op string, lsn long",
+                fact_key="id", fact_payload=("grp", "v"),
+                group_cols=("grp",),
+                measures=(("Supp_0", "v"),),
+                extrema=(("max_v", "max", "v", "int"),),
+            )
+
+    def test_outer_spec_validations(self, spark):
+        """join_type validation surface: outer views require exactly one
+        dim, the epoch sums backend, and FACT-only aggregate
+        expressions (M1 must stay invariant under dim changes)."""
+        import pytest
+
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            DimSpec,
+            JoinViewSpec,
+        )
+
+        dim = DimSpec(ddl="id long, grp int, op string, lsn long",
+                      key="id", payload=("grp",), fact_fk="did")
+        kw = dict(
+            fact_ddl="fid long, did long, amount int, op string, lsn long",
+            fact_key="fid", fact_payload=("did", "amount"),
+            group_cols=("grp",), measures=(("dq", "amount"),),
+        )
+        with pytest.raises(ValueError, match="exactly one dim"):
+            JoinViewSpec(join_type="left", sums_backend="epoch", dims=(),
+                         **{**kw, "group_cols": ("did",)})
+        with pytest.raises(ValueError, match="sums_backend='epoch'"):
+            JoinViewSpec(join_type="full", dims=(dim,), **kw)
+        with pytest.raises(ValueError, match="FACT side only"):
+            JoinViewSpec(
+                join_type="full", sums_backend="epoch", dims=(dim,),
+                **{**kw, "measures": (("dq", "amount * grp"),)},
+            )
+        with pytest.raises(ValueError, match="join_type"):
+            JoinViewSpec(join_type="cross", dims=(dim,), **kw)
+        # the M1 key (the FK) is reserved for outer specs
+        with pytest.raises(ValueError, match="collide"):
+            JoinViewSpec(
+                join_type="left", sums_backend="epoch", dims=(dim,),
+                **{**kw, "measures": (("did", "amount"),)},
+            )
+        # valid outer spec constructs, and its maintained M1 state is
+        # keyed by the FK while the served view keeps the dim group
+        ok = JoinViewSpec(join_type="left", sums_backend="epoch",
+                          dims=(dim,), **kw)
+        assert ok.state_group_cols == ("did",)
+        assert ok.sums_ddl.startswith("did ")
 
     def test_fold_versioned_raises_when_replay_predates_retention(
         self, spark, tmp_path
@@ -685,7 +731,15 @@ class TestJoinIvmReplay:
         surrogate for the gap merge, so >64 probed keys still become tight
         BETWEEN runs instead of one whole-domain envelope; this drives 80
         scattered string keys against a 100k-key clustered fold and
-        asserts the scan reads a small fraction of the state."""
+        asserts the scan reads a small fraction of the state.
+
+        The keys deliberately share a LONG constant prefix
+        (``order-2026-key-``, longer than the 8-byte surrogate window):
+        r16's surrogate would see identical windows for every key, every
+        gap would collapse to 0, and the run boundaries would land
+        arbitrarily instead of hugging the probed clusters — the r17
+        surrogate strips the probed set's longest common prefix first
+        (r16 verdict item 5)."""
         from postgresql_cdc_spark.streaming.epoch_io import epoch_overwrite
         from postgresql_cdc_spark.streaming.epoch_maintenance import (
             compact_epochs,
@@ -703,7 +757,7 @@ class TestJoinIvmReplay:
         store = str(tmp_path / "store_str")
         for ep in range(EPOCHS):
             df = spark.range(ep * per, (ep + 1) * per).select(
-                F.format_string("key-%07d", "id").alias("id"),
+                F.format_string("order-2026-key-%07d", "id").alias("id"),
                 (F.col("id") % 7).cast("int").alias("grp"),
                 F.lit("I").alias("op"), F.col("id").alias("lsn"),
             )
@@ -717,7 +771,7 @@ class TestJoinIvmReplay:
         # 80 keys (> _PROBE_MAX_RANGES, so the gap merge must engage) in
         # 4 tight clusters across the domain
         probe_ids = [
-            f"key-{base + j:07d}"
+            f"order-2026-key-{base + j:07d}"
             for base in (50, 25_000, 60_000, 99_900)
             for j in range(20)
         ]
