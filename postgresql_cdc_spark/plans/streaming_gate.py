@@ -2736,6 +2736,105 @@ def cdc_stream_ivm_sums_hicard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_stream_ivm_distinct_hicard",
+    f"""
+    WITH state AS (
+        SELECT i AS id,
+               CASE WHEN i % 15 = 0 THEN (i * 3) % {_N_CUST}
+                    ELSE i % {_N_CUST} END AS cust,
+               CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                         ELSE (i * 7) % 13 END AS INT) AS v
+        FROM range({_N_HC}) t(i)
+        WHERE i % 7 <> 0)
+    SELECT CAST(cust AS BIGINT) AS cust,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS total,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_vals,
+           CAST(MAX(v) AS INT) AS max_v
+    FROM state GROUP BY 1
+    """,
+    doc="STREAMING maintenance of COUNT(DISTINCT) and MAX over a "
+        "HIGH-CARDINALITY group domain (per-customer) — the r16 "
+        "verdict's top item: support tables now ride the EPOCH STORE "
+        "when sums_backend='epoch', so the one remaining "
+        "O(|state|)-per-trigger write class is gone — each batch writes "
+        "only its own grouped signed support deltas (O(|batch|) rows), "
+        "maybe_compact SUM-merges old epochs behind the group-clustered "
+        "base, and the serve re-derives the live (cust, v) multiset "
+        "from base + bounded partials. Crash consistency generalizes "
+        "the versioned anchoring: supports fold BEFORE sums, and every "
+        "serve-time support read is bounded by the sums store's newest "
+        "committed epoch, so a crashed attempt's support partial is "
+        "invisible until its sums commit (pinned by "
+        "test_support_reads_anchor_to_sums_horizon). MAX and "
+        "COUNT(DISTINCT) of the same column share ONE support store. "
+        "Same changelog as cdc_stream_ivm_sums_hicard (value bumps, "
+        "customer re-points, deletes across micro-batch boundaries), "
+        "so the two answers agree on cust/n_rows/total and this one "
+        "adds the support-derived columns. Scale: per-batch support "
+        "I/O is O(|batch|), independent of the (group x value) domain "
+        "size — the soak's --hicard-compare row pins it at 10x domain.",
+)
+def cdc_stream_ivm_distinct_hicard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ivmdh_{run}_")
+    arch = os.path.join(base, "wal")
+
+    from postgresql_cdc_spark.streaming import join_ivm
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    write_wal_archive(arch, _hc_frames())
+    state = os.path.join(base, "state")
+    os.makedirs(state)
+
+    spec = join_ivm.JoinViewSpec(
+        fact_ddl="id long, cust long, v int, op string, lsn long",
+        fact_key="id",
+        fact_payload=("cust", "v"),
+        group_cols=("cust",),
+        measures=(("dq", "v"),),
+        extrema=(("max_v", "max", "v", "int"),),
+        distincts=(("n_vals", "v", "int"),),
+        sums_backend="epoch",
+    )
+
+    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = batch_df.select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "cust").cast("long").alias("cust"),
+            F.element_at("columns", "v").cast("int").alias("v"),
+            "op", "lsn",
+        )
+        join_ivm.apply_batch(
+            batch_df.sparkSession, state, batch_id, None, decoded,
+            spec=spec,
+        )
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivm_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+
+    return join_ivm.latest_view(spark, state, spec).select(
+        "cust", F.col("dn").alias("n_rows"), F.col("dq").alias("total"),
+        "n_vals", "max_v",
+    )
+
+
 # --- LEFT-OUTER-join IVM via the factorized-view pattern (r15) ----------------
 
 @register(
@@ -2759,49 +2858,80 @@ def cdc_stream_ivm_sums_hicard(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="STREAMING maintenance of a LEFT OUTER join view — the algebra "
-        "the inner-join kernel deliberately scopes out (a dim delete "
+        "the inner delta rule deliberately scopes out (a dim delete "
         "must MOVE its facts to the NULL group, not drop them). "
         "Maintained with the FACTORIZED-VIEW pattern real engines use "
-        "for outer joins: instead of a monolithic outer-join delta rule, "
-        "maintain the per-FK fact aggregate M1(did -> count, sum) with "
-        "the high-cardinality epoch-backed fold (fold_epoch_store over "
-        "ingest_and_delta's signed deltas — per-batch I/O = the batch's "
-        "grouped deltas) and the dim kv state, then OUTER-join the TWO "
-        "small maintained tables at serve time and re-group: facts "
-        "whose FK resolves to no live dim surface as the NULL-group "
-        "row. Dim regroups, FK re-points, and double-sided deletes all "
-        "reduce to single-table maintenance; the serve join touches "
-        "|distinct FK| + |dims| rows, orders of magnitude below the "
-        "fact count (and shrinks further under the group-by — a plain "
-        "equi-join AQE sizes at runtime). The same WAL changelog as the "
-        "inner gate, so the two answers differ exactly by the dangling "
-        "mass — the NULL row the inner gate drops. Replay contract "
-        "unchanged: both maintained tables resolve strictly below the "
-        "batch id and replay via dynamic epoch overwrite.",
+        "for outer joins — since r17 expressed INSIDE the kernel as "
+        "JoinViewSpec(join_type='left'), so this gate runs the same "
+        "apply_batch/latest_view path as every inner gate: the per-FK "
+        "fact aggregate M1(did -> count, sum) folds through the "
+        "high-cardinality epoch store (per-batch I/O = the batch's "
+        "grouped deltas) and the dim batch folds into its kv state, "
+        "then the serve OUTER-joins the TWO small maintained tables and "
+        "re-groups: facts whose FK resolves to no live dim surface as "
+        "the NULL-group row. Dim regroups, FK re-points, and "
+        "double-sided deletes all reduce to single-table maintenance; "
+        "the serve's dim read goes through M1's distinct FKs "
+        "(probe_key_state — serve cost tracks |M1|, not |dim|; pruning "
+        "pinned by test_left_join_serve_prunes_dim_scan). The same WAL "
+        "changelog as the inner gate, so the two answers differ exactly "
+        "by the dangling mass — the NULL row the inner gate drops. "
+        "Replay contract unchanged: both maintained tables resolve "
+        "strictly below the batch id and replay via dynamic epoch "
+        "overwrite.",
 )
 def cdc_stream_ivm_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_outer_join_gate(spark, "left", "ivml")
+
+
+def _run_outer_join_gate(
+    spark: SparkSession,
+    join_type: str,
+    tag: str,
+    extrema: tuple = (),
+    distincts: tuple = (),
+) -> DataFrame:
+    """Shared body of the outer-join IVM gates: since r17 the factorized
+    construction lives INSIDE the kernel (``JoinViewSpec(join_type=...)``
+    — the r16 verdict's item 2), so left/right/full all run the same
+    ``apply_batch``/``latest_view`` path as every inner gate: M1 (the
+    per-FK fact aggregate) folds through the epoch store, the dim batch
+    folds into its kv state, and the serve outer-joins the two small
+    maintained tables — with the M1-pruned dim probe for LEFT
+    (probe_key_state; pinned by
+    tests/test_join_ivm.py::test_left_join_serve_prunes_dim_scan) and
+    the full dim read for right/full, where every dim row is part of
+    the answer. Extrema/COUNT(DISTINCT) entries ride the kernel's
+    support tables, keyed by M1's FK so dim changes never touch them."""
     from pyspark.sql import functions as F
 
+    from postgresql_cdc_spark.streaming import join_ivm
     from postgresql_cdc_spark.streaming.source import write_wal_archive
 
     _register_source(spark)
     run = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix=f"pgcdc_ivml_{run}_")
+    base = tempfile.mkdtemp(prefix=f"pgcdc_{tag}_{run}_")
     arch = os.path.join(base, "wal")
     write_wal_archive(arch, _ivm_join_frames())
-    DIM_DDL = "id long, grp int, op string, lsn long"
-    FACT_DDL = "fid long, did long, amount int, op string, lsn long"
-    M1_DDL = "did long, dn long, dq long"
+    state = os.path.join(base, "state")
+    os.makedirs(state)
+    spec = join_ivm.JoinViewSpec(
+        fact_ddl="fid long, did long, amount int, op string, lsn long",
+        fact_key="fid",
+        fact_payload=("did", "amount"),
+        group_cols=("grp",),
+        measures=(("dq", "amount"),),
+        extrema=extrema,
+        distincts=distincts,
+        dims=(join_ivm.DimSpec(
+            ddl="id long, grp int, op string, lsn long",
+            key="id", payload=("grp",), fact_fk="did",
+        ),),
+        join_type=join_type,
+        sums_backend="epoch",
+    )
 
     def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from postgresql_cdc_spark.streaming.join_ivm import (
-            fold_epoch_store,
-            ingest_and_delta,
-            ingest_kv_batch,
-        )
-
-        ss = batch_df.sparkSession
-        bid = int(batch_id)
         d_batch = batch_df.where(F.col("table") == "dim_grp").select(
             F.element_at("columns", "id").cast("long").alias("id"),
             F.element_at("columns", "grp").cast("int").alias("grp"),
@@ -2813,17 +2943,9 @@ def cdc_stream_ivm_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("columns", "amount").cast("int").alias("amount"),
             "op", "lsn",
         )
-        ingest_kv_batch(ss, os.path.join(base, "dim_kv"), "id", bid, d_batch)
-        f_delta = ingest_and_delta(
-            ss, os.path.join(base, "fact_kv"), FACT_DDL,
-            "fid", ["did", "amount"], bid, f_batch,
-        ).select(
-            "did",
-            F.col("sign").cast("long").alias("dn"),
-            (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
-        )
-        fold_epoch_store(
-            ss, os.path.join(base, "by_did"), M1_DDL, ["did"], bid, f_delta,
+        join_ivm.apply_batch(
+            batch_df.sparkSession, state, batch_id, d_batch, f_batch,
+            spec=spec,
         )
 
     stream = (
@@ -2839,37 +2961,10 @@ def cdc_stream_ivm_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain_bounded(q)
 
-    from postgresql_cdc_spark.streaming.join_ivm import (
-        probe_key_state,
-        read_folded_groups,
-    )
-
-    # Materialize M1 on the driver ONCE: probe_key_state collects its
-    # distinct FKs anyway (probe_by_keys' contract — M1 is the small
-    # maintained side), and feeding it the lazy fold plan would execute
-    # the whole by_did scan+groupBy twice per serve, once for the key
-    # collect and once in the join (r16 review).
-    m1_rows = read_folded_groups(
-        spark, os.path.join(base, "by_did"), M1_DDL, ["did"],
-        drop_when_zero="dn",
-    ).collect()
-    m1 = spark.createDataFrame(m1_rows, M1_DDL)
-    # a LEFT-join serve only needs dims referenced by M1: push M1's
-    # distinct FKs into the dim-kv scan so serve cost tracks |M1|, not
-    # |dim| (r15 verdict 'what's wrong' #2; pruning pinned by
-    # tests/test_join_ivm.py::test_left_join_serve_prunes_dim_scan)
-    dims = probe_key_state(
-        spark, os.path.join(base, "dim_kv"), DIM_DDL, "id",
-        m1.select(F.col("did").alias("id")),
-    ).select(F.col("id").alias("did"), "grp")
-    return (
-        m1.join(dims, "did", "left_outer")
-        .groupBy("grp")
-        .agg(
-            F.sum("dn").cast("long").alias("n_rows"),
-            F.sum("dq").cast("long").alias("total"),
-        )
-        .select("grp", "n_rows", "total")
+    extra = [e[0] for e in extrema] + [d[0] for d in distincts]
+    return join_ivm.latest_view(spark, state, spec).select(
+        "grp", F.col("dn").alias("n_rows"), F.col("dq").alias("total"),
+        *extra,
     )
 
 
@@ -3155,8 +3250,9 @@ def cdc_stream_ivm_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "directions at once: facts whose dim was deleted surface in the "
         "NULL group (the left-join gate's case) AND dims with no facts "
         "surface as one counted row with a NULL amount contribution. "
-        "Same factorized-view pattern as the left gate (the r15 "
-        "landing): maintain the per-FK fact aggregate M1(did -> count, "
+        "Same factorized-view pattern as the left gate — since r17 "
+        "expressed inside the kernel as JoinViewSpec(join_type='full'): "
+        "maintain the per-FK fact aggregate M1(did -> count, "
         "sum) with the epoch-backed high-cardinality fold and the dim kv "
         "state as two SINGLE-TABLE views, then FULL-outer-join the two "
         "small maintained tables at serve time — per output row the "
@@ -3174,87 +3270,7 @@ def cdc_stream_ivm_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_stream_ivm_full_outer_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from postgresql_cdc_spark.streaming.source import write_wal_archive
-
-    _register_source(spark)
-    run = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix=f"pgcdc_ivmf_{run}_")
-    arch = os.path.join(base, "wal")
-    write_wal_archive(arch, _ivm_join_frames())
-    DIM_DDL = "id long, grp int, op string, lsn long"
-    FACT_DDL = "fid long, did long, amount int, op string, lsn long"
-    M1_DDL = "did long, dn long, dq long"
-
-    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from postgresql_cdc_spark.streaming.join_ivm import (
-            fold_epoch_store,
-            ingest_and_delta,
-            ingest_kv_batch,
-        )
-
-        ss = batch_df.sparkSession
-        bid = int(batch_id)
-        d_batch = batch_df.where(F.col("table") == "dim_grp").select(
-            F.element_at("columns", "id").cast("long").alias("id"),
-            F.element_at("columns", "grp").cast("int").alias("grp"),
-            "op", "lsn",
-        )
-        f_batch = batch_df.where(F.col("table") == "fact_amt").select(
-            F.element_at("columns", "fid").cast("long").alias("fid"),
-            F.element_at("columns", "did").cast("long").alias("did"),
-            F.element_at("columns", "amount").cast("int").alias("amount"),
-            "op", "lsn",
-        )
-        ingest_kv_batch(ss, os.path.join(base, "dim_kv"), "id", bid, d_batch)
-        f_delta = ingest_and_delta(
-            ss, os.path.join(base, "fact_kv"), FACT_DDL,
-            "fid", ["did", "amount"], bid, f_batch,
-        ).select(
-            "did",
-            F.col("sign").cast("long").alias("dn"),
-            (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
-        )
-        fold_epoch_store(
-            ss, os.path.join(base, "by_did"), M1_DDL, ["did"], bid, f_delta,
-        )
-
-    stream = (
-        spark.readStream.format("pgcdc")
-        .option("path", arch)
-        .option("maxRecordsPerBatch", "25")
-        .load()
-    )
-    q = (
-        stream.writeStream.foreachBatch(ivm_batch)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .start()
-    )
-    _drain_bounded(q)
-
-    from postgresql_cdc_spark.streaming.join_ivm import (
-        key_state,
-        read_folded_groups,
-    )
-
-    m1 = read_folded_groups(
-        spark, os.path.join(base, "by_did"), M1_DDL, ["did"],
-        drop_when_zero="dn",
-    )
-    dims = key_state(
-        spark, os.path.join(base, "dim_kv"), DIM_DDL, "id"
-    ).select(F.col("id").alias("did"), "grp")
-    return (
-        m1.join(dims, "did", "full_outer")
-        .groupBy("grp")
-        .agg(
-            F.sum(F.coalesce(F.col("dn"), F.lit(1)))
-            .cast("long").alias("n_rows"),
-            F.sum("dq").cast("long").alias("total"),
-        )
-        .select("grp", "n_rows", "total")
-    )
+    return _run_outer_join_gate(spark, "full", "ivmf")
 
 
 # --- RIGHT-OUTER-join IVM: the symmetric factorized case (r16) ----------------
@@ -3288,8 +3304,9 @@ def cdc_stream_ivm_full_outer_join(
         "with a NULL amount contribution, while facts whose dim was "
         "deleted drop out (no NULL group — the left gate's case "
         "reversed). Maintained from the same two single-table views — "
-        "the per-FK fact aggregate M1(did -> count, sum) on the "
-        "epoch-backed high-cardinality fold and the dim kv state — "
+        "since r17 inside the kernel as JoinViewSpec(join_type='right') "
+        "— the per-FK fact aggregate M1(did -> count, sum) on the "
+        "epoch-backed high-cardinality fold and the dim kv state, "
         "joined dim-preserving at serve time: n_rows = "
         "SUM(coalesce(dn, 1)) over dims' rows, total = SUM(dq) with "
         "NULL-skipping semantics. Serve reads the full dim state "
@@ -3304,91 +3321,63 @@ def cdc_stream_ivm_full_outer_join(
 def cdc_stream_ivm_right_outer_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import functions as F
+    return _run_outer_join_gate(spark, "right", "ivmro")
 
-    from postgresql_cdc_spark.streaming.source import write_wal_archive
 
-    _register_source(spark)
-    run = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix=f"pgcdc_ivmro_{run}_")
-    arch = os.path.join(base, "wal")
-    write_wal_archive(arch, _ivm_join_frames())
-    DIM_DDL = "id long, grp int, op string, lsn long"
-    FACT_DDL = "fid long, did long, amount int, op string, lsn long"
-    M1_DDL = "did long, dn long, dq long"
+# --- outer join WITH extrema/COUNT(DISTINCT): the shape the r16 ---------------
+# hand-composed serves could not express (r16 verdict item 2's "done" bar)
 
-    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from postgresql_cdc_spark.streaming.join_ivm import (
-            fold_epoch_store,
-            ingest_and_delta,
-            ingest_kv_batch,
-        )
-
-        ss = batch_df.sparkSession
-        bid = int(batch_id)
-        d_batch = batch_df.where(F.col("table") == "dim_grp").select(
-            F.element_at("columns", "id").cast("long").alias("id"),
-            F.element_at("columns", "grp").cast("int").alias("grp"),
-            "op", "lsn",
-        )
-        f_batch = batch_df.where(F.col("table") == "fact_amt").select(
-            F.element_at("columns", "fid").cast("long").alias("fid"),
-            F.element_at("columns", "did").cast("long").alias("did"),
-            F.element_at("columns", "amount").cast("int").alias("amount"),
-            "op", "lsn",
-        )
-        ingest_kv_batch(ss, os.path.join(base, "dim_kv"), "id", bid, d_batch)
-        f_delta = ingest_and_delta(
-            ss, os.path.join(base, "fact_kv"), FACT_DDL,
-            "fid", ["did", "amount"], bid, f_batch,
-        ).select(
-            "did",
-            F.col("sign").cast("long").alias("dn"),
-            (F.col("sign") * F.col("amount")).cast("long").alias("dq"),
-        )
-        fold_epoch_store(
-            ss, os.path.join(base, "by_did"), M1_DDL, ["did"], bid, f_delta,
-        )
-
-    stream = (
-        spark.readStream.format("pgcdc")
-        .option("path", arch)
-        .option("maxRecordsPerBatch", "25")
-        .load()
-    )
-    q = (
-        stream.writeStream.foreachBatch(ivm_batch)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .start()
-    )
-    _drain_bounded(q)
-
-    from postgresql_cdc_spark.streaming.join_ivm import (
-        key_state,
-        read_folded_groups,
-    )
-
-    m1 = read_folded_groups(
-        spark, os.path.join(base, "by_did"), M1_DDL, ["did"],
-        drop_when_zero="dn",
-    )
-    dims = key_state(
-        spark, os.path.join(base, "dim_kv"), DIM_DDL, "id"
-    ).select(F.col("id").alias("did"), "grp")
-    # dim-preserving: RIGHT join from M1's perspective — every dim row
-    # survives; M1 rows whose dim is gone (dangling facts) drop out.
-    # M1 stays the lazy folded read: this serve consumes it exactly once
-    # (no key probe), so collecting it would only add a driver round-trip
-    # (r16 review; contrast the left gate, which probes off M1's keys).
-    return (
-        m1.join(dims, "did", "right_outer")
-        .groupBy("grp")
-        .agg(
-            F.sum(F.coalesce(F.col("dn"), F.lit(1)))
-            .cast("long").alias("n_rows"),
-            F.sum("dq").cast("long").alias("total"),
-        )
-        .select("grp", "n_rows", "total")
+@register(
+    "cdc_stream_ivm_outer_join_extrema",
+    f"""
+    WITH dim AS (
+        SELECT i AS id,
+               CASE WHEN i % 4 = 0 THEN (i + 1) % 3 ELSE i % 3 END AS grp
+        FROM range({_N_DIM}) t(i) WHERE i % 7 <> 0),
+    fact AS (
+        SELECT i AS fid,
+               CASE WHEN i % 10 = 0 THEN (i + 1) % {_N_DIM}
+                    ELSE i % {_N_DIM} END AS did,
+               (i * 11) % 29 + CASE WHEN i % 5 = 0 THEN 50 ELSE 0 END
+                 AS amount
+        FROM range({_N_FACT}) t(i) WHERE i % 9 <> 0)
+    SELECT CAST(dim.grp AS INT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(amount) AS BIGINT) AS total,
+           CAST(MAX(amount) AS INT) AS max_amt,
+           CAST(COUNT(DISTINCT amount) AS BIGINT) AS n_amounts
+    FROM fact FULL JOIN dim ON fact.did = dim.id
+    GROUP BY 1
+    """,
+    doc="STREAMING maintenance of MAX and COUNT(DISTINCT) over a FULL "
+        "OUTER join view — the aggregate class the r16 hand-composed "
+        "outer serves could not express, unlocked by folding the "
+        "factorized outer construction into the kernel "
+        "(JoinViewSpec(join_type='full'), r17): support tables are keyed "
+        "by M1's FK — NOT the final group — so dim regroups and deletes "
+        "never rewrite them; the serve re-derives each group's extremum "
+        "and distinct count THROUGH the dim join (countDistinct, since "
+        "one value can live under several FKs mapping to one group), "
+        "with a group of only factless dims serving MAX = NULL and "
+        "COUNT(DISTINCT) = 0 — SQL's semantics for an all-NULL group. "
+        "MAX and COUNT(DISTINCT) of the same fact column share ONE "
+        "support table (the r16 sharing rule, now on the outer path). "
+        "The same WAL changelog as the whole outer family, so this "
+        "answer differs from cdc_stream_ivm_full_outer_join by exactly "
+        "the two support-derived columns. Scale: supports fold through "
+        "the epoch store (O(|batch|) writes per trigger — the r17 "
+        "epoch-backed support landing), serve reads the live multiset "
+        "bounded by distinct (FK, value) pairs, and both dangling "
+        "directions ride the same two maintained tables as the plain "
+        "full-outer gate.",
+)
+def cdc_stream_ivm_outer_join_extrema(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _run_outer_join_gate(
+        spark, "full", "ivmfx",
+        extrema=(("max_amt", "max", "amount", "int"),),
+        distincts=(("n_amounts", "amount", "int"),),
     )
 
 
