@@ -3734,3 +3734,246 @@ def cdc_stream_ivm_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dn").alias("n_orders"),
         "total",
     )
+
+
+# --- MIXED shape: a STAR fact whose FIRST dim is itself chained (r17) ---------
+
+_MIX_CH_REL = Relation(
+    relation_id=16407,
+    schema="public",
+    name="channels",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("ch", 20, flags=1),
+        ColumnMeta("kind", 23),
+    ),
+)
+
+_MIX_ORD_REL = Relation(
+    relation_id=16408,
+    schema="public",
+    name="orders_ch",
+    replica_identity="d",
+    columns=(
+        ColumnMeta("oid", 20, flags=1),
+        ColumnMeta("cid", 20),
+        ColumnMeta("ch", 20),
+        ColumnMeta("amount", 23),
+    ),
+)
+
+_N_CH = 4
+
+
+def _mixed_frames() -> list:
+    """Four-table changelog for the MIXED shape: the chain gate's
+    nations/customers cascade PLUS a channels dim hanging directly off
+    the fact. The update txn touches all four levels at once (nation
+    re-regions, customer re-nations, channel re-kinds, order
+    reprice/re-point of BOTH FKs); the delete txn removes a nation
+    (transitive dangle), customers, a channel (direct dangle), and
+    orders — so both composition paths see danglers in one batch."""
+    frames = [
+        (1, encode_relation(_CHAIN_NAT_REL)),
+        (2, encode_relation(_CHAIN_CUS_REL)),
+        (3, encode_relation(_MIX_CH_REL)),
+        (4, encode_relation(_MIX_ORD_REL)),
+    ]
+    lsn, xid = 10, 1900
+
+    def txn(rows):
+        nonlocal lsn, xid
+        lsn, xid = _append_txn(frames, rows, lsn, xid)
+
+    txn([
+        encode_insert(_CHAIN_NAT_REL.relation_id, [str(i), str(i % 2)])
+        for i in range(_N_NAT)
+    ])
+    txn([
+        encode_insert(
+            _CHAIN_CUS_REL.relation_id,
+            [str(i), str(i % _N_NAT), str(i % 3)],
+        )
+        for i in range(_N_CUS)
+    ])
+    txn([
+        encode_insert(_MIX_CH_REL.relation_id, [str(i), str(i % 3)])
+        for i in range(_N_CH)
+    ])
+    for start in range(0, _N_ORD, 70):
+        txn([
+            encode_insert(
+                _MIX_ORD_REL.relation_id,
+                [str(i), str(i % _N_CUS), str(i % _N_CH),
+                 str((i * 13) % 37 + 1)],
+            )
+            for i in range(start, min(start + 70, _N_ORD))
+        ])
+    txn([
+        encode_update(
+            _CHAIN_NAT_REL.relation_id, [str(i), str(i % 2 + 2)]
+        )
+        for i in range(_N_NAT) if i % 3 == 1
+    ] + [
+        encode_update(
+            _CHAIN_CUS_REL.relation_id,
+            [str(i), str((i + 1) % _N_NAT), str(i % 3)],
+        )
+        for i in range(0, _N_CUS, 4)
+    ] + [
+        encode_update(_MIX_CH_REL.relation_id, [str(i), str(i % 3 + 5)])
+        for i in range(0, _N_CH, 2)
+    ] + [
+        encode_update(
+            _MIX_ORD_REL.relation_id,
+            [
+                str(i),
+                str((i + 1) % _N_CUS if i % 18 == 0 else i % _N_CUS),
+                str((i + 1) % _N_CH if i % 12 == 0 else i % _N_CH),
+                str((i * 13) % 37 + 51),
+            ],
+        )
+        for i in range(0, _N_ORD, 6)
+    ])
+    txn([
+        encode_delete(_CHAIN_NAT_REL.relation_id, [str(2), None])
+    ] + [
+        encode_delete(_CHAIN_CUS_REL.relation_id, [str(i), None, None])
+        for i in range(_N_CUS) if i % 9 == 4
+    ] + [
+        encode_delete(_MIX_CH_REL.relation_id, [str(3), None])
+    ] + [
+        encode_delete(_MIX_ORD_REL.relation_id, [str(i), None, None, None])
+        for i in range(0, _N_ORD, 11)
+    ])
+    return frames
+
+
+@register(
+    "cdc_stream_ivm_mixed_chain",
+    f"""
+    WITH nat AS (
+        SELECT i AS nk,
+               CASE WHEN i % 3 = 1 THEN i % 2 + 2 ELSE i % 2 END AS region
+        FROM range({_N_NAT}) t(i) WHERE i <> 2),
+    cus AS (
+        SELECT i AS cid,
+               CASE WHEN i % 4 = 0 THEN (i + 1) % {_N_NAT}
+                    ELSE i % {_N_NAT} END AS nk,
+               i % 3 AS seg
+        FROM range({_N_CUS}) t(i) WHERE i % 9 <> 4),
+    chn AS (
+        SELECT i AS ch,
+               CASE WHEN i % 2 = 0 THEN i % 3 + 5 ELSE i % 3 END AS kind
+        FROM range({_N_CH}) t(i) WHERE i <> 3),
+    ord AS (
+        SELECT i AS oid,
+               CASE WHEN i % 18 = 0 THEN (i + 1) % {_N_CUS}
+                    ELSE i % {_N_CUS} END AS cid,
+               CASE WHEN i % 12 = 0 THEN (i + 1) % {_N_CH}
+                    ELSE i % {_N_CH} END AS ch,
+               (i * 13) % 37 + 1 + CASE WHEN i % 6 = 0 THEN 50 ELSE 0 END
+                 AS amount
+        FROM range({_N_ORD}) t(i) WHERE i % 11 <> 0)
+    SELECT CAST(seg AS INT) AS seg,
+           CAST(region AS INT) AS region,
+           CAST(kind AS INT) AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(amount) AS BIGINT) AS total
+    FROM ord JOIN cus USING (cid) JOIN nat USING (nk) JOIN chn USING (ch)
+    GROUP BY 1, 2, 3
+    """,
+    doc="STREAMING maintenance of a MIXED-shape view: a STAR fact with "
+        "TWO dimensions where the FIRST dimension is itself CHAINED "
+        "(orders x [customers x nations] x channels) — the r16 "
+        "verdict's item 4, proving view composition stacks onto "
+        "MULTI-dim downstream specs rather than only the 1-dim "
+        "downstream the plain chain gate uses. The composite dimension "
+        "customers x nations is a KEYED maintained view whose adapted "
+        "changelog feeds the star's dims[0] stream, while the channels "
+        "changelog rides alongside as dims[1] "
+        "(apply_chain_batch's other_dim_batches; spec pair from "
+        "join_ivm.mixed_chain_spec_pair — one source for gate, fuzz "
+        "and soak). Downstream, the N-ary delta rule's triangular "
+        "new/old split handles SAME-BATCH changes on the adapted "
+        "composite stream AND the direct channel stream exactly once — "
+        "the schedule class where a naive two-pass application "
+        "double-counts. The changelog exercises all FOUR levels in one "
+        "update txn (nation re-regions cascade transitively through "
+        "the composite into per-customer updates; channel re-kinds hit "
+        "dims[1] directly; orders re-point BOTH FKs) and the delete "
+        "txn dangles both composition paths at once (nation delete -> "
+        "transitive; channel delete -> direct). Scale: each hop keeps "
+        "the kernel's O(|batch| + delta fan-out) per-trigger contract "
+        "— the composite's fan-out bounds the adapted stream, and the "
+        "star's per-dim arrangements keep every cross term "
+        "batch-bounded and broadcast-only.",
+)
+def cdc_stream_ivm_mixed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming import join_ivm
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ivmmx_{run}_")
+    arch = os.path.join(base, "wal")
+    write_wal_archive(arch, _mixed_frames())
+    comp_state = os.path.join(base, "comp_state")
+    fact_state = os.path.join(base, "fact_state")
+    os.makedirs(comp_state)
+    os.makedirs(fact_state)
+
+    comp_spec, fact_spec = join_ivm.mixed_chain_spec_pair()
+
+    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        n_batch = batch_df.where(F.col("table") == "nations").select(
+            F.element_at("columns", "nk").cast("long").alias("nk"),
+            F.element_at("columns", "region").cast("int").alias("region"),
+            "op", "lsn",
+        )
+        c_batch = batch_df.where(F.col("table") == "customers").select(
+            F.element_at("columns", "cid").cast("long").alias("cid"),
+            F.element_at("columns", "nk").cast("long").alias("nk"),
+            F.element_at("columns", "seg").cast("int").alias("seg"),
+            "op", "lsn",
+        )
+        ch_batch = batch_df.where(F.col("table") == "channels").select(
+            F.element_at("columns", "ch").cast("long").alias("ch"),
+            F.element_at("columns", "kind").cast("int").alias("kind"),
+            "op", "lsn",
+        )
+        o_batch = batch_df.where(F.col("table") == "orders_ch").select(
+            F.element_at("columns", "oid").cast("long").alias("oid"),
+            F.element_at("columns", "cid").cast("long").alias("cid"),
+            F.element_at("columns", "ch").cast("long").alias("ch"),
+            F.element_at("columns", "amount").cast("int").alias("amount"),
+            "op", "lsn",
+        )
+        join_ivm.apply_chain_batch(
+            ss,
+            [(comp_state, comp_spec, c_batch),
+             (fact_state, fact_spec, o_batch, [ch_batch])],
+            batch_id,
+            top_d_batch=n_batch,
+        )
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivm_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+    return join_ivm.latest_view(spark, fact_state, fact_spec).select(
+        "seg", "region", "kind",
+        F.col("dn").alias("n_orders"),
+        "total",
+    )

@@ -2041,3 +2041,42 @@ def chain_spec_pair() -> tuple:
         ),),
     )
     return comp, fact
+
+
+def mixed_chain_spec_pair() -> tuple:
+    """The MIXED-shape composition pair (r16 verdict item 4): a STAR
+    fact view with TWO dimensions, the first of which is itself the
+    chained composite (customers x nations, keyed by the customer key)
+    while the second (channels) hangs directly off the fact — proving
+    ``apply_chain_batch`` composes with ``dims=N`` downstream specs, not
+    only the 1-dim downstream the plain chain uses. One source for the
+    gate (`cdc_stream_ivm_mixed_chain`), the kernel fuzz's mixed
+    schedules, and the soak."""
+    comp = JoinViewSpec(
+        fact_ddl="cid long, nk long, seg int, op string, lsn long",
+        fact_key="cid",
+        fact_payload=("nk", "seg"),
+        group_cols=("cid", "seg", "region"),
+        measures=(),
+        dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
+                      key="nk", payload=("region",), fact_fk="nk"),),
+    )
+    fact = JoinViewSpec(
+        fact_ddl="oid long, cid long, ch long, amount int, "
+                 "op string, lsn long",
+        fact_key="oid",
+        fact_payload=("cid", "ch", "amount"),
+        group_cols=("seg", "region", "kind"),
+        measures=(("total", "amount"),),
+        dims=(
+            DimSpec(
+                ddl="cid long, seg int, region int, op string, lsn long",
+                key="cid", payload=("seg", "region"), fact_fk="cid",
+            ),
+            DimSpec(
+                ddl="ch long, kind int, op string, lsn long",
+                key="ch", payload=("kind",), fact_fk="ch",
+            ),
+        ),
+    )
+    return comp, fact

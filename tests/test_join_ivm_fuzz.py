@@ -646,3 +646,162 @@ def test_chain_composition_schedules_stay_exact(
         for r in latest_view(spark, fact_state, _CHAIN_FACT_SPEC).collect()
     )
     assert got == want, (got, want, rows, sorted(cuts))
+
+
+# --- MIXED shape: the chained composite feeding a TWO-dim star (r17) ----------
+
+from postgresql_cdc_spark.streaming.join_ivm import (  # noqa: E402
+    mixed_chain_spec_pair,
+)
+
+_MIX_COMP_SPEC, _MIX_FACT_SPEC = mixed_chain_spec_pair()
+
+N_MCH = 2
+
+_MCH_OP = st.tuples(
+    st.just("h"),
+    st.integers(0, N_MCH - 1),              # ch
+    st.integers(0, 1),                      # kind
+    st.sampled_from(["I", "U", "D"]),
+)
+_MORD_OP = st.tuples(
+    st.just("f"),
+    st.integers(0, N_FACT - 1),             # oid
+    st.integers(0, N_CCUS),                 # cid (N_CCUS = dangling)
+    st.integers(0, N_MCH),                  # ch (N_MCH = dangling)
+    st.sampled_from(["I", "U", "D"]),
+)
+_MIX_SCHEDULE = st.lists(
+    st.one_of(_NAT_OP, _CCUS_OP, _MCH_OP, _MORD_OP),
+    min_size=3, max_size=14,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MIX_SCHEDULE, cuts=_CUTS)
+def test_mixed_chain_star_schedules_stay_exact(
+    spark, tmp_path_factory, ops, cuts
+):
+    """The MIXED composition shape under fuzz (r16 verdict item 4): the
+    chained composite (customers x nations) feeds dims[0] of a TWO-dim
+    downstream star whose dims[1] (channels) changes independently —
+    arbitrary interleavings across all FOUR levels, split at arbitrary
+    batch boundaries INCLUDING same-batch changes on the adapted stream
+    and the direct dim at once (the schedule class where the triangular
+    new/old split must count exactly once), must equal a one-shot
+    recompute over the four-way join. The last batch replays
+    (at-least-once) through both hops and the adapter."""
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.join_ivm import apply_chain_batch
+
+    root = tmp_path_factory.mktemp("jivm_fuzz_mixed")
+    comp_state = str(root / "comp")
+    fact_state = str(root / "fact")
+
+    rows = []
+    nats: dict[int, int] = {}
+    custs: dict[int, tuple[int, int]] = {}
+    chans: dict[int, int] = {}
+    facts: dict[int, tuple[int, int, int]] = {}
+    for i, op_t in enumerate(ops):
+        lsn = 100 + i
+        if op_t[0] == "n":
+            _, nk, region, op = op_t
+            rows.append(("n", nk, region, None, None, op, lsn))
+            if op == "D":
+                nats.pop(nk, None)
+            else:
+                nats[nk] = region
+        elif op_t[0] == "c":
+            _, cid, nk, seg, op = op_t
+            rows.append(("c", cid, nk, seg, None, op, lsn))
+            if op == "D":
+                custs.pop(cid, None)
+            else:
+                custs[cid] = (nk, seg)
+        elif op_t[0] == "h":
+            _, ch, kind, op = op_t
+            rows.append(("h", ch, kind, None, None, op, lsn))
+            if op == "D":
+                chans.pop(ch, None)
+            else:
+                chans[ch] = kind
+        else:
+            _, oid, cid, ch, op = op_t
+            amount = (oid * 7 + cid + ch) % 11 + 1
+            rows.append(("f", oid, cid, ch, amount, op, lsn))
+            if op == "D":
+                facts.pop(oid, None)
+            else:
+                facts[oid] = (cid, ch, amount)
+
+    agg: dict[tuple[int, int, int], list[int]] = {}
+    for cid, ch, amount in facts.values():
+        if cid in custs and custs[cid][0] in nats and ch in chans:
+            g = (custs[cid][1], nats[custs[cid][0]], chans[ch])
+            agg.setdefault(g, [0, 0])
+            agg[g][0] += 1
+            agg[g][1] += amount
+    want = sorted(
+        (s, r, k, n, t) for (s, r, k), (n, t) in agg.items()
+    )
+
+    DDL = ("tab string, k long, a long, b long, c long, "
+           "op string, lsn long")
+    bounds = [0] + sorted(c for c in cuts if c < len(rows)) + [len(rows)]
+
+    def apply(bid, lo, hi):
+        batch = spark.createDataFrame(rows[lo:hi], DDL)
+        n_batch = batch.where(F.col("tab") == "n").select(
+            F.col("k").alias("nk"),
+            F.col("a").cast("int").alias("region"),
+            "op", "lsn",
+        )
+        c_batch = batch.where(F.col("tab") == "c").select(
+            F.col("k").alias("cid"),
+            F.col("a").alias("nk"),
+            F.col("b").cast("int").alias("seg"),
+            "op", "lsn",
+        )
+        h_batch = batch.where(F.col("tab") == "h").select(
+            F.col("k").alias("ch"),
+            F.col("a").cast("int").alias("kind"),
+            "op", "lsn",
+        )
+        f_batch = batch.where(F.col("tab") == "f").select(
+            F.col("k").alias("oid"),
+            F.col("a").alias("cid"),
+            F.col("b").alias("ch"),
+            F.col("c").cast("int").alias("amount"),
+            "op", "lsn",
+        )
+        apply_chain_batch(
+            spark,
+            [(comp_state, _MIX_COMP_SPEC, c_batch),
+             (fact_state, _MIX_FACT_SPEC, f_batch, [h_batch])],
+            bid,
+            top_d_batch=n_batch,
+            max_live_partials=2,
+        )
+
+    bid = 0
+    spans = [
+        (lo, hi) for lo, hi in zip(bounds, bounds[1:]) if lo < hi
+    ]
+    for lo, hi in spans:
+        apply(bid, lo, hi)
+        bid += 1
+    if spans:
+        apply(bid - 1, *spans[-1])  # at-least-once replay of the last batch
+
+    got = sorted(
+        (r.seg, r.region, r.kind, r.dn, r.total)
+        for r in latest_view(spark, fact_state, _MIX_FACT_SPEC).collect()
+    )
+    assert got == want, (got, want, rows, sorted(cuts))
