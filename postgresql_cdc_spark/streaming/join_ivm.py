@@ -857,13 +857,23 @@ def probe_by_keys(hist: DataFrame, key: str, keys_df: DataFrame) -> DataFrame:
 
     The key set is collected to the driver: batch-bounded, the same order
     of driver memory the broadcast relation build already paid (null keys
-    are dropped — a semi-join never matches them either). Small sets
+    are dropped — a semi-join never matches them either)."""
+    return probe_by_key_list(
+        hist, key, [r[0] for r in keys_df.distinct().collect()]
+    )
+
+
+def probe_by_key_list(hist: DataFrame, key: str, ks: list) -> DataFrame:
+    """:func:`probe_by_keys` with an ALREADY-collected key list, so one
+    driver collect can serve several probes (the N-dim delta rule
+    collects each term carrier's FK columns in ONE job and probes every
+    dimension from that — r16 verdict item 6). Small sets
     (<= ``_PROBE_MAX_IN``) stay exact via ``isin`` on top of the pushed
-    ranges; larger ones keep the pushed ranges for I/O pruning and restore
-    exactness with the broadcast semi-join (64 BETWEEN disjuncts bound the
-    plan size regardless of batch size)."""
-    ks = [r[0] for r in keys_df.distinct().collect()]
-    ks = [k for k in ks if k is not None]
+    ranges; larger ones keep the pushed ranges for I/O pruning and
+    restore exactness with a broadcast semi-join built from the local
+    list (64 BETWEEN disjuncts bound the plan size regardless of batch
+    size)."""
+    ks = sorted({k for k in ks if k is not None})
     if not ks:
         return hist.where(F.lit(False))
     cond = None
@@ -874,11 +884,8 @@ def probe_by_keys(hist: DataFrame, key: str, keys_df: DataFrame) -> DataFrame:
         return hist.where(cond)  # point runs: the ranges ARE the key set
     if len(ks) <= _PROBE_MAX_IN:
         return hist.where(cond & F.col(key).isin(ks))
-    # rebuild the semi-join side from the ALREADY-collected keys instead
-    # of re-executing keys_df's distinct subtree for the broadcast build
-    # (r15 review)
-    keys_local = keys_df.sparkSession.createDataFrame(
-        [(k,) for k in ks], keys_df.select(key).schema
+    keys_local = hist.sparkSession.createDataFrame(
+        [(k,) for k in ks], hist.select(key).schema
     )
     return hist.where(cond).join(F.broadcast(keys_local), key, "left_semi")
 
@@ -1431,22 +1438,31 @@ def join_deltas(
             *extra,
         )
 
+    def _fk_lists(keys_src: DataFrame, idxs: list[int]) -> dict:
+        """ONE driver collect of a term carrier's FK columns, shared by
+        every dimension probe of that term (r16 verdict item 6: the old
+        shape re-collected the carrier once per dimension — N jobs per
+        term instead of one). ``keys_src`` is a MATERIALIZED superset of
+        the carrier's FK values (the fact delta's committed arrangement
+        epoch / the scratch carrier), so the collect executes a cheap
+        parquet read, never a join subtree."""
+        cols = [spec.dims[i].fact_fk for i in idxs]
+        rows = keys_src.select(*cols).collect()
+        return {i: [r[j] for r in rows] for j, i in enumerate(idxs)}
+
     def _join_dim_state(
-        carrier: DataFrame, keys_src: DataFrame, i: int, before
+        carrier: DataFrame, keys: list, i: int, before
     ) -> DataFrame:
         """Join dim i's resolved kv state — OLD (before=bid) or NEW
         (before=None, i.e. including this batch's committed epoch) —
-        restricted to ``keys_src``'s FK values (pushed probe; the
-        clustered base prunes) as a broadcast side. ``keys_src`` is a
-        MATERIALIZED superset of the carrier's FK values (the fact delta
-        / the scratch carrier), so the probe's driver-side key collect
-        executes a cheap parquet read, never a join subtree."""
+        restricted to the carrier's collected FK values (pushed probe;
+        the clustered base prunes) as a broadcast side."""
         dim = spec.dims[i]
         resolved = _resolve(
-            probe_by_keys(
+            probe_by_key_list(
                 _history(spark, spec.dim_store(base, i), dim.ddl, before),
                 dim.key,
-                keys_src.select(F.col(dim.fact_fk).alias(dim.key)),
+                keys,
             ),
             dim.key,
         )
@@ -1470,10 +1486,12 @@ def join_deltas(
 
     terms = []
 
-    # term 0: dF joined to every dimension's old state
+    # term 0: dF joined to every dimension's old state — ONE collect of
+    # the fact delta's FK columns serves all N probes
+    fk0 = _fk_lists(f_delta_w, list(range(len(spec.dims))))
     c = f_delta_w
     for i in range(len(spec.dims)):
-        c = _join_dim_state(c, f_delta_w, i, before=bid)
+        c = _join_dim_state(c, fk0[i], i, before=bid)
     terms.append(_out(c, F.col("sign"), set(range(len(spec.dims)))))
 
     # term i per dimension delta
@@ -1502,13 +1520,13 @@ def join_deltas(
             carrier = _materialize_versioned(
                 carrier, base, f"xterm_{dim.name}", bid, _carrier_ddl(i)
             )
-        scratch = carrier  # materialized key source for every secondary probe
+            fk_o = _fk_lists(carrier, others)  # one collect for them all
         for j in others:
             # j < i: NEW state (this batch applied); j > i: OLD state —
             # the triangular split that makes same-batch multi-relation
             # changes count exactly once
             carrier = _join_dim_state(
-                carrier, scratch, j, before=(None if j < i else bid)
+                carrier, fk_o[j], j, before=(None if j < i else bid)
             )
         terms.append(_out(
             carrier, F.col("__d_sign") * F.col("sign"),

@@ -573,6 +573,8 @@ def _star_run(spark, n_fact: int, n_small: int = 40) -> dict:
                     target_file_bytes=_SOAK_FILE_BYTES, spec=spec)
 
         times = []
+        jobs = []
+        sc = spark.sparkContext
         for ep in range(1, n_small + 1):
             rows = []
             rows.append(("c", (ep * 7) % n_cust,
@@ -597,11 +599,19 @@ def _star_run(spark, n_fact: int, n_small: int = 40) -> dict:
                 lsn += 1
             model_apply(rows)
             dims_b, fact_b = route(rows)
+            # per-trigger Spark JOB count (r16 verdict item 6): tag the
+            # batch with a job group and count what it submitted
+            tag = f"jivm_star_ep{ep}_{uuid.uuid4().hex[:6]}"
+            sc.setLocalProperty("spark.jobGroup.id", tag)
             t0 = time.monotonic()
-            apply_batch(spark, state, ep, dims_b, fact_b,
-                        max_live_partials=CAP,
-                        target_file_bytes=_SOAK_FILE_BYTES, spec=spec)
+            try:
+                apply_batch(spark, state, ep, dims_b, fact_b,
+                            max_live_partials=CAP,
+                            target_file_bytes=_SOAK_FILE_BYTES, spec=spec)
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
             times.append(time.monotonic() - t0)
+            jobs.append(len(sc.statusTracker().getJobIdsForGroup(tag)))
 
         agg: dict = {}
         for cid, pid, price, qty in facts.values():
@@ -629,11 +639,13 @@ def _star_run(spark, n_fact: int, n_small: int = 40) -> dict:
         )
         scan = scan_output_rows(probe)
         mid = sorted(times)
+        js = sorted(jobs)
         return {
             "state_fact_rows": n_fact,
             "n_small_batches": n_small,
             "batch_s_median": round(mid[len(mid) // 2], 3),
             "batch_s_p90": round(mid[int(len(mid) * 0.9)], 3),
+            "jobs_per_batch_median": js[len(js) // 2],
             "probe_scan_rows_3keys": scan,
             "answers_match_recompute": True,
         }
@@ -816,6 +828,142 @@ def chain_compare() -> int:
     return 0
 
 
+def _distinct_run(spark, n_keys: int, backend: str,
+                  n_small: int = 40) -> dict:
+    """COUNT(DISTINCT)/MAX over a high-cardinality group domain driven
+    through the REAL kernel path (apply_batch with a support-bearing
+    spec): measures per-trigger support rows written, batch seconds and
+    Spark job counts, for the versioned backend (full |supports| rewrite
+    per trigger) vs the epoch backend (r17: O(|batch|) per trigger)."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from postgresql_cdc_spark.streaming.join_ivm import (
+        JoinViewSpec,
+        apply_batch,
+        latest_view,
+        prev_version,
+        version_dir,
+    )
+
+    DDL = "id long, cust long, v int, op string, lsn long"
+    spec = JoinViewSpec(
+        fact_ddl=DDL,
+        fact_key="id",
+        fact_payload=("cust", "v"),
+        group_cols=("cust",),
+        measures=(("dq", "v"),),
+        extrema=(("max_v", "max", "v", "int"),),
+        distincts=(("n_v", "v", "int"),),
+        sums_backend=backend,
+    )
+    prefix = spec.supp_tables[0][0]
+    base = _tf.mkdtemp(prefix=f"jivm_dx_{uuid.uuid4().hex[:8]}_")
+    state = os.path.join(base, "state")
+    os.makedirs(state)
+    model: dict[int, int] = {}
+    sc = spark.sparkContext
+
+    def apply(ep: int, rows: list) -> tuple[float, int, int]:
+        for _id, v in rows:
+            model[_id] = v
+        batch = spark.createDataFrame(
+            [(i, i // 4, v, "U" if ep else "I", 1000 + ep * 1_000_000 + k)
+             for k, (i, v) in enumerate(rows)],
+            DDL,
+        )
+        tag = f"jivm_dx_ep{ep}_{uuid.uuid4().hex[:6]}"
+        sc.setLocalProperty("spark.jobGroup.id", tag)
+        t0 = time.monotonic()
+        try:
+            apply_batch(spark, state, ep, None, batch,
+                        target_file_bytes=_SOAK_FILE_BYTES, spec=spec)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        dt = time.monotonic() - t0
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(tag))
+        if backend == "versioned":
+            written = spark.read.schema(spec.supp_ddl("int")).parquet(
+                version_dir(state, prefix, ep)
+            ).count()
+        else:
+            written = (
+                spark.read
+                .schema(spec.supp_ddl("int") + ", ingest_epoch int")
+                .parquet(os.path.join(state, f"{prefix}_es"))
+                .where(F.col("ingest_epoch") == ep)
+                .count()
+            )
+        return dt, written, n_jobs
+
+    try:
+        apply(0, [(i, (i * 7) % 13) for i in range(n_keys)])
+        times, written, jobs = [], [], []
+        for ep in range(1, n_small + 1):
+            upd = [((ep * 13 + j * 7) % n_keys, (ep * 3 + j) % 50)
+                   for j in range(10)]
+            t, w, nj = apply(ep, upd)
+            times.append(t)
+            written.append(w)
+            jobs.append(nj)
+
+        agg: dict[int, list[int]] = {}
+        for i, v in model.items():
+            agg.setdefault(i // 4, []).append(v)
+        want = sorted(
+            (c, len(vs), sum(vs), max(vs), len(set(vs)))
+            for c, vs in agg.items()
+        )
+        got = sorted(
+            (r.cust, r.dn, r.dq, r.max_v, r.n_v)
+            for r in latest_view(spark, state, spec).collect()
+        )
+        assert got == want, (backend, n_keys, got[:5], want[:5])
+        if backend == "versioned":
+            assert prev_version(state, prefix, None) is not None
+        ts, ws, js = sorted(times), sorted(written), sorted(jobs)
+        return {
+            "support_domain_rows": n_keys,
+            "batch_s_median": round(ts[len(ts) // 2], 3),
+            "supp_rows_written_median": ws[len(ws) // 2],
+            "jobs_per_batch_median": js[len(js) // 2],
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def distinct_compare() -> int:
+    """r16 verdict item 1's done bar: at 10x the support domain, the
+    epoch backend's per-trigger support writes must stay ~1.0x (it
+    writes only the batch's grouped deltas) while the versioned
+    backend's scale with the domain (the full-rewrite class this
+    round removed from the hot path)."""
+    from postgresql_cdc_spark.session import get_spark
+
+    spark = get_spark("join-ivm-distinct-compare")
+    out: dict = {}
+    for backend in ("versioned", "epoch"):
+        for n in (500, 5_000):
+            print(f"  {backend} @ {n} support rows ...",
+                  file=sys.stderr, flush=True)
+            out[f"{backend}_{n}"] = _distinct_run(spark, n, backend)
+    out["versioned_supp_rows_ratio_10x"] = round(
+        out["versioned_5000"]["supp_rows_written_median"]
+        / max(1, out["versioned_500"]["supp_rows_written_median"]), 2,
+    )
+    out["epoch_supp_rows_ratio_10x"] = round(
+        out["epoch_5000"]["supp_rows_written_median"]
+        / max(1, out["epoch_500"]["supp_rows_written_median"]), 2,
+    )
+    out["epoch_batch_s_ratio_10x"] = round(
+        out["epoch_5000"]["batch_s_median"]
+        / out["epoch_500"]["batch_s_median"], 2,
+    )
+    print(json.dumps({"join_ivm_distinct_compare": out}, indent=2))
+    return 0
+
+
 def hicard_compare() -> int:
     from postgresql_cdc_spark.session import get_spark
 
@@ -846,6 +994,8 @@ if __name__ == "__main__":
         raise SystemExit(scale_compare())
     if "--hicard-compare" in sys.argv:
         raise SystemExit(hicard_compare())
+    if "--distinct-compare" in sys.argv:
+        raise SystemExit(distinct_compare())
     if "--batch-compare" in sys.argv:
         raise SystemExit(batch_compare())
     if "--star-compare" in sys.argv:
