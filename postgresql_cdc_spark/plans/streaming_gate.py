@@ -2835,6 +2835,119 @@ def cdc_stream_ivm_distinct_hicard(
     )
 
 
+@register(
+    "cdc_stream_ivm_topk_per_group",
+    f"""
+    WITH state AS (
+        SELECT i AS id,
+               CASE WHEN i % 15 = 0 THEN (i * 3) % {_N_CUST}
+                    ELSE i % {_N_CUST} END AS cust,
+               CAST(CASE WHEN i % 5 = 0 THEN (i * 7) % 13 + 100
+                         ELSE (i * 7) % 13 END AS INT) AS v
+        FROM range({_N_HC}) t(i)
+        WHERE i % 7 <> 0),
+    base AS (
+        SELECT cust, COUNT(*) AS n_rows, SUM(v) AS total
+        FROM state GROUP BY 1),
+    rk AS (
+        SELECT cust, v,
+               ROW_NUMBER() OVER (PARTITION BY cust ORDER BY v DESC) AS rn
+        FROM (SELECT DISTINCT cust, v FROM state)),
+    top AS (
+        SELECT cust,
+               MAX(CASE WHEN rn = 1 THEN v END) AS top1,
+               MAX(CASE WHEN rn = 2 THEN v END) AS top2,
+               MAX(CASE WHEN rn = 3 THEN v END) AS top3
+        FROM rk GROUP BY 1)
+    SELECT CAST(base.cust AS BIGINT) AS cust,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(total AS BIGINT) AS total,
+           CAST(top1 AS INT) AS top1,
+           CAST(top2 AS INT) AS top2,
+           CAST(top3 AS INT) AS top3
+    FROM base JOIN top USING (cust)
+    """,
+    doc="STREAMING maintenance of a TOP-K-PER-GROUP view (the top-3 "
+        "distinct values per customer, NULL-padded): the k-extrema "
+        "generalization the support construction gives for free (r16 "
+        "verdict item 8) — the (group, value) -> live-count multiset "
+        "MIN/MAX already maintain is exactly what a leaderboard needs, "
+        "so JoinViewSpec(topks=...) serves rank columns <name>1..k from "
+        "the same fold with NO extra state, and a delete evicting the "
+        "current leader is exact by construction (the case a max-only "
+        "or sketch-style maintenance cannot recover without a rescan). "
+        "The changelog is the hicard gate's (value bumps re-ranking "
+        "leaders, customer re-points moving value sets between groups, "
+        "deletes shrinking below k so the pads must return to NULL) "
+        "across maxRecordsPerBatch=25 boundaries; the oracle pivots "
+        "ROW_NUMBER over the distinct (cust, v) pairs. Rides the "
+        "epoch-backed support fold (O(|batch|) writes per trigger, the "
+        "r17 landing) with the per-customer group domain; serve sorts "
+        "each group's live DISTINCT value set and takes k — bounded by "
+        "the support rows, never a rescan of fact state. Eviction "
+        "semantics additionally unit-pinned by "
+        "tests/test_join_ivm_outer.py::TestTopkPerGroup.",
+)
+def cdc_stream_ivm_topk_per_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _register_source(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"pgcdc_ivmtk_{run}_")
+    arch = os.path.join(base, "wal")
+
+    from postgresql_cdc_spark.streaming import join_ivm
+    from postgresql_cdc_spark.streaming.source import write_wal_archive
+
+    write_wal_archive(arch, _hc_frames())
+    state = os.path.join(base, "state")
+    os.makedirs(state)
+
+    spec = join_ivm.JoinViewSpec(
+        fact_ddl="id long, cust long, v int, op string, lsn long",
+        fact_key="id",
+        fact_payload=("cust", "v"),
+        group_cols=("cust",),
+        measures=(("dq", "v"),),
+        topks=(("top", "v", "int", 3, "max"),),
+        sums_backend="epoch",
+    )
+
+    def ivm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = batch_df.select(
+            F.element_at("columns", "id").cast("long").alias("id"),
+            F.element_at("columns", "cust").cast("long").alias("cust"),
+            F.element_at("columns", "v").cast("int").alias("v"),
+            "op", "lsn",
+        )
+        join_ivm.apply_batch(
+            batch_df.sparkSession, state, batch_id, None, decoded,
+            spec=spec,
+        )
+
+    stream = (
+        spark.readStream.format("pgcdc")
+        .option("path", arch)
+        .option("maxRecordsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivm_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    _drain_bounded(q)
+
+    return join_ivm.latest_view(spark, state, spec).select(
+        "cust", F.col("dn").alias("n_rows"), F.col("dq").alias("total"),
+        F.col("top1").cast("int").alias("top1"),
+        F.col("top2").cast("int").alias("top2"),
+        F.col("top3").cast("int").alias("top3"),
+    )
+
+
 # --- LEFT-OUTER-join IVM via the factorized-view pattern (r15) ----------------
 
 @register(

@@ -239,6 +239,16 @@ class JoinViewSpec:
     dims: tuple[DimSpec, ...] = ()
     extrema: tuple[tuple[str, str, str, str], ...] = ()
     distincts: tuple[tuple[str, str, str], ...] = ()
+    # ``(name, expr, vtype, k, 'max'|'min')`` entries — K-EXTREMA, the
+    # generalization of MIN/MAX the support construction gives for free:
+    # the k largest ('max') or smallest ('min') DISTINCT live values of
+    # ``expr`` per group, served as columns ``<name>1 .. <name>k``
+    # (NULL-padded when a group has fewer values). Rides the SAME
+    # (group, value) -> live-count support table as extrema/distincts
+    # over the same expression — a leaderboard view costs no extra state
+    # beyond the multiset MIN/MAX already keep, and deletes evicting a
+    # current top value stay exact by construction.
+    topks: tuple[tuple[str, str, str, int, str], ...] = ()
     # 'inner' (default): the N-ary counting-IVM delta rule. 'left' /
     # 'right' / 'full': the FACTORIZED outer-join construction real
     # engines use instead of a monolithic outer delta rule — maintain the
@@ -323,10 +333,26 @@ class JoinViewSpec:
                     "source (one dim payload or the fact payload); found "
                     f"{len(self._group_sources(g))}"
                 )
+        for name, _expr, _vtype, k, kind in self.topks:
+            if not (1 <= int(k) <= 100):
+                raise ValueError(
+                    f"topk {name!r}: k must be in [1, 100], got {k} (the "
+                    "served columns are materialized per rank)"
+                )
+            if kind not in ("min", "max"):
+                raise ValueError(
+                    f"topk {name!r}: kind must be 'min' or 'max', got "
+                    f"{kind!r}"
+                )
         names = (
             [n for n, _ in self.measures]
             + [e[0] for e in self.extrema]
             + [d[0] for d in self.distincts]
+            # a topk named 'top' with k=3 serves top1..top3 — both the
+            # base name and every generated name must be clash-free
+            + [t[0] for t in self.topks]
+            + [f"{t[0]}{i}" for t in self.topks
+               for i in range(1, int(t[3]) + 1)]
         )
         # case-INSENSITIVE, matching Spark's default column resolution: a
         # measure named 'DN' or 'GRP' would otherwise pass here and fail
@@ -399,6 +425,7 @@ class JoinViewSpec:
                 [(f"measure {n!r}", e) for n, e in self.measures]
                 + [(f"extrema {e[0]!r}", e[2]) for e in self.extrema]
                 + [(f"distinct {d[0]!r}", d[1]) for d in self.distincts]
+                + [(f"topk {t[0]!r}", t[1]) for t in self.topks]
             ):
                 hit = sorted(
                     t for t in re.findall(
@@ -527,6 +554,8 @@ class JoinViewSpec:
             slot(expr, vtype)[3].append((name, kind))
         for name, expr, vtype in self.distincts:
             slot(expr, vtype)[3].append((name, "count"))
+        for name, expr, vtype, k, kind in self.topks:
+            slot(expr, vtype)[3].append((name, ("topk", int(k), kind)))
         return tuple((p, e, v, tuple(nk)) for p, e, v, nk in out)
 
     @property
@@ -1588,6 +1617,44 @@ def _read_store_upto(
     )
 
 
+def _supp_aggs(named, distinct_vals: bool):
+    """Aggregate expressions re-deriving every support-backed measure
+    from the live (group, value) rows, plus the post-groupBy topk
+    expansions. ``distinct_vals=True`` is the OUTER serve's case — the
+    rows were joined through the dim, so one value may repeat across FKs
+    mapping to one group and distinct counts need ``countDistinct``
+    (topks are immune: ``collect_set`` de-dupes by construction)."""
+    aggs, expansions = [], []
+    for name, kind in named:
+        if isinstance(kind, tuple):  # ('topk', k, 'min'|'max')
+            _tag, k, direction = kind
+            arr = F.slice(
+                F.sort_array(F.collect_set("__v"),
+                             asc=(direction == "min")),
+                1, int(k),
+            )
+            aggs.append(arr.alias(f"__arr_{name}"))
+            expansions.append((name, int(k)))
+        elif kind == "count" and distinct_vals:
+            aggs.append(F.countDistinct("__v").alias(name))
+        else:
+            aggs.append(getattr(F, kind)("__v").alias(name))
+    return aggs, expansions
+
+
+def _expand_topks(df: DataFrame, expansions) -> DataFrame:
+    """Split each collected top-k array into its ``<name>1..<name>k``
+    rank columns, NULL-padded — ``F.get`` (unlike ``element_at``) stays
+    NULL past the array's end under ANSI mode instead of raising."""
+    for name, k in expansions:
+        for i in range(1, k + 1):
+            df = df.withColumn(
+                f"{name}{i}", F.get(F.col(f"__arr_{name}"), i - 1)
+            )
+        df = df.drop(f"__arr_{name}")
+    return df
+
+
 def _null_safe_group_join(left: DataFrame, right: DataFrame,
                           group_cols, how: str) -> DataFrame:
     """Equi-join on the group columns with NULL-safe equality (a group
@@ -1683,9 +1750,8 @@ def latest_view(
     if spec.join_type != "inner":
         return _serve_outer(spark, base, spec, out, supp_lives)
     for _prefix, named, live in supp_lives:
-        agg = live.groupBy(*groups).agg(*[
-            getattr(F, kind)("__v").alias(name) for name, kind in named
-        ])
+        aggs, exp = _supp_aggs(named, distinct_vals=False)
+        agg = _expand_topks(live.groupBy(*groups).agg(*aggs), exp)
         out = _null_safe_group_join(out, agg, groups, "left")
     return _finish_view(spec, out)
 
@@ -1710,6 +1776,8 @@ def _finish_view(spec: JoinViewSpec, out: DataFrame) -> DataFrame:
             *spec.group_cols, "dn", *[n for n, _ in spec.measures],
             *[e[0] for e in spec.extrema],
             *[d[0] for d in spec.distincts],
+            *[f"{t[0]}{i}" for t in spec.topks
+              for i in range(1, int(t[3]) + 1)],
         )
     if not spec.group_cols:
         count_names = {
@@ -1798,11 +1866,8 @@ def _serve_outer(
     supp_how = "inner" if spec.join_type == "right" else "left_outer"
     for _prefix, named, live in supp_lives:
         sj = live.join(dside, F.col(fk) == F.col("__dk"), supp_how)
-        agg = sj.groupBy(*gexprs()).agg(*[
-            (F.countDistinct("__v") if kind == "count"
-             else getattr(F, kind)("__v")).alias(name)
-            for name, kind in named
-        ])
+        aggs, exp = _supp_aggs(named, distinct_vals=True)
+        agg = _expand_topks(sj.groupBy(*gexprs()).agg(*aggs), exp)
         out = _null_safe_group_join(
             out, agg, list(spec.group_cols), "left"
         )

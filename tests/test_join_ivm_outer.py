@@ -259,6 +259,63 @@ class TestEpochBackedSupports:
         assert got == want, "crashed support partial leaked into a serve"
 
 
+class TestTopkPerGroup:
+    @pytest.mark.parametrize("backend", ["versioned", "epoch"])
+    def test_topk_tracks_evictions(self, spark, tmp_path, backend):
+        """K-extrema through the support construction: the top-3
+        distinct values per group must survive deletes evicting the
+        current maximum (the case a max-only or sketch maintenance gets
+        wrong), NULL-pad groups with fewer values, and share the
+        support table with MIN/COUNT(DISTINCT) over the same column."""
+        spec = JoinViewSpec(
+            fact_ddl="id long, cust long, v int, op string, lsn long",
+            fact_key="id",
+            fact_payload=("cust", "v"),
+            group_cols=("cust",),
+            distincts=(("n_v", "v", "int"),),
+            topks=(("top", "v", "int", 3, "max"),),
+            sums_backend=backend,
+        )
+        # one physical support table backs both aggregates
+        assert len(spec.supp_tables) == 1
+        state = str(tmp_path / f"state_{backend}")
+        os.makedirs(state)
+
+        def batch(rows):
+            return spark.createDataFrame(
+                rows, "id long, cust long, v int, op string, lsn long"
+            )
+
+        apply_batch(spark, state, 0, None, batch([
+            (1, 1, 50, "I", 10), (2, 1, 30, "I", 11), (3, 1, 40, "I", 12),
+            (4, 1, 30, "I", 13), (5, 1, 10, "I", 14),
+            (6, 2, 7, "I", 15),
+        ]), spec=spec)
+        got = {
+            (r.cust, r.dn, r.n_v, r.top1, r.top2, r.top3)
+            for r in latest_view(spark, state, spec).collect()
+        }
+        assert got == {(1, 5, 4, 50, 40, 30), (2, 1, 1, 7, None, None)}
+        # delete the current max (50) and one mid value's only carrier
+        apply_batch(spark, state, 1, None, batch([
+            (1, None, None, "D", 20), (3, None, None, "D", 21),
+        ]), spec=spec)
+        got = {
+            (r.cust, r.dn, r.n_v, r.top1, r.top2, r.top3)
+            for r in latest_view(spark, state, spec).collect()
+        }
+        assert got == {(1, 3, 2, 30, 10, None), (2, 1, 1, 7, None, None)}
+        # a value with TWO carriers survives one carrier's delete
+        apply_batch(spark, state, 2, None, batch([
+            (2, None, None, "D", 30),
+        ]), spec=spec)
+        got = {
+            (r.cust, r.top1, r.top2, r.top3)
+            for r in latest_view(spark, state, spec).collect()
+        }
+        assert got == {(1, 30, 10, None), (2, 7, None, None)}
+
+
 class TestGlobalAggregateServe:
     @pytest.mark.parametrize("backend", ["versioned", "epoch"])
     def test_group_less_view_serves_zero_row_after_drain(
