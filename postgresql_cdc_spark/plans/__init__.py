@@ -440,70 +440,23 @@ def tables_of(q: Query) -> set[str]:
 # inert on its own — no hand-removal needed. name -> round of the now-stale
 # stamp.
 _PIN_UNTIL_STAMPED_AFTER = {
-    # (Pins from r6-r15 that have since gone inert — their targets carry
-    # newer driver stamps — were pruned in r16; git history preserves the
+    # (Pins from r6-r16 that have since gone inert — their targets carry
+    # newer driver stamps; the r16 window stamped every pinned query and
+    # the whole r9 cohort — were pruned in r17; git history preserves the
     # full ledger.)
     #
-    # r16: the join-IVM kernel was GENERALIZED (JoinViewSpec: N dims via
-    # DimSpec, support-counted extrema measures, dimensionless mode;
-    # apply_batch/join_deltas rewritten around the N-ary delta rule) —
-    # every kernel adopter re-stamps over the new code path. The min gate
-    # was additionally REWIRED through the spec (same oracle), and the
-    # left-join gate's serve now probe-prunes the dim read
-    # (probe_key_state).
-    "cdc_stream_ivm_join_sums": 15,
-    "cdc_stream_ivm_join_revenue": 15,
-    "cdc_stream_ivm_min_maintenance": 15,
-    "cdc_stream_ivm_left_join": 15,
-    # r16: fold_epoch_store gained the below-base-horizon guard and
-    # probe_by_keys the string-surrogate ranges — error-path / key-type
-    # extensions, but these gates run the changed functions live, so one
-    # conservative re-stamp each.
-    "cdc_stream_ivm_sums_hicard": 15,
-    "cdc_stream_ivm_group_sums": 15,
-    "cdc_foreachbatch_upsert": 15,
-    # r16: the epoch-maintenance fsync walk now WARNS on tolerated
-    # permission refusals — error-path-only; conservative re-stamp of the
-    # live maybe_compact consumers.
-    "cdc_stream_incremental_dedup": 15,
-    "cdc_stream_vector_index": 15,
-    "cdc_stream_bm25_stats": 15,
-    # r16 hygiene restamp of the full r9 cohort (the verdict's item 2:
-    # these 33 stamps are 7 rounds old — 8 were judge-re-verified in r15,
-    # so risk is low, but no stamp should age past the window's reach).
-    "agg_listagg_ordered": 9,
-    "agg_percentile_cont": 9,
-    "agg_percentile_disc": 9,
-    "agg_pivot_linestatus": 9,
-    "agg_unpivot_measures": 9,
-    "asof_tolerance_recent_signups": 9,
-    "cdc_conflict_detection": 9,
-    "cdc_image_sparsity_report": 9,
-    "cdc_log_compaction_stats": 9,
-    "cdc_stream_session_windows": 9,
-    "cdc_stream_sliding_counts": 9,
-    "events_bounce_rate": 9,
-    "events_funnel_steps": 9,
-    "events_funnel_time_to_convert": 9,
-    "events_gapfill_locf": 9,
-    "events_heavy_hitters": 9,
-    "events_retention_cohorts": 9,
-    "join_bloomlike_prefilter": 9,
-    "join_correlated_scalar_subq": 9,
-    "join_inline_values_dim": 9,
-    "join_interval_overlap": 9,
-    "join_not_in_null_semantics": 9,
-    "join_preagg_pushdown": 9,
-    "layout_compaction_roundtrip": 9,
-    "layout_zorder_file_stats": 9,
-    "nested_struct_roundtrip": 9,
-    "orders_cumulative_customers": 9,
-    "scalar_date_arithmetic": 9,
-    "skyline_pareto_3d": 9,
-    "source_text_roundtrip": 9,
-    "stats_column_profile": 9,
-    "union_schema_drift": 9,
-    "window_topk_two_phase": 9,
+    # r17: the outer-join gates were REWIRED through the kernel
+    # (JoinViewSpec(join_type=...) replacing the hand-composed M1 + dim
+    # serves — same oracles, wholesale new implementation path), so each
+    # re-stamps over the new code. The other kernel adopters changed only
+    # via the shared refactor (epoch-backed supports, probe-collect
+    # collapse, serve epilogue split) and were re-verified against the
+    # oracle at sf0.01 this round (see README r17 closing notes); they
+    # are left unpinned so the freed window slots restamp the r10 cohort
+    # (the r16 verdict's item 3).
+    "cdc_stream_ivm_left_join": 16,
+    "cdc_stream_ivm_right_outer_join": 16,
+    "cdc_stream_ivm_full_outer_join": 16,
 }
 
 
