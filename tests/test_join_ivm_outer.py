@@ -37,6 +37,7 @@ def _outer_spec(join_type: str) -> JoinViewSpec:
         measures=(("total", "amount"),),
         extrema=(("max_amt", "max", "amount", "int"),),
         distincts=(("n_amounts", "amount", "int"),),
+        topks=(("top", "amount", "int", 2, "max"),),
         dims=(DimSpec(ddl=DIM_DDL, key="id", payload=("grp",),
                       fact_fk="did"),),
         join_type=join_type,
@@ -82,12 +83,15 @@ def _expected(join_type: str, dims: dict, facts: dict):
     out = set()
     for g, amounts in agg.items():
         live = [a for a in amounts if a is not None]
+        ranked = sorted(set(live), reverse=True)
         out.add((
             g,
             len(amounts),
             sum(live) if live else None,
             max(live) if live else None,
             len(set(live)),
+            ranked[0] if len(ranked) > 0 else None,
+            ranked[1] if len(ranked) > 1 else None,
         ))
     return out
 
@@ -120,7 +124,7 @@ class TestOuterJoinViews:
             d, f = _route(spark, wave)
             apply_batch(spark, state, bid, d, f, spec=spec)
         got = {
-            (r.grp, r.dn, r.total, r.max_amt, r.n_amounts)
+            (r.grp, r.dn, r.total, r.max_amt, r.n_amounts, r.top1, r.top2)
             for r in latest_view(spark, state, spec).collect()
         }
         assert got == _expected(join_type, dims, facts), (join_type, got)
@@ -128,7 +132,7 @@ class TestOuterJoinViews:
         d, f = _route(spark, waves[-1])
         apply_batch(spark, state, len(waves) - 1, d, f, spec=spec)
         again = {
-            (r.grp, r.dn, r.total, r.max_amt, r.n_amounts)
+            (r.grp, r.dn, r.total, r.max_amt, r.n_amounts, r.top1, r.top2)
             for r in latest_view(spark, state, spec).collect()
         }
         assert again == got
@@ -148,7 +152,7 @@ class TestOuterJoinViews:
             d, f = _route(spark, wave)
             apply_batch(spark, state, bid, d, f, spec=spec)
         got = {
-            (r.grp, r.dn, r.total, r.max_amt, r.n_amounts)
+            (r.grp, r.dn, r.total, r.max_amt, r.n_amounts, r.top1, r.top2)
             for r in latest_view(spark, state, spec).collect()
         }
         assert got == _expected("left", dims, facts)
