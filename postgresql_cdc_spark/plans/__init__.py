@@ -447,16 +447,26 @@ _PIN_UNTIL_STAMPED_AFTER = {
     #
     # r17: the outer-join gates were REWIRED through the kernel
     # (JoinViewSpec(join_type=...) replacing the hand-composed M1 + dim
-    # serves — same oracles, wholesale new implementation path), so each
-    # re-stamps over the new code. The other kernel adopters changed only
-    # via the shared refactor (epoch-backed supports, probe-collect
-    # collapse, serve epilogue split) and were re-verified against the
-    # oracle at sf0.01 this round (see README r17 closing notes); they
-    # are left unpinned so the freed window slots restamp the r10 cohort
-    # (the r16 verdict's item 3).
+    # serves — same oracles, wholesale new implementation path), and the
+    # kernel itself was refactored under every adopter (epoch-backed
+    # support folds, the probe-collect collapse, the _fold_view_delta /
+    # _finish_view serve split, prefix-aware string surrogates) — so
+    # every gate running live join_ivm code re-stamps, the r16
+    # convention for comparable refactors. This front-loads 11 slots;
+    # the remaining ~35 restamp the stalest of the r10 cohort, with the
+    # leftover finishing in r18 (the tradeoff is recorded in README's
+    # r17 notes).
     "cdc_stream_ivm_left_join": 16,
     "cdc_stream_ivm_right_outer_join": 16,
     "cdc_stream_ivm_full_outer_join": 16,
+    "cdc_stream_ivm_join_sums": 16,
+    "cdc_stream_ivm_join_revenue": 16,
+    "cdc_stream_ivm_min_maintenance": 16,
+    "cdc_stream_ivm_count_distinct": 16,
+    "cdc_stream_ivm_snowflake": 16,
+    "cdc_stream_ivm_dim_chain": 16,
+    "cdc_stream_ivm_sums_hicard": 16,
+    "cdc_stream_ivm_group_sums": 16,
 }
 
 

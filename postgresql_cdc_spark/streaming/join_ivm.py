@@ -20,11 +20,23 @@ rule contributes one term per relation with the triangular new/old split
 OLD). The running aggregate is only ever ADJUSTED (|groups| + |delta|
 rows per batch); history is never recomputed. Measures are abelian SUMs
 plus an implicit COUNT; the non-delta-adjustable aggregates — MIN/MAX
-extrema and COUNT(DISTINCT) — are maintained through per-expression
-SUPPORT tables ((group, value) -> live count; the textbook
-eviction-safe construction) folded from the same signed view deltas and
-re-derived at serve time (extrema as MIN/MAX over the live values,
-distinct counts as the number of live values).
+extrema, COUNT(DISTINCT), and k-extrema (top-k per group) — are
+maintained through per-expression SUPPORT tables ((group, value) ->
+live count; the textbook eviction-safe construction) folded from the
+same signed view deltas and re-derived at serve time (extrema as
+MIN/MAX over the live values, distinct counts as the number of live
+values, top-k as the k best). Support folds ride either backend:
+versioned (small group domains) or the epoch store
+(``sums_backend='epoch'`` — O(|batch|) writes per trigger for
+high-cardinality domains, serve reads anchored to the sums store's
+newest committed epoch).
+
+OUTER joins (``JoinViewSpec(join_type='left'|'right'|'full')``) use the
+FACTORIZED construction instead of the delta rule: the per-FK fact
+aggregate M1 and the dim kv state maintain as two independent
+single-table views (dim changes never rewrite M1) and the serve
+outer-joins the two small maintained tables and re-groups — danglers on
+either side surface exactly as SQL's outer semantics require.
 
 State layout (all under one base directory; multi-dim specs keep one
 ``dim_<name>_kv`` and one ``fact_by_<name>`` arrangement PER dimension,
@@ -1476,7 +1488,12 @@ def join_deltas(
         epoch / the scratch carrier), so the collect executes a cheap
         parquet read, never a join subtree."""
         cols = [spec.dims[i].fact_fk for i in idxs]
-        rows = keys_src.select(*cols).collect()
+        # tuple-DISTINCT before the collect: bounded by the batch's
+        # distinct FK combinations, so a delta with heavy FK repetition
+        # ships thousands of rows to the driver, not millions (r17
+        # review — the per-column distinct the old per-dim probes did,
+        # approximated in one job)
+        rows = keys_src.select(*cols).distinct().collect()
         return {i: [r[j] for r in rows] for j, i in enumerate(idxs)}
 
     def _join_dim_state(
@@ -1516,8 +1533,11 @@ def join_deltas(
     terms = []
 
     # term 0: dF joined to every dimension's old state — ONE collect of
-    # the fact delta's FK columns serves all N probes
-    fk0 = _fk_lists(f_delta_w, list(range(len(spec.dims))))
+    # the fact delta's FK columns serves all N probes. Guarded on dims:
+    # for a dimensionless spec f_delta_w is the LAZY diff plan, and a
+    # zero-column collect would execute it once for nothing (r17 review)
+    fk0 = _fk_lists(f_delta_w, list(range(len(spec.dims)))) \
+        if spec.dims else {}
     c = f_delta_w
     for i in range(len(spec.dims)):
         c = _join_dim_state(c, fk0[i], i, before=bid)
@@ -1569,11 +1589,19 @@ def join_deltas(
 
 
 def _newest_epoch(store: str) -> int:
-    """The store's newest COMMITTED epoch: the largest live partial id,
-    falling back to (base horizon - 1) when every epoch has been folded.
-    This is the serve-time anchor for epoch-backed support reads — the
-    epoch analog of ``prev_version(.., sums + 1)``."""
-    best = None
+    """The store's newest COMMITTED epoch: the largest LIVE partial id,
+    or (base horizon - 1) when the base fold is newer than every
+    surviving partial. This is the serve-time anchor for epoch-backed
+    support reads — the epoch analog of ``prev_version(.., sums + 1)``.
+
+    Partials BELOW the base horizon are stale sweep leftovers (a
+    compaction may crash between its manifest commit and the sweep —
+    documented crash-safe-to-skip), already folded into the base and
+    invisible to every manifest-aware read; counting one here would
+    under-report the anchor and serve pre-fold sums next to older
+    supports (r17 review)."""
+    upto = base_upto(store)
+    best = upto - 1
     try:
         names = os.listdir(store)
     except OSError:
@@ -1586,10 +1614,8 @@ def _newest_epoch(store: str) -> int:
             k = int(n[len(tag):])
         except ValueError:
             continue
-        if k >= 0 and (best is None or k > best):
+        if k >= upto and k > best:
             best = k
-    if best is None:
-        return base_upto(store) - 1
     return best
 
 
@@ -1786,16 +1812,21 @@ def _finish_view(spec: JoinViewSpec, out: DataFrame) -> DataFrame:
             for name, kind in named
             if kind == "count"
         }
-        if out.limit(1).count() == 0:
-            out = out.sparkSession.range(1).select(*[
+        # a global view serves AT MOST one row — collect it once instead
+        # of probing emptiness with limit(1).count() and then letting the
+        # caller re-execute the whole serve plan (r17 review)
+        spark = out.sparkSession
+        rows = out.collect()
+        if rows:
+            out = spark.createDataFrame(rows, out.schema).withColumn(
+                "dn", F.coalesce(F.col("dn"), F.lit(0).cast("long"))
+            )
+        else:
+            out = spark.range(1).select(*[
                 F.lit(0 if f.name == "dn" or f.name in count_names
                       else None).cast(f.dataType).alias(f.name)
                 for f in out.schema.fields
             ])
-        else:
-            out = out.withColumn(
-                "dn", F.coalesce(F.col("dn"), F.lit(0).cast("long"))
-            )
     return out
 
 
@@ -2134,16 +2165,9 @@ def mixed_chain_spec_pair() -> tuple:
     ``apply_chain_batch`` composes with ``dims=N`` downstream specs, not
     only the 1-dim downstream the plain chain uses. One source for the
     gate (`cdc_stream_ivm_mixed_chain`), the kernel fuzz's mixed
-    schedules, and the soak."""
-    comp = JoinViewSpec(
-        fact_ddl="cid long, nk long, seg int, op string, lsn long",
-        fact_key="cid",
-        fact_payload=("nk", "seg"),
-        group_cols=("cid", "seg", "region"),
-        measures=(),
-        dims=(DimSpec(ddl="nk long, region int, op string, lsn long",
-                      key="nk", payload=("region",), fact_fk="nk"),),
-    )
+    schedules, and the soak. The composite IS the plain chain's — one
+    definition (r17 review: no spec twins)."""
+    comp, _ = chain_spec_pair()
     fact = JoinViewSpec(
         fact_ddl="oid long, cid long, ch long, amount int, "
                  "op string, lsn long",
