@@ -40,12 +40,16 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # These corpora feed per-row kernels (md5 shingle hashing, minhash
         # signatures, plane folds) whose cost dwarfs the scan. A real corpus
         # arrives in thousands of splits and parallelizes for free; the
-        # single-file fixture scans as ONE task and would serialize the whole
-        # pipeline, so fan out only when the scan itself under-parallelizes.
-        # The exchange moves kilobytes here and never fires on real inputs.
+        # single-file fixture scans as ONE task (one parquet row group) and
+        # would serialize the whole pipeline, so fan out only when the scan
+        # itself under-parallelizes. The exchange moves kilobytes here and
+        # never fires on real inputs. Fan out to the FULL core count: the
+        # md5-shingle kernel measured 0.8 s at 32 slices vs 1.1 s at the old
+        # 16-slice cap vs 4.4 s unspread (r17, sf0.1 documents); the target
+        # tracks defaultParallelism so lower-core runs fan out less, not more.
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < min(target, 16):
-            df = df.repartition(min(target, 16))
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

@@ -39,7 +39,13 @@ _BM25_TERMS = ("spark", "hash", "window", "dup")
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Shared reader with the under-parallelized-scan fan-out for the
+    # kernel-heavy corpora (documents/embeddings): the single-row-group
+    # fixture otherwise serializes the tokenize/md5 stage into one task
+    # (see plans.extensions.T).
+    from postgresql_cdc_spark.plans.extensions import T as _T
+
+    return _T(spark, sf_dir, name)
 
 
 def _term_score(t: str) -> str:
