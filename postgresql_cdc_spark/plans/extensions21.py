@@ -225,7 +225,19 @@ def _ivfpq_topk(spark: SparkSession, e: DataFrame, k: int = _TOPK,
         "array(" + ",".join(_arr_lit(c) for c in cents) + ")"
     )
     qv = sim.quantize_sql("embedding")
-    rsd = _residuals(e, cents)
+    # The corpus-side encode evaluates 8x16 codeword distances per vector; on
+    # the single-row-group fixture the scan is ONE task and serializes that
+    # kernel (and the downstream ADC probe join, which keys off the encode's
+    # partitioning). Fan the corpus side out to the core count before the
+    # encode — measured at sf0.1: encode 1.0 s -> 0.5 s, encode+ADC
+    # 1.8 s -> 0.8 s. Real corpora arrive in many splits and never hit this;
+    # the guard keeps multi-split inputs untouched. The query side stays
+    # unspread: it is a ~1% row sample whose LUT projection is broadcast.
+    corpus = e
+    target = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target)
+    rsd = _residuals(corpus, cents)
     enc = rsd.select(
         F.col("vec_id").alias("neighbor_id"),
         "cell",
