@@ -231,9 +231,16 @@ def main() -> int:
         if fn is None:
             continue
         # C2 tiered compilation needs several executions, not one: warm
-        # until a run stops improving by >25% over its predecessor (max 4),
-        # so the timed passes measure the operator, not the JIT curve.
-        prev = None
+        # until the curve FLATTENS (max 4), so the timed passes measure the
+        # operator, not the JIT curve. r17 measurement fix: the old stop
+        # rule ("improved <25% on the predecessor") misfired when a noisy
+        # pass REGRESSED — an observed warm-up sequence [6.5s, 22.9s]
+        # stopped after two passes while the isolated curve reads
+        # 11.1 / 6.5 / 2.8 / 1.4 / 1.25 (steady ~1.3s), leaving the timed
+        # passes on the JIT curve. Flattened now means: no >25% improvement
+        # on the BEST pass so far AND not a >1.5x spike over it (a spike is
+        # contention, not convergence — keep warming).
+        best = None
         for _ in range(4):
             elapsed, err = _run_capped(spark, name, fn, sf_dir,
                                        PER_QUERY_CAP_S)
@@ -246,9 +253,9 @@ def main() -> int:
             warmup_cold.setdefault(name, []).append(round(elapsed, 3))
             print(f"  [warmup] {name}: {round(elapsed, 3)}s (untimed)",
                   file=sys.stderr, flush=True)
-            if prev is not None and elapsed > prev * 0.75:
+            if best is not None and best * 0.75 <= elapsed <= best * 1.5:
                 break
-            prev = elapsed
+            best = elapsed if best is None else min(best, elapsed)
 
     plan = [("__calibration__", _calibration)] + [
         (name, overrides.get(name)) for name in BENCH_QUERIES
@@ -325,11 +332,14 @@ def main() -> int:
             "cdc_materialize_state": "timed work = merge operator only "
             "(changelog pre-synthesized, untimed) since r8; baseline row "
             "included ~6.7s synthesis. Since r10 UP TO FOUR untimed JIT "
-            "warm-up executions precede the timed passes, stopping once "
-            "a run improves <25% on its predecessor (r8 root-caused the "
-            "8.5/3.1/1.3s pass profile to C2 compilation of the wide "
+            "warm-up executions precede the timed passes (r8 root-caused "
+            "the 8.5/3.1/1.3s pass profile to C2 compilation of the wide "
             "merge codegen), so the median reports the operator's steady "
-            "state; every cold run stays visible below. Since r11 the "
+            "state; every cold run stays visible below. Since r17 the "
+            "early-stop compares against the BEST warm-up pass so far and "
+            "keeps warming through >1.5x contention spikes (the old "
+            "predecessor-based <25% rule stopped on a noisy regressing "
+            "pass and left the timed passes on the JIT curve). Since r11 the "
             "global budget clock starts BEFORE warm-up (warm-up spend "
             "counts against the deadline; rep 0 still always runs), so "
             "total bench wall-clock is bounded by GLOBAL_BUDGET_S plus "

@@ -209,15 +209,24 @@ def minhash_lsh_pairs(
 
     # band keys straight from shh in one generated expression — every minhash
     # member is named exactly once, so nothing is recomputed and no signature
-    # frame needs persisting (see _band_keys_from_shh_sql).
+    # frame needs persisting (see _band_keys_from_shh_sql). Bucket rows CARRY
+    # the owning doc's shingle count (one extra int on 4 rows/doc): the
+    # size-ratio prune (Jaccard <= min/max) then applies inside the bucket
+    # self-join — BEFORE the distinct — and the two post-candidate size
+    # joins (plus their broadcast builds) disappear outright (r17: 19 -> 17
+    # Spark jobs per run, identical pairs).
     buckets = (
         base.select(
             "id",
+            F.size("shh").alias("n_sh"),
             F.explode(
                 F.expr(_band_keys_from_shh_sql("shh", bands, rows))
             ).alias("bk"),
         )
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+        .select(
+            "id", "n_sh",
+            F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"),
+        )
         .persist()
     )
     # cap pathological buckets (skew guard)
@@ -228,29 +237,16 @@ def minhash_lsh_pairs(
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-
-    # Verification = exact shingle Jaccard on candidates only. Sizes attach
-    # to the candidate pairs BEFORE the double posting join, enabling the
-    # size-ratio prune (Jaccard <= min/max; see ngram_jaccard_pairs) to drop
-    # can't-qualify pairs before the expensive per-shingle fan-out — and the
-    # post-aggregation size joins disappear (sizes ride through the groupBy).
-    sizes = base.select("id", F.size("shh").alias("n_sh"))
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    cand = (
-        cand.join(sa, cand.id_a == F.col("sa.id"))
-        .join(sb, cand.id_b == F.col("sb.id"))
         .where(
-            F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+            F.least(F.col("a.n_sh"), F.col("b.n_sh"))
             >= (threshold - 1e-6)
-            * F.greatest(F.col("sa.n_sh"), F.col("sb.n_sh"))
+            * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
         )
         .select(
-            "id_a", "id_b",
-            F.col("sa.n_sh").alias("na"), F.col("sb.n_sh").alias("nb"),
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"),
         )
+        .distinct()
     )
     inter = (
         base.select("id", F.explode("shh").alias("sh_hash"))
@@ -280,8 +276,11 @@ class LshIndex(NamedTuple):
     """Materializable MinHash-LSH index of a corpus — the three skinny tables
     a deployment writes once at admission time and probes on every ingest:
 
-    - ``buckets``  (id, band, bucket): LSH band keys
-    - ``sizes``    (id, n_sh): shingle count, for the size-ratio prune
+    - ``buckets``  (id, n_sh, band, bucket): LSH band keys; each row carries
+      the owning doc's shingle count so probe joins apply the size-ratio
+      prune in place of two post-candidate size joins (r17)
+    - ``sizes``    (id, n_sh): shingle count, one row per doc (kept for
+      consumers that need per-doc sizes without the 4x band fan-out)
     - ``postings`` (id, sh_hash): shingle posting list, for exact verification
 
     At 100 TB each is written bucketed/sorted by its join key — buckets by
@@ -321,12 +320,13 @@ def build_lsh_index(
     buckets = (
         base.select(
             "id",
+            F.size("shh").alias("n_sh"),
             F.explode(
                 F.expr(_band_keys_from_shh_sql("shh", bands, rows))
             ).alias("bk"),
         )
         .select(
-            "id", F.col("bk.band").alias("band"),
+            "id", "n_sh", F.col("bk.band").alias("band"),
             F.col("bk.bucket").alias("bucket"),
         )
     )
@@ -384,33 +384,25 @@ def minhash_lsh_incremental(
         "left_anti",
     )
 
+    # Candidates carry both docs' shingle counts straight off the bucket
+    # rows (see ``build_lsh_index``): the size-ratio prune (Jaccard <=
+    # min/max) applies inside the probe join, BEFORE the distinct, and the
+    # two post-candidate size joins (plus their broadcast builds) disappear
+    # — the same r17 collapse as ``minhash_lsh_pairs``.
     bb, cb = bi.buckets.alias("bb"), buckets_c.alias("cb")
     cand = (
         bb.join(cb, ["band", "bucket"])
+        .where(
+            F.least(F.col("bb.n_sh"), F.col("cb.n_sh"))
+            >= (threshold - 1e-6)
+            * F.greatest(F.col("bb.n_sh"), F.col("cb.n_sh"))
+        )
         .select(
             F.col("bb.id").alias("batch_id"),
             F.col("cb.id").alias("corpus_id"),
+            F.col("bb.n_sh").alias("na"), F.col("cb.n_sh").alias("nb"),
         )
         .distinct()
-    )
-
-    # Verification = exact shingle Jaccard on candidates only, with the
-    # size-ratio prune applied before the per-shingle fan-out (sizes then
-    # ride through the groupBy — no post-aggregation joins).
-    sz_b = bi.sizes.alias("sa")
-    sz_c = ci.sizes.alias("sb")
-    cand = (
-        cand.join(sz_b, cand.batch_id == F.col("sa.id"))
-        .join(sz_c, cand.corpus_id == F.col("sb.id"))
-        .where(
-            F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
-            >= (threshold - 1e-6)
-            * F.greatest(F.col("sa.n_sh"), F.col("sb.n_sh"))
-        )
-        .select(
-            "batch_id", "corpus_id",
-            F.col("sa.n_sh").alias("na"), F.col("sb.n_sh").alias("nb"),
-        )
     )
     post_b = bi.postings.alias("ia")
     post_c = ci.postings.alias("ib")
