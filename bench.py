@@ -230,17 +230,17 @@ def main() -> int:
         )
         if fn is None:
             continue
-        # C2 tiered compilation needs several executions, not one: warm
-        # until the curve FLATTENS (max 4), so the timed passes measure the
-        # operator, not the JIT curve. r17 measurement fix: the old stop
-        # rule ("improved <25% on the predecessor") misfired when a noisy
-        # pass REGRESSED — an observed warm-up sequence [6.5s, 22.9s]
-        # stopped after two passes while the isolated curve reads
-        # 11.1 / 6.5 / 2.8 / 1.4 / 1.25 (steady ~1.3s), leaving the timed
-        # passes on the JIT curve. Flattened now means: no >25% improvement
-        # on the BEST pass so far AND not a >1.5x spike over it (a spike is
-        # contention, not convergence — keep warming).
-        best = None
+        # C2 tiered compilation needs several executions, not one: run ALL
+        # four warm-up passes, so the timed passes measure the operator, not
+        # the JIT curve. r17 measurement fix: every early-stop heuristic
+        # tried misread the curve under box noise — the r10 "improved <25%
+        # on the predecessor" rule stopped on a noisy regressing pass
+        # (observed warm-up [6.5s, 22.9s] while the isolated curve reads
+        # 11.1 / 6.5 / 2.8 / 1.4 / 1.25, steady ~1.3s), and a best-so-far
+        # flat band stops on slow convergence ([6.8s, 6.5s] with steady
+        # state still 4x away). The fixed 4 passes are bounded (~25s worst
+        # case), counted against the global budget, and every cold time
+        # stays visible in notes.jit_warmup_cold_s.
         for _ in range(4):
             elapsed, err = _run_capped(spark, name, fn, sf_dir,
                                        PER_QUERY_CAP_S)
@@ -253,9 +253,6 @@ def main() -> int:
             warmup_cold.setdefault(name, []).append(round(elapsed, 3))
             print(f"  [warmup] {name}: {round(elapsed, 3)}s (untimed)",
                   file=sys.stderr, flush=True)
-            if best is not None and best * 0.75 <= elapsed <= best * 1.5:
-                break
-            best = elapsed if best is None else min(best, elapsed)
 
     plan = [("__calibration__", _calibration)] + [
         (name, overrides.get(name)) for name in BENCH_QUERIES
@@ -335,11 +332,11 @@ def main() -> int:
             "warm-up executions precede the timed passes (r8 root-caused "
             "the 8.5/3.1/1.3s pass profile to C2 compilation of the wide "
             "merge codegen), so the median reports the operator's steady "
-            "state; every cold run stays visible below. Since r17 the "
-            "early-stop compares against the BEST warm-up pass so far and "
-            "keeps warming through >1.5x contention spikes (the old "
-            "predecessor-based <25% rule stopped on a noisy regressing "
-            "pass and left the timed passes on the JIT curve). Since r11 the "
+            "state; every cold run stays visible below. Since r17 all four "
+            "warm-up passes always run (the r10 early-stop compared a pass "
+            "to its predecessor and stopped on a noisy regressing pass, "
+            "leaving the timed passes on the C2 curve — isolated curve "
+            "11.1/6.5/2.8/1.4/1.25s). Since r11 the "
             "global budget clock starts BEFORE warm-up (warm-up spend "
             "counts against the deadline; rep 0 still always runs), so "
             "total bench wall-clock is bounded by GLOBAL_BUDGET_S plus "

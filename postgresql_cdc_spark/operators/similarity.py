@@ -293,19 +293,21 @@ def topk_lsh(
         dim=dim,
     )
 
-    cand = (
+    # Score BEFORE the pair dedupe: cosine is a pure function of the pair,
+    # so duplicates (a pair colliding on several bands) carry equal scores
+    # and the dedupe result is unchanged — but the dedupe exchange now moves
+    # one double per row instead of two embedding vectors, and the aggregate
+    # keeps fixed-width buffers (HashAggregate fast path) instead of
+    # First(array<float>) buffers (the same shuffle-light shape
+    # near_dup_pairs already uses).
+    scored = (
         c.join(F.broadcast(q), ["band", "code"])
         .where(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col, "neighbor_id",
-            F.col("__v_query").alias("__qvec"),
-            F.col("__v_neighbor").alias("__nvec"),
+            cosine_expr("__v_neighbor", "__v_query").alias("cos_sim"),
         )
         .dropDuplicates([query_id_col, "neighbor_id"])
-    )
-    scored = cand.select(
-        query_id_col, "neighbor_id",
-        cosine_expr("__nvec", "__qvec").alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
