@@ -157,6 +157,20 @@ def main() -> int:
     # Warm the JVM/codegen paths once on a trivial query so the first measured
     # query doesn't pay session spin-up.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the Python worker pool the same way (r17): workers are reused
+    # across queries (spark.python.worker.reuse default), so on a long-lived
+    # engine the pandas/Arrow import cost is paid once per executor, not per
+    # query — without this the FIRST Arrow-UDF/mapInPandas row times 32
+    # worker spin-ups (observed: mm_binary_features pass curve
+    # 2.7/1.3/0.9/0.4/0.4 s with a 0.4 s steady state).
+    try:
+        import pandas as _pd  # noqa: F401 — matches the workers' import
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        (spark.range(cpus).repartition(cpus)
+         .mapInPandas(lambda it: it, "id long").count())
+    except Exception as e:  # noqa: BLE001 — warm-up must never void the run
+        print(f"  python-worker warmup skipped ({e})", file=sys.stderr)
 
     # Untimed input prep: persist the synthesized CDC changelog to parquet
     # once per process so the cdc_materialize_state row times the merge

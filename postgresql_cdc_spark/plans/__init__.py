@@ -467,6 +467,26 @@ _PIN_UNTIL_STAMPED_AFTER = {
     "cdc_stream_ivm_dim_chain": 16,
     "cdc_stream_ivm_sums_hicard": 16,
     "cdc_stream_ivm_group_sums": 16,
+    #
+    # r17 OPTIMIZATION round: operator-internal rewrites that keep results
+    # identical but replace the implementation path — MinHash candidate
+    # generation now carries n_sh on bucket rows with the size-ratio prune
+    # in the join and verifies via array_intersect (pairs path), the
+    # LshIndex bucket schema gained n_sh (incremental probe + streaming
+    # index gates), topk_lsh scores before the pair dedupe, and the IVF-PQ
+    # serve fans the corpus encode out. All passed the local full-registry
+    # gate (321/321, OPTIMIZATION_r17.md); these pins guarantee each a
+    # driver stamp in the r17 window.
+    "dedup_minhash_lsh": 16,
+    "dedup_minhash_recall_eval": 16,
+    "dedup_incremental_batch": 16,
+    "decon_fuzzy_minhash": 16,
+    "cdc_stream_incremental_dedup": 16,
+    "cdc_stream_dedup_admission": 16,
+    "sim_topk_lsh": 16,
+    "sim_topk_ivfpq": 16,
+    "ivfpq_recall_eval": 16,
+    "sim_topk_ivfpq_rerank": 16,
 }
 
 
@@ -549,16 +569,26 @@ def _staleness_order() -> None:
         until = _PIN_UNTIL_STAMPED_AFTER.get(n)
         return until is not None and last_stamp.get(n, -1) <= until
 
-    # Pins share the front bucket with never-stamped/red/changed queries
-    # rather than owning a bucket above them: within the bucket, stalest
-    # stamp first means never-stamped (-1) queries can't be crowded out of
-    # a budget-capped prefix by a pin that already carries a recent green
-    # stamp — the pin still re-verifies, one round later at worst.
+    # Within the front bucket (pins / red / changed), rank: never-stamped
+    # first (a query with no driver row ever outranks everything), then
+    # ACTIVE PINS (the explicit must-stamp-next-window ledger — r17: a
+    # round that edits a shared operator can flip 50+ fingerprints at
+    # once, and stalest-changed-first alone would crowd every pin out of
+    # a budget-capped prefix; the pin ledger is the conscious rebalance
+    # the stamp-window guard asks for), then auto-detected changed/red
+    # queries stalest-first — whatever exceeds the window self-corrects
+    # next round because their inventory hashes stay stale until stamped.
+    def subrank(n: str) -> int:
+        if last_stamp.get(n, -1) < 0:
+            return 0
+        return 1 if pin_active(n) else 2
+
     names.sort(
         key=lambda n: (
             0
             if (pin_active(n) or not last_green.get(n, False) or changed(n))
             else 1,
+            subrank(n),
             last_stamp.get(n, -1),  # then stalest stamp
             since.get(n, new_since),  # FIFO among equally-stale queries
             order[n],
