@@ -1479,14 +1479,19 @@ def join_deltas(
             *extra,
         )
 
-    def _fk_lists(keys_src: DataFrame, idxs: list[int]) -> dict:
+    def _fk_lists(keys_src: DataFrame, idxs: list[int]) -> tuple[bool, dict]:
         """ONE driver collect of a term carrier's FK columns, shared by
         every dimension probe of that term (r16 verdict item 6: the old
         shape re-collected the carrier once per dimension — N jobs per
         term instead of one). ``keys_src`` is a MATERIALIZED superset of
         the carrier's FK values (the fact delta's committed arrangement
         epoch / the scratch carrier), so the collect executes a cheap
-        parquet read, never a join subtree."""
+        parquet read, never a join subtree. Returns ``(empty, lists)`` —
+        ``empty`` means the CARRIER itself has no rows (every carrier row
+        yields one FK tuple, NULL FKs included), which lets the caller
+        skip the whole term (r17: an untouched relation otherwise still
+        paid the term's scratch write, secondary collect, and its share
+        of the view-delta plan)."""
         cols = [spec.dims[i].fact_fk for i in idxs]
         # tuple-DISTINCT before the collect: bounded by the batch's
         # distinct FK combinations, so a delta with heavy FK repetition
@@ -1494,7 +1499,7 @@ def join_deltas(
         # review — the per-column distinct the old per-dim probes did,
         # approximated in one job)
         rows = keys_src.select(*cols).distinct().collect()
-        return {i: [r[j] for r in rows] for j, i in enumerate(idxs)}
+        return not rows, {i: [r[j] for r in rows] for j, i in enumerate(idxs)}
 
     def _join_dim_state(
         carrier: DataFrame, keys: list, i: int, before
@@ -1533,26 +1538,39 @@ def join_deltas(
     terms = []
 
     # term 0: dF joined to every dimension's old state — ONE collect of
-    # the fact delta's FK columns serves all N probes. Guarded on dims:
-    # for a dimensionless spec f_delta_w is the LAZY diff plan, and a
-    # zero-column collect would execute it once for nothing (r17 review)
-    fk0 = _fk_lists(f_delta_w, list(range(len(spec.dims)))) \
-        if spec.dims else {}
-    c = f_delta_w
-    for i in range(len(spec.dims)):
-        c = _join_dim_state(c, fk0[i], i, before=bid)
-    terms.append(_out(c, F.col("sign"), set(range(len(spec.dims)))))
+    # the fact delta's FK columns serves all N probes, and the same
+    # collect tells us the fact delta is EMPTY (a dim-only trigger), in
+    # which case the whole term contributes nothing and is skipped
+    # outright. Guarded on dims: for a dimensionless spec f_delta_w is
+    # the LAZY diff plan, and a zero-column collect would execute it
+    # once for nothing (r17 review).
+    if spec.dims:
+        f_empty, fk0 = _fk_lists(f_delta_w, list(range(len(spec.dims))))
+    else:
+        f_empty, fk0 = False, {}
+    if not f_empty:
+        c = f_delta_w
+        for i in range(len(spec.dims)):
+            c = _join_dim_state(c, fk0[i], i, before=bid)
+        terms.append(_out(c, F.col("sign"), set(range(len(spec.dims)))))
 
-    # term i per dimension delta
+    # term i per dimension delta. The dim delta's distinct keys are
+    # collected FIRST (they fed probe_by_keys' internal collect anyway);
+    # an UNTOUCHED relation (no keys — the common fact-only CDC trigger)
+    # skips its term entirely instead of paying an empty scratch write,
+    # a secondary FK collect, and a fatter view-delta plan (r17).
     for i, dim in enumerate(spec.dims):
+        d_keys = [
+            r[0]
+            for r in d_deltas[i].select(dim.key).distinct().collect()
+        ]
+        if not d_keys:
+            continue
         arr = _history(
             spark, spec.arr_store(base, i), spec.arr_ddl, bid
         ).unionByName(f_delta_w)
         f_new_sub = _consolidate(
-            probe_by_keys(
-                arr, dim.fact_fk,
-                d_deltas[i].select(F.col(dim.key).alias(dim.fact_fk)),
-            ),
+            probe_by_key_list(arr, dim.fact_fk, d_keys),
             (spec.fact_key, *spec.fact_payload),
         ).where(F.col("sign") > 0)
         dd = _dim_side(i, d_deltas[i], extra=(F.col("sign").alias("__d_sign"),))
@@ -1569,7 +1587,7 @@ def join_deltas(
             carrier = _materialize_versioned(
                 carrier, base, f"xterm_{dim.name}", bid, _carrier_ddl(i)
             )
-            fk_o = _fk_lists(carrier, others)  # one collect for them all
+            _c_empty, fk_o = _fk_lists(carrier, others)  # one collect
         for j in others:
             # j < i: NEW state (this batch applied); j > i: OLD state —
             # the triangular split that makes same-batch multi-relation
@@ -1582,6 +1600,10 @@ def join_deltas(
             set(range(len(spec.dims))),
         ))
 
+    if not terms:
+        # nothing changed anywhere this batch — an explicitly empty delta
+        # (same schema the folds and composition adapters read)
+        return spark.createDataFrame([], spec.view_delta_ddl)
     out = terms[0]
     for t in terms[1:]:
         out = out.unionByName(t)

@@ -1146,3 +1146,108 @@ class TestJoinIvmReplay:
             for r in latest_sums(spark, state).collect()
         )
         assert once == want and twice == want, (once, twice)
+
+
+class TestEmptyTermSkip:
+    """r17: join_deltas skips delta-rule terms whose carrier is provably
+    empty (the fact-only / untouched-dimension triggers a CDC stream
+    mostly delivers) — no scratch write, no secondary FK collect, no
+    share of the view-delta plan. These pin that the SKIP changes only
+    cost, never answers, on a TWO-dim star where each trigger touches a
+    strict subset of the relations (measured 26 jobs/trigger fact-only
+    vs 37 all-relations at sf-toy; answers below are the contract)."""
+
+    STAR_DDL = ("tab string, k long, a long, b long, p long, q long, "
+                "op string, lsn long")
+
+    def _spec(self):
+        from postgresql_cdc_spark.streaming.join_ivm import (
+            DimSpec,
+            JoinViewSpec,
+        )
+
+        return JoinViewSpec(
+            fact_ddl="iid long, cid long, pid long, price int, "
+                     "op string, lsn long",
+            fact_key="iid",
+            fact_payload=("cid", "pid", "price"),
+            group_cols=("seg", "brand"),
+            measures=(("revenue", "price"),),
+            dims=(
+                DimSpec(ddl="cid long, seg int, op string, lsn long",
+                        key="cid", payload=("seg",), fact_fk="cid"),
+                DimSpec(ddl="pid long, brand int, op string, lsn long",
+                        key="pid", payload=("brand",), fact_fk="pid"),
+            ),
+        )
+
+    def _route(self, spark, rows):
+        df = spark.createDataFrame(rows, self.STAR_DDL)
+        c = df.where(F.col("tab") == "c").select(
+            F.col("k").alias("cid"), F.col("a").cast("int").alias("seg"),
+            "op", "lsn")
+        p = df.where(F.col("tab") == "p").select(
+            F.col("k").alias("pid"), F.col("a").cast("int").alias("brand"),
+            "op", "lsn")
+        f = df.where(F.col("tab") == "f").select(
+            F.col("k").alias("iid"), F.col("a").alias("cid"),
+            F.col("b").alias("pid"), F.col("p").cast("int").alias("price"),
+            "op", "lsn")
+        return [c, p], f
+
+    def test_single_relation_triggers_keep_answers_exact(
+        self, spark, tmp_path
+    ):
+        from postgresql_cdc_spark.streaming.join_ivm import latest_view
+
+        spec = self._spec()
+        state = str(tmp_path / "state")
+        os.makedirs(state)
+        # seed: 2 customers x 2 parts x 4 facts (all relations)
+        seed = (
+            [("c", i, i, None, None, None, "I", 10 + i) for i in (0, 1)]
+            + [("p", i, i + 5, None, None, None, "I", 20 + i) for i in (0, 1)]
+            + [("f", i, i % 2, (i // 2) % 2, 100 + i, None, "I", 30 + i)
+               for i in range(4)]
+        )
+        waves = [
+            seed,
+            # fact-only trigger: BOTH dim terms skip
+            [("f", 0, 1, 1, 500, None, "U", 40),
+             ("f", 4, 0, 0, 50, None, "I", 41)],
+            # customer-only trigger: term 0 and the part term skip
+            [("c", 0, 9, None, None, None, "U", 50)],
+            # part-only trigger incl. a delete: term 0 + customer term skip
+            [("p", 1, 8, None, None, None, "U", 60),
+             ("p", 0, None, None, None, None, "D", 61)],
+        ]
+        custs: dict = {}
+        parts: dict = {}
+        facts: dict = {}
+        for ep, w in enumerate(waves):
+            for tab, k, a, b, p, _q, op, _l in w:
+                if tab == "c":
+                    custs.pop(k, None) if op == "D" else custs.update({k: a})
+                elif tab == "p":
+                    parts.pop(k, None) if op == "D" else parts.update({k: a})
+                elif op == "D":
+                    facts.pop(k, None)
+                else:
+                    facts[k] = (a, b, p)
+            d_b, f_b = self._route(spark, w)
+            apply_batch(spark, state, ep, d_b, f_b, spec=spec)
+            agg: dict = {}
+            for cid, pid, price in facts.values():
+                if cid in custs and pid in parts:
+                    g = (custs[cid], parts[pid])
+                    e = agg.setdefault(g, [0, 0])
+                    e[0] += 1
+                    e[1] += price
+            want = sorted(
+                (s, b, n, r) for (s, b), (n, r) in agg.items() if n
+            )
+            got = sorted(
+                (r.seg, r.brand, r.dn, r.revenue)
+                for r in latest_view(spark, state, spec=spec).collect()
+            )
+            assert got == want, (ep, got, want)
