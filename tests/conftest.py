@@ -12,6 +12,21 @@ from postgresql_cdc_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Tier the oracle-parity sweep (r18, VERDICT item 1b): the
+    ``cdc_stream_*`` registry rows each drive a full multi-trigger
+    foreachBatch stream (5-35 s apiece, ~8 min of the measured 40-min full
+    suite) and are exactly the gates the DRIVER's own oracle re-verifies
+    every round — so they run in the slow tier, keeping the default tier
+    inside the driver's verify budget. Batch-query oracle rows (sub-second
+    each) stay in the default tier."""
+    import pytest as _pytest
+
+    for item in items:
+        if "test_query_runs_and_aliases_match_oracle[cdc_stream_" in item.nodeid:
+            item.add_marker(_pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("pytest")

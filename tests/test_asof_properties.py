@@ -19,6 +19,11 @@ import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+# r18 tier split: hypothesis fuzz/property soaks run in the slow tier
+# (fast coverage of the same operators lives in the sibling test files
+# and the oracle-parity sweep); run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
+
 from postgresql_cdc_spark.operators.asof import asof_join
 
 _TIMES = st.integers(min_value=0, max_value=60)

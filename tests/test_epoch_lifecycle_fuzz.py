@@ -18,6 +18,11 @@ import os
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+# r18 tier split: hypothesis fuzz/property soaks run in the slow tier
+# (fast coverage of the same operators lives in the sibling test files
+# and the oracle-parity sweep); run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
+
 from postgresql_cdc_spark.streaming.epoch_io import epoch_overwrite
 from postgresql_cdc_spark.streaming.epoch_maintenance import (
     base_upto,

@@ -10,6 +10,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from postgresql_cdc_spark.streaming.epoch_io import epoch_overwrite
@@ -210,6 +212,7 @@ class TestCompactEpochs:
 
 
 class TestEngineDrivenCompaction:
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_midstream_compaction_with_crash_replay(self, spark, tmp_path):
         """Compaction DURING a live stream, through the real engine: epoch
         2's foreachBatch first compacts the committed epochs below itself

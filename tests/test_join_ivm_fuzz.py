@@ -14,6 +14,12 @@ few examples, small domains."""
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+import pytest
+
+# r18 tier split: hypothesis fuzz/property soaks run in the slow tier
+# (fast coverage of the same operators lives in the sibling test files
+# and the oracle-parity sweep); run with -m "" or -m slow.
+pytestmark = pytest.mark.slow
 
 from postgresql_cdc_spark.streaming.join_ivm import (
     DimSpec,

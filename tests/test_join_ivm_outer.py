@@ -113,6 +113,7 @@ def _route(spark, wave):
 
 class TestOuterJoinViews:
     @pytest.mark.parametrize("join_type", ["left", "right", "full"])
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_outer_view_matches_closed_form(
         self, spark, tmp_path, join_type
     ):

@@ -112,6 +112,7 @@ def _collect(df):
 class TestMaterializeProperties:
     @settings(max_examples=30, deadline=None)
     @given(changelog())
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_window_fill_matches_sequential_fold(self, spark, rows):
         df = spark.createDataFrame(rows, SCHEMA).repartition(4)
         got = _collect(
@@ -122,6 +123,7 @@ class TestMaterializeProperties:
 
     @settings(max_examples=10, deadline=None)
     @given(changelog())
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_generic_fallback_matches_sequential_fold(self, spark, rows):
         df = spark.createDataFrame(rows, SCHEMA).repartition(4)
         got = _collect(

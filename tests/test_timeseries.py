@@ -168,6 +168,7 @@ class TestAsofNullTimes:
 
 
 class TestAsofDuplicateRightTies:
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_duplicate_right_times_resolve_deterministically(self, spark):
         """Duplicate (key, time) right rows with distinct payloads must pick
         the same winner regardless of partition-internal row order (the
@@ -211,6 +212,7 @@ class TestAsofDuplicateRightTies:
                     got = {r.lbl: r.rlbl for r in out.collect()}
                     assert got == expect, (d, perm[0], nparts, got)
 
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_equal_time_forward_ties_resolve_like_backward(self, spark):
         """A forward match at EXACTLY the left time routes through the
         shared backward frame, so among duplicate equal-time rights the
