@@ -345,6 +345,9 @@ def _fsync_tree(path: str) -> None:
 
 
 def _commit_manifest(path: str, upto: int) -> None:
+    # shared-partials mode (r18) can commit a horizon for a base store that
+    # never wrote a partition of its own (sparse fold): create the dir
+    os.makedirs(path, exist_ok=True)
     fp = os.path.join(path, BASE_MANIFEST)
     tmp = fp + ".tmp"
     with open(tmp, "w") as f:
@@ -373,6 +376,26 @@ def _sweep_stale(path: str, upto: int) -> int:
     return deleted
 
 
+def sweep_shared_partials(path: str, below: int) -> int:
+    """Retention pass for a SHARED partial store (one consumed by several
+    ``compact_epochs(..., partials_from=path)`` base stores and holding no
+    base of its own): delete partials strictly below ``below``, which the
+    caller must compute as the MINIMUM committed ``base_upto`` across every
+    consumer — a partial below that horizon is folded into all of them.
+    Crash-safe to interrupt (the next pass finishes it); a partial some
+    consumer has not folded yet stays by construction of the minimum."""
+    deleted = 0
+    for e in _partition_epochs(path):
+        if 0 <= e < int(below):
+            shutil.rmtree(
+                os.path.join(path, f"{EPOCH_COL}={e}"), ignore_errors=True
+            )
+            deleted += 1
+    if deleted:
+        _fsync_dir(path)
+    return deleted
+
+
 def compact_epochs(
     spark: SparkSession,
     path: str,
@@ -380,10 +403,21 @@ def compact_epochs(
     merge: Optional[Callable[[DataFrame], DataFrame]] = None,
     cluster_by: Optional[list[str]] = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partials_from: Optional[str] = None,
 ) -> dict:
     """Fold every epoch ``< upto`` (including the current base) into ONE
     base partition ``ingest_epoch = -upto``; returns ``{base_upto_before,
     base_upto_after, folded_partitions, deleted_partitions}``.
+
+    ``partials_from`` (r18) reads the live PARTIALS from a separate shared
+    store while the base, manifest and sweep stay in ``path`` — the layout
+    where N consumer stores (the per-dimension FK-clustered arrangements)
+    fold ONE shared epoch stream instead of each persisting its own copy
+    of every epoch. Only partials in ``[base_upto, upto)`` are folded
+    (older shared partials may still be pending for a sibling store); the
+    shared partials are NEVER deleted here — the caller sweeps them below
+    the MINIMUM committed horizon across all consumers
+    (:func:`sweep_shared_partials`).
 
     ``merge`` reshapes the folded rows (schema-preserving) before the write
     — pass the store's partial-merge aggregate for SUM-mergeable stats
@@ -425,7 +459,8 @@ def compact_epochs(
     # it out silently. Raising here turns that data loss into a loud misuse
     # error. (Checked after the GC branch: a re-run at upto == prev stays a
     # valid cleanup pass even when the fold consumed every live epoch.)
-    live_now = [e for e in _partition_epochs(path) if e >= 0]
+    src = partials_from or path
+    live_now = [e for e in _partition_epochs(src) if e >= 0]
     head = (max(live_now) + 1) if live_now else prev
     if upto > head:
         raise ValueError(
@@ -434,20 +469,48 @@ def compact_epochs(
             "folded over invisibly when they do"
         )
 
+    # In shared mode partials strictly below the committed base are NOT
+    # stale leftovers (a sibling store may still need them) and must not be
+    # counted or folded twice; the single-store range keeps its historical
+    # [0, upto) form, where anything below prev is a crash leftover the
+    # reads already filter.
+    part_lo = prev if partials_from else 0
     live = sorted(
-        e for e in _partition_epochs(path)
-        if (0 <= e < upto) or (prev > 0 and e == -prev)
+        {
+            e for e in _partition_epochs(src)
+            if part_lo <= e < upto
+        }
+        | ({-prev} if prev > 0 and -prev in _partition_epochs(path) else set())
     )
-    # one predicate covers both generations: with prev = 0 the base arm
-    # (== -0) collapses into the partial range, so no special case
-    folded = (
-        spark.read.parquet(path)
-        .where(
-            (F.col(EPOCH_COL) == F.lit(-prev))
-            | ((F.col(EPOCH_COL) >= F.lit(prev)) & (F.col(EPOCH_COL) < F.lit(upto)))
+    part_cond = (
+        (F.col(EPOCH_COL) >= F.lit(prev)) & (F.col(EPOCH_COL) < F.lit(upto))
+    )
+    if partials_from is None:
+        # one predicate covers both generations: with prev = 0 the base arm
+        # (== -0) collapses into the partial range, so no special case
+        folded = (
+            spark.read.parquet(path)
+            .where((F.col(EPOCH_COL) == F.lit(-prev)) | part_cond)
+            .drop(EPOCH_COL)
         )
-        .drop(EPOCH_COL)
-    )
+    else:
+        parts = []
+        if prev > 0:
+            parts.append(
+                spark.read.parquet(path)
+                .where(F.col(EPOCH_COL) == F.lit(-prev))
+                .drop(EPOCH_COL)
+            )
+        if os.path.isdir(src):
+            parts.append(
+                spark.read.parquet(src).where(part_cond).drop(EPOCH_COL)
+            )
+        # parts is empty iff ``live`` is empty (no base committed and no
+        # shared partial in range), and the sparse-store branch below
+        # returns before ``folded`` is ever touched
+        folded = parts[0] if parts else None
+        for p in parts[1:]:
+            folded = folded.unionByName(p)
     if not live:
         # nothing to fold (sparse store: no base yet and no partials below
         # the horizon). Writing anyway would be WRONG under a global-
@@ -475,10 +538,19 @@ def compact_epochs(
         from postgresql_cdc_spark.operators.layout import list_data_files
 
         part_dirs = {f"{EPOCH_COL}={e}" for e in live}
-        bytes_in = sum(
-            b for f, b in list_data_files(spark, path)
-            if any(f"/{d}/" in f or f.endswith(f"/{d}") for d in part_dirs)
-        )
+
+        def _bytes_of(store: str) -> int:
+            # shared mode: the base store may not exist yet (first fold)
+            if not os.path.isdir(store):
+                return 0
+            return sum(
+                b for f, b in list_data_files(spark, store)
+                if any(f"/{d}/" in f or f.endswith(f"/{d}") for d in part_dirs)
+            )
+
+        bytes_in = _bytes_of(path)
+        if partials_from is not None:
+            bytes_in += _bytes_of(partials_from)
         n_files = max(1, min(4096, -(-bytes_in // int(target_file_bytes))))
         # repartitionByRange runs a separate SAMPLING job over its child
         # to compute range boundaries — without a persist the whole fold
@@ -520,6 +592,7 @@ def maybe_compact(
     merge: Optional[Callable[[DataFrame], DataFrame]] = None,
     cluster_by: Optional[list[str]] = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partials_from: Optional[str] = None,
 ) -> Optional[dict]:
     """Size-tiered compaction trigger: the policy a production foreachBatch
     sink calls at the TOP of every epoch (before the epoch's own writes),
@@ -544,7 +617,9 @@ def maybe_compact(
     """
     current_epoch = int(current_epoch)
     base = base_upto(path)
-    live = [e for e in _partition_epochs(path) if e >= base]
+    live = [
+        e for e in _partition_epochs(partials_from or path) if e >= base
+    ]
     if len(live) <= int(max_live_partials):
         return None
     # A store an epoch wrote no rows to has no partition for it, so the
@@ -555,5 +630,5 @@ def maybe_compact(
         return None
     return compact_epochs(
         spark, path, upto, merge=merge, cluster_by=cluster_by,
-        target_file_bytes=target_file_bytes,
+        target_file_bytes=target_file_bytes, partials_from=partials_from,
     )

@@ -53,13 +53,18 @@ and extrema measures one versioned ``supp_<name>`` table each):
   the per-batch write is O(|batch|), never a full-state rewrite.
 - ``fact_by_did`` — the by-FOREIGN-KEY arrangement (Materialize's
   "arrangement" / DBSP's indexed Z-set): the batch's SIGNED fact deltas,
-  epoch-partitioned and consolidated on compaction
-  (``sum(sign) per (fid, did, amount)``, zero rows dropped). Integrating
-  it yields the live fact multiset KEYED BY ``did`` — which is what the
-  ``F_new JOIN dD`` leg probes; resolving latest-wins-by-fid there would
-  be wrong once a fact re-points its FK (the old row is invisible to a
-  did-filtered latest-wins), while signed rows stay correct under
-  addition for any key restriction.
+  consolidated on compaction (``sum(sign) per (fid, did, amount)``, zero
+  rows dropped). Integrating it yields the live fact multiset KEYED BY
+  ``did`` — which is what the ``F_new JOIN dD`` leg probes; resolving
+  latest-wins-by-fid there would be wrong once a fact re-points its FK
+  (the old row is invisible to a did-filtered latest-wins), while signed
+  rows stay correct under addition for any key restriction. Since r18 the
+  epoch PARTIALS live once in the shared ``fact_delta`` store (one signed
+  partial per batch, written once however many dimensions consume it);
+  each ``fact_by_<name>`` directory holds only its FK-clustered compacted
+  base + manifest, folds the shared partials above its own horizon
+  (``compact_epochs(..., partials_from=...)``), and the shared store is
+  swept below the MINIMUM committed horizon across the dimensions.
 - ``sums_v<batch_id>`` — the maintained aggregate, tiny (|groups| rows),
   versioned per batch with the previous generation retained and everything
   older SWEPT (:func:`sweep_versions`): Structured Streaming replays at
@@ -127,6 +132,7 @@ from postgresql_cdc_spark.streaming.epoch_maintenance import (
     epochs_before_compacted,
     maybe_compact,
     read_epoch_store,
+    sweep_shared_partials,
 )
 
 DIM_DDL = "id long, grp int, op string, lsn long"
@@ -603,6 +609,15 @@ class JoinViewSpec:
             return os.path.join(base, "fact_by_did")
         return os.path.join(base, f"fact_by_{self.dims[i].name}")
 
+    def fact_delta_store(self, base: str) -> str:
+        """The SHARED fact-delta epoch store (r18): one signed partial per
+        batch, consumed by every dimension's arrangement. The per-dim
+        ``arr_store`` directories hold only their FK-clustered compacted
+        base + manifest; their live partials are this store's partitions at
+        or above each base's horizon — so an N-dim view writes the fact
+        delta once per trigger instead of N times."""
+        return os.path.join(base, "fact_delta")
+
     def dim_delta_prefix(self, i: int) -> str:
         if len(self.dims) == 1:
             return "dim_delta"
@@ -995,6 +1010,51 @@ def _history(
     return epochs_before_compacted(spark, store, int(before), schema=ddl)
 
 
+def _arr_history(
+    spark: SparkSession,
+    base_store: str,
+    shared_store: str,
+    ddl: str,
+    before: int,
+) -> DataFrame:
+    """Arrangement rows strictly before ``before`` under the r18 SHARED
+    epoch layout: the per-dim FK-clustered base (manifest horizon ``U`` in
+    ``base_store``) plus the shared fact-delta partials in ``[U, before)``.
+    The two-store twin of ``epochs_before_compacted`` — including its
+    folded-away guard and the negative-zero base-alias rule (the base arm
+    only exists once a base committed)."""
+    before = int(before)
+    upto = base_upto(base_store) if os.path.isdir(base_store) else 0
+    if before < upto:
+        raise ValueError(
+            f"epoch {before} predates the compacted base horizon {upto}: "
+            "the strictly-earlier state no longer exists"
+        )
+    full = f"{ddl}, {EPOCH_COL} int"
+    parts = []
+    if upto > 0:
+        parts.append(
+            spark.read.schema(full).parquet(base_store)
+            .where(F.col(EPOCH_COL) == F.lit(-upto))
+            .drop(EPOCH_COL)
+        )
+    if os.path.isdir(shared_store):
+        parts.append(
+            spark.read.schema(full).parquet(shared_store)
+            .where(
+                (F.col(EPOCH_COL) >= F.lit(upto))
+                & (F.col(EPOCH_COL) < F.lit(before))
+            )
+            .drop(EPOCH_COL)
+        )
+    if not parts:
+        return spark.createDataFrame([], ddl)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _read_epoch(
     spark: SparkSession, store: str, ddl: str, epoch: int
 ) -> DataFrame:
@@ -1268,29 +1328,42 @@ def apply_batch(
                          max_live_partials, target_file_bytes)
         return None
 
-    # persist the fact delta as each dimension's by-FK arrangement epoch
-    # (signed rows; compaction consolidates, clustered by the FK that
-    # dimension's cross term probes). The FIRST write materializes the
-    # delta; later arrangements copy the committed partition (a cheap
-    # O(|batch|) read) instead of recomputing the diff per dimension.
+    # persist the fact delta ONCE as the SHARED arrangement epoch (r18):
+    # every dimension's by-FK arrangement reads the same signed partials,
+    # and only the compacted BASES are per-dimension (clustered by the FK
+    # that dimension's cross term probes). The pre-r18 layout wrote N
+    # copies of the identical delta per trigger — one per dimension — so
+    # an N-dim view paid N-1 extra O(|batch|) write jobs every batch.
     f_delta_w = f_delta
     if spec.dims:
+        shared = spec.fact_delta_store(base)
         for i in range(len(spec.dims)):
-            arr_store = spec.arr_store(base, i)
             maybe_compact(
-                spark, arr_store, bid, max_live_partials,
+                spark, spec.arr_store(base, i), bid, max_live_partials,
                 merge=lambda df: _consolidate(df, arr_cols),
                 cluster_by=[spec.dims[i].fact_fk],
                 target_file_bytes=target_file_bytes,
+                partials_from=shared,
             )
-            epoch_overwrite(
-                f_delta_w.select(
-                    *arr_cols, F.col("sign").cast("int").alias("sign")
+        # shared partials every dimension's base has folded are dead; the
+        # min committed horizon makes the sweep safe under a crash between
+        # two dimensions' compactions (the lagging base keeps them live)
+        if os.path.isdir(shared):
+            sweep_shared_partials(
+                shared,
+                min(
+                    base_upto(spec.arr_store(base, i))
+                    for i in range(len(spec.dims))
                 ),
-                arr_store,
-                bid,
             )
-            f_delta_w = _read_epoch(spark, arr_store, spec.arr_ddl, bid)
+        epoch_overwrite(
+            f_delta.select(
+                *arr_cols, F.col("sign").cast("int").alias("sign")
+            ),
+            shared,
+            bid,
+        )
+        f_delta_w = _read_epoch(spark, shared, spec.arr_ddl, bid)
 
     # materialize each dim delta the same way: join_deltas consumes it
     # twice or more (the probe key set + the broadcast join side), and
@@ -1560,14 +1633,20 @@ def join_deltas(
     # skips its term entirely instead of paying an empty scratch write,
     # a secondary FK collect, and a fatter view-delta plan (r17).
     for i, dim in enumerate(spec.dims):
+        # NULL keys never equality-join (probe_by_key_list drops them too),
+        # so filter them out BEFORE the emptiness check: an all-NULL dim
+        # delta is as provably empty as a no-row one and skips its term
+        # (r17 advice).
         d_keys = [
             r[0]
             for r in d_deltas[i].select(dim.key).distinct().collect()
+            if r[0] is not None
         ]
         if not d_keys:
             continue
-        arr = _history(
-            spark, spec.arr_store(base, i), spec.arr_ddl, bid
+        arr = _arr_history(
+            spark, spec.arr_store(base, i), spec.fact_delta_store(base),
+            spec.arr_ddl, bid,
         ).unionByName(f_delta_w)
         f_new_sub = _consolidate(
             probe_by_key_list(arr, dim.fact_fk, d_keys),

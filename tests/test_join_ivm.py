@@ -11,6 +11,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from postgresql_cdc_spark.streaming.join_ivm import (
@@ -73,6 +75,7 @@ def _route_and_apply(batch, epoch, state):
 
 
 class TestJoinIvmReplay:
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_engine_crash_after_sink_write_replays_idempotently(
         self, spark, tmp_path
     ):
@@ -166,7 +169,7 @@ class TestJoinIvmReplay:
             spark.createDataFrame(
                 [(999, 999, 7, 1)], "fid long, did long, amount int, sign int"
             ),
-            os.path.join(state, "fact_by_did"), 2,
+            os.path.join(state, "fact_delta"), 2,  # r18 shared-epoch layout
         )
         spark.createDataFrame(
             [(2, 99, 99999)], "grp int, dn long, dq long"
@@ -179,6 +182,7 @@ class TestJoinIvmReplay:
         )
         assert got == want, got
 
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_lifecycle_bounded_disk_and_swept_versions(self, spark, tmp_path):
         """The r13-verdict fix: state must not grow with stream age. Drive
         the same schedule through MANY small batches with a tight compaction
@@ -237,7 +241,26 @@ class TestJoinIvmReplay:
             # written since the last trigger fired (trigger runs at the TOP
             # of an epoch), but never grows with total stream age
             assert len(live) <= CAP + 2, (store, sorted(live))
+        # r18 shared-epoch layout: the arrangement's live partials moved to
+        # the shared fact_delta store (the per-dim dir holds base+manifest
+        # only); the SHARED store must stay bounded by the same cap above
+        # the minimum committed arrangement horizon
+        arr_upto = base_upto(os.path.join(state, "fact_by_did"))
+        shared = os.path.join(state, "fact_delta")
+        live = [
+            n for n in os.listdir(shared)
+            if n.startswith("ingest_epoch=")
+            and int(n.split("=")[1]) >= arr_upto
+        ]
+        assert len(live) <= CAP + 2, ("fact_delta", sorted(live))
+        stale = [
+            n for n in os.listdir(shared)
+            if n.startswith("ingest_epoch=")
+            and int(n.split("=")[1]) < arr_upto
+        ]
+        assert stale == [], stale  # swept below the min committed horizon
 
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_same_lsn_ties_resolve_deterministically(self, spark, tmp_path):
         """The r13-advice latent hazard: two ops on one key at the SAME lsn
         must resolve identically on every (re)application — the window
@@ -307,10 +330,10 @@ class TestJoinIvmReplay:
         f_delta = spark.createDataFrame([], "sign int, fid long, did long, amount int")
         epoch_overwrite(
             f_delta.select("fid", "did", "amount", "sign"),
-            os.path.join(state, "fact_by_did"), 2,
+            os.path.join(state, "fact_delta"), 2,  # r18 shared-epoch layout
         )
         f_delta_w = _read_epoch(
-            spark, os.path.join(state, "fact_by_did"), ARR_DDL, 2
+            spark, os.path.join(state, "fact_delta"), ARR_DDL, 2
         )
         plan = (
             join_deltas(spark, state, 2, d_delta, f_delta_w)
@@ -323,6 +346,7 @@ class TestJoinIvmReplay:
         # derivation has no join at all
         assert "SortMergeJoin" not in plan, plan[:2000]
 
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_three_hop_chain_composes_transitively(self, spark, tmp_path):
         """Composition is TRANSITIVE: a three-level dimension chain
         (orders -> customers -> nations -> regions) maintains as three
@@ -928,6 +952,7 @@ class TestJoinIvmReplay:
         assert "PushedFilters: [Or(" in plan or \
             "PushedFilters: [GreaterThanOrEqual" in plan, plan[:1500]
 
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_star_spec_double_application_converges(self, spark, tmp_path):
         """At-least-once through the MULTI-DIM kernel: replaying the last
         batch of a two-dim star view with extrema must converge — the
@@ -1195,6 +1220,7 @@ class TestEmptyTermSkip:
             "op", "lsn")
         return [c, p], f
 
+    @pytest.mark.slow  # r18 tier split: lifecycle/parity soak; slow tier
     def test_single_relation_triggers_keep_answers_exact(
         self, spark, tmp_path
     ):

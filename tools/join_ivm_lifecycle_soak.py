@@ -113,7 +113,7 @@ def _disk(state: str) -> dict:
         1 for n in os.listdir(state) if "_v" in n and not n.endswith("_kv")
     )
     partitions = 0
-    for store in ("dim_kv", "fact_kv", "fact_by_did"):
+    for store in ("dim_kv", "fact_kv", "fact_by_did", "fact_delta"):
         p = os.path.join(state, store)
         if os.path.isdir(p):
             partitions += sum(
