@@ -230,9 +230,16 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    # cap pathological buckets (skew guard)
+    # cap pathological buckets (skew guard). The POST-anti-join frame is
+    # persisted too (r18): both self-join sides read it, and without this
+    # the hot-bucket aggregate + its broadcast build execute once PER SIDE
+    # (two HashAggregate+Exchange+BroadcastExchange subtrees in the r17
+    # plan). Both caches are skinny 4-rows/doc bucket keys.
     wide = buckets.groupBy("band", "bucket").count().where(F.col("count") > max_bucket)
-    buckets = buckets.join(F.broadcast(wide), ["band", "bucket"], "left_anti")
+    buckets = (
+        buckets.join(F.broadcast(wide), ["band", "bucket"], "left_anti")
+        .persist()
+    )
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -257,9 +264,9 @@ def minhash_lsh_pairs(
     # double-join shuffled the WHOLE corpus posting list (O(sum |doc|)
     # rows) through two joins and a pair aggregate regardless of how few
     # candidates survived. r17 measured at sf0.1: 2.4 s -> 1.7 s warm,
-    # 17 -> 15 jobs, identical 255 pairs. (The index-probing incremental
-    # path keeps the posting join: a persisted LshIndex has postings,
-    # not arrays.)
+    # 17 -> 15 jobs, identical 255 pairs. (Since r18 the index-probing
+    # incremental path verifies the same way, gathering candidate-bounded
+    # posting slices into arrays first.)
     ha, hb = base.alias("ha"), base.alias("hb")
     common = (
         cand.join(ha, cand.id_a == F.col("ha.id"))
@@ -289,7 +296,10 @@ class LshIndex(NamedTuple):
 
     - ``buckets``  (id, n_sh, band, bucket): LSH band keys; each row carries
       the owning doc's shingle count so probe joins apply the size-ratio
-      prune in place of two post-candidate size joins (r17)
+      prune in place of two post-candidate size joins (r17). n_sh is an
+      optimization-only column: probes tolerate a legacy store where it is
+      absent (prune skipped) or NULL (row kept) — authoritative sizes come
+      from the posting lists
     - ``sizes``    (id, n_sh): shingle count, one row per doc (kept for
       consumers that need per-doc sizes without the 4x band fan-out)
     - ``postings`` (id, sh_hash): shingle posting list, for exact verification
@@ -395,37 +405,73 @@ def minhash_lsh_incremental(
         "left_anti",
     )
 
-    # Candidates carry both docs' shingle counts straight off the bucket
-    # rows (see ``build_lsh_index``): the size-ratio prune (Jaccard <=
-    # min/max) applies inside the probe join, BEFORE the distinct, and the
-    # two post-candidate size joins (plus their broadcast builds) disappear
-    # — the same r17 collapse as ``minhash_lsh_pairs``.
+    # Size-ratio prune (Jaccard <= min/max) inside the probe join, BEFORE the
+    # distinct (r17). r18 schema-drift hardening: n_sh is an OPTIMIZATION
+    # column — a persisted index written before the r17 schema change has no
+    # n_sh (or NULL n_sh rows after a mixed-epoch mergeSchema read), and a
+    # NULL comparison would silently DROP those candidates. The prune is
+    # therefore NULL-tolerant (NULL => keep; verification below decides), and
+    # the authoritative sizes come from the posting lists, never the bucket
+    # rows. A legacy store without the column at all skips the prune.
     bb, cb = bi.buckets.alias("bb"), buckets_c.alias("cb")
-    cand = (
-        bb.join(cb, ["band", "bucket"])
-        .where(
+    cand = bb.join(cb, ["band", "bucket"])
+    if "n_sh" in buckets_c.columns:
+        ratio_ok = (
             F.least(F.col("bb.n_sh"), F.col("cb.n_sh"))
             >= (threshold - 1e-6)
             * F.greatest(F.col("bb.n_sh"), F.col("cb.n_sh"))
         )
-        .select(
+        cand = cand.where(F.coalesce(ratio_ok, F.lit(True)))
+    cand = (
+        cand.select(
             F.col("bb.id").alias("batch_id"),
             F.col("cb.id").alias("corpus_id"),
-            F.col("bb.n_sh").alias("na"), F.col("cb.n_sh").alias("nb"),
         )
         .distinct()
+        # read by two semi-join key broadcasts + the verification join
+        .persist()
     )
-    post_b = bi.postings.alias("ia")
-    post_c = ci.postings.alias("ib")
-    common = (
-        cand.join(post_b, cand.batch_id == F.col("ia.id"))
-        .join(
-            post_c,
-            (cand.corpus_id == F.col("ib.id"))
-            & (F.col("ia.sh_hash") == F.col("ib.sh_hash")),
+
+    # Verification bounded by the CANDIDATE set (r18; guide §2.3/§3.2): the
+    # old shape joined the FULL corpus posting list per batch — an O(|index|)
+    # shuffle when index >> batch, every batch, regardless of how few
+    # candidates survived. Now each posting side is first cut to candidate
+    # ids with a broadcast semi-join (candidates are bounded by |batch| x
+    # collision rate x the hot-bucket cap, so the key set always fits), then
+    # gathered to one (id, shingle-array, size) row per doc, and the exact
+    # Jaccard is size(array_intersect) per pair — the same bounded-candidate
+    # verification minhash_lsh_pairs adopted in r17. shingles() is
+    # array_distinct (text.py), so intersect-size == posting-join count.
+    # Deriving na/nb from the posting lists (count per doc) rather than the
+    # bucket rows keeps results exact on legacy/mixed-schema stores too.
+    def _arrays(postings: DataFrame, ids: DataFrame) -> DataFrame:
+        return (
+            postings.join(F.broadcast(ids), "id", "left_semi")
+            .groupBy("id")
+            .agg(
+                F.collect_list("sh_hash").alias("shh"),
+                F.count(F.lit(1)).alias("n_sh"),
+            )
         )
-        .groupBy("batch_id", "corpus_id", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+
+    arr_b = _arrays(
+        bi.postings, cand.select(F.col("batch_id").alias("id")).distinct()
+    ).alias("ab")
+    arr_c = _arrays(
+        ci.postings, cand.select(F.col("corpus_id").alias("id")).distinct()
+    ).alias("ac")
+    common = (
+        cand.join(arr_b, cand.batch_id == F.col("ab.id"))
+        .join(arr_c, cand.corpus_id == F.col("ac.id"))
+        .select(
+            "batch_id", "corpus_id",
+            F.col("ab.n_sh").alias("na"), F.col("ac.n_sh").alias("nb"),
+            F.size(F.array_intersect(F.col("ab.shh"), F.col("ac.shh")))
+            .alias("n_common"),
+        )
+        # a pair sharing NO shingle produced no row from the old posting
+        # equi-join aggregate; keep that contract for degenerate thresholds
+        .where(F.col("n_common") > 0)
     )
     return (
         common.select(
@@ -536,9 +582,13 @@ def simhash_pairs(
     ).select("id", "fp", "ck.chunk", "ck.val")
 
     hot = chunked.groupBy("chunk", "val").count().where(F.col("count") > max_bucket)
+    # persist the post-anti-join frame: both self-join sides read it, and
+    # without this the chunk explode, the hot-chunk aggregate and its
+    # broadcast build all execute once PER SIDE (r18; same fix as
+    # minhash_lsh_pairs). Skinny (id, fp, chunk, val) rows.
     chunked = chunked.join(
         F.broadcast(hot.select("chunk", "val")), ["chunk", "val"], "left_anti"
-    )
+    ).persist()
 
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
@@ -588,7 +638,9 @@ def _shingle_pair_counts(
         .persist()
     )
     hot = posting.groupBy("sh_hash").count().where(F.col("count") > max_df)
-    posting = posting.join(F.broadcast(hot), "sh_hash", "left_anti")
+    # persist post-anti-join: both pair-join sides read it; without this the
+    # hot-shingle aggregate and its broadcast build run once per side (r18)
+    posting = posting.join(F.broadcast(hot), "sh_hash", "left_anti").persist()
 
     pa, pb = posting.alias("pa"), posting.alias("pb")
     joined = pa.join(pb, "sh_hash").where(F.col("pa.id") < F.col("pb.id"))
@@ -609,6 +661,116 @@ def _shingle_pair_counts(
     ).agg(F.count(F.lit(1)).alias("n_common"))
 
 
+def _ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    ngram: int,
+    max_df: int,
+) -> DataFrame:
+    """Prefix-filtered exact n-gram Jaccard (Chaudhuri et al. ICDE'06 /
+    Vernica et al. SIGMOD'10): identical output to the posting-self-join
+    formulation, but the pair-generating join runs on each doc's PREFIX —
+    the first ``|A| - ceil(t*|A|) + 1`` shingles in a canonical global
+    order — instead of the full posting list. Two docs with Jaccard >= t
+    MUST share a prefix shingle (if their prefixes were disjoint, the
+    optimal alignment still leaves fewer than t·|union| common elements),
+    so recall is exact; verification recomputes the true Jaccard via
+    ``array_intersect`` on the full (stop-shingle-pruned) arrays.
+
+    Semantics preserved exactly:
+
+    - ``max_df`` (stop-shingle) df is computed over the FULL posting list,
+      as before, and hot shingles are removed from the arrays before both
+      prefix selection and verification — so ``n_common`` counts the same
+      non-hot intersections the posting join counted;
+    - ``na``/``nb`` are the FULL shingle-set sizes (prune and Jaccard
+      denominators unchanged). Since |A_clean| <= |A|, the true Jaccard is
+      <= the cleaned-arrays Jaccard, so prefixing on the cleaned arrays at
+      threshold t never drops a qualifying pair;
+    - the prefix length uses the same ``threshold - 1e-6`` epsilon as the
+      size-ratio prune (covers the caller's round-half-up at 6 decimals):
+      a longer prefix only ADDS candidates, never loses one.
+
+    Scale shape: the posting self-join's per-shingle fan-out is df², summed
+    over every shingle; the prefix join's is df_prefix² — at threshold 0.5
+    each doc contributes roughly half its shingles, quartering the expected
+    pair fan-out, with the gap widening as corpora (and bucket widths)
+    grow. The extra cost is one collect_list shuffle to rebuild cleaned
+    arrays, which is O(corpus) and scale-linear.
+    """
+    eps = threshold - 1e-6
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(tokens(F.col(text_col)), ngram), h60).alias("shh"),
+    ).persist()
+    base = hashed.where(F.size("shh") > 0)
+    posting = base.select(
+        "id",
+        F.size("shh").alias("n_sh"),
+        F.explode("shh").alias("sh_hash"),
+    )
+    hot = posting.groupBy("sh_hash").count().where(F.col("count") > max_df)
+    pruned = posting.join(F.broadcast(hot), "sh_hash", "left_anti")
+
+    # cleaned arrays, canonically ordered (plain value order — cheap and
+    # engine-neutral), carrying the FULL size for prune + denominator;
+    # persisted: read by the prefix explode and both verification sides
+    clean = (
+        pruned.groupBy("id", "n_sh")
+        .agg(F.array_sort(F.collect_list("sh_hash")).alias("shh_c"))
+        .persist()
+    )
+    prefix_len = (
+        F.size("shh_c")
+        - F.ceil(F.lit(eps) * F.size("shh_c")).cast("int")
+        + F.lit(1)
+    )
+    pref = clean.select(
+        "id", "n_sh",
+        F.explode(F.slice("shh_c", F.lit(1), prefix_len)).alias("sh_hash"),
+    )
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (
+        pa.join(pb, "sh_hash")
+        .where(F.col("pa.id") < F.col("pb.id"))
+        .where(
+            F.least(F.col("pa.n_sh"), F.col("pb.n_sh"))
+            >= eps * F.greatest(F.col("pa.n_sh"), F.col("pb.n_sh"))
+        )
+        .select(
+            F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"),
+            F.col("pa.n_sh").alias("na"), F.col("pb.n_sh").alias("nb"),
+        )
+        .distinct()
+    )
+    ca, cb = clean.alias("ca"), clean.alias("cb")
+    common = (
+        cand.join(ca, cand.id_a == F.col("ca.id"))
+        .join(cb, cand.id_b == F.col("cb.id"))
+        .select(
+            "id_a", "id_b", "na", "nb",
+            F.size(F.array_intersect(F.col("ca.shh_c"), F.col("cb.shh_c")))
+            .alias("n_common"),
+        )
+        # the posting join produced no row for a pair with zero common
+        # non-hot shingles; keep that contract
+        .where(F.col("n_common") > 0)
+    )
+    return (
+        common.select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -616,6 +778,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     ngram: int = 3,
     max_df: int = 100,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard above threshold.
 
@@ -637,7 +800,16 @@ def ngram_jaccard_pairs(
     - the sizes ride through the ``groupBy`` (keys are functionally dependent
       on the ids), so the two post-aggregation size joins disappear — one
       shuffle instead of three.
+
+    ``prefix_filter=True`` (r18) switches the candidate generation to the
+    prefix-filtered formulation (:func:`_ngram_jaccard_pairs_prefix`) —
+    identical output, pair join bounded by prefix postings instead of the
+    full posting list; see that function for the measured tradeoff.
     """
+    if prefix_filter:
+        return _ngram_jaccard_pairs_prefix(
+            df, text_col, id_col, threshold, ngram, max_df
+        )
     common = _shingle_pair_counts(
         df, text_col, id_col, ngram, max_df, size_ratio_min=threshold
     )
@@ -778,9 +950,13 @@ def duplicate_span_pairs(
     spam = (
         posting.groupBy("id", "h").count().where(F.col("count") > max_occ)
     )
+    # persist post-guards: both posting-join sides read the pruned frame;
+    # without this BOTH guard aggregates and their broadcast builds execute
+    # once per side (r18; same fix as the other pair pipelines)
     pruned = (
         posting.join(F.broadcast(hot.select("h")), "h", "left_anti")
         .join(F.broadcast(spam.select("id", "h")), ["id", "h"], "left_anti")
+        .persist()
     )
 
     pa, pb = pruned.alias("pa"), pruned.alias("pb")

@@ -475,7 +475,10 @@ def near_dup_pairs(
         corpus.withColumnRenamed(id_col, "id"), "id",
         vec_col, bands, planes_per_band, "v", dim=dim,
     ).persist()
-    coded = _drop_hot_buckets(coded, max_bucket)
+    # persist post-anti-join too (r18): both self-join sides read it, and
+    # without this the hot-bucket aggregate + its broadcast build execute
+    # once per side (same fix as the dedup pair pipelines)
+    coded = _drop_hot_buckets(coded, max_bucket).persist()
 
     a, b = coded.alias("a"), coded.alias("b")
     return (

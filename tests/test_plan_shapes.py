@@ -108,6 +108,7 @@ def _is_streaming_gate(q) -> bool:
 
 
 class TestNoAccidentalCrossJoins:
+    @pytest.mark.slow  # r18 tier split: full-registry explain sweep (~2 min)
     def test_registry_sweep(self, spark):
         """No query may plan a CartesianProduct, and only the documented
         allowlist may plan BroadcastNestedLoopJoin.
@@ -395,7 +396,10 @@ def test_materialize_pipeline_shuffle_budget(spark):
 # corpus; leave them as plain equi-joins and let AQE decide (it broadcasts
 # only what actually fits at runtime).
 BROADCAST_HINT_SITES = {
-    "operators/dedup.py": {"hot", "spam", "wide"},          # (d) hot lists
+    # (d) hot lists; ``ids`` (r18): distinct candidate doc-ids for the
+    # incremental-probe posting semi-joins — bounded by |batch| x LSH
+    # collision rate x the hot-bucket cap (the candidate set itself)
+    "operators/dedup.py": {"hot", "ids", "spam", "wide"},
     "operators/multimodal.py": {"hot"},                      # (d)
     "operators/seams.py": {"rhs"},                           # (e) super-bucket rollup
     "operators/similarity.py": {"centroids", "cents", "probes", "q", "wide"},
