@@ -487,6 +487,22 @@ _PIN_UNTIL_STAMPED_AFTER = {
     "sim_topk_ivfpq": 16,
     "ivfpq_recall_eval": 16,
     "sim_topk_ivfpq_rerank": 16,
+    #
+    # r18: (a) the five riders of the r17 shared reader/operator changes the
+    # rotating window missed (verdict item 6 — local 321/321 only, no r17
+    # driver stamp); (b) the incremental-LSH probe verification was rewired
+    # in r18 (candidate-bounded posting semi-joins + array_intersect in
+    # place of the full-index posting join), so every query running that
+    # path re-stamps.
+    "text_bm25_topk": 17,
+    "hybrid_rrf_fusion": 17,
+    "dedup_ngram_jaccard": 17,
+    "dedup_survivor_selection": 17,
+    "dedup_cluster_labels": 17,
+    "dedup_incremental_batch": 17,
+    "cdc_stream_incremental_dedup": 17,
+    "cdc_stream_dedup_admission": 17,
+    "decon_fuzzy_minhash": 17,
 }
 
 
@@ -498,9 +514,13 @@ def _staleness_order() -> None:
     Derive it from the recorded driver stamps (``CORRECTNESS_r*.json`` at the
     repo root) instead of hand-rotating:
 
-    1. never-stamped, red-at-latest-stamp, or changed-since-inventory
-       queries first (new code and known failures always get a driver row
-       next round),
+    1. the front bucket — active pins, red-at-latest-stamp, or
+       changed-since-inventory queries (new code and known failures always
+       get a driver row next round) — internally ranked never-stamped
+       first, then ACTIVE PINS (the explicit must-stamp ledger; a round
+       that edits a shared operator can flip 50+ fingerprints at once and
+       stalest-changed-first alone would crowd every pin out of a
+       budget-capped prefix), then auto-detected changed/red stalest-first,
     2. then everything else least-recently-stamped first (no query goes
        rounds without a fresh stamp while its family mates re-verify),
     3. ties break on the inventory's ``since`` round (FIFO: a query that has

@@ -34,9 +34,10 @@ from postgresql_cdc_spark.operators.similarity import (
 from postgresql_cdc_spark.plans.registry import register
 
 
-def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def T(spark: SparkSession, sf_dir: str, name: str,
+      fanout: bool = True) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name in ("documents", "embeddings"):
+    if fanout and name in ("documents", "embeddings"):
         # These corpora feed per-row kernels (md5 shingle hashing, minhash
         # signatures, plane folds) whose cost dwarfs the scan. A real corpus
         # arrives in thousands of splits and parallelizes for free; the
@@ -199,8 +200,9 @@ _CORPUS = """
 """
 
 
-def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+def _near_dup_corpus(spark: SparkSession, sf_dir: str,
+                     fanout: bool = True) -> DataFrame:
+    d = T(spark, sf_dir, "documents", fanout=fanout).select("doc_id", "text")
     pert = d.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
@@ -221,7 +223,15 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact dedup: hash-groupBy on normalized content hash.",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.exact_dedup(_near_dup_corpus(spark, sf_dir), "text", "doc_id")
+    # fanout=False (r18): this kernel hashes each doc ONCE (one md5 +
+    # tokenize) — ~1/32 of the minhash weight the fan-out exists for — and
+    # the r17 scaling block measured the 32-way exchange COSTING more than
+    # it buys here (c8/c32 = 0.63 on the single-row-group fixture). At real
+    # scale the fan-out guard never fires anyway (multi-split inputs), so
+    # opting out only removes the tiny-corpus overshoot.
+    return dd.exact_dedup(
+        _near_dup_corpus(spark, sf_dir, fanout=False), "text", "doc_id"
+    )
 
 
 # --- minhash LSH near-dup ----------------------------------------------------
