@@ -264,9 +264,9 @@ def minhash_lsh_pairs(
     # double-join shuffled the WHOLE corpus posting list (O(sum |doc|)
     # rows) through two joins and a pair aggregate regardless of how few
     # candidates survived. r17 measured at sf0.1: 2.4 s -> 1.7 s warm,
-    # 17 -> 15 jobs, identical 255 pairs. (Since r18 the index-probing
-    # incremental path verifies the same way, gathering candidate-bounded
-    # posting slices into arrays first.)
+    # 17 -> 15 jobs, identical 255 pairs. (The index-probing incremental
+    # path keeps the posting join: two candidate-bounded rewrites measured
+    # slower there — see minhash_lsh_incremental.)
     ha, hb = base.alias("ha"), base.alias("hb")
     common = (
         cand.join(ha, cand.id_a == F.col("ha.id"))
@@ -299,7 +299,7 @@ class LshIndex(NamedTuple):
       prune in place of two post-candidate size joins (r17). n_sh is an
       optimization-only column: probes tolerate a legacy store where it is
       absent (prune skipped) or NULL (row kept) — authoritative sizes come
-      from the posting lists
+      from the sizes table
     - ``sizes``    (id, n_sh): shingle count, one row per doc (kept for
       consumers that need per-doc sizes without the 4x band fan-out)
     - ``postings`` (id, sh_hash): shingle posting list, for exact verification
@@ -411,8 +411,8 @@ def minhash_lsh_incremental(
     # n_sh (or NULL n_sh rows after a mixed-epoch mergeSchema read), and a
     # NULL comparison would silently DROP those candidates. The prune is
     # therefore NULL-tolerant (NULL => keep; verification below decides), and
-    # the authoritative sizes come from the posting lists, never the bucket
-    # rows. A legacy store without the column at all skips the prune.
+    # the authoritative sizes come from the index's SIZES table, never the
+    # bucket rows. A legacy store without the column at all skips the prune.
     bb, cb = bi.buckets.alias("bb"), buckets_c.alias("cb")
     cand = bb.join(cb, ["band", "bucket"])
     if "n_sh" in buckets_c.columns:
@@ -428,50 +428,49 @@ def minhash_lsh_incremental(
             F.col("cb.id").alias("corpus_id"),
         )
         .distinct()
-        # read by two semi-join key broadcasts + the verification join
-        .persist()
     )
 
-    # Verification bounded by the CANDIDATE set (r18; guide §2.3/§3.2): the
-    # old shape joined the FULL corpus posting list per batch — an O(|index|)
-    # shuffle when index >> batch, every batch, regardless of how few
-    # candidates survived. Now each posting side is first cut to candidate
-    # ids with a broadcast semi-join (candidates are bounded by |batch| x
-    # collision rate x the hot-bucket cap, so the key set always fits), then
-    # gathered to one (id, shingle-array, size) row per doc, and the exact
-    # Jaccard is size(array_intersect) per pair — the same bounded-candidate
-    # verification minhash_lsh_pairs adopted in r17. shingles() is
-    # array_distinct (text.py), so intersect-size == posting-join count.
-    # Deriving na/nb from the posting lists (count per doc) rather than the
-    # bucket rows keeps results exact on legacy/mixed-schema stores too.
-    def _arrays(postings: DataFrame, ids: DataFrame) -> DataFrame:
-        return (
-            postings.join(F.broadcast(ids), "id", "left_semi")
-            .groupBy("id")
-            .agg(
-                F.collect_list("sh_hash").alias("shh"),
-                F.count(F.lit(1)).alias("n_sh"),
-            )
-        )
-
-    arr_b = _arrays(
-        bi.postings, cand.select(F.col("batch_id").alias("id")).distinct()
-    ).alias("ab")
-    arr_c = _arrays(
-        ci.postings, cand.select(F.col("corpus_id").alias("id")).distinct()
-    ).alias("ac")
+    # Verification keeps the r17 single-pipeline posting equi-join: the
+    # candidate frame joins the batch postings, the result streams the index
+    # posting store through the second join's probe (the index side is
+    # SCANNED, not shuffled — the pair side is the small build), and one
+    # aggregate counts common shingles. Two candidate-bounded rewrites were
+    # measured SLOWER here at sf0.1 in process-interleaved A/Bs (r18):
+    # collect_list arrays + array_intersect (the r17 minhash_lsh_pairs
+    # shape) read 0.82x and broadcast semi-join slices + counting aggregate
+    # read 0.68x — on the per-batch probe path the extra shuffle/broadcast-
+    # build JOBS cost more than the posting join they bound; bounding the
+    # per-batch SCAN of a huge index is a storage-layout problem (partition
+    # postings by shingle), not a join-shape one.
+    post_b = bi.postings.alias("ia")
+    post_c = ci.postings.alias("ib")
     common = (
-        cand.join(arr_b, cand.batch_id == F.col("ab.id"))
-        .join(arr_c, cand.corpus_id == F.col("ac.id"))
+        cand.join(post_b, cand.batch_id == F.col("ia.id"))
+        .join(
+            post_c,
+            (cand.corpus_id == F.col("ib.id"))
+            & (F.col("ia.sh_hash") == F.col("ib.sh_hash")),
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # Exact sizes come from the index's SIZES table — written by every
+    # build_lsh_index vintage — joined AFTER the pair aggregate, where only
+    # the handful of surviving pairs pay for the lookup (AQE broadcasts the
+    # pair side). The bucket-carried n_sh stays optimization-only (the
+    # prune); results no longer depend on it, so legacy and mixed-epoch
+    # stores verify exactly (r17 advice: the old bucket-sourced sizes
+    # silently dropped every candidate from a pre-n_sh epoch).
+    sz_b = bi.sizes.alias("sb")
+    sz_c = ci.sizes.alias("sc")
+    common = (
+        common.join(sz_b, common.batch_id == F.col("sb.id"))
+        .join(sz_c, common.corpus_id == F.col("sc.id"))
         .select(
             "batch_id", "corpus_id",
-            F.col("ab.n_sh").alias("na"), F.col("ac.n_sh").alias("nb"),
-            F.size(F.array_intersect(F.col("ab.shh"), F.col("ac.shh")))
-            .alias("n_common"),
+            F.col("sb.n_sh").alias("na"), F.col("sc.n_sh").alias("nb"),
+            "n_common",
         )
-        # a pair sharing NO shingle produced no row from the old posting
-        # equi-join aggregate; keep that contract for degenerate thresholds
-        .where(F.col("n_common") > 0)
     )
     return (
         common.select(

@@ -396,10 +396,7 @@ def test_materialize_pipeline_shuffle_budget(spark):
 # corpus; leave them as plain equi-joins and let AQE decide (it broadcasts
 # only what actually fits at runtime).
 BROADCAST_HINT_SITES = {
-    # (d) hot lists; ``ids`` (r18): distinct candidate doc-ids for the
-    # incremental-probe posting semi-joins — bounded by |batch| x LSH
-    # collision rate x the hot-bucket cap (the candidate set itself)
-    "operators/dedup.py": {"hot", "ids", "spam", "wide"},
+    "operators/dedup.py": {"hot", "spam", "wide"},          # (d) hot lists
     "operators/multimodal.py": {"hot"},                      # (d)
     "operators/seams.py": {"rhs"},                           # (e) super-bucket rollup
     "operators/similarity.py": {"centroids", "cents", "probes", "q", "wide"},

@@ -1,12 +1,12 @@
 """Pins for the r18 operator-internal rewrites (second optimization round):
 
-- ``minhash_lsh_incremental``: verification is bounded by the candidate set
-  (posting sides cut by broadcast semi-joins, exact Jaccard via
-  ``array_intersect`` on per-doc arrays) and the authoritative sizes come
-  from the POSTING lists — so a legacy persisted index whose bucket table
-  predates the r17 ``n_sh`` column (absent, or NULL after a mixed-epoch
-  read) must still report exactly the same matches (the r17 ADVICE medium
-  item: the old prune silently dropped all legacy candidates).
+- ``minhash_lsh_incremental``: the size-ratio prune is NULL-tolerant and
+  skipped when the bucket ``n_sh`` column is absent, and the authoritative
+  sizes come from the index's SIZES table (written by every index vintage)
+  — so a legacy persisted index whose bucket table predates the r17
+  ``n_sh`` column (absent, or NULL after a mixed-epoch read) must still
+  report exactly the same matches (the r17 ADVICE medium item: the old
+  bucket-sourced prune+sizes silently dropped all legacy candidates).
 - ``ngram_jaccard_pairs(prefix_filter=True)``: the prefix-filtered
   formulation must produce the IDENTICAL pair set as the posting-self-join
   formulation — including hot-shingle (max_df) semantics, the doc-in-doc
